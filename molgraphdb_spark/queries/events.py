@@ -1,0 +1,192 @@
+"""Event-table queries: time windows, JSON extraction, sessionization.
+
+The reference has no time/date surface (SURVEY.md §2.8 "Date/time
+functions: none") and no streaming (§2.10); these queries define the
+batch semantics that the streaming module (molgraphdb_spark.streaming)
+reuses verbatim — the same ``window()`` aggregation runs under
+``readStream`` with a watermark.
+
+Scale notes: tumbling-window aggs shuffle once on (window, key);
+sessionization via gaps-and-islands is one window shuffle on user_id —
+both hold at 100 TB with time-partitioned input (partition pruning on
+the ts predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from molgraphdb_spark.session import tune
+from molgraphdb_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events, normalizing the nanosecond-precision parquet
+    timestamp to Spark's microsecond TIMESTAMP.
+
+    The driver's events.parquet stores ``ts`` as INT64
+    TIMESTAMP(NANOS), which Spark's vectorized parquet reader rejects
+    outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
+    (``nanosAsLong``) and floor-divide to micros — the same µs
+    truncation DuckDB applies when it maps parquet ns → its internal
+    µs TIMESTAMP, so both engines see identical instants.
+    """
+    tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type (batch form of the
+    streaming tumbling-window agg)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window via ``F.window`` — the exact expression
+    Structured Streaming uses; exposed here in batch so the oracle can
+    check it (window start == floor(epoch/300)*300)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 analogue: JSON decode at the boundary (reference smuggles
+    nested data through TEXT, mcs.py:138–139; here props is a JSON
+    string column)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+        .filter(F.col("prop_k").isNotNull())
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap, as
+    gaps-and-islands (lag + conditional cumulative sum). This is the
+    batch-checkable twin of ``session_window()`` in streaming.
+    Session id = (user_id, session_seq); emits per-session stats."""
+    ev = _events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap in microseconds (unix_micros) so the 30-min threshold compares
+    # at full timestamp precision on both engines (DuckDB: epoch_us).
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(by_user)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sessions = ev.withColumn("new_s", new_session).withColumn(
+        "session_seq", F.sum("new_s").over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def events_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag/lead value deltas per user."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+    )
+
+
+EVENTS_LAG_LEAD_SQL = """
+SELECT user_id, event_id,
+       value - LAG(value) OVER w AS delta_prev,
+       LEAD(value) OVER w - value AS delta_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES = {
+    "events_hourly_counts": events_hourly_counts,
+    "events_tumbling_window": events_tumbling_window,
+    "events_json_extract": events_json_extract,
+    "events_sessionize": events_sessionize,
+    "events_lag_lead_delta": events_lag_lead_delta,
+}
+
+ORACLES = {
+    "events_hourly_counts": EVENTS_HOURLY_SQL,
+    "events_tumbling_window": EVENTS_TUMBLING_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_lag_lead_delta": EVENTS_LAG_LEAD_SQL,
+}

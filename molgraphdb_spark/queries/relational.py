@@ -1,0 +1,540 @@
+"""Relational operator inventory (SURVEY.md §2.2, §2.3, §2.4, §2.6) as
+named queries over the driver tables, each paired with a DuckDB oracle.
+
+Design rules applied throughout:
+- Declarative DataFrame API only — Catalyst supplies predicate pushdown,
+  column pruning, join reordering, partial aggregation (SURVEY.md §4).
+- Small dims joined with an explicit ``broadcast()`` hint: at 100 TB the
+  fact side never moves for those joins (no shuffle), only the dim is
+  replicated.
+- Every computed column is aliased identically in Spark and SQL (driver
+  hash-compares after sorting columns by name).
+- Float aggregates are rounded on both sides: double addition is not
+  associative, so an unrounded SUM would hash-differ between engines at
+  the last ulp while being semantically identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from molgraphdb_spark.session import tune
+from molgraphdb_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary (TPC-H Q1 shape) — flagship aggregate scan.
+# Reference analogue: the group-by-count surface of A2/A8/A10
+# (main.py:319–325) generalized to multi-aggregate; SURVEY.md §7 M0.
+# Scale: single shuffle on a 6-value grouping key; partial aggregation
+# (map-side combine) reduces the shuffle to O(partitions * groups).
+# --------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3-shape: customer ⋈ orders ⋈ lineitem with group-by revenue, top-10.
+# Reference analogue: the "query join" J1 pattern at analytic scale.
+# Scale: lineitem⋈orders shuffles on orderkey (both huge — sort-merge,
+# AQE-coalesced); customer dim joined after aggregation would be better
+# at extreme scale but customer is filterable first — Catalyst pushes
+# the segment filter below the join.
+# --------------------------------------------------------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5-shape: six-way join, revenue per nation.
+# Scale: region/nation/supplier are broadcast (no shuffle for those
+# joins); only lineitem⋈orders and ⋈customer shuffle on their keys.
+# --------------------------------------------------------------------------
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# P1/P2 analogue: projection + conjunctive filter with pushdown
+# (reference validity predicate main.py:92–105 re-shaped onto lineitem).
+# Scale: filter + 4-column ReadSchema reach the Parquet scan — verified
+# via .explain in tests (PushedFilters).
+# --------------------------------------------------------------------------
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 30)
+            & (F.col("l_discount") > 0.02)
+            & (~F.col("l_returnflag").contains("N"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            # No rounding: per-row IEEE products are bit-identical across
+            # engines, while ROUND ties (x.xx5) resolve differently.
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_quantity >= 30 AND l_discount > 0.02 AND NOT contains(l_returnflag, 'N')
+"""
+
+
+# --------------------------------------------------------------------------
+# A1: distinct count (reference main.py:316–317 COUNT(DISTINCT smiles)).
+# Scale note: exact distinct shuffles all keys; at 100 TB prefer
+# approx_count_distinct (HLL) — exposed separately in bench, exact here
+# because the oracle must match bit-for-bit.
+# --------------------------------------------------------------------------
+def distinct_count_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.count(F.lit(1)).alias("total_orders"),
+    )
+
+
+DISTINCT_COUNT_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS unique_customers, COUNT(*) AS total_orders
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# A2/A8/A10: group-by counts (reference main.py:319–325 — the
+# commented-out GROUP BY relation COUNT(*)).
+# --------------------------------------------------------------------------
+def group_count_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_value"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+GROUP_COUNT_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_value
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# O4: top-k per group via ranking window (SURVEY.md §2.5 — the
+# visualizer's top-3-per-edge-count-bucket, mcs.py:546,583,651,662).
+# Scale: single shuffle on the partition key; rank evaluated within
+# partitions, no global sort.
+# --------------------------------------------------------------------------
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("totalprice"), "rk")
+    )
+
+
+TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice AS totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# O1/O5: multi-key descending sort + global cap (mcs.py:439–440 sort by
+# (n_edges, n_nodes) desc; mcs.py:527 row cap). Unique tiebreaker added
+# so the LIMIT boundary is deterministic.
+# Scale: orderBy+limit is planned as TakeOrderedAndProject — per-
+# partition top-k then a k-row merge on the driver; no full sort.
+# --------------------------------------------------------------------------
+def multikey_sort_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.desc("p_size"), F.desc("p_retailprice"), F.asc("p_partkey"))
+        .select("p_partkey", "p_name", "p_size", F.col("p_retailprice").alias("retailprice"))
+        .limit(50)
+    )
+
+
+MULTIKEY_SORT_SQL = """
+SELECT p_partkey, p_name, p_size, p_retailprice AS retailprice
+FROM part
+ORDER BY p_size DESC, p_retailprice DESC, p_partkey ASC
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# J5: all-pairs cross join over a small dimension (mcs.py:744–751 —
+# itertools.combinations over example molecules). Catalyst picks
+# broadcast nested-loop for the tiny side, as the reference's loop did.
+# --------------------------------------------------------------------------
+def cross_pairs_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = nation.alias("a")
+    b = nation.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+        )
+    )
+
+
+CROSS_PAIRS_SQL = """
+SELECT a.n_name AS nation_a, b.n_name AS nation_b
+FROM nation a, nation b
+WHERE a.n_nationkey < b.n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# J2 analogue: left-semi join — membership filter vs existing keys
+# (main.py:216–218 "seed only if not already a cache key", positive form).
+# --------------------------------------------------------------------------
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# J4/P4: left-anti join — the reference's novelty/dedup filter
+# (add_and_return_new, main.py:262–270; INSERT OR IGNORE main.py:203).
+# --------------------------------------------------------------------------
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+# --------------------------------------------------------------------------
+# A4-general: multi-statistic aggregate (min/max/avg/stddev).
+# --------------------------------------------------------------------------
+def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 3).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 3).alias("std_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STATS_SQL = """
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       ROUND(AVG(l_extendedprice), 3) AS avg_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 3) AS std_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Analytic window with frame spec: per-customer running order total
+# (SURVEY.md §2.5 — frame-spec windows enter via the extension surface).
+# --------------------------------------------------------------------------
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup (SURVEY.md §2.4 "absent in reference, covered natively"):
+# customer counts per (region, nation) with subtotals.
+# --------------------------------------------------------------------------
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface: CASE bucketing (F11/F12 analogues) + string
+# functions (F7 substring test generalized).
+# --------------------------------------------------------------------------
+def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50_000, "small")
+        .when(F.col("o_totalprice") < 150_000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy("bucket")
+    )
+
+
+CASE_BUCKET_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def string_funcs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("segment_key"),
+        F.col("c_name").contains("1").cast("int").alias("has_digit_one"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT c_custkey,
+       UPPER(c_name) AS name_upper,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       LENGTH(c_name) AS name_len,
+       c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS segment_key,
+       CAST(contains(c_name, '1') AS INT) AS has_digit_one
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# Correlated-aggregate shape: orders above their customer's average
+# (scalar-subquery / re-join pattern; exercises join + agg composition).
+# --------------------------------------------------------------------------
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    avg_per_cust = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        orders.join(avg_per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("totalprice"))
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_nation_revenue": q5_nation_revenue,
+    "filter_project_pushdown": filter_project_pushdown,
+    "distinct_count_customers": distinct_count_customers,
+    "group_count_orderstatus": group_count_orderstatus,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "multikey_sort_parts": multikey_sort_parts,
+    "cross_pairs_nations": cross_pairs_nations,
+    "semi_join_customers_with_orders": semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "agg_stats_lineitem": agg_stats_lineitem,
+    "window_running_total": window_running_total,
+    "rollup_region_nation": rollup_region_nation,
+    "case_bucket_orders": case_bucket_orders,
+    "string_funcs_customers": string_funcs_customers,
+    "orders_above_customer_avg": orders_above_customer_avg,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "filter_project_pushdown": FILTER_PROJECT_SQL,
+    "distinct_count_customers": DISTINCT_COUNT_SQL,
+    "group_count_orderstatus": GROUP_COUNT_SQL,
+    "topk_orders_per_customer": TOPK_SQL,
+    "multikey_sort_parts": MULTIKEY_SORT_SQL,
+    "cross_pairs_nations": CROSS_PAIRS_SQL,
+    "semi_join_customers_with_orders": SEMI_JOIN_SQL,
+    "anti_join_customers_without_orders": ANTI_JOIN_SQL,
+    "agg_stats_lineitem": AGG_STATS_SQL,
+    "window_running_total": WINDOW_RUNNING_SQL,
+    "rollup_region_nation": ROLLUP_SQL,
+    "case_bucket_orders": CASE_BUCKET_SQL,
+    "string_funcs_customers": STRING_FUNCS_SQL,
+    "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
+}
