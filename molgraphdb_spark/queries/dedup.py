@@ -1,0 +1,325 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §7 M4; the
+LLM-training-pipeline dedup family: exact, MinHash+LSH, SimHash,
+n-gram Jaccard).
+
+Same Jaccard math as the reference's Tanimoto coefficient
+(/root/reference/src/mcs.py:310–314 — |∩|/|∪| over hash sets), lifted
+from per-molecule-pair subgraph sets to per-document-pair shingle sets.
+
+Determinism: all hashes are md5 (identical hex in Spark and DuckDB);
+Python ``hash()`` is PYTHONHASHSEED-dependent and never used
+(SURVEY.md §7 risk 3). MinHash uses k salted hash functions
+``md5(salt || shingle)`` with the lexicographic min — a valid
+min-wise scheme because md5 output is uniformly distributed over hex
+strings.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on the 128-bit content hash; group state is
+  O(1) per group (min + count). This is THE canonical first pass.
+- shingle self-join: candidate generation joins on the shingle key, so
+  cost is Σ(docs-per-shingle²), not n² — the standard inverted-index
+  bound. Stop-shingles (appearing in >X% of docs) would be dropped at
+  real scale; at test scale none qualify.
+- MinHash/LSH: signatures are a single groupBy over exploded shingles
+  (map-side combine keeps the shuffle at k·docs rows); banding turns
+  near-dup search into an equi-join on (band, band_hash) — the n²
+  never materializes.
+- SimHash: one explode + groupBy per doc; the 32 bit-counters are
+  plain sums, map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from molgraphdb_spark.session import tune
+from molgraphdb_spark.sources.tables import load_table
+
+#: Number of MinHash hash functions (salted md5 permutations).
+MINHASH_K = 8
+#: LSH bands over the signature: MINHASH_K/BAND_ROWS bands of BAND_ROWS.
+BAND_ROWS = 2
+#: SimHash width in bits (each bit sourced from one md5 hex digit LSB).
+SIMHASH_BITS = 32
+
+_SEP = "\x1f"
+
+
+def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + whitespace-normalized lowercase text + token array."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", norm.alias("norm"), F.split(norm, " ").alias("toks"))
+
+
+def _shingles_col(n: int = 3) -> Column:
+    """Word n-gram shingles of the ``toks`` array (documents shorter
+    than n yield their single full-token join)."""
+    toks = F.col("toks")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.least(F.lit(n), F.size(toks)))),
+    )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct — the inverted-index relation."""
+    return (
+        _norm_docs(spark, sf_dir)
+        .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL_CTE = """
+tk AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(toks[i : i + least(3, len(toks)) - 1], ' '))) AS shingle
+  FROM tk
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the normalized content hash.
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _norm_docs(spark, sf_dir)
+    hashed = docs.select("doc_id", F.md5("norm").alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.count(F.lit(1)).over(w) > 1).cast("int").alias("is_dup_group"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) OVER w AS canonical_id,
+       CAST(COUNT(*) OVER w > 1 AS INT) AS is_dup_group
+FROM documents
+WINDOW w AS (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via shingle inverted-index self-join.
+# --------------------------------------------------------------------------
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-shingle Jaccard ≥ 0.8 (the corpus
+    plants near-identical pairs at ≈0.99). Candidate pairs come from
+    the shingle equi-join — quadratic only within a shingle's posting
+    list, never globally."""
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(jac >= 0.8)
+        .select(
+            "id_a", "id_b", "n_common",
+            F.floor(jac * 10000 + 0.5).alias("jaccard_bp"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+NEARDUP_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(floor((n_common * 1.0 / (x.n_sh + y.n_sh - n_common)) * 10000 + 0.5) AS BIGINT) AS jaccard_bp
+FROM pairs JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures: k salted-md5 minima per document.
+# --------------------------------------------------------------------------
+def _minhash_sig(k: int = MINHASH_K) -> list[Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}{_SEP}"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (k=8), emitted as one
+    '|'-joined string for stable cross-engine comparison."""
+    sh = _shingle_rows(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig())
+    return sig.select(
+        "doc_id",
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(MINHASH_K)]).alias("signature"),
+    ).orderBy("doc_id")
+
+
+_MH_MIN_SQL = ",\n         ".join(
+    f"MIN(md5('{i}' || chr(31) || shingle)) AS mh_{i}" for i in range(MINHASH_K)
+)
+_MH_CONCAT_SQL = " || '|' || ".join(f"mh_{i}" for i in range(MINHASH_K))
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES_SQL_CTE},
+sig AS (
+  SELECT doc_id,
+         {_MH_MIN_SQL}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, {_MH_CONCAT_SQL} AS signature
+FROM sig ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH: band the signature, bucket-join, emit candidate pairs.
+# --------------------------------------------------------------------------
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from LSH banding (4 bands × 2 rows over
+    the k=8 signature). A pair collides if ANY band matches — the
+    classic S-curve: P(collide) = 1-(1-j²)⁴ ≈ 1 for j≈0.99. The n²
+    comparison never happens; only bucket collisions join."""
+    sh = _shingle_rows(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig())
+    n_bands = MINHASH_K // BAND_ROWS
+    bands = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+_BAND_SQL = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+        b=b,
+        cols=" || '|' || ".join(f"mh_{b * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+    )
+    for b in range(MINHASH_K // BAND_ROWS)
+)
+
+DEDUP_LSH_SQL = f"""
+WITH {_SHINGLES_SQL_CTE},
+sig AS (
+  SELECT doc_id,
+         {_MH_MIN_SQL}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{_BAND_SQL}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash: 32-bit signature from per-token md5 hex-digit LSBs.
+# --------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash: bit j is the majority of bit j over all
+    token hashes, where token bit j = LSB of md5 hex digit j (odd hex
+    digit → 1). Emitted as a 32-char '0'/'1' string; near-dup docs
+    differ in few bits (Hamming distance)."""
+    docs = _norm_docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    h = F.md5("tok")
+    bit_sums = [
+        F.sum(
+            F.substring(h, j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f").cast("int")
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    bits = F.concat(
+        *[(F.col(f"s_{j}") * 2 > F.col("n")).cast("int").cast("string") for j in range(SIMHASH_BITS)]
+    )
+    return agg.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+
+
+_SIM_SUMS_SQL = ",\n         ".join(
+    f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END) AS s_{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIM_BITS_SQL = " || ".join(
+    f"CAST(CAST(s_{j} * 2 > n AS INT) AS VARCHAR)" for j in range(SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {_SIM_SUMS_SQL}
+  FROM tk GROUP BY doc_id
+)
+SELECT doc_id, {_SIM_BITS_SQL} AS simhash
+FROM agg ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "neardup_jaccard_pairs": neardup_jaccard_pairs,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "neardup_jaccard_pairs": NEARDUP_JACCARD_SQL,
+    "dedup_minhash_signatures": DEDUP_MINHASH_SQL,
+    "dedup_minhash_lsh_pairs": DEDUP_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

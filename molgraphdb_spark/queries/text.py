@@ -1,0 +1,288 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §7 M4
+"text analysis"; extension surface required by BASELINE.json).
+
+The reference has no text surface — these are the LLM-training-data
+operators (token stats, quality scoring, language ID, fingerprinting)
+re-expressed as pure built-in column expressions, so the whole pipeline
+stays inside whole-stage codegen: no Python UDF anywhere on this path.
+
+Cross-engine determinism rules (verified empirically, see tests):
+- tokenization: ``split(trim(text), '\\s+')`` is identical in Spark
+  (Java regex) and DuckDB (RE2) for this pattern.
+- hashing: ``md5`` hex output is identical in both engines.
+- all ratios are rounded on both sides before comparison.
+
+Scale notes (100 TB): every query here is scan → project → (optional
+single groupBy). Per-document scores are embarrassingly parallel with
+zero shuffle; the n-gram frequency query shuffles once on the n-gram
+key with map-side partial aggregation. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.session import tune
+from molgraphdb_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Order matters: ties resolve en > es > fr > de.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "une"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"],
+}
+
+#: BPE-ish token pattern: runs of letters, runs of digits, or single
+#: punctuation — the standard pre-tokenizer shape.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens() -> Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def _stop_hits(lang: str) -> Column:
+    """Count of tokens (lowercased) that are stopwords of ``lang``."""
+    stops = STOPWORDS[lang]
+    return F.size(F.filter(_tokens(), lambda t: F.lower(t).isin(*stops)))
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + mean
+    token length — all JVM-side expressions (no UDF)."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", "")) / F.size(toks), 4
+        ).alias("mean_token_len"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_uniq_tokens,
+       ROUND(length(regexp_replace(text, '\\s+', '', 'g'))
+             / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_token_len
+FROM documents
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword / repetition
+    signals combined into one score (the classic pre-training filter
+    features). quality = 0.4·len_score + 0.3·(1−punct_ratio)
+    + 0.2·uniq_ratio + 0.1·min(1, stop_ratio·5)."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    punct_ratio = F.size(F.regexp_extract_all("text", F.lit(PUNCT_PATTERN), F.lit(0))) / F.length("text")
+    stop_ratio = _stop_hits("en") / n_tokens
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+    # The composite is computed in integer basis points from the
+    # ROUNDED ratios: engines disagree on ROUND at exact .5 halfway
+    # cases (Spark HALF_UP on the decimal string vs DuckDB scaled
+    # std::round), so the final score must never need rounding at all.
+    scored = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(punct_ratio * 10000 + 0.5).alias("punct_bp"),
+        F.floor(stop_ratio * 10000 + 0.5).alias("stop_bp"),
+        F.floor(uniq_ratio * 10000 + 0.5).alias("uniq_bp"),
+        F.floor(len_score * 10000 + 0.5).alias("len_bp"),
+    )
+    quality_x100k = (
+        4 * F.col("len_bp") + 3 * (10000 - F.col("punct_bp"))
+        + 2 * F.col("uniq_bp")
+        + F.least(F.lit(10000), F.col("stop_bp") * 5)
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("punct_bp") / 10000.0).alias("punct_ratio"),
+        (F.col("stop_bp") / 10000.0).alias("stop_ratio"),
+        (F.col("uniq_bp") / 10000.0).alias("uniq_ratio"),
+        (quality_x100k / 100000.0).alias("quality"),
+    )
+
+
+_EN_STOPS_SQL = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+
+DOC_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{{}}-]')) * 1.0 / length(text) AS punct_ratio
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(punct_ratio * 10000 + 0.5) AS BIGINT) AS punct_bp,
+         CAST(floor((len(list_filter(toks, x -> lower(x) IN ({_EN_STOPS_SQL}))) * 1.0 / n_tokens) * 10000 + 0.5) AS BIGINT) AS stop_bp,
+         CAST(floor((len(list_distinct(toks)) * 1.0 / n_tokens) * 10000 + 0.5) AS BIGINT) AS uniq_bp,
+         CAST(floor(least(1.0, n_tokens / 64.0) * 10000 + 0.5) AS BIGINT) AS len_bp
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       punct_bp / 10000.0 AS punct_ratio,
+       stop_bp / 10000.0 AS stop_ratio,
+       uniq_bp / 10000.0 AS uniq_ratio,
+       (4*len_bp + 3*(10000 - punct_bp) + 2*uniq_bp
+        + least(10000, stop_bp*5)) / 100000.0 AS quality
+FROM s
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit argmax (n-gram heuristic class).
+    Deterministic tie-break: en > es > fr > de. Emits predicted vs
+    labeled language for downstream accuracy checks."""
+    docs = _docs(spark, sf_dir)
+    hits = {lang: _stop_hits(lang) for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"]),
+            "en",
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] >= hits["de"]), "es")
+        .when(hits["fr"] >= hits["de"], "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        pred.alias("lang_pred"),
+        hits["en"].alias("hits_en"),
+        hits["es"].alias("hits_es"),
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"x -> lower(x) IN ({words})))"
+    )
+
+
+DOC_LANGUAGE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_hits_sql('en')} AS h_en, {_hits_sql('es')} AS h_es,
+         {_hits_sql('fr')} AS h_fr, {_hits_sql('de')} AS h_de
+  FROM documents
+)
+SELECT doc_id, lang AS lang_label,
+       CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+            WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+            WHEN h_fr >= h_de THEN 'fr'
+            ELSE 'de' END AS lang_pred,
+       h_en AS hits_en, h_es AS hits_es
+FROM h
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the whitespace-normalized,
+    lowercased text (exact-dup key), plus the minimum 5-token-shingle
+    hash (a 1-permutation MinHash — the rolling-hash fingerprint
+    analogue, deterministic unlike Python hash(), SURVEY.md §7 risk 3)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    # 5-token shingles joined with '\x1f', hashed; min over the document.
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+        lambda i: F.md5(F.concat_ws("\x1f", F.slice(toks, i, F.least(F.lit(5), n)))),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_hash"),
+        F.array_min(shingles).alias("min_shingle_hash"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tk AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks,
+         len(string_split(norm, ' ')) AS n
+  FROM t
+)
+SELECT doc_id, md5(norm) AS content_hash,
+       list_min(list_transform(range(1, greatest(n - 4, 1) + 1),
+                i -> md5(array_to_string(toks[i : i + least(5, n) - 1], chr(31))))) AS min_shingle_hash
+FROM tk
+"""
+
+
+def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token-bigram frequency, top 20. One shuffle on the
+    bigram key with map-side combine; explode stays JVM-side."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    bigrams = F.zip_with(
+        F.expr("slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) - 1)"),
+        F.expr("slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text), '\\\\s+')) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+DOC_NGRAM_SQL = """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_scores": doc_quality_scores,
+    "doc_language_id": doc_language_id,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_ngram_topk": doc_ngram_topk,
+}
+
+ORACLES = {
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality_scores": DOC_QUALITY_SQL,
+    "doc_language_id": DOC_LANGUAGE_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_ngram_topk": DOC_NGRAM_SQL,
+}
