@@ -35,6 +35,7 @@ HEADLINE = [
     "doc_quality_scores",
     "graph_bfs_path_lengths",
     "chem_tanimoto_pairs",
+    "mm_feature_extract",
 ]
 
 

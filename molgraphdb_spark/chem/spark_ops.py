@@ -1,0 +1,235 @@
+"""Spark plumbing for the chemistry pipelines (SURVEY.md §7 M2/M3):
+mapInPandas UDTFs wrapping the pure-Python generators, the iterative
+edit-graph expansion loop (G9), the subgraph catalog aggregation (S6),
+and the all-pairs GED/Tanimoto join pipeline (J3/J5 + A5/A6).
+
+Execution model (SURVEY.md §2.11): chemistry objects exist only inside
+Arrow-batched workers; everything that persists or shuffles is a plain
+DataFrame of strings/ints. Each molecule is independent —
+embarrassingly parallel across partitions.
+
+Scale notes (100 TB):
+- expansion: per-wave ``localCheckpoint`` truncates lineage (hard
+  requirement, SURVEY.md §7 risk 1); novelty filtering is a left-anti
+  join on the edge key — the INSERT OR IGNORE semantics without a
+  driver-side set.
+- catalog: one explode + groupBy(hash) with collect_set/count — the
+  upsert-with-merge (mcs.py:101–144) reformulated as pure aggregation
+  (SURVEY.md §1.3), no row-at-a-time read-modify-write.
+- GED pairs: subgraph hash sets are joined on the hash key (J3 as a
+  real equi-join), so the pairwise intersection never materializes the
+  n² molecule pairs except for pairs that actually share a subgraph;
+  metrics are built-in column expressions (A5/A6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.chem.edits import all_single_edits
+from molgraphdb_spark.chem.mol import parse_smiles, mol_key, SmilesError
+from molgraphdb_spark.chem.subgraphs import enumerate_subgraphs
+
+EDGE_COLS = "src string, src_smiles string, dst string, diff_atom int, diff_bond int, subs int"
+SUBGRAPH_COLS = (
+    "parent string, subgraph_hash string, size int, n_edges int, "
+    "adjacency array<array<int>>"
+)
+MOL_COLS = "smiles string, mol_id string, n_atoms int, n_bonds int, valid boolean, reason string"
+
+
+def parse_molecules(spark: SparkSession, smiles: list[str]) -> DataFrame:
+    """Ingest-time validation stage (P3/MoleculeInput as a boolean
+    validity struct, SURVEY.md §1.1): one row per input SMILES with
+    WL-hash identity and a valid flag; invalid rows carry the reason
+    (quarantine pattern, never an exception mid-pipeline)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for smi in pdf["smiles"]:
+                try:
+                    m = parse_smiles(smi)
+                    rows.append((smi, mol_key(m), m.n_atoms, m.n_bonds, True, "ok"))
+                except SmilesError as ex:
+                    rows.append((smi, None, None, None, False, str(ex)))
+            yield pd.DataFrame(
+                rows, columns=["smiles", "mol_id", "n_atoms", "n_bonds", "valid", "reason"]
+            )
+
+    return spark.createDataFrame([(s,) for s in smiles], ["smiles"]).mapInPandas(
+        gen, schema=MOL_COLS
+    )
+
+
+def _edits_udtf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas generator: one molecule row → many directed edge
+    rows (G2–G5 composed; the UDTF shape of SURVEY.md §2.9)."""
+    for pdf in batches:
+        rows = []
+        for smi in pdf["smiles"]:
+            try:
+                mol = parse_smiles(smi)
+            except SmilesError:
+                continue
+            for ckey, csmi, okey, da, db, subs in all_single_edits(mol, smi):
+                rows.append((ckey, csmi, okey, da, db, subs))
+        yield pd.DataFrame(
+            rows, columns=["src", "src_smiles", "dst", "diff_atom", "diff_bond", "subs"]
+        )
+
+
+def expand_wave(frontier: DataFrame) -> DataFrame:
+    """One expansion wave (G8, main.py:244–260): frontier (smiles) →
+    all candidate directed edges."""
+    return frontier.select("smiles").mapInPandas(_edits_udtf, schema=EDGE_COLS)
+
+
+def expand_relations(
+    spark: SparkSession, seed_smiles: list[str], depth: int = 100
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-point edit-graph construction (G9/add_relations,
+    main.py:212–242): expand wavefronts until no novel molecule appears
+    or ``depth`` waves elapse. Returns (edges, vertices):
+    edges(src, dst, diff_atom, diff_bond, subs) unique per ordered
+    pair; vertices(mol_id, smiles) one representative SMILES per WL id.
+    """
+    # partitioning sized to the seed set: fixture-scale seed lists in
+    # one partition; large corpora keep ~8 molecules per partition task
+    seeds = (
+        parse_molecules(spark, seed_smiles)
+        .coalesce(max(1, len(seed_smiles) // 8))
+        .filter("valid")
+    )
+    # dedup by WL id, not (id, smiles): isomorphic seeds written
+    # differently (CCC vs C(C)C) are ONE vertex (main.py:95 semantics)
+    vertices = (
+        seeds.select(F.col("mol_id"), F.col("smiles"))
+        .dropDuplicates(["mol_id"])
+        .localCheckpoint()
+    )
+    edges = spark.createDataFrame(
+        [], "src string, dst string, diff_atom int, diff_bond int, subs int"
+    ).localCheckpoint()
+    frontier = vertices
+    for _ in range(depth):
+        wave = expand_wave(frontier)
+        new_edges = (
+            wave.select("src", "dst", "diff_atom", "diff_bond", "subs")
+            .dropDuplicates(["src", "dst"])
+            .join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+            .localCheckpoint()
+        )
+        # novel molecules: sources of new edges not yet known (J4,
+        # add_and_return_new main.py:262–270)
+        new_vertices = (
+            wave.select(F.col("src").alias("mol_id"), F.col("src_smiles").alias("smiles"))
+            .dropDuplicates(["mol_id"])
+            .join(vertices.select("mol_id"), ["mol_id"], "left_anti")
+            .localCheckpoint()
+        )
+        if new_vertices.limit(1).count() == 0 and new_edges.limit(1).count() == 0:
+            break
+        edges = edges.unionByName(new_edges).localCheckpoint()
+        vertices = vertices.unionByName(new_vertices).localCheckpoint()
+        frontier = new_vertices
+        if frontier.limit(1).count() == 0:
+            break
+    return edges, vertices
+
+
+def _subgraphs_udtf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas generator for G6/G7: one molecule row → one row per
+    unique connected subgraph (WL-deduped within the molecule)."""
+    for pdf in batches:
+        rows = []
+        for smi in pdf["smiles"]:
+            try:
+                mol = parse_smiles(smi)
+            except SmilesError:
+                continue
+            for h, sub in enumerate_subgraphs(mol).items():
+                rows.append((smi, h, sub.n_atoms, sub.n_bonds, sub.adjacency_matrix()))
+        yield pd.DataFrame(
+            rows, columns=["parent", "subgraph_hash", "size", "n_edges", "adjacency"]
+        )
+
+
+def molecule_subgraphs(mols: DataFrame) -> DataFrame:
+    """(parent, subgraph_hash, size, n_edges, adjacency) — the exploded
+    subgraph relation; parent-level dedup already applied in-UDF
+    (P8, cheap and bounded by the 10-atom cap)."""
+    return mols.select("smiles").mapInPandas(_subgraphs_udtf, schema=SUBGRAPH_COLS)
+
+
+def subgraph_catalog(subgraphs: DataFrame) -> DataFrame:
+    """The subgraph catalog (S6 upsert reformulated as aggregation,
+    SURVEY.md §1.3): one row per hash with native nested types —
+    frequency counts OBSERVATIONS (one per parent enumeration that saw
+    the hash, mcs.py:125), parent_molecules is the deduped set
+    (mcs.py:114–126)."""
+    return subgraphs.groupBy("subgraph_hash").agg(
+        F.first("size").alias("size"),
+        F.first("adjacency").alias("adjacency_matrix"),
+        F.array_sort(F.collect_set("parent")).alias("parent_molecules"),
+        F.count(F.lit(1)).alias("frequency"),
+    )
+
+
+def pairwise_overlap_metrics(subgraphs: DataFrame, mols: DataFrame) -> DataFrame:
+    """All-pairs Tanimoto + approx GED (J5 × J3 × A5/A6,
+    mcs.py:285–336) as a join/agg pipeline: intersections via equi-join
+    on the hash, metrics as column expressions. ``mols`` must carry
+    (smiles, n_atoms)."""
+    hashes = subgraphs.select("parent", "subgraph_hash")
+    sizes = hashes.groupBy("parent").agg(F.count(F.lit(1)).alias("n_hashes"))
+    atoms = mols.select(F.col("smiles").alias("parent"), "n_atoms")
+    a, b = hashes.alias("a"), hashes.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.subgraph_hash") == F.col("b.subgraph_hash"))
+            & (F.col("a.parent") < F.col("b.parent")),
+        )
+        .groupBy(F.col("a.parent").alias("mol_a"), F.col("b.parent").alias("mol_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # cross join of the (small) molecule dimension keeps zero-overlap
+    # pairs (reference computes metrics for every requested pair)
+    pairs = (
+        sizes.alias("x")
+        .crossJoin(sizes.alias("y"))
+        .filter(F.col("x.parent") < F.col("y.parent"))
+        .select(
+            F.col("x.parent").alias("mol_a"),
+            F.col("y.parent").alias("mol_b"),
+            F.col("x.n_hashes").alias("n_a"),
+            F.col("y.n_hashes").alias("n_b"),
+        )
+        .join(inter, ["mol_a", "mol_b"], "left")
+        .fillna(0, subset=["n_shared"])
+    )
+    pairs = (
+        pairs.join(atoms.withColumnRenamed("parent", "mol_a").withColumnRenamed("n_atoms", "atoms_a"), "mol_a")
+        .join(atoms.withColumnRenamed("parent", "mol_b").withColumnRenamed("n_atoms", "atoms_b"), "mol_b")
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    max_nodes = F.greatest("atoms_a", "atoms_b")
+    sim_ratio = F.col("n_shared") / F.least("n_a", "n_b")
+    return pairs.select(
+        "mol_a",
+        "mol_b",
+        "n_shared",
+        n_union.alias("n_union"),
+        F.round(F.when(n_union > 0, F.col("n_shared") / n_union).otherwise(0.0), 3).alias("tanimoto"),
+        F.round(
+            F.when(F.least("n_a", "n_b") > 0, max_nodes * (1 - sim_ratio)).otherwise(
+                max_nodes.cast("double")
+            ),
+            3,
+        ).alias("ged_approx"),
+    )

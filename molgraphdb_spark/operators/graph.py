@@ -1,0 +1,171 @@
+"""Edge-table graph operators (SURVEY.md §7 M1) — the Spark-native
+re-expression of the reference's ``PersistentDataBase``
+(/root/reference/main.py:117–365).
+
+Data model (SURVEY.md §1.1): a directed edge DataFrame
+``(src, dst, diff_atom, diff_bond, subs)``; each undirected relation is
+stored twice, once per direction with negated diffs
+(/root/reference/main.py:113–114). Vertices are implicit — the distinct
+endpoints (/root/reference/main.py:316–317).
+
+Graph analytics run as batch jobs over the edge DataFrame (GraphX/
+GraphFrames-style iterative joins), NOT as per-query OLTP traversals:
+each BFS wave is one hash join frontier ⋈ edges with anti-join visited
+pruning — the Pregel pattern expressed in DataFrames.
+
+Scale notes (100 TB):
+- The edge table would be bucketed by ``src`` on a real cluster so
+  every frontier⋈edges wave is a co-partitioned join (no edge shuffle;
+  only the small frontier moves). ``repartition(src)`` + cache here.
+- Frontiers are broadcast while below the broadcast threshold — the
+  frontier side is almost always tiny relative to edges.
+- ``localCheckpoint`` per wave truncates the logical plan — without it
+  the plan doubles per iteration and the driver OOMs around wave ~30
+  (SURVEY.md §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema of the molecular-relations edge table (SURVEY.md §1.1;
+#: reference DDL /root/reference/main.py:143–153).
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src", StringType(), False),
+        StructField("dst", StringType(), False),
+        StructField("diff_atom", IntegerType(), True),
+        StructField("diff_bond", IntegerType(), True),
+        StructField("subs", IntegerType(), True),
+    ]
+)
+
+
+def empty_edges(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], EDGE_SCHEMA)
+
+
+def edges_from_rows(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+def append_edges(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Idempotent edge insert: at most one edge per ordered (src, dst)
+    pair; re-adding is a no-op — the UNIQUE + INSERT OR IGNORE
+    semantics of /root/reference/main.py:151,203 as dropDuplicates +
+    left-anti join (SURVEY.md §1.3)."""
+    deduped = new.dropDuplicates(["src", "dst"])
+    novel = deduped.join(existing.select("src", "dst"), ["src", "dst"], "left_anti")
+    return existing.unionByName(novel)
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Distinct endpoints (the implicit vertex set,
+    /root/reference/main.py:316–317)."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def graph_stats(edges: DataFrame) -> dict:
+    """Summary stats mirroring get_stats (/root/reference/main.py:307–332):
+    unique molecules (distinct src — every vertex appears as src because
+    edges are bidirectional) and total directed edges."""
+    row = edges.select(
+        F.countDistinct("src").alias("unique_molecules"),
+        F.count(F.lit(1)).alias("n_edges"),
+    ).first()
+    return {"unique_molecules": row.unique_molecules, "n_edges": row.n_edges}
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: str,
+    max_depth: int = 100,
+    target: str | None = None,
+) -> DataFrame:
+    """Per-wave frontier BFS from ``source``; returns (id, dist) for
+    every vertex reached within ``max_depth`` edges (dist = edge count).
+
+    Implements the reference's wavefront loop
+    (/root/reference/main.py:283–303): each wave is
+    frontier ⋈ edges on src (J1) followed by a left-anti join against
+    the visited set (J2/P5). Early-exits when ``target`` is reached
+    (main.py:292–293) or the frontier empties.
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst")
+    visited = spark.createDataFrame([(source, 0)], ["id", "dist"]).localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        if target is not None and frontier.filter(F.col("id") == target).limit(1).count() > 0:
+            break
+        candidates = (
+            F.broadcast(frontier)
+            .join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = (
+            candidates.join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint()  # truncate lineage per wave
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(new_frontier).localCheckpoint()
+        frontier = new_frontier
+    return visited
+
+
+def bfs_query(edges: DataFrame, mol_from: str, mol_to: str, max_depth: int = 100) -> int:
+    """Shortest-path query with the reference's return convention
+    (verified in SURVEY.md §3.1): number of NODES on the path —
+    identical endpoints → 1, one edit apart → 2 — and −1 when
+    unreachable within ``max_depth`` waves
+    (/root/reference/main.py:272–305)."""
+    if mol_from == mol_to:
+        return 1
+    dists = bfs_distances(edges, mol_from, max_depth=max_depth, target=mol_to)
+    hit = dists.filter(F.col("id") == mol_to).select("dist").first()
+    return int(hit.dist) + 1 if hit is not None else -1
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation over the
+    (bidirectional) edge table; returns (id, component) with component =
+    min vertex id in the component. Converges in O(diameter) waves; each
+    wave is one join + one groupBy-min. At scale, the large-star/
+    small-star algorithm halves rounds, but label propagation keeps the
+    same join shape and is fine for bounded-diameter graphs."""
+    labels = vertices(edges).withColumn("component", F.col("id")).localCheckpoint()
+    e = edges.select("src", "dst")
+    for _ in range(max_iter):
+        prop = (
+            labels.join(e, labels.id == e.src)
+            .select(F.col("dst").alias("id"), "component")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels

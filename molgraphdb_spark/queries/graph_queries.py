@@ -1,0 +1,190 @@
+"""Graph analytics over the driver tables, with DuckDB recursive-CTE
+oracles (SURVEY.md §2.3 J1/J2/J3 at analytic scale).
+
+The graph: the bipartite purchase graph customer ↔ supplier derived
+from orders ⋈ lineitem (vertex ids prefixed ``c:`` / ``s:``), each
+edge in both directions — the same edge-table shape as the reference's
+molecular_relations (/root/reference/main.py:143–153), built from
+relational data so DuckDB can check the traversal end-to-end.
+
+The BFS here is the reference's wavefront algorithm
+(/root/reference/main.py:283–303) run by ``operators.graph`` as
+iterative DataFrame joins; the oracle re-derives the same distances
+with ``WITH RECURSIVE``. This is the strong (hash-checked) correctness
+gate for the traversal machinery; the molecular-fixture golden tests
+in tests/test_graph.py pin the return-value convention.
+
+Scale notes: edge derivation is one orders⋈lineitem join (shuffle on
+orderkey) + distinct; BFS waves join a tiny broadcast frontier against
+the edge table — the edge side never shuffles after the initial
+repartition. Degree/common-neighbor queries are single-shuffle
+groupBys/self-joins on the edge key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.operators.graph import bfs_distances, connected_components
+from molgraphdb_spark.session import tune
+from molgraphdb_spark.sources.tables import load_table
+
+#: BFS depth cap — mirrors the reference's depth argument
+#: (/root/reference/main.py:213).
+BFS_DEPTH = 4
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional customer↔supplier edge list from orders⋈lineitem."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+_EDGES_CTE = """
+pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+)
+"""
+
+
+def graph_bfs_path_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distances (edge count) from the lowest-keyed customer, all
+    vertices within BFS_DEPTH waves — the reference's shortest-path
+    query generalized to one-to-all."""
+    edges = purchase_edges(spark, sf_dir)
+    source = "c:" + str(
+        load_table(spark, sf_dir, "orders").agg(F.min("o_custkey")).first()[0]
+    )
+    return bfs_distances(edges, source, max_depth=BFS_DEPTH).orderBy("dist", "id")
+
+
+GRAPH_BFS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+src AS (SELECT 'c:' || MIN(o_custkey) AS v FROM orders),
+reach(id, dist) AS (
+  SELECT v, 0 FROM src
+  UNION
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.dist < {BFS_DEPTH}
+)
+SELECT id, MIN(dist) AS dist
+FROM reach GROUP BY id
+ORDER BY dist, id
+"""
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree per vertex → histogram (A8-shape groupBy-count over
+    the graph)."""
+    edges = purchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("degree")
+    )
+
+
+GRAPH_DEGREE_SQL = f"""
+WITH {_EDGES_CTE},
+deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+SELECT degree, COUNT(*) AS n_vertices
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+def graph_common_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 supplier pairs by shared-customer count — the hash-set
+    intersection J3 (/root/reference/src/mcs.py:310) as a self-join on
+    the customer key."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_a"))
+    b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_b"))
+    return (
+        a.join(b, "cust")
+        .filter(F.col("sup_a") < F.col("sup_b"))
+        .groupBy("sup_a", "sup_b")
+        .agg(F.count(F.lit(1)).alias("shared_customers"))
+        .orderBy(F.desc("shared_customers"), F.asc("sup_a"), F.asc("sup_b"))
+        .limit(10)
+    )
+
+
+GRAPH_COMMON_SQL = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT a.sup AS sup_a, b.sup AS sup_b, COUNT(*) AS shared_customers
+FROM cs a JOIN cs b ON a.cust = b.cust AND a.sup < b.sup
+GROUP BY 1, 2
+ORDER BY shared_customers DESC, sup_a ASC, sup_b ASC
+LIMIT 10
+"""
+
+
+def graph_connected_components_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component id (min vertex id) → size, via iterative min-label
+    propagation (operators.graph.connected_components)."""
+    edges = purchase_edges(spark, sf_dir)
+    return (
+        connected_components(edges)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("component")
+    )
+
+
+GRAPH_CC_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT component, COUNT(*) AS n_vertices
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+QUERIES = {
+    "graph_bfs_path_lengths": graph_bfs_path_lengths,
+    "graph_degree_histogram": graph_degree_histogram,
+    "graph_common_suppliers": graph_common_suppliers,
+    "graph_connected_components_summary": graph_connected_components_summary,
+}
+
+ORACLES = {
+    "graph_bfs_path_lengths": GRAPH_BFS_SQL,
+    "graph_degree_histogram": GRAPH_DEGREE_SQL,
+    "graph_common_suppliers": GRAPH_COMMON_SQL,
+    "graph_connected_components_summary": GRAPH_CC_SQL,
+}

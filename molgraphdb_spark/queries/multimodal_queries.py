@@ -1,0 +1,187 @@
+"""Multimodal-column operators (SURVEY.md §7 M4): image/audio/video as
+opaque ``binary`` payloads with typed metadata structs, processed by
+Arrow-batched pandas transforms over ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (byte-level features) behind the same plumbing a
+real decoder would use — schema, partitioning, UDF signature, and
+batch shape are real and oracle-checked; ``decode_image_stub`` marks
+the codec boundary explicitly (NotImplementedError), per the build
+contract.
+
+Payloads are derived deterministically from ``documents.text``
+(UTF-8 bytes — the corpus is ASCII) so DuckDB can recompute every
+feature for the hash-checked oracle.
+
+Scale notes (100 TB of binaries): payloads stay columnar and opaque —
+filters/pruning run on the metadata struct (format, n_bytes) without
+touching bytes; feature extraction is one mapInPandas pass,
+embarrassingly parallel, with Arrow transfer amortized per batch.
+At real scale payloads live in object storage with the table holding
+(uri, byte_range, metadata) — identical plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.session import tune
+from molgraphdb_spark.sources.tables import load_table
+
+#: Modality assignment: deterministic on doc_id.
+_FORMATS = {0: "image", 1: "audio", 2: "video"}
+
+#: Frame-sampling stride for the video path (every k-th byte).
+FRAME_STRIDE = 16
+
+
+def decode_image_stub(payload: bytes, fmt: str) -> "object":
+    """The real-codec boundary. In production this dispatches to an
+    image/audio decoder on the executor; this container ships none, so
+    calling it is an explicit error — the feature pipeline uses the
+    deterministic byte-level fake instead."""
+    raise NotImplementedError(
+        f"no codec for {fmt!r} in this environment; use mm_feature_extract's byte features"
+    )
+
+
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, metadata struct). Metadata
+    is derived (format from doc_id, dims from payload size) — the
+    typed-metadata-over-opaque-binary pattern."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    fmt = F.element_at(
+        F.array(*[F.lit(v) for v in _FORMATS.values()]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    n_bytes = F.octet_length(payload)
+    meta = F.struct(
+        fmt.alias("format"),
+        n_bytes.alias("n_bytes"),
+        (n_bytes % 64 + 1).alias("width"),
+        (n_bytes % 48 + 1).alias("height"),
+    )
+    return docs.select("doc_id", payload.alias("payload"), meta.alias("metadata"))
+
+
+def mm_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan: per-format counts + byte stats — the plan
+    must never touch payload bytes (column pruning on the struct)."""
+    m = multimodal_manifest(spark, sf_dir)
+    return (
+        m.groupBy(F.col("metadata.format").alias("format"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("metadata.n_bytes").alias("total_bytes"),
+            F.min("metadata.width").alias("min_width"),
+            F.max("metadata.height").alias("max_height"),
+        )
+        .orderBy("format")
+    )
+
+
+MM_METADATA_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT format, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
+       MIN(n_bytes % 64 + 1) AS min_width, MAX(n_bytes % 48 + 1) AS max_height
+FROM m GROUP BY format ORDER BY format
+"""
+
+
+def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake decode + feature extraction: mean byte value and a 4-band
+    byte histogram per payload. Real shape: bytes → ndarray → features."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            bands = [0, 0, 0, 0]
+            for x in b:
+                bands[x >> 6] += 1
+            out.append((doc_id, n, int(sum(b)), bands[0], bands[1], bands[2], bands[3]))
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_bytes", "byte_sum", "band_0", "band_1", "band_2", "band_3"],
+        )
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over payload bytes via mapInPandas (the
+    decode/featurize slot). Output is integer-exact — oracle recomputes
+    from text bytes."""
+    m = multimodal_manifest(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        _byte_features,
+        schema="doc_id long, n_bytes int, byte_sum long, band_0 int, band_1 int, band_2 int, band_3 int",
+    )
+
+
+MM_FEATURES_SQL = """
+WITH ch AS (
+  SELECT doc_id, length(text) AS n_bytes,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+       CAST(list_sum(codes) AS BIGINT) AS byte_sum,
+       len(list_filter(codes, c -> c < 64)) AS band_0,
+       len(list_filter(codes, c -> c >= 64 AND c < 128)) AS band_1,
+       len(list_filter(codes, c -> c >= 128 AND c < 192)) AS band_2,
+       len(list_filter(codes, c -> c >= 192)) AS band_3
+FROM ch
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for the 'video' modality: every FRAME_STRIDE-th
+    byte as a frame key; emits frame count + md5 of the sampled
+    byte string (pure column expressions — stays in codegen)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    n = F.length("text")
+    sampled = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE)),
+            lambda i: F.substring(F.col("text"), 1, 1) if False else F.col("text").substr(i, F.lit(1)),
+        ),
+        "",
+    )
+    return docs.select(
+        "doc_id",
+        F.floor((n - 1) / FRAME_STRIDE + 1).alias("n_frames"),
+        F.md5(sampled).alias("frames_digest"),
+    )
+
+
+MM_FRAMES_SQL = f"""
+SELECT doc_id,
+       CAST(floor((length(text) - 1) / {FRAME_STRIDE} + 1) AS BIGINT) AS n_frames,
+       md5(array_to_string(list_transform(range(1, length(text) + 1, {FRAME_STRIDE}),
+                                          i -> substr(text, i, 1)), '')) AS frames_digest
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+QUERIES = {
+    "mm_metadata_summary": mm_metadata_summary,
+    "mm_feature_extract": mm_feature_extract,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+ORACLES = {
+    "mm_metadata_summary": MM_METADATA_SQL,
+    "mm_feature_extract": MM_FEATURES_SQL,
+    "mm_frame_sample": MM_FRAMES_SQL,
+}

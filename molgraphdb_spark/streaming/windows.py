@@ -1,0 +1,135 @@
+"""Structured Streaming over the events table (SURVEY.md §2.10: the
+reference has NO streaming — this is the extension surface planned in
+§7 M4, reusing the batch window semantics of queries/events.py
+verbatim under ``readStream``).
+
+Design: the batch queries in queries/events.py define the semantics
+(tumbling window counts, sessionization); here the SAME aggregation
+expressions run incrementally with watermarks. The driver's
+correctness gate checks the batch twins; tests/test_streaming.py
+checks stream-equals-batch on the same input.
+
+Scale notes (100 TB/day stream):
+- watermark bounds state: tumbling-window state is O(windows × keys)
+  only within the lateness horizon; session state evicts on gap close.
+- ``maxFilesPerTrigger`` / rate limits keep micro-batches sized to the
+  cluster; sink is idempotent by (window, key) upsert.
+- custom stateful ops use applyInPandasWithState (Arrow-batched),
+  never collect.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Parquet schema of events with the ns timestamp read as long
+#: (spark.sql.legacy.parquet.nanosAsLong — streaming reads need an
+#: explicit schema; see queries/events.py for the batch rationale).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanoseconds since epoch
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str, max_files: int = 1) -> DataFrame:
+    """File-source stream over a directory of events parquet files,
+    normalizing the ns timestamp to Spark micros exactly like the
+    batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window per-type counts — the streaming twin of
+    queries/events.py::events_tumbling_window; watermark bounds state
+    and admits late data within the horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the streaming
+    twin of events_sessionize (same gap semantics; state evicts when
+    the watermark passes a session's close)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "user_id long, n long, total double"
+_OUT_SCHEMA = "user_id long, n long, total double"
+
+
+def _running_totals(key, pdf_iter, state: GroupState):
+    """Custom stateful operator: per-user running count + value sum
+    (applyInPandasWithState — the arbitrary-state API; the pattern for
+    operators Spark's built-ins can't express, SURVEY.md custom-op
+    rule (b))."""
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming running totals per user via applyInPandasWithState."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a stream into an in-memory table (test/dev sink); returns
+    the query handle after processing all available input."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,138 @@
+"""Golden tests for the chemistry layer against FIXTURES.md §2 —
+the reference's own demo corpus semantics, re-verified here on the
+pure-Python MolGraph model (SURVEY.md §7 M2 fallback).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from molgraphdb_spark.chem.edits import all_single_edits, atom_substitutions
+from molgraphdb_spark.chem.mol import (
+    SmilesError,
+    mol_key,
+    parse_smiles,
+    to_smiles,
+    validate_ged_input,
+)
+from molgraphdb_spark.chem.spark_ops import (
+    expand_relations,
+    molecule_subgraphs,
+    parse_molecules,
+    subgraph_catalog,
+)
+from molgraphdb_spark.chem.subgraphs import exact_ged, overlap_metrics, subgraph_hashes
+
+EXAMPLES = {
+    "Butane": "CCCC",
+    "Isopentane": "CCC(C)C",
+    "Cyclobutane": "C1CCC1",
+    "Neopentane": "CC(C)(C)C",
+    "Hexane": "CCCCCC",
+}
+GOLDEN_COUNTS = {"Butane": 3, "Isopentane": 5, "Cyclobutane": 3, "Neopentane": 4, "Hexane": 5}
+
+
+# ---------------------------------------------------------------- pure python
+def test_subgraph_counts_golden():
+    for name, smi in EXAMPLES.items():
+        assert len(subgraph_hashes(parse_smiles(smi))) == GOLDEN_COUNTS[name], name
+
+
+def test_neopentane_hexane_overlap_golden():
+    neo, hexn = parse_smiles(EXAMPLES["Neopentane"]), parse_smiles(EXAMPLES["Hexane"])
+    m = overlap_metrics(subgraph_hashes(neo), subgraph_hashes(hexn), 6)
+    assert m == {"n_shared": 2, "n_union": 7, "tanimoto": 0.286, "ged_approx": 3.0}
+
+
+def test_validator_rejects():
+    # mcs.py:36–52 gate: parse failure, >10 atoms, non-carbon, non-single bonds
+    assert validate_ged_input("CCO") == (False, "non-carbon atom")
+    assert not validate_ged_input("C=C")[0]
+    assert not validate_ged_input("CCCCCCCCCCC")[0]
+    assert not validate_ged_input("not_smiles")[0]
+    assert validate_ged_input("CC(C)(C)C") == (True, "ok")
+
+
+def test_wl_identity_isomorphism_invariant():
+    # same molecule written differently → same key (vertex identity,
+    # replacing RDKit canonical SMILES, main.py:95)
+    assert mol_key(parse_smiles("CCC")) == mol_key(parse_smiles("C(C)C"))
+    assert mol_key(parse_smiles("CCCC")) != mol_key(parse_smiles("CC(C)C"))
+
+
+def test_smiles_roundtrip():
+    for smi in EXAMPLES.values():
+        m = parse_smiles(smi)
+        assert mol_key(parse_smiles(to_smiles(m))) == mol_key(m)
+
+
+def test_parse_rejects_disconnected():
+    with pytest.raises(SmilesError):
+        parse_smiles("CC.CC")
+
+
+def test_substitution_respects_valence():
+    # central carbon of neopentane has 4 bonds: C→N there is invalid
+    # (N valence 3) and must die in the sanitize gate — only the 4
+    # terminal substitutions survive (one forward+reverse pair each)
+    neo = parse_smiles("CC(C)(C)C")
+    edges = list(atom_substitutions(neo, "neo"))
+    assert len(edges) == 8  # 4 valid sites × 2 directions, central excluded
+    for _, smi, *_ in edges:
+        assert parse_smiles(smi).valence_ok()
+    # all 4 terminal substitutions are isomorphic → a single WL key
+    fwd_keys = {k for k, smi, *_ in edges if smi != "CC(C)(C)C"}
+    assert len(fwd_keys) == 1
+    # propane: 3 sites × 2 directions (dedup happens at the DataFrame
+    # layer via dropDuplicates, like the reference's INSERT OR IGNORE)
+    assert len(list(atom_substitutions(parse_smiles("CCC"), "p"))) == 6
+
+
+def test_exact_ged_hand_cases():
+    p = parse_smiles
+    assert exact_ged(p("CCC"), p("CCC")) == 0.0
+    assert exact_ged(p("CC"), p("CCC")) == 2.0  # 1 node + 1 edge
+    assert exact_ged(p("CCCC"), p("C1CCC1")) == 1.0  # close the ring
+    assert exact_ged(p("CCC"), p("CNC")) == 1.0  # 1 relabel
+    assert exact_ged(p("CCCCCCCC"), p("CC")) is None  # size guard
+
+
+# ---------------------------------------------------------------- spark layer
+def test_parse_molecules_quarantine(spark):
+    df = parse_molecules(spark, ["CCCC", "C=C", "CCO"])
+    rows = {r.smiles: r for r in df.collect()}
+    assert rows["CCCC"].valid and rows["CCCC"].n_atoms == 4
+    assert not rows["C=C"].valid
+    assert rows["CCO"].valid  # parseable; GED gate (carbon-only) is separate
+
+
+def test_subgraph_catalog_semantics(spark):
+    mols = parse_molecules(spark, list(EXAMPLES.values())).filter("valid")
+    cat = subgraph_catalog(molecule_subgraphs(mols)).collect()
+    assert len(cat) == 9  # distinct WL hashes across the corpus
+    # single-edge subgraph: all 5 parents, frequency counts observations
+    edge_row = next(r for r in cat if r.size == 2)
+    assert len(edge_row.parent_molecules) == 5
+    assert edge_row.frequency == 5
+    # upsert-never-duplicates: one row per hash
+    assert len({r.subgraph_hash for r in cat}) == 9
+
+
+def test_expand_relations_fixed_point(spark):
+    # seeds CCC, CC, C(C)C (main.py:377–380): CCC ≡ C(C)C (same WL id)
+    edges, vertices = expand_relations(spark, ["CCC", "CC", "C(C)C"], depth=2)
+    v = {r.mol_id for r in vertices.collect()}
+    assert len(v) == vertices.count()  # unique ids
+    e = edges.collect()
+    # bidirectional: every edge has its reverse
+    pairs = {(r.src, r.dst) for r in e}
+    assert all((d, s) in pairs for s, d in pairs)
+    # idempotent: no duplicate ordered pairs
+    assert len(pairs) == len(e)
+    # seeds CCC and CC connected via atom deletion (dist 1)
+    from molgraphdb_spark.operators.graph import bfs_query
+
+    k_ccc = mol_key(parse_smiles("CCC"))
+    k_cc = mol_key(parse_smiles("CC"))
+    assert bfs_query(edges, k_ccc, k_cc) == 2

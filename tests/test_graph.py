@@ -1,0 +1,93 @@
+"""Golden tests for the edge-table graph layer on the FIXTURES.md §3
+synthetic graph (path A–B–C–D plus isolated pair X–Y, bidirectional).
+
+Pins the reference's BFS return convention (nodes on path: self=1, one
+edit=2, unreachable=−1 — verified against /root/reference/main.py:272–305
+per SURVEY.md §3.1) and the idempotent-insert semantics
+(/root/reference/main.py:151,203)."""
+
+from __future__ import annotations
+
+import pytest
+
+from molgraphdb_spark.operators.graph import (
+    append_edges,
+    bfs_query,
+    connected_components,
+    edges_from_rows,
+    empty_edges,
+    graph_stats,
+    vertices,
+)
+
+FIXTURE_EDGES = [
+    ("A", "B", 1, 1, 0),
+    ("B", "A", -1, -1, 0),
+    ("B", "C", 1, 1, 0),
+    ("C", "B", -1, -1, 0),
+    ("C", "D", 1, 1, 0),
+    ("D", "C", -1, -1, 0),
+    ("X", "Y", 0, 0, 1),
+    ("Y", "X", 0, 0, 1),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return edges_from_rows(spark, FIXTURE_EDGES).cache()
+
+
+def test_bfs_self_is_one(edges):
+    assert bfs_query(edges, "A", "A") == 1
+
+
+def test_bfs_one_edit_is_two(edges):
+    assert bfs_query(edges, "A", "B") == 2
+
+
+def test_bfs_two_edits_is_three(edges):
+    assert bfs_query(edges, "A", "C") == 3
+
+
+def test_bfs_three_edits_is_four(edges):
+    assert bfs_query(edges, "A", "D") == 4
+
+
+def test_bfs_unreachable_is_minus_one(edges):
+    assert bfs_query(edges, "A", "X") == -1
+
+
+def test_bfs_depth_cap(edges):
+    # depth caps the number of waves (main.py:213,224): D is 3 edges out.
+    assert bfs_query(edges, "A", "D", max_depth=2) == -1
+
+
+def test_stats_unique_molecules(edges):
+    stats = graph_stats(edges)
+    assert stats["unique_molecules"] == 6
+    assert stats["n_edges"] == 8
+
+
+def test_vertices(edges):
+    assert {r.id for r in vertices(edges).collect()} == {"A", "B", "C", "D", "X", "Y"}
+
+
+def test_append_idempotent(spark, edges):
+    # Re-inserting an existing (src, dst) is a no-op (INSERT OR IGNORE,
+    # main.py:203); a genuinely new edge lands exactly once even when
+    # submitted twice in the same batch (UNIQUE, main.py:151).
+    dup = edges_from_rows(spark, [("A", "B", 9, 9, 9)])
+    assert append_edges(edges, dup).count() == 8
+    new = edges_from_rows(spark, [("D", "E", 1, 0, 0), ("D", "E", 1, 0, 0)])
+    merged = append_edges(edges, new)
+    assert merged.count() == 9
+    assert merged.filter("src = 'D' AND dst = 'E'").count() == 1
+
+
+def test_append_to_empty(spark, edges):
+    assert append_edges(empty_edges(spark), edges).count() == 8
+
+
+def test_connected_components(edges):
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {"A": "A", "B": "A", "C": "A", "D": "A", "X": "X", "Y": "X"}

@@ -1,0 +1,54 @@
+"""Plan-shape assertions (SURVEY.md §4): correctness tests prove the
+answers match; these prove the PHYSICAL PLAN has the properties the
+100 TB design depends on — pushdown reaching the scan, pruned read
+schemas, broadcast joins where hinted, no Python worker in pure
+relational paths."""
+
+from __future__ import annotations
+
+from molgraphdb_spark.plans.explain import plan_summary
+from molgraphdb_spark.queries.relational import (
+    filter_project_pushdown,
+    q1_pricing_summary,
+    q5_nation_revenue,
+)
+from molgraphdb_spark.queries.text import doc_token_stats
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    s = plan_summary(filter_project_pushdown(spark, sf_dir))
+    # quantity/discount predicates must be pushed into the scan
+    joined = ";".join(s["pushed_filters"])
+    assert "l_quantity" in joined and "l_discount" in joined
+    # column pruning: only the 5 referenced columns are read
+    assert set(s["read_columns"]) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag",
+    }
+    assert not s["has_python_worker"]
+
+
+def test_q1_reads_pruned_schema(spark, sf_dir):
+    s = plan_summary(q1_pricing_summary(spark, sf_dir))
+    assert "l_shipdate" in ";".join(s["pushed_filters"])
+    # 7 referenced columns only, out of 11 in lineitem
+    assert len(s["read_columns"]) == 7
+    # exactly TWO shuffles: partial→final aggregation + final sort
+    # (range partitioning); anything more would be a plan regression
+    assert s["n_exchanges"] == 2
+    assert not s["has_python_worker"]
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    s = plan_summary(q5_nation_revenue(spark, sf_dir))
+    # supplier, nation, region are explicitly broadcast
+    assert s["n_broadcast_joins"] >= 3
+    assert not s["has_python_worker"]
+
+
+def test_text_pipeline_stays_jvm_side(spark, sf_dir):
+    # the whole text-analysis path is built-in expressions — a Python
+    # worker in this plan would be a regression
+    s = plan_summary(doc_token_stats(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert s["n_exchanges"] == 0  # per-document scoring must not shuffle

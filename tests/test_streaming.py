@@ -1,0 +1,75 @@
+"""Stream-equals-batch tests: the streaming twins must produce the
+batch answers on the same (finite) input — the standard Structured
+Streaming correctness harness."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.queries.events import _events, events_tumbling_window
+from molgraphdb_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(tumbling_counts(ev), "t_tumbling")
+    try:
+        got = {
+            (r.window_start, r.event_type): r.n_events
+            for r in spark.table("t_tumbling").collect()
+        }
+        want = {
+            (r.window_start, r.event_type): r.n_events
+            for r in events_tumbling_window(spark, sf_dir).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_session_stream_counts_total(spark, sf_dir, events_stream_dir):
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(session_counts(ev), "t_sessions")
+    try:
+        total = spark.table("t_sessions").agg(F.sum("n_events")).first()[0]
+        n_events = _events(spark, sf_dir).count()
+        assert total == n_events  # every event lands in exactly one session
+        # sessions end after their last event + gap
+        bad = spark.table("t_sessions").filter("session_end <= session_start").count()
+        assert bad == 0
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals(spark, sf_dir, events_stream_dir):
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(running_user_totals(ev), "t_running", output_mode="update")
+    try:
+        got = {r.user_id: (r.n, round(r.total, 6)) for r in spark.table("t_running").collect()}
+        want = {
+            r.user_id: (r.n, round(r.total, 6))
+            for r in _events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
