@@ -103,15 +103,23 @@ def bfs_distances(
     (main.py:292–293) or the frontier empties.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst")
+    # Materialize the edge relation ONCE: a derived edge table (e.g. a
+    # join+distinct) would otherwise be recomputed from scratch every
+    # wave — the dominant cost at scale. On a real cluster this is the
+    # bucketed-by-src edge table; here localCheckpoint pins it and
+    # gives AQE exact sizes for join-side selection per wave.
+    edges = edges.select("src", "dst").localCheckpoint()
     visited = spark.createDataFrame([(source, 0)], ["id", "dist"]).localCheckpoint()
     frontier = visited
     for depth in range(1, max_depth + 1):
         if target is not None and frontier.filter(F.col("id") == target).limit(1).count() > 0:
             break
+        # No forced broadcast: wave-1 frontiers are tiny (AQE
+        # broadcasts them), but mid-BFS frontiers can be a large share
+        # of the graph — forcing those through a broadcast is a driver
+        # OOM at scale. AQE picks per-wave using checkpointed stats.
         candidates = (
-            F.broadcast(frontier)
-            .join(edges, frontier.id == edges.src)
+            frontier.join(edges, frontier.id == edges.src)
             .select(F.col("dst").alias("id"))
             .distinct()
         )
@@ -147,8 +155,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     wave is one join + one groupBy-min. At scale, the large-star/
     small-star algorithm halves rounds, but label propagation keeps the
     same join shape and is fine for bounded-diameter graphs."""
-    labels = vertices(edges).withColumn("component", F.col("id")).localCheckpoint()
-    e = edges.select("src", "dst")
+    e = edges.select("src", "dst").localCheckpoint()  # materialize once (see bfs_distances)
+    labels = vertices(e).withColumn("component", F.col("id")).localCheckpoint()
     for _ in range(max_iter):
         prop = (
             labels.join(e, labels.id == e.src)

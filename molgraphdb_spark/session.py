@@ -33,6 +33,7 @@ def get_spark(app_name: str = "molgraphdb-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/molgraphdb-spark-warehouse")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
