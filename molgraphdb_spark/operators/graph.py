@@ -148,6 +148,38 @@ def bfs_query(edges: DataFrame, mol_from: str, mol_to: str, max_depth: int = 100
     return int(hit.dist) + 1 if hit is not None else -1
 
 
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+    """PageRank by power iteration over the edge DataFrame — the
+    aggregateMessages pattern as joins (analytics-style per
+    BASELINE.json: batch job over edges, not OLTP). Returns
+    (id, rank); ranks sum to the vertex count.
+
+    Scale: each iteration is one join (ranks ⋈ edges, co-partitioned
+    on a real cluster via bucketing by src) + one groupBy(dst) with
+    map-side combine; lineage cut per iteration."""
+    e = edges.select("src", "dst").localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "deg_id")
+    verts = vertices(e)
+    ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(deg, ranks.id == F.col("deg_id"), "inner")
+            .join(e, ranks.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(1 - damping) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components by iterative min-label propagation over the
     (bidirectional) edge table; returns (id, component) with component =

@@ -175,7 +175,36 @@ FROM comp GROUP BY component ORDER BY component
 """
 
 
+def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vertices by PageRank on the purchase graph (10 power
+    iterations). No SQL oracle (iterative with damping); rows-only
+    check here, symmetry/convergence goldens in tests/test_graph.py."""
+    from molgraphdb_spark.operators.graph import pagerank
+
+    edges = purchase_edges(spark, sf_dir)
+    pr = pagerank(edges)
+    return (
+        pr.select("id", F.floor(F.col("rank") * 1_000_000 + 0.5).alias("rank_ubp"))
+        .orderBy(F.desc("rank_ubp"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for A1 (SURVEY.md §2.4): HyperLogLog distinct
+    counting — constant memory vs the exact shuffle. No oracle (engine
+    sketches differ); tests assert <5% error vs exact."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+
+
 QUERIES = {
+    "graph_pagerank_top": graph_pagerank_top,
+    "approx_distinct_parts": approx_distinct_parts,
     "graph_bfs_path_lengths": graph_bfs_path_lengths,
     "graph_degree_histogram": graph_degree_histogram,
     "graph_common_suppliers": graph_common_suppliers,

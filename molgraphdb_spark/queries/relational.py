@@ -499,6 +499,121 @@ WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Date/time functions (extension surface — the reference has none,
+# SURVEY.md §2.8): calendar truncation + date arithmetic.
+# --------------------------------------------------------------------------
+def orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("month")
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: days between order and ship date, bucketed."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select((F.floor(delay / 30)).alias("delay_months"))
+        .groupBy("delay_months")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("delay_months")
+    )
+
+
+SHIP_DELAY_SQL = """
+SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 30) AS BIGINT) AS delay_months,
+       COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY delay_months
+"""
+
+
+# --------------------------------------------------------------------------
+# Array aggregation (A3 collect_set shape, emitted as a stable string).
+# --------------------------------------------------------------------------
+def supplier_part_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.size(F.collect_set("l_partkey")).alias("n_parts"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("l_partkey")), 1, 5), ","
+            ).alias("first_parts"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+SUPPLIER_PARTS_SQL = """
+SELECT l_suppkey,
+       len(list_distinct(list(l_partkey))) AS n_parts,
+       array_to_string(list_sort(list_distinct(list(l_partkey)))[1:5], ',') AS first_parts
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Cube (grouping-sets family; rollup's sibling — SURVEY.md §2.4 "absent
+# in reference, native in Spark").
+# --------------------------------------------------------------------------
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# NULL-handling scalar functions (nullif/coalesce) — no natural NULLs in
+# the corpus, so nullif synthesizes them.
+# --------------------------------------------------------------------------
+def null_handling_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    nd = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        nd.alias("discount_or_null"),
+        F.coalesce(nd, F.lit(-1.0)).alias("discount_coalesced"),
+        nd.isNull().cast("int").alias("is_zero_discount"),
+    )
+
+
+NULL_HANDLING_SQL = """
+SELECT l_orderkey, l_linenumber,
+       nullif(l_discount, 0.0) AS discount_or_null,
+       coalesce(nullif(l_discount, 0.0), -1.0) AS discount_coalesced,
+       CAST(nullif(l_discount, 0.0) IS NULL AS INT) AS is_zero_discount
+FROM lineitem
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -517,6 +632,11 @@ QUERIES = {
     "case_bucket_orders": case_bucket_orders,
     "string_funcs_customers": string_funcs_customers,
     "orders_above_customer_avg": orders_above_customer_avg,
+    "orders_monthly_revenue": orders_monthly_revenue,
+    "ship_delay_stats": ship_delay_stats,
+    "supplier_part_sets": supplier_part_sets,
+    "cube_status_priority": cube_status_priority,
+    "null_handling_discounts": null_handling_discounts,
 }
 
 ORACLES = {
@@ -537,4 +657,9 @@ ORACLES = {
     "case_bucket_orders": CASE_BUCKET_SQL,
     "string_funcs_customers": STRING_FUNCS_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
+    "orders_monthly_revenue": ORDERS_MONTHLY_SQL,
+    "ship_delay_stats": SHIP_DELAY_SQL,
+    "supplier_part_sets": SUPPLIER_PARTS_SQL,
+    "cube_status_priority": CUBE_SQL,
+    "null_handling_discounts": NULL_HANDLING_SQL,
 }

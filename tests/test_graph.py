@@ -88,6 +88,34 @@ def test_append_to_empty(spark, edges):
     assert append_edges(empty_edges(spark), edges).count() == 8
 
 
+def test_pagerank_symmetry_and_mass(edges):
+    from molgraphdb_spark.operators.graph import pagerank
+
+    ranks = {r.id: r.rank for r in pagerank(edges, n_iter=20).collect()}
+    # total rank mass ≈ vertex count
+    assert abs(sum(ranks.values()) - 6.0) < 1e-6
+    # symmetric positions get identical rank
+    assert abs(ranks["A"] - ranks["D"]) < 1e-9
+    assert abs(ranks["B"] - ranks["C"]) < 1e-9
+    assert abs(ranks["X"] - ranks["Y"]) < 1e-9
+    # chain interiors outrank endpoints
+    assert ranks["B"] > ranks["A"]
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from molgraphdb_spark.queries.graph_queries import approx_distinct_parts
+    from molgraphdb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    approx = approx_distinct_parts(spark, sf_dir).first()
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(
+        F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_orderkey").alias("o")
+    ).first()
+    assert abs(approx.approx_parts - exact.p) / exact.p < 0.05
+    assert abs(approx.approx_orders - exact.o) / exact.o < 0.05
+
+
 def test_connected_components(edges):
     comp = {r.id: r.component for r in connected_components(edges).collect()}
     assert comp == {"A": "A", "B": "A", "C": "A", "D": "A", "X": "X", "Y": "X"}
