@@ -166,6 +166,37 @@ def molecule_subgraphs(mols: DataFrame) -> DataFrame:
     return mols.select("smiles").mapInPandas(_subgraphs_udtf, schema=SUBGRAPH_COLS)
 
 
+def named_molecule_subgraphs(spark: SparkSession, named: list[tuple[str, str]]) -> DataFrame:
+    """Fused parse + enumerate for a (name, smiles) fixture list in ONE
+    mapInPandas stage: (parent=name, subgraph_hash, size, n_edges,
+    adjacency, parent_atoms). Python-worker stages are the dominant
+    cost at fixture scale — fusing parse→enumerate→atom-count into one
+    pass removes two of three."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, smi in zip(pdf["name"], pdf["smiles"]):
+                try:
+                    mol = parse_smiles(smi)
+                except SmilesError:
+                    continue
+                for h, sub in enumerate_subgraphs(mol).items():
+                    rows.append(
+                        (name, h, sub.n_atoms, sub.n_bonds, sub.adjacency_matrix(), mol.n_atoms)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["parent", "subgraph_hash", "size", "n_edges", "adjacency", "parent_atoms"],
+            )
+
+    return (
+        spark.createDataFrame(named, ["name", "smiles"])
+        .coalesce(1)
+        .mapInPandas(gen, schema=SUBGRAPH_COLS + ", parent_atoms int")
+    )
+
+
 def subgraph_catalog(subgraphs: DataFrame) -> DataFrame:
     """The subgraph catalog (S6 upsert reformulated as aggregation,
     SURVEY.md §1.3): one row per hash with native nested types —

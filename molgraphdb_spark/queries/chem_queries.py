@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from molgraphdb_spark.chem.spark_ops import (
     expand_relations,
-    molecule_subgraphs,
+    named_molecule_subgraphs,
     pairwise_overlap_metrics,
     parse_molecules,
     subgraph_catalog,
@@ -56,14 +56,28 @@ def _example_mols(spark: SparkSession) -> DataFrame:
     return mols.filter("valid").withColumn("name", name_map[F.col("smiles")])
 
 
+#: Per-session cache of the checkpointed fixture subgraph relation —
+#: the three chem queries share one Python stage instead of three.
+_SG_CACHE: dict[int, DataFrame] = {}
+
+
+def _fixture_subgraphs(spark: SparkSession) -> DataFrame:
+    """(parent=NAME, subgraph_hash, size, n_edges, adjacency,
+    parent_atoms), parse+enumerate fused into one mapInPandas pass and
+    localCheckpoint-ed once per session."""
+    tune(spark)
+    key = id(spark)
+    if key not in _SG_CACHE:
+        _SG_CACHE[key] = named_molecule_subgraphs(spark, EXAMPLES).localCheckpoint()
+    return _SG_CACHE[key]
+
+
 def chem_subgraph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unique connected subgraphs (size ≥2, WL-deduped) per fixture
-    molecule — G6 through the mapInPandas UDTF."""
-    mols = _example_mols(spark)
-    sg = molecule_subgraphs(mols).localCheckpoint()  # enumerate once, reuse across join branches
+    """Unique connected subgraphs (size >=2, WL-deduped) per fixture
+    molecule — G6 through the fused mapInPandas UDTF."""
+    sg = _fixture_subgraphs(spark)
     return (
-        sg.join(mols.select(F.col("smiles").alias("parent"), "name"), "parent")
-        .groupBy("name")
+        sg.groupBy(F.col("parent").alias("name"))
         .agg(F.count(F.lit(1)).alias("n_subgraphs"))
         .orderBy("name")
     )
@@ -80,16 +94,12 @@ ORDER BY name
 
 def chem_tanimoto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tanimoto + approx GED for all C(5,2)=10 fixture pairs (the
-    reference's all-pairs demo, mcs.py:744–751) via the join/agg
+    reference's all-pairs demo, mcs.py:744-751) via the join/agg
     pipeline — no per-pair Python loop."""
-    mols = _example_mols(spark)
-    sg = molecule_subgraphs(mols).localCheckpoint()  # enumerate once, reuse across join branches
-    named = mols.select(F.col("name").alias("nm"), "smiles", "n_atoms")
-    sgn = sg.join(
-        named.select(F.col("smiles").alias("parent"), "nm"), "parent"
-    ).withColumn("parent", F.col("nm")).drop("nm")
+    sg = _fixture_subgraphs(spark)
+    atoms = sg.groupBy("parent").agg(F.first("parent_atoms").alias("n_atoms"))
     metrics = pairwise_overlap_metrics(
-        sgn, named.select(F.col("nm").alias("smiles"), "n_atoms")
+        sg, atoms.select(F.col("parent").alias("smiles"), "n_atoms")
     )
     return metrics.select(
         "mol_a", "mol_b", "n_shared", "n_union",
@@ -118,11 +128,10 @@ ORDER BY mol_a, mol_b
 
 
 def chem_subgraph_catalog_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Catalog the fixture corpus (G7 → S6 aggregation) and histogram
+    """Catalog the fixture corpus (G7 -> S6 aggregation) and histogram
     distinct subgraph hashes by size — 9 unique subgraphs across the 5
     molecules."""
-    mols = _example_mols(spark)
-    sg = molecule_subgraphs(mols).localCheckpoint()  # enumerate once, reuse across join branches
+    sg = _fixture_subgraphs(spark)
     cat = subgraph_catalog(sg)
     return (
         cat.groupBy("size")

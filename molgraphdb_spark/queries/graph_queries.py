@@ -202,7 +202,56 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-purchase projection (suppliers
+    joined by ≥1 shared customer): the canonical 3-way self-join with
+    ordered endpoints so each triangle counts once. The bipartite
+    purchase graph itself has no triangles — the projection is where
+    graph-analytics motifs live.
+
+    Scale: the projection is a self-join on the customer key (skew →
+    AQE); the triangle join is two hash joins on supplier pairs with
+    a < b < c ordering pruning 5/6 of candidates up front."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("x"))
+    b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("y"))
+    proj = (
+        a.join(b, "cust").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
+    ).localCheckpoint()
+    e1 = proj.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = proj.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    e3 = proj.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+    ).crossJoin(proj.agg(F.count(F.lit(1)).alias("n_proj_edges")))
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), proj AS (
+  SELECT DISTINCT a.sup AS x, b.sup AS y
+  FROM cs a JOIN cs b ON a.cust = b.cust AND a.sup < b.sup
+)
+SELECT
+  (SELECT COUNT(*) FROM proj e1
+     JOIN proj e2 ON e1.y = e2.x
+     JOIN proj e3 ON e3.x = e1.x AND e3.y = e2.y) AS n_triangles,
+  (SELECT COUNT(*) FROM proj) AS n_proj_edges
+"""
+
+
 QUERIES = {
+    "graph_triangle_count": graph_triangle_count,
     "graph_pagerank_top": graph_pagerank_top,
     "approx_distinct_parts": approx_distinct_parts,
     "graph_bfs_path_lengths": graph_bfs_path_lengths,
@@ -212,6 +261,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "graph_bfs_path_lengths": GRAPH_BFS_SQL,
     "graph_degree_histogram": GRAPH_DEGREE_SQL,
     "graph_common_suppliers": GRAPH_COMMON_SQL,

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the invariants the engine's
+correctness rests on: SMILES round-trips, WL-identity stability under
+relabeling, edit-generator emit symmetry, idempotent-append algebra.
+Pure-Python (no Spark) so hundreds of cases run in seconds."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from molgraphdb_spark.chem.edits import all_single_edits
+from molgraphdb_spark.chem.mol import MolGraph, mol_key, parse_smiles, to_smiles
+from molgraphdb_spark.chem.subgraphs import overlap_metrics, subgraph_hashes
+
+
+@st.composite
+def random_trees(draw):
+    """Random connected carbon trees (≤8 atoms): always a valid
+    molecule under the single-bond model (max degree guarded)."""
+    n = draw(st.integers(min_value=1, max_value=8))
+    mol = MolGraph(elements=["C"] * n)
+    for i in range(1, n):
+        parents = [p for p in range(i) if mol.degree(p) < 4]
+        if not parents:
+            return mol.induced(tuple(range(i)))
+        mol.add_bond(draw(st.sampled_from(parents)), i)
+    return mol
+
+
+@given(random_trees())
+@settings(max_examples=60, deadline=None)
+def test_smiles_roundtrip_preserves_identity(mol):
+    assert mol_key(parse_smiles(to_smiles(mol))) == mol_key(mol)
+
+
+@given(random_trees(), st.randoms())
+@settings(max_examples=60, deadline=None)
+def test_wl_key_invariant_under_relabeling(mol, rnd):
+    # shuffle node labels: isomorphic graph must hash identically
+    perm = list(range(mol.n_atoms))
+    rnd.shuffle(perm)
+    shuffled = MolGraph(
+        elements=[mol.elements[perm.index(i)] for i in range(mol.n_atoms)],
+        bonds={(min(perm[a], perm[b]), max(perm[a], perm[b])) for a, b in mol.bonds},
+    )
+    assert mol_key(shuffled) == mol_key(mol)
+
+
+@given(random_trees())
+@settings(max_examples=40, deadline=None)
+def test_edits_emit_is_bidirectional_and_consistent(mol):
+    if mol.n_atoms < 2:
+        return
+    edges = list(all_single_edits(mol, "m"))
+    tuples = {(s, d, da, db, su) for s, _, d, da, db, su in edges}
+    for s, d, da, db, su in tuples:
+        assert (d, s, -da, -db, su) in tuples  # G5 negated reverse
+    # no self-loops, and the source molecule key appears in every pair
+    mk = mol_key(mol)
+    for s, d, *_ in tuples:
+        assert s != d
+        assert mk in (s, d)
+
+
+@given(random_trees())
+@settings(max_examples=30, deadline=None)
+def test_overlap_metrics_bounds(mol):
+    # Tanimoto of a molecule with itself is 1 (or 0 for edgeless);
+    # GED-approx to itself is 0; metrics stay in range vs a fixed other
+    h = subgraph_hashes(mol)
+    other = subgraph_hashes(parse_smiles("CCCC"))
+    if h:
+        self_m = overlap_metrics(h, h, mol.n_atoms)
+        assert self_m["tanimoto"] == 1.0
+        assert self_m["ged_approx"] == 0.0
+    m = overlap_metrics(h, other, max(mol.n_atoms, 4))
+    assert 0.0 <= m["tanimoto"] <= 1.0
+    assert m["ged_approx"] >= 0.0
+    assert m["n_shared"] <= min(len(h), len(other))

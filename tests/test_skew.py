@@ -1,0 +1,31 @@
+"""Salted join / aggregation must equal their unsalted twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.operators.skew import salted_groupby_count, salted_join
+from molgraphdb_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    salted = salted_join(li, sup, "l_suppkey", n_salts=4)
+    plain = li.join(sup, "l_suppkey")
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, salted.select("l_orderkey", "l_suppkey", "s_name").collect()))
+    b = sorted(map(tuple, plain.select("l_orderkey", "l_suppkey", "s_name").collect()))
+    assert a == b
+
+
+def test_salted_groupby_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = {r.l_returnflag: r.n for r in salted_groupby_count(li, "l_returnflag").collect()}
+    plain = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert salted == plain
