@@ -161,6 +161,176 @@ ORDER BY query_id
 
 
 # --------------------------------------------------------------------------
+# IVF ANN: coarse-quantizer scale path (deterministic centroids).
+# --------------------------------------------------------------------------
+IVF_K = 8  #: number of coarse cells (centroids = vectors with vec_id < IVF_K)
+IVF_NPROBE = 2  #: cells probed per query
+IVF_QLO, IVF_QHI = 100, 120  #: query id range
+
+
+def _ubp(cos: Column) -> Column:
+    return F.floor(cos * 1_000_000 + 0.5).cast("long")
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every corpus vector to its nearest of
+    ``IVF_K`` deterministic centroids (the vectors with vec_id <
+    IVF_K), probe the ``IVF_NPROBE`` nearest cells per query, exact
+    cosine rerank within the probed cells, top-3.
+
+    Scale shape (the point of IVF): centroids are a TINY dimension —
+    collected to the driver and inlined as a literal array, so cell
+    assignment is a MAP-ONLY fold over each row (no shuffle, no join
+    for the corpus side; a real deployment broadcasts k-means
+    centroids the same way). The only shuffles are the final
+    per-query-cell hash join (probe side broadcast) and the top-k
+    window over query_id. Candidate count ~ nprobe/K of the corpus —
+    N^2 never materializes. Ties everywhere resolve by ascending id."""
+    emb = _emb(spark, sf_dir)
+    cents = sorted(
+        emb.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+            )
+            for r in cents
+        ]
+    )
+
+    def cell_score(c: Column, v: Column) -> Column:
+        return _ubp(_dot(v, c["cv"]) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c["cv"], c["cv"]))))
+
+    # Map-only argmax: strictly-greater keeps the earliest (smallest
+    # cid) on ties — same as ORDER BY score DESC, cid ASC.
+    init = F.struct(F.lit(-(2**62)).cast("long").alias("s"), F.lit(-1).alias("cid"))
+    best = F.aggregate(
+        cent_arr,
+        init,
+        lambda acc, c: F.when(
+            cell_score(c, F.col("v")) > acc["s"],
+            F.struct(cell_score(c, F.col("v")).alias("s"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    assign = emb.select("vec_id", "v", best["cid"].alias("cid"))
+
+    queries = emb.filter((F.col("vec_id") >= IVF_QLO) & (F.col("vec_id") < IVF_QHI)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cent_rows = queries.select(
+        "query_id", "qv", F.explode(cent_arr).alias("c")
+    ).select("query_id", "qv", F.col("c.cid").alias("cid"), cell_score(F.col("c"), F.col("qv")).alias("cs"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probe = (
+        cent_rows.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("query_id", "qv", "cid")
+    )
+    cands = F.broadcast(probe).join(assign, "cid").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _ubp(_cosine(F.col("qv"), F.col("v"))).alias("cosine_ubp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_ubp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cosine_ubp", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+SIM_IVF_SQL = f"""
+WITH {_EMB_CTE},
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K}),
+scored AS (
+  SELECT e.vec_id, e.v, c.cid,
+         CAST(floor((list_dot_product(e.v, c.cv)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))))
+              * 1000000 + 0.5) AS BIGINT) AS cs
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+    FROM scored) WHERE rk = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+    FROM scored WHERE vec_id >= {IVF_QLO} AND vec_id < {IVF_QHI}) WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(floor((list_dot_product(p.qv, a.v)
+              / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))))
+              * 1000000 + 0.5) AS BIGINT) AS cosine_ubp
+  FROM probe p JOIN assign a USING (cid)
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_ubp DESC, neighbor_id ASC) AS rk
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine_ubp, rk
+FROM ranked WHERE rk <= 3
+ORDER BY query_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: the dedup framing of similarity.
+# --------------------------------------------------------------------------
+DUP_THRESHOLD_UBP = 400_000  #: cosine >= 0.40 (in ubp units)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: every vector that is
+    within cosine >= 0.40 of an earlier (smaller-id) vector is a
+    duplicate; report it with its earliest match and match count —
+    the greedy keep-first dedup policy on the similarity graph.
+
+    This is the exact quadratic baseline (pruned a.id < b.id cross
+    join). The 100 TB path swaps the cross join for LSH blocking
+    (sign buckets here, MinHash bands for text — see
+    similarity_lsh_topk / dedup_minhash_lsh_pairs); the downstream
+    group-by is unchanged."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"))
+        .filter(F.col("cos_ubp") >= DUP_THRESHOLD_UBP)
+    )
+    return (
+        pairs.groupBy(F.col("ib").alias("vec_id"))
+        .agg(F.min("ia").alias("dup_of"), F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_EMB_SQL = f"""
+WITH {_EMB_CTE},
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(floor(({_COS_SQL}) * 1000000 + 0.5) AS BIGINT) AS cos_ubp
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT ib AS vec_id, MIN(ia) AS dup_of, COUNT(*) AS n_matches
+FROM pairs WHERE cos_ubp >= {DUP_THRESHOLD_UBP}
+GROUP BY ib
+ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Similarity histogram: same-label vs cross-label pair counts by band.
 # --------------------------------------------------------------------------
 def similarity_label_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,11 +370,15 @@ ORDER BY same_label, cos_band
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
     "similarity_label_bands": similarity_label_bands,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
     "similarity_cosine_topk": SIM_TOPK_SQL,
     "similarity_lsh_topk": SIM_LSH_SQL,
+    "similarity_ivf_topk": SIM_IVF_SQL,
     "similarity_label_bands": SIM_BANDS_SQL,
+    "dedup_embedding_cosine": DEDUP_EMB_SQL,
 }

@@ -1,0 +1,115 @@
+"""Temporal join queries over ``events``: as-of join and interval
+(range) join — operators absent from the reference (SURVEY.md §2.3
+lists them as the extension surface) and from vanilla SQL-92, each
+oracle-checked against an equivalent DuckDB window/theta formulation.
+
+Scale notes are on the operators themselves
+(molgraphdb_spark.operators.asof): one shuffle per side, no range
+explosion, AQE-splittable skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.operators.asof import asof_join, interval_point_join
+from molgraphdb_spark.queries.events import _events
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's most recent click at or
+    before the purchase (backward as-of, exact matches allowed; ties
+    at equal ts resolve to the largest click event_id), plus the gap
+    in microseconds. Purchases with no prior click keep NULLs."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["event_id"],
+        tiebreak="event_id",
+        suffix="_click",
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_click").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts_click")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+EVENTS_ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'click'
+), filled AS (
+  SELECT user_id, ts, event_id, side,
+         LAST_VALUE(CASE WHEN side = 1 THEN event_id END IGNORE NULLS)
+           OVER w AS click_id,
+         LAST_VALUE(CASE WHEN side = 1 THEN ts END IGNORE NULLS)
+           OVER w AS click_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side DESC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS purchase_id, click_id,
+       epoch_us(ts) - epoch_us(click_ts) AS gap_us
+FROM filled WHERE side = 0
+ORDER BY purchase_id
+"""
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks per user falling inside the 5-minute half-open window
+    after each error event — an interval join via time-bucket
+    equi-join. Errors with zero follow-up clicks are kept (count 0)."""
+    ev = _events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("start"),
+            F.timestamp_micros(F.unix_micros("ts") + 300 * 1_000_000).alias("end"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = interval_point_join(
+        errors, clicks, on=["user_id"], bucket_micros=300 * 1_000_000, how="left"
+    )
+    return (
+        joined.groupBy("error_id")
+        .agg(F.count("click_id").alias("n_clicks"))
+        .orderBy("error_id")
+    )
+
+
+EVENTS_RANGE_SQL = """
+SELECT er.event_id AS error_id, COUNT(c.event_id) AS n_clicks
+FROM events er
+LEFT JOIN events c
+  ON c.user_id = er.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= er.ts
+ AND c.ts < er.ts + INTERVAL 5 MINUTE
+WHERE er.event_type = 'error'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
+}
+
+ORACLES = {
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "events_range_join": EVENTS_RANGE_SQL,
+}

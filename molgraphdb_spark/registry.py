@@ -17,6 +17,7 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.relational",
     "molgraphdb_spark.queries.setops",
     "molgraphdb_spark.queries.events",
+    "molgraphdb_spark.queries.temporal",
     "molgraphdb_spark.queries.text",
     "molgraphdb_spark.queries.dedup",
     "molgraphdb_spark.queries.similarity",
