@@ -1,0 +1,166 @@
+"""Reshaping + distributional operators: pivot, unpivot, explicit
+grouping sets, exact quantiles. None exist in the reference (its only
+aggregation surface is counts/set-unions, SURVEY.md §2.4); these round
+out the relational inventory Spark users expect.
+
+Scale notes:
+- ``pivot`` with an EXPLICIT value list compiles to one pass of
+  conditional aggregation (map-side partial aggs, single shuffle on
+  the group key). Omitting the value list adds a whole extra job just
+  to discover distinct values — never do that at 100 TB.
+- ``unpivot`` is a zero-shuffle row expansion (Expand node).
+- ``groupingSets`` expands each input row once per matching set —
+  cheaper than unioning N separate group-bys, one shuffle total.
+- exact ``percentile`` needs the full value multiset per group: fine
+  for bounded group counts; for high-cardinality groups switch to
+  ``approx_percentile`` (t-digest) — the documented trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.session import tune
+from molgraphdb_spark.sources.tables import load_table
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted: one row per priority, one column per
+    order status (explicit value list → single-pass conditional agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in ORDER_STATUSES],
+    ).orderBy("o_orderpriority")
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long: lineitem measure totals unpivoted to
+    (measure, total) rows — the Expand-based inverse of pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    totals = li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("quantity"),
+        F.round(F.sum("l_extendedprice"), 2).alias("extendedprice"),
+        F.round(F.sum("l_discount"), 2).alias("discount"),
+        F.round(F.sum("l_tax"), 2).alias("tax"),
+    )
+    return totals.unpivot(
+        [], ["quantity", "extendedprice", "discount", "tax"], "measure", "total"
+    ).orderBy("measure")
+
+
+UNPIVOT_SQL = """
+WITH t AS (
+  SELECT ROUND(SUM(l_quantity), 2) AS quantity,
+         ROUND(SUM(l_extendedprice), 2) AS extendedprice,
+         ROUND(SUM(l_discount), 2) AS discount,
+         ROUND(SUM(l_tax), 2) AS tax
+  FROM lineitem
+)
+SELECT 'quantity' AS measure, quantity AS total FROM t
+UNION ALL SELECT 'extendedprice', extendedprice FROM t
+UNION ALL SELECT 'discount', discount FROM t
+UNION ALL SELECT 'tax', tax FROM t
+ORDER BY measure
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by explicit grouping sets ((status), (priority), ()) —
+    neither a rollup nor a cube; one Expand + one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def quantiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated price quantiles per return flag,
+    emitted in integer cents (floor(x*100+0.5)) for engine-portable
+    hashing. Scale note: exact percentile materializes each group's
+    values — swap to approx_percentile when groups stop fitting."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def cents(p: float, name: str):
+        return F.floor(F.percentile("l_extendedprice", F.lit(p)) * 100 + 0.5).alias(name)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            cents(0.25, "p25_cents"),
+            cents(0.50, "p50_cents"),
+            cents(0.75, "p75_cents"),
+            cents(0.95, "p95_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTILES_SQL = """
+SELECT l_returnflag,
+       CAST(floor(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) AS BIGINT) AS p25_cents,
+       CAST(floor(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) AS BIGINT) AS p50_cents,
+       CAST(floor(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) AS BIGINT) AS p75_cents,
+       CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) AS BIGINT) AS p95_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "quantiles_price_by_flag": quantiles_price_by_flag,
+}
+
+ORACLES = {
+    "pivot_status_by_priority": PIVOT_SQL,
+    "unpivot_lineitem_measures": UNPIVOT_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
+    "quantiles_price_by_flag": QUANTILES_SQL,
+}

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 _QUERY_MODULES = [
     "molgraphdb_spark.queries.relational",
     "molgraphdb_spark.queries.setops",
+    "molgraphdb_spark.queries.reshape",
     "molgraphdb_spark.queries.events",
     "molgraphdb_spark.queries.temporal",
     "molgraphdb_spark.queries.text",
