@@ -89,9 +89,9 @@ def graph_stats(edges: DataFrame) -> dict:
 
 def bfs_distances(
     edges: DataFrame,
-    source: str,
+    source: str | int,
     max_depth: int = 100,
-    target: str | None = None,
+    target: str | int | None = None,
 ) -> DataFrame:
     """Per-wave frontier BFS from ``source``; returns (id, dist) for
     every vertex reached within ``max_depth`` edges (dist = edge count).
@@ -158,14 +158,21 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
     on a real cluster via bucketing by src) + one groupBy(dst) with
     map-side combine; lineage cut per iteration."""
     e = edges.select("src", "dst").localCheckpoint()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "deg_id")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # The 1/deg edge weighting is loop-invariant: join it ONCE and pin
+    # it, so each iteration is a single join + groupBy instead of two
+    # joins — at scale this is the bucketed-by-src weighted edge table.
+    weighted = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
     verts = vertices(e)
     ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint()
     for _ in range(n_iter):
         contribs = (
-            ranks.join(deg, ranks.id == F.col("deg_id"), "inner")
-            .join(e, ranks.id == e.src)
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            ranks.join(weighted, ranks.id == weighted.src)
+            .select(F.col("dst").alias("id"), (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )

@@ -36,15 +36,21 @@ BFS_DEPTH = 4
 
 
 def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bidirectional customer↔supplier edge list from orders⋈lineitem."""
+    """Bidirectional customer↔supplier edge list from orders⋈lineitem.
+
+    Vertex ids are packed LONGS — customer k → 2k, supplier k → 2k+1 —
+    not display strings: every BFS/CC/PageRank wave shuffles and joins
+    on this column, and an 8-byte key keeps those exchanges dense and
+    comparison cheap at 100 TB. Queries format ``c:``/``s:`` strings
+    only on their final output rows (:func:`_fmt_id`)."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -53,9 +59,16 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fmt_id(col: F.Column) -> F.Column:
+    """Packed long vertex id → display id ('c:<k>' / 's:<k>')."""
+    return F.when(col % 2 == 0, F.concat(F.lit("c:"), (col / 2).cast("long"))).otherwise(
+        F.concat(F.lit("s:"), ((col - 1) / 2).cast("long"))
+    )
+
+
 _EDGES_CTE = """
 pairs AS (
-  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), edges AS (
   SELECT c AS src, s AS dst FROM pairs
@@ -64,21 +77,26 @@ pairs AS (
 )
 """
 
+#: SQL twin of :func:`_fmt_id` (applies to a column named {col}).
+_FMT_SQL = (
+    "CASE WHEN {col} % 2 = 0 THEN 'c:' || CAST({col} // 2 AS BIGINT) "
+    "ELSE 's:' || CAST(({col} - 1) // 2 AS BIGINT) END"
+)
+
 
 def graph_bfs_path_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS distances (edge count) from the lowest-keyed customer, all
     vertices within BFS_DEPTH waves — the reference's shortest-path
     query generalized to one-to-all."""
     edges = purchase_edges(spark, sf_dir)
-    source = "c:" + str(
-        load_table(spark, sf_dir, "orders").agg(F.min("o_custkey")).first()[0]
-    )
-    return bfs_distances(edges, source, max_depth=BFS_DEPTH).orderBy("dist", "id")
+    source = 2 * int(load_table(spark, sf_dir, "orders").agg(F.min("o_custkey")).first()[0])
+    dists = bfs_distances(edges, source, max_depth=BFS_DEPTH)
+    return dists.select(_fmt_id(F.col("id")).alias("id"), "dist").orderBy("dist", "id")
 
 
 GRAPH_BFS_SQL = f"""
 WITH RECURSIVE {_EDGES_CTE},
-src AS (SELECT 'c:' || MIN(o_custkey) AS v FROM orders),
+src AS (SELECT 2 * MIN(o_custkey) AS v FROM orders),
 reach(id, dist) AS (
   SELECT v, 0 FROM src
   UNION
@@ -86,8 +104,8 @@ reach(id, dist) AS (
   FROM reach r JOIN edges e ON e.src = r.id
   WHERE r.dist < {BFS_DEPTH}
 )
-SELECT id, MIN(dist) AS dist
-FROM reach GROUP BY id
+SELECT {_FMT_SQL.format(col="id")} AS id, MIN(dist) AS dist
+FROM reach GROUP BY 1
 ORDER BY dist, id
 """
 
@@ -157,6 +175,7 @@ def graph_connected_components_summary(spark: SparkSession, sf_dir: str) -> Data
         connected_components(edges)
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .select(_fmt_id(F.col("component")).alias("component"), "n_vertices")
         .orderBy("component")
     )
 
@@ -169,9 +188,10 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
 ),
-comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
-SELECT component, COUNT(*) AS n_vertices
-FROM comp GROUP BY component ORDER BY component
+comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+sizes AS (SELECT component, COUNT(*) AS n_vertices FROM comp GROUP BY component)
+SELECT {_FMT_SQL.format(col="component")} AS component, n_vertices
+FROM sizes ORDER BY component
 """
 
 
@@ -184,7 +204,10 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = purchase_edges(spark, sf_dir)
     pr = pagerank(edges)
     return (
-        pr.select("id", F.floor(F.col("rank") * 1_000_000 + 0.5).alias("rank_ubp"))
+        pr.select(
+            _fmt_id(F.col("id")).alias("id"),
+            F.floor(F.col("rank") * 1_000_000 + 0.5).alias("rank_ubp"),
+        )
         .orderBy(F.desc("rank_ubp"), F.asc("id"))
         .limit(20)
     )

@@ -151,7 +151,73 @@ ORDER BY l_returnflag
 """
 
 
+def full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer counts vs supplier
+    counts — keeps nations populated on either side only (join-type
+    coverage: the one outer variant the rest of the inventory lacks)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+           FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+           FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s USING (nationkey)
+ORDER BY nationkey
+"""
+
+
+def sample_systematic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% systematic sample of orders: keep a row when
+    the first 8 hex chars of md5(orderkey), read as an integer, fall in
+    the lowest 1/20 of the 32-bit space. Unlike TABLESAMPLE this is
+    reproducible across engines AND across reruns — the property a
+    training-data pipeline needs for holdout splits. Map-only: the
+    predicate pushes into the scan stage, no shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        orders.filter(bucket % 20 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 20 = 0
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "full_outer_nation_profile": full_outer_nation_profile,
+    "sample_systematic_orders": sample_systematic_orders,
     "pivot_status_by_priority": pivot_status_by_priority,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "grouping_sets_revenue": grouping_sets_revenue,
@@ -159,6 +225,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "full_outer_nation_profile": FULL_OUTER_SQL,
+    "sample_systematic_orders": SAMPLE_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "unpivot_lineitem_measures": UNPIVOT_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,

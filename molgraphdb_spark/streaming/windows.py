@@ -121,6 +121,56 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner self-join: each purchase matched to every
+    click by the same user in the preceding ``horizon``. Watermarks on
+    BOTH sides + the two-sided time-range predicate are what let the
+    state store evict: a click's state is droppable once the watermark
+    passes click_ts + horizon. Without both bounds the join state grows
+    forever — the canonical stream-join pitfall."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id"
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type):
+    ``dropDuplicatesWithinWatermark`` keeps the first occurrence and
+    holds each key's state only until the watermark passes it — bounded
+    state, unlike plain dropDuplicates on a stream which accumulates
+    every key forever."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a stream into an in-memory table (test/dev sink); returns
     the query handle after processing all available input."""

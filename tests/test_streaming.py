@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from molgraphdb_spark.queries.events import _events, events_tumbling_window
 from molgraphdb_spark.streaming.windows import (
+    click_purchase_join,
+    dedup_stream,
     read_events_stream,
     run_to_memory,
     running_user_totals,
@@ -54,6 +56,48 @@ def test_session_stream_counts_total(spark, sf_dir, events_stream_dir):
         # sessions end after their last event + gap
         bad = spark.table("t_sessions").filter("session_end <= session_start").count()
         assert bad == 0
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_stream_dir):
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(click_purchase_join(ev), "t_ssjoin", output_mode="append")
+    try:
+        got = {
+            (r.user_id, r.purchase_id, r.click_id) for r in spark.table("t_ssjoin").collect()
+        }
+        b = _events(spark, sf_dir)
+        clicks = b.filter("event_type = 'click'").selectExpr(
+            "user_id AS cu", "ts AS cts", "event_id AS cid"
+        )
+        purchases = b.filter("event_type = 'purchase'").selectExpr(
+            "user_id AS pu", "ts AS pts", "event_id AS pid"
+        )
+        want = {
+            (r.pu, r.pid, r.cid)
+            for r in clicks.join(
+                purchases,
+                (F.col("cu") == F.col("pu"))
+                & (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir, events_stream_dir):
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(dedup_stream(ev), "t_dedup", output_mode="append")
+    try:
+        got = {(r.user_id, r.event_type) for r in spark.table("t_dedup").collect()}
+        want = {
+            (r.user_id, r.event_type)
+            for r in _events(spark, sf_dir).select("user_id", "event_type").distinct().collect()
+        }
+        assert got == want
     finally:
         q.stop()
 
