@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from molgraphdb_spark.chem.edits import all_single_edits
 from molgraphdb_spark.chem.mol import parse_smiles, mol_key, SmilesError
 from molgraphdb_spark.chem.subgraphs import enumerate_subgraphs
+from molgraphdb_spark.functions.literals import literal_df
 
 EDGE_COLS = "src string, src_smiles string, dst string, diff_atom int, diff_bond int, subs int"
 SUBGRAPH_COLS = (
@@ -61,7 +62,9 @@ def parse_molecules(spark: SparkSession, smiles: list[str]) -> DataFrame:
                 rows, columns=["smiles", "mol_id", "n_atoms", "n_bonds", "valid", "reason"]
             )
 
-    return spark.createDataFrame([(s,) for s in smiles], ["smiles"]).mapInPandas(
+    # literal_df, not createDataFrame: a parallelized local collection
+    # adds a Python pickle stage to EVERY downstream job (~2-4 s each).
+    return literal_df(spark, [(s,) for s in smiles], ["smiles"]).mapInPandas(
         gen, schema=MOL_COLS
     )
 
@@ -191,7 +194,7 @@ def named_molecule_subgraphs(spark: SparkSession, named: list[tuple[str, str]]) 
             )
 
     return (
-        spark.createDataFrame(named, ["name", "smiles"])
+        literal_df(spark, named, ["name", "smiles"])
         .coalesce(1)
         .mapInPandas(gen, schema=SUBGRAPH_COLS + ", parent_atoms int")
     )

@@ -109,7 +109,14 @@ def bfs_distances(
     # bucketed-by-src edge table; here localCheckpoint pins it and
     # gives AQE exact sizes for join-side selection per wave.
     edges = edges.select("src", "dst").localCheckpoint()
-    visited = spark.createDataFrame([(source, 0)], ["id", "dist"]).localCheckpoint()
+    # Seed built JVM-side (range + lit): a createDataFrame seed would
+    # drag a Python pickle stage into every wave's job graph.
+    id_lit = F.lit(source).cast("long") if isinstance(source, int) else F.lit(source)
+    visited = (
+        spark.range(1)
+        .select(id_lit.alias("id"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
     frontier = visited
     for depth in range(1, max_depth + 1):
         if target is not None and frontier.filter(F.col("id") == target).limit(1).count() > 0:

@@ -161,9 +161,10 @@ def chem_edit_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     edges, vertices = expand_relations(spark, EDIT_SEEDS, depth=3)
     stats = graph_stats(edges)
-    return spark.createDataFrame(
-        [(stats["unique_molecules"], stats["n_edges"], vertices.count())],
-        "unique_molecules long, n_edges long, n_vertices long",
+    return spark.range(1).select(
+        F.lit(stats["unique_molecules"]).cast("long").alias("unique_molecules"),
+        F.lit(stats["n_edges"]).cast("long").alias("n_edges"),
+        F.lit(vertices.count()).cast("long").alias("n_vertices"),
     )
 
 
