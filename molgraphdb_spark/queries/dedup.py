@@ -20,10 +20,9 @@ Scale notes (100 TB):
   cost is Σ(docs-per-shingle²), not n² — the standard inverted-index
   bound. Stop-shingles (appearing in >X% of docs) would be dropped at
   real scale; at test scale none qualify.
-- MinHash/LSH: signatures are a single groupBy over exploded shingles
-  (map-side combine keeps the shuffle at k·docs rows); banding turns
-  near-dup search into an equi-join on (band, band_hash) — the n²
-  never materializes.
+- MinHash/LSH: signatures fold over the per-document shingle array
+  map-only (zero shuffle — see _sig_df); banding turns near-dup search
+  into an equi-join on (band, band_hash) — the n² never materializes.
 - SimHash: one explode + groupBy per doc; the 32 bit-counters are
   plain sums, map-side combined.
 """
@@ -164,32 +163,46 @@ ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 # MinHash signatures: k 32-bit lanes sliced from ceil(k/4) salted md5s.
 # --------------------------------------------------------------------------
-def _sig_df(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}) MinHash signature. Each md5 digest is
-    128 bits = four independent 32-bit (8-hex) lanes, so k lanes cost
-    only ceil(k/4) hashes per shingle — 4x less hashing than one md5
-    per permutation, the dominant cost of signature computation.
+def _sig_df(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) MinHash signature, computed MAP-ONLY.
+
+    Two levers vs the naive k-permutation groupBy:
+    - Each md5 digest is 128 bits = four independent 32-bit (8-hex)
+      lanes, so k lanes cost only ceil(k/4) hashes per shingle.
+    - The per-document min folds over the shingle ARRAY with
+      ``array_min(transform(...))`` — no explode, no distinct, no
+      shuffle (duplicate shingles cannot change a min). Signature
+      computation therefore scans the corpus exactly once and scales
+      embarrassingly at 100 TB; only downstream banding joins shuffle.
     Lexicographic min over fixed-width lowercase hex == numeric min,
     identically in both engines."""
     n_digests = (k + 3) // 4
-    proj = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{d}{_SEP}"), F.col("shingle"))).alias(f"dg_{d}")
-            for d in range(n_digests)
-        ],
-    )
-    aggs = []
+    docs = _norm_docs(spark, sf_dir).withColumn("shingles", _shingles_col())
+
+    # NB: factories, not default-arg lambdas — F.transform feeds a
+    # 2-parameter lambda the array INDEX as its second argument.
+    def _digest(d: int):
+        salt = f"{d}{_SEP}"
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    def _lane(lo: int):
+        return lambda x: F.substring(x, lo, 8)
+
+    for d in range(n_digests):
+        docs = docs.withColumn(f"dg_{d}", F.transform(F.col("shingles"), _digest(d)))
+    lanes = []
     for i in range(k):
         d, lane = divmod(i, 4)
-        aggs.append(F.min(F.substring(F.col(f"dg_{d}"), lane * 8 + 1, 8)).alias(f"mh_{i}"))
-    return proj.groupBy("doc_id").agg(*aggs)
+        lanes.append(
+            F.array_min(F.transform(F.col(f"dg_{d}"), _lane(lane * 8 + 1))).alias(f"mh_{i}")
+        )
+    return docs.select("doc_id", *lanes)
 
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (k=8), emitted as one
     '|'-joined string for stable cross-engine comparison."""
-    sig = _sig_df(_shingle_rows(spark, sf_dir))
+    sig = _sig_df(spark, sf_dir)
     return sig.select(
         "doc_id",
         F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(MINHASH_K)]).alias("signature"),
@@ -222,7 +235,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k=8 signature). A pair collides if ANY band matches — the
     classic S-curve: P(collide) = 1-(1-j²)⁴ ≈ 1 for j≈0.99. The n²
     comparison never happens; only bucket collisions join."""
-    sig = _sig_df(_shingle_rows(spark, sf_dir))
+    sig = _sig_df(spark, sf_dir)
     n_bands = MINHASH_K // BAND_ROWS
     bands = [
         sig.select(

@@ -52,3 +52,25 @@ def test_text_pipeline_stays_jvm_side(spark, sf_dir):
     s = plan_summary(doc_token_stats(spark, sf_dir))
     assert not s["has_python_worker"]
     assert s["n_exchanges"] == 0  # per-document scoring must not shuffle
+
+
+def test_minhash_signatures_map_only(spark, sf_dir):
+    # Signature computation folds over the shingle array per row —
+    # the plan must contain NO Exchange before the (tiny) final sort.
+    from molgraphdb_spark.queries.dedup import _sig_df
+
+    s = plan_summary(_sig_df(spark, sf_dir))
+    assert s["n_exchanges"] == 0
+    assert not s["has_python_worker"]
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    # Union-then-window as-of: both inputs shuffle once on the join
+    # key for the window sort; no range explosion, no extra exchanges.
+    from molgraphdb_spark.queries.temporal import events_asof_join
+
+    s = plan_summary(events_asof_join(spark, sf_dir))
+    # one Exchange for the union'd window partitioning (+ at most one
+    # for the final orderBy's range partitioning)
+    assert s["n_exchanges"] <= 2
+    assert not s["has_python_worker"]
