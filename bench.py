@@ -29,6 +29,8 @@ HEADLINE = [
     "orders_above_customer_avg",
     "events_sessionize",
     "events_tumbling_window",
+    "events_asof_join",
+    "similarity_ivf_topk",
     "dedup_minhash_signatures",
     "neardup_jaccard_pairs",
     "similarity_cosine_topk",

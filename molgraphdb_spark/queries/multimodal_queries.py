@@ -153,7 +153,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = F.array_join(
         F.transform(
             F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE)),
-            lambda i: F.substring(F.col("text"), 1, 1) if False else F.col("text").substr(i, F.lit(1)),
+            lambda i: F.col("text").substr(i, F.lit(1)),
         ),
         "",
     )
