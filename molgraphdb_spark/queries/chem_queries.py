@@ -152,6 +152,43 @@ ORDER BY size
 """
 
 
+def chem_exact_ged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact graph edit distance (F16, /root/reference/src/mcs.py:338–346)
+    for all C(5,2)=10 fixture pairs — branch-and-bound over injective
+    node mappings inside one mapInPandas pass, size-guarded exactly
+    like the reference's try/except contract (None when skipped).
+    No SQL oracle (exponential graph algorithm): driver rows-only check;
+    tests/test_chem.py pins hand-verified cases."""
+    import pandas as pd
+
+    tune(spark)
+    from itertools import combinations
+
+    from molgraphdb_spark.functions.literals import literal_df
+
+    pair_rows = [
+        (na, sa, nb, sb) for (na, sa), (nb, sb) in combinations(EXAMPLES, 2)
+    ]
+
+    def gen(batches):
+        from molgraphdb_spark.chem.mol import parse_smiles
+        from molgraphdb_spark.chem.subgraphs import exact_ged
+
+        for pdf in batches:
+            rows = []
+            for na, sa, nb, sb in zip(pdf["na"], pdf["sa"], pdf["nb"], pdf["sb"]):
+                g = exact_ged(parse_smiles(sa), parse_smiles(sb))
+                rows.append((na, nb, None if g is None else float(g)))
+            yield pd.DataFrame(rows, columns=["mol_a", "mol_b", "exact_ged"])
+
+    return (
+        literal_df(spark, pair_rows, ["na", "sa", "nb", "sb"])
+        .coalesce(1)
+        .mapInPandas(gen, schema="mol_a string, mol_b string, exact_ged double")
+        .orderBy("mol_a", "mol_b")
+    )
+
+
 def chem_edit_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-graph construction (G9) from the simple seeds
     (main.py:377–380) to a fixed point at depth 3: per-wave novelty via
@@ -173,6 +210,7 @@ QUERIES = {
     "chem_tanimoto_pairs": chem_tanimoto_pairs,
     "chem_subgraph_catalog_hist": chem_subgraph_catalog_hist,
     "chem_edit_expansion": chem_edit_expansion,
+    "chem_exact_ged_pairs": chem_exact_ged_pairs,
 }
 
 ORACLES = {
