@@ -215,7 +215,46 @@ ORDER BY o_orderkey
 """
 
 
+def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime order value → quartile (ntile) + percent_rank,
+    with a custkey tiebreak so ranks are deterministic across engines.
+    One shuffle for the groupBy, one single-partition sort for the
+    global ranking (at 100 TB a global ntile would be approximated by
+    quantile cutpoints + a map-side bucket join instead)."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    totals = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("lifetime_value")
+    )
+    w = Window.orderBy(F.desc("lifetime_value"), F.asc("o_custkey"))
+    return (
+        totals.select(
+            "o_custkey",
+            "lifetime_value",
+            F.ntile(4).over(w).alias("value_quartile"),
+            F.floor(F.percent_rank().over(w) * 10000 + 0.5).alias("pct_rank_bp"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+NTILE_SQL = """
+WITH totals AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS lifetime_value
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, lifetime_value,
+       NTILE(4) OVER w AS value_quartile,
+       CAST(floor(PERCENT_RANK() OVER w * 10000 + 0.5) AS BIGINT) AS pct_rank_bp
+FROM totals
+WINDOW w AS (ORDER BY lifetime_value DESC, o_custkey ASC)
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
+    "ntile_customer_value": ntile_customer_value,
     "full_outer_nation_profile": full_outer_nation_profile,
     "sample_systematic_orders": sample_systematic_orders,
     "pivot_status_by_priority": pivot_status_by_priority,
@@ -225,6 +264,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ntile_customer_value": NTILE_SQL,
     "full_outer_nation_profile": FULL_OUTER_SQL,
     "sample_systematic_orders": SAMPLE_SQL,
     "pivot_status_by_priority": PIVOT_SQL,

@@ -104,12 +104,56 @@ ORDER BY 1
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: a generated hour spine (sequence +
+    explode) cross-joined with the event-type dimension, left-joined to
+    the observed hourly counts so silent hours appear as zeros — the
+    date-spine pattern every time-series pipeline needs. The spine is
+    generated, never scanned; the only shuffle is the hourly groupBy."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(hourly, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events)
+SELECT s.hour, t.event_type, COALESCE(h.n_events, 0) AS n_events
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+ORDER BY s.hour, t.event_type
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
+    "events_gap_fill": events_gap_fill,
 }
 
 ORACLES = {
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_range_join": EVENTS_RANGE_SQL,
+    "events_gap_fill": EVENTS_GAP_FILL_SQL,
 }
