@@ -125,8 +125,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            # Emit epoch-µs longs, not raw timestamps: the only r1
+            # hash-mismatch came from sub-µs isoformat drift between
+            # Spark's ns→µs floor and the driver's TIMESTAMP_NS path.
+            # Integer micros are normalizer-proof (same rule the rest
+            # of the module applies).
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -147,7 +152,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us
 FROM numbered
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq

@@ -13,18 +13,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Order matters: the round-1 driver verified only the first 50 registry
+# entries, leaving the similarity/graph/chem/multimodal surface without a
+# hard CORRECTNESS row. Those modules now lead so every previously
+# unchecked query lands inside any driver cap; the long relational tail
+# (fully driver-green in CORRECTNESS_r01.json) sits last, where losing a
+# re-check costs nothing.
 _QUERY_MODULES = [
-    "molgraphdb_spark.queries.relational",
-    "molgraphdb_spark.queries.setops",
-    "molgraphdb_spark.queries.reshape",
-    "molgraphdb_spark.queries.events",
-    "molgraphdb_spark.queries.temporal",
-    "molgraphdb_spark.queries.text",
-    "molgraphdb_spark.queries.dedup",
     "molgraphdb_spark.queries.similarity",
     "molgraphdb_spark.queries.graph_queries",
     "molgraphdb_spark.queries.chem_queries",
     "molgraphdb_spark.queries.multimodal_queries",
+    "molgraphdb_spark.queries.dedup",
+    "molgraphdb_spark.queries.events",
+    "molgraphdb_spark.queries.temporal",
+    "molgraphdb_spark.queries.text",
+    "molgraphdb_spark.queries.setops",
+    "molgraphdb_spark.queries.reshape",
+    "molgraphdb_spark.queries.relational",
 ]
 
 
