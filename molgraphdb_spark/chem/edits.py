@@ -36,8 +36,9 @@ def _candidate_edges(
     """Validity gate + bidirectional emit (G5, main.py:86–114).
 
     Yields (key, smiles, other_key, diff_atom, diff_bond, subs) for
-    both directions; diffs are candidate-minus-self in the forward
-    direction and negated in the reverse (main.py:113–114).
+    both directions; each directed edge carries destination-minus-source
+    (main.py:109–114: the candidate→original edge stores
+    ``self.n_atoms - next_n_atoms``, i.e. dst − src).
     """
     if not cand.is_connected():  # the '.' check (main.py:101)
         return
@@ -51,8 +52,8 @@ def _candidate_edges(
         return
     d_atom = cand.n_atoms - mol.n_atoms
     d_bond = cand.n_bonds - mol.n_bonds
-    yield (ckey, to_smiles(cand), mkey, d_atom, d_bond, subs)
-    yield (mkey, to_smiles(mol), ckey, -d_atom, -d_bond, subs)
+    yield (ckey, to_smiles(cand), mkey, -d_atom, -d_bond, subs)
+    yield (mkey, to_smiles(mol), ckey, d_atom, d_bond, subs)
 
 
 def atom_deletions(

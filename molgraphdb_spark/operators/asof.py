@@ -70,6 +70,9 @@ def asof_join(
     pay = F.struct(
         F.col(right_ts).alias("asof_ts"), *[F.col(c) for c in rcols]
     )
+    # One joined field list (asof_ts included) so an empty rcols can't
+    # produce a trailing comma in the cast type string.
+    pay_fields = [f"asof_ts:{rtypes[right_ts]}"] + [f"{c}:{rtypes[c]}" for c in rcols]
     l2 = left.select(
         *keys,
         F.col(left_ts).alias("_ats"),
@@ -77,7 +80,7 @@ def asof_join(
         F.lit(None).cast("long").alias("_tb"),
         *[F.col(c) for c in lcols],
         F.lit(None)
-        .cast(f"struct<asof_ts:{rtypes[right_ts]},{','.join(f'{c}:{rtypes[c]}' for c in rcols)}>")
+        .cast(f"struct<{','.join(pay_fields)}>")
         .alias("_rpay"),
     )
     r2 = right.select(
@@ -135,7 +138,12 @@ def interval_point_join(
             F.floor((F.unix_micros(F.col(end_col)) - 1) / bucket_micros),
         )
     ).alias("_bucket")
-    iv = intervals.select("*", b_int)
+    # Surrogate row id BEFORE exploding: the left-join empty-interval
+    # recovery groups on it, so duplicate interval rows keep their
+    # multiplicity and non-groupable column types (map, ...) never
+    # enter a groupBy key.
+    iv_src = intervals.withColumn("_iid", F.monotonically_increasing_id())
+    iv = iv_src.select("*", b_int)
     pt_cols = [c for c in points.columns if c not in keys]
     pt = points.select(
         *keys,
@@ -144,23 +152,26 @@ def interval_point_join(
     )
     in_range = (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     if how == "inner":
-        return iv.join(pt, keys + ["_bucket"]).filter(in_range).drop("_bucket")
+        return iv.join(pt, keys + ["_bucket"]).filter(in_range).drop("_bucket", "_iid")
     if how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    # Left join keeps empty intervals: match flag survives the bucket
-    # explosion via aggregation back to one row per interval below the
-    # caller's responsibility — here we just null out non-matching
-    # points and dedup the exploded interval copies that matched
-    # nothing.
+    # Left join keeps empty intervals: group the exploded copies back to
+    # one row per SOURCE interval on the surrogate id, keep those with
+    # no in-range match, and null-pad the point columns.
     joined = iv.join(pt, keys + ["_bucket"], "left").withColumn(
         "_ok", F.coalesce(in_range, F.lit(False))
     )
-    matched = joined.filter(F.col("_ok")).drop("_bucket", "_ok")
+    matched = joined.filter(F.col("_ok")).drop("_bucket", "_ok", "_iid")
     empty = (
-        joined.groupBy(*intervals.columns)
-        .agg(F.max(F.col("_ok").cast("int")).alias("_any"))
+        joined.groupBy("_iid")
+        .agg(
+            F.max(F.col("_ok").cast("int")).alias("_any"),
+            *[F.first(c).alias(c) for c in intervals.columns],
+        )
         .filter(F.col("_any") == 0)
-        .drop("_any")
-        .select("*", *[F.lit(None).cast(dict(points.dtypes)[c]).alias(c) for c in pt_cols])
+        .select(
+            *intervals.columns,
+            *[F.lit(None).cast(dict(points.dtypes)[c]).alias(c) for c in pt_cols],
+        )
     )
     return matched.unionByName(empty)

@@ -18,6 +18,8 @@ demo corpus, the only molecule fixture that exists (SURVEY.md §5).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,7 +60,11 @@ def _example_mols(spark: SparkSession) -> DataFrame:
 
 #: Per-session cache of the checkpointed fixture subgraph relation —
 #: the three chem queries share one Python stage instead of three.
-_SG_CACHE: dict[int, DataFrame] = {}
+#: Keyed by a WeakKeyDictionary on the session object itself: a stopped
+#: and garbage-collected SparkSession drops its entry, so a new session
+#: reusing the same id() can never receive a DataFrame bound to a dead
+#: session.
+_SG_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = weakref.WeakKeyDictionary()
 
 
 def _fixture_subgraphs(spark: SparkSession) -> DataFrame:
@@ -66,10 +72,9 @@ def _fixture_subgraphs(spark: SparkSession) -> DataFrame:
     parent_atoms), parse+enumerate fused into one mapInPandas pass and
     localCheckpoint-ed once per session."""
     tune(spark)
-    key = id(spark)
-    if key not in _SG_CACHE:
-        _SG_CACHE[key] = named_molecule_subgraphs(spark, EXAMPLES).localCheckpoint()
-    return _SG_CACHE[key]
+    if spark not in _SG_CACHE:
+        _SG_CACHE[spark] = named_molecule_subgraphs(spark, EXAMPLES).localCheckpoint()
+    return _SG_CACHE[spark]
 
 
 def chem_subgraph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -484,7 +484,12 @@ FROM customer
 # --------------------------------------------------------------------------
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    avg_per_cust = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    # Compare against a rounded average on BOTH sides: the raw double
+    # AVG depends on summation order, so a row landing exactly at the
+    # boundary could flip between engines (module rounding rule).
+    avg_per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("cust_avg")
+    )
     return (
         orders.join(avg_per_cust, "o_custkey")
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
@@ -495,7 +500,8 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDERS_ABOVE_AVG_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
 FROM orders o
-WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+WHERE o_totalprice > (SELECT ROUND(AVG(i.o_totalprice), 2)
+                      FROM orders i WHERE i.o_custkey = o.o_custkey)
 """
 
 

@@ -88,6 +88,28 @@ def test_interval_join_spans_buckets(spark):
     assert sorted(r.pid for r in out.collect()) == [3, 7, 14, 21, 27]
 
 
+def test_asof_right_side_payload_free(spark):
+    # right side with ONLY key + ts columns: the null-payload struct
+    # cast must not emit a trailing comma (ADVICE round 1).
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right.select("k", "ts"), on=["k"])
+    got = {r.lid: r.asof_ts_r for r in out.collect()}
+    assert got == {100: _ts(10), 101: _ts(15), 102: None, 103: None}
+
+
+def test_interval_join_left_keeps_duplicate_intervals(spark):
+    # two IDENTICAL empty interval rows must both survive the left
+    # recovery (grouped on a surrogate id, not on the value columns).
+    iv = spark.createDataFrame(
+        [(1, 10, _ts(40), _ts(45)), (1, 10, _ts(40), _ts(45))],
+        ["k", "iid", "start", "end"],
+    )
+    pts = spark.createDataFrame([(1, _ts(12), 1)], ["k", "ts", "pid"])
+    out = interval_point_join(iv, pts, on=["k"], bucket_micros=60 * 1_000_000, how="left")
+    assert out.count() == 2
+    assert [r.pid for r in out.collect()] == [None, None]
+
+
 def test_interval_join_left_keeps_empty(spark):
     iv = spark.createDataFrame(
         [(1, 10, _ts(10), _ts(15)), (1, 11, _ts(40), _ts(45))],

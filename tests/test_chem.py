@@ -89,6 +89,21 @@ def test_substitution_respects_valence():
     assert len(list(atom_substitutions(parse_smiles("CCC"), "p"))) == 6
 
 
+def test_edge_diff_sign_is_dst_minus_src():
+    # Reference convention (main.py:109-114): each directed edge stores
+    # target-minus-source. Deleting an atom from propane gives ethane;
+    # the CC->CCC edge must carry diff_atom=+1, diff_bond=+1, and the
+    # CCC->CC edge the negation.
+    from molgraphdb_spark.chem.edits import atom_deletions
+
+    ccc = parse_smiles("CCC")
+    cc_key = mol_key(parse_smiles("CC"))
+    ccc_key = mol_key(ccc)
+    edges = {(src, dst): (da, db) for src, _, dst, da, db, _ in atom_deletions(ccc, "p")}
+    assert edges[(cc_key, ccc_key)] == (1, 1)
+    assert edges[(ccc_key, cc_key)] == (-1, -1)
+
+
 def test_exact_ged_hand_cases():
     p = parse_smiles
     assert exact_ged(p("CCC"), p("CCC")) == 0.0
