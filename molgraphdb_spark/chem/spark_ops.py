@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from molgraphdb_spark.chem.edits import all_single_edits
@@ -119,13 +119,21 @@ def expand_relations(
         [], "src string, dst string, diff_atom int, diff_bond int, subs int"
     ).localCheckpoint()
     frontier = vertices
+    # Per-wave job budget (r1 verdict: ~4 blocking jobs/wave was the
+    # dominant cost): exactly TWO jobs per wave — (1) materialize the
+    # Python expansion stage once, (2) materialize BOTH novelty deltas
+    # as one tagged union, with the emptiness probes riding inside that
+    # same job as Observation metrics instead of separate count() jobs.
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("int")
     for _ in range(depth):
-        wave = expand_wave(frontier)
+        # wave is consumed by both delta branches below; checkpoint it
+        # so the mapInPandas worker stage runs once, not per-branch.
+        wave = expand_wave(frontier).localCheckpoint()
         new_edges = (
             wave.select("src", "dst", "diff_atom", "diff_bond", "subs")
             .dropDuplicates(["src", "dst"])
             .join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
-            .localCheckpoint()
         )
         # novel molecules: sources of new edges not yet known (J4,
         # add_and_return_new main.py:262–270)
@@ -133,14 +141,43 @@ def expand_relations(
             wave.select(F.col("src").alias("mol_id"), F.col("src_smiles").alias("smiles"))
             .dropDuplicates(["mol_id"])
             .join(vertices.select("mol_id"), ["mol_id"], "left_anti")
+        )
+        obs = Observation()
+        delta = (
+            new_edges.select(
+                F.lit("e").alias("tag"), "src", "dst",
+                "diff_atom", "diff_bond", "subs", null_s.alias("smiles"),
+            )
+            .unionByName(
+                new_vertices.select(
+                    F.lit("v").alias("tag"), F.col("mol_id").alias("src"),
+                    null_s.alias("dst"), null_i.alias("diff_atom"),
+                    null_i.alias("diff_bond"), null_i.alias("subs"), "smiles",
+                )
+            )
+            .observe(
+                obs,
+                F.sum((F.col("tag") == "e").cast("long")).alias("n_edges"),
+                F.sum((F.col("tag") == "v").cast("long")).alias("n_vertices"),
+            )
             .localCheckpoint()
         )
-        if new_vertices.limit(1).count() == 0 and new_edges.limit(1).count() == 0:
+        got = obs.get
+        if not got.get("n_edges") and not got.get("n_vertices"):
             break
-        edges = edges.unionByName(new_edges).localCheckpoint()
-        vertices = vertices.unionByName(new_vertices).localCheckpoint()
-        frontier = new_vertices
-        if frontier.limit(1).count() == 0:
+        # Lazy unions of checkpointed RDDs: the chain stays shallow (one
+        # union node per wave over materialized children), so no eager
+        # re-checkpoint jobs are needed here.
+        edges = edges.unionByName(
+            delta.filter(F.col("tag") == "e").select(
+                "src", "dst", "diff_atom", "diff_bond", "subs"
+            )
+        )
+        frontier = delta.filter(F.col("tag") == "v").select(
+            F.col("src").alias("mol_id"), "smiles"
+        )
+        vertices = vertices.unionByName(frontier)
+        if not got.get("n_vertices"):
             break
     return edges, vertices
 

@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -204,22 +204,23 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     e = edges.select("src", "dst").localCheckpoint()  # materialize once (see bfs_distances)
     labels = vertices(e).withColumn("component", F.col("id")).localCheckpoint()
     for _ in range(max_iter):
+        # ONE job per round (r1 verdict: the separate changed-count join
+        # doubled the job count). The union carries each vertex's OLD
+        # label alongside propagated ones ("own" is non-null only on the
+        # labels branch, and every endpoint has a labels row), so the
+        # convergence signal is an Observation metric on the same
+        # aggregation that produces the new labels.
+        obs = Observation()
         prop = (
             labels.join(e, labels.id == e.src)
-            .select(F.col("dst").alias("id"), "component")
-            .unionByName(labels)
+            .select(F.col("dst").alias("id"), "component", F.lit(None).cast(labels.schema["component"].dataType).alias("own"))
+            .unionByName(labels.withColumn("own", F.col("component")))
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.max("own").alias("own"))
+            .observe(obs, F.sum((F.col("component") < F.col("own")).cast("long")).alias("changed"))
             .localCheckpoint()
         )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = prop
-        if changed == 0:
+        labels = prop.select("id", "component")
+        if not obs.get.get("changed"):
             break
     return labels

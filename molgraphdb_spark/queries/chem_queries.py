@@ -30,7 +30,6 @@ from molgraphdb_spark.chem.spark_ops import (
     parse_molecules,
     subgraph_catalog,
 )
-from molgraphdb_spark.operators.graph import graph_stats
 from molgraphdb_spark.session import tune
 
 #: The GED-pipeline example molecules (mcs.py:700–706).
@@ -202,12 +201,14 @@ def chem_edit_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the rows-only check; tests/test_chem.py pins semantics."""
     tune(spark)
     edges, vertices = expand_relations(spark, EDIT_SEEDS, depth=3)
-    stats = graph_stats(edges)
-    return spark.range(1).select(
-        F.lit(stats["unique_molecules"]).cast("long").alias("unique_molecules"),
-        F.lit(stats["n_edges"]).cast("long").alias("n_edges"),
-        F.lit(vertices.count()).cast("long").alias("n_vertices"),
+    # Single-job summary: no driver-side actions here — both aggregates
+    # and the vertex count land in one plan the driver collects once.
+    stats = edges.select(
+        F.countDistinct("src").alias("unique_molecules"),
+        F.count(F.lit(1)).alias("n_edges"),
     )
+    nv = vertices.select(F.count(F.lit(1)).alias("n_vertices"))
+    return stats.crossJoin(nv)
 
 
 QUERIES = {
