@@ -76,7 +76,7 @@ def bond_deletions(
     largest fragment when deletion disconnects (main.py:66)."""
     for bond in sorted(mol.bonds):
         cand = mol.copy()
-        cand.bonds.discard(bond)
+        cand.bonds.pop(bond, None)
         cand = cand.largest_fragment()
         yield from _candidate_edges(mol, mol_id, cand, 0, min_atoms, min_bonds)
 

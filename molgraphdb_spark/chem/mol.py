@@ -3,15 +3,26 @@ edit-graph and subgraph/GED pipelines (SURVEY.md §7 M2/M3).
 
 RDKit is not available in this environment, so this implements the
 graph-theoretic fallback SURVEY.md §7 M2 plans: molecules as
-element-labeled undirected graphs parsed from a SMILES subset
-(single bonds; C/N/O; branches; ring closures) — exactly the model the
-reference's GED pipeline validates down to anyway
-(/root/reference/src/mcs.py:33–54: ≤10 atoms, carbon-only, single
-bonds; graph built at mcs.py:178–194 with element node attrs).
+element-labeled undirected graphs with bond orders, parsed from a
+SMILES subset wide enough for the reference's own demo corpus
+(/root/reference/main.py:377–391: the chain demos, aspirin, ibuprofen,
+sildenafil/vardenafil/tadalafil) — single/double/triple/aromatic
+bonds, branches, ring closures (incl. ``%nn``), aromatic lowercase
+atoms, bracket atoms with charge/stereo/H-count, directional-bond
+symbols (read as single), and the organic-subset elements
+B/C/N/O/P/S/F/Cl/Br/I.
+
+Kekulé-written benzenoid rings are normalized to aromatic
+(perception below), so ``C1=CC=CC=C1`` and ``c1ccccc1`` share one
+identity — mirroring RDKit's SanitizeMol aromaticity perception that
+the reference relies on (main.py:94–95). Stereochemistry and isotopes
+are parsed and discarded: identity here is 2D-graph identity, which is
+exactly what the reference's GED pipeline reduces to
+(/root/reference/src/mcs.py:178–194: element node attrs only).
 
 Identity: molecules and subgraphs are keyed by a Weisfeiler–Lehman
-hash over element labels (networkx ≥3.5 convention, deterministic
-across processes — replacing both RDKit canonical SMILES
+hash over element labels and bond orders (networkx ≥3.5 convention,
+deterministic across processes — replacing both RDKit canonical SMILES
 (/root/reference/main.py:95) and the reference's PYTHONHASHSEED-
 dependent fallback ``str(hash(...))`` (mcs.py:241; SURVEY.md §7
 risk 3). WL-hash identity is isomorphism-class identity, which is
@@ -28,11 +39,29 @@ from dataclasses import dataclass, field
 
 import networkx as nx
 
-#: Max bonds per element under the single-bond-only model.
-VALENCE = {"C": 4, "N": 3, "O": 2}
+#: Max total bond order per neutral element (organic subset). A formal
+#: charge of ±q widens the bound by q (e.g. [N+] carries 4).
+VALENCE = {
+    "B": 3, "C": 4, "N": 3, "O": 2, "P": 5, "S": 6,
+    "F": 1, "Cl": 1, "Br": 1, "I": 1,
+}
+
+#: Aromatic bond order (two aromatic ring bonds + one substituent = 4).
+AROMATIC_ORDER = 1.5
 
 #: Validation limits of the GED pipeline (mcs.py:41–52).
 MAX_ATOMS_GED = 10
+
+#: Bond symbol → order ('/' and '\\' are directional singles; ':' is an
+#: explicit aromatic bond).
+_BOND_SYMBOLS = {"-": 1.0, "=": 2.0, "#": 3.0, ":": AROMATIC_ORDER, "/": 1.0, "\\": 1.0}
+
+#: Elements parsable OUTSIDE brackets (SMILES organic subset), longest
+#: match first so 'Cl'/'Br' win over 'C'/'B'.
+_ORGANIC = ["Cl", "Br", "B", "C", "N", "O", "P", "S", "F", "I"]
+
+#: Aromatic lowercase forms allowed outside brackets.
+_AROMATIC_ORGANIC = {"b": "B", "c": "C", "n": "N", "o": "O", "p": "P", "s": "S"}
 
 
 class SmilesError(ValueError):
@@ -41,10 +70,15 @@ class SmilesError(ValueError):
 
 @dataclass
 class MolGraph:
-    """Element-labeled undirected graph; nodes are 0..n-1."""
+    """Element-labeled undirected graph; nodes are 0..n-1. ``bonds``
+    maps the ordered pair (min, max) to the bond order (1.0 / 2.0 /
+    3.0 / 1.5 aromatic); iterating it yields the pairs, so set-era call
+    sites (``for a, b in mol.bonds``) read unchanged."""
 
     elements: list[str] = field(default_factory=list)
-    bonds: set[tuple[int, int]] = field(default_factory=set)
+    bonds: dict[tuple[int, int], float] = field(default_factory=dict)
+    aromatic: set[int] = field(default_factory=set)
+    charges: dict[int, int] = field(default_factory=dict)
 
     @property
     def n_atoms(self) -> int:
@@ -58,10 +92,10 @@ class MolGraph:
         self.elements.append(element)
         return len(self.elements) - 1
 
-    def add_bond(self, i: int, j: int) -> None:
+    def add_bond(self, i: int, j: int, order: float = 1.0) -> None:
         if i == j:
             raise SmilesError("self-bond")
-        self.bonds.add((min(i, j), max(i, j)))
+        self.bonds[(min(i, j), max(i, j))] = order
 
     def neighbors(self, i: int) -> list[int]:
         return sorted(
@@ -70,6 +104,19 @@ class MolGraph:
 
     def degree(self, i: int) -> int:
         return sum(1 for a, b in self.bonds if i in (a, b))
+
+    def valence_sum(self, i: int) -> float:
+        """Total bond order at atom ``i``. For an AROMATIC atom each
+        aromatic bond counts as one σ-bond: whether the atom donates a
+        lone pair (pyrrole-type) or an electron (pyridine-type) to the
+        π system needs Hückel electron counting we deliberately don't
+        do, and the σ-count is the bound that holds for both. For a
+        non-aromatic atom an (unusual) aromatic bond keeps its 1.5."""
+        return sum(
+            (1.0 if o == AROMATIC_ORDER and i in self.aromatic else o)
+            for (a, b), o in self.bonds.items()
+            if i in (a, b)
+        )
 
     def is_connected(self) -> bool:
         if self.n_atoms == 0:
@@ -84,26 +131,45 @@ class MolGraph:
         return len(seen) == self.n_atoms
 
     def valence_ok(self) -> bool:
-        """Sanitize-analogue (main.py:94): degree within element valence."""
+        """Sanitize-analogue (main.py:94): total bond order within the
+        element's valence bound, widened by |formal charge|."""
         return all(
-            self.degree(i) <= VALENCE.get(el, 0) for i, el in enumerate(self.elements)
+            self.valence_sum(i)
+            <= VALENCE.get(el, 0) + abs(self.charges.get(i, 0)) + 1e-9
+            for i, el in enumerate(self.elements)
         )
 
+    def _node_label(self, i: int) -> str:
+        """WL node label: element symbol, lowercased when aromatic,
+        charge-suffixed when charged — so pyridine-N ≠ pyrrole-C and
+        [O-] ≠ O in identity space."""
+        sym = self.elements[i].lower() if i in self.aromatic else self.elements[i]
+        q = self.charges.get(i, 0)
+        return f"{sym}{q:+d}" if q else sym
+
     def to_nx(self) -> nx.Graph:
-        """Element-labeled networkx graph (mcs.py:178–194 shape)."""
+        """Element-labeled networkx graph (mcs.py:178–194 shape), with
+        bond order as a string edge attr for WL hashing."""
         g = nx.Graph()
-        for i, el in enumerate(self.elements):
-            g.add_node(i, symbol=el)
-        g.add_edges_from(self.bonds)
+        for i in range(self.n_atoms):
+            g.add_node(i, symbol=self._node_label(i))
+        for (a, b), o in self.bonds.items():
+            g.add_edge(a, b, order=str(o))
         return g
 
     def induced(self, nodes: tuple[int, ...]) -> "MolGraph":
-        """Induced subgraph on ``nodes`` (relabeled 0..k-1)."""
-        remap = {n: k for k, n in enumerate(sorted(nodes))}
-        sub = MolGraph(elements=[self.elements[n] for n in sorted(nodes)])
-        for a, b in self.bonds:
+        """Induced subgraph on ``nodes`` (relabeled 0..k-1), preserving
+        bond orders, aromatic flags, and charges."""
+        order = sorted(nodes)
+        remap = {n: k for k, n in enumerate(order)}
+        sub = MolGraph(
+            elements=[self.elements[n] for n in order],
+            aromatic={remap[n] for n in order if n in self.aromatic},
+            charges={remap[n]: q for n, q in self.charges.items() if n in remap},
+        )
+        for (a, b), o in self.bonds.items():
             if a in remap and b in remap:
-                sub.add_bond(remap[a], remap[b])
+                sub.add_bond(remap[a], remap[b], o)
         return sub
 
     def largest_fragment(self) -> "MolGraph":
@@ -127,12 +193,17 @@ class MolGraph:
         return self.induced(tuple(best))
 
     def copy(self) -> "MolGraph":
-        return MolGraph(elements=list(self.elements), bonds=set(self.bonds))
+        return MolGraph(
+            elements=list(self.elements),
+            bonds=dict(self.bonds),
+            aromatic=set(self.aromatic),
+            charges=dict(self.charges),
+        )
 
     def adjacency_matrix(self) -> list[list[int]]:
-        """Dense 0/1 matrix over node order (mcs.py:230–239 shape) —
-        stored as a real ArrayType(ArrayType(Int)), never JSON-in-TEXT
-        (SURVEY.md §1.1)."""
+        """Dense 0/1 occupancy matrix over node order (mcs.py:230–239
+        shape) — stored as a real ArrayType(ArrayType(Int)), never
+        JSON-in-TEXT (SURVEY.md §1.1)."""
         n = self.n_atoms
         m = [[0] * n for _ in range(n)]
         for a, b in self.bonds:
@@ -140,23 +211,155 @@ class MolGraph:
         return m
 
 
+def _parse_bracket(body: str, smiles: str) -> tuple[str, bool, int]:
+    """Parse a bracket-atom body (isotope, element, stereo, H-count,
+    charge, atom map) → (element, aromatic, charge). Isotope, stereo,
+    H-count, and map number are validated and discarded (2D-graph
+    identity; see module docstring)."""
+    i = 0
+    while i < len(body) and body[i].isdigit():  # isotope
+        i += 1
+    if i < len(body) and body[i].isupper():
+        elem = body[i]
+        i += 1
+        if i < len(body) and body[i].islower() and elem + body[i] in VALENCE:
+            elem += body[i]
+            i += 1
+        aromatic = False
+    elif i < len(body) and body[i] in _AROMATIC_ORGANIC:
+        elem = _AROMATIC_ORGANIC[body[i]]
+        aromatic = True
+        i += 1
+    else:
+        raise SmilesError(f"bad bracket atom [{body}] in {smiles!r}")
+    while i < len(body) and body[i] == "@":  # stereo
+        i += 1
+    if i < len(body) and body[i] == "H":  # explicit H count
+        i += 1
+        while i < len(body) and body[i].isdigit():
+            i += 1
+    charge = 0
+    while i < len(body) and body[i] in "+-":
+        sign = 1 if body[i] == "+" else -1
+        i += 1
+        if i < len(body) and body[i].isdigit():
+            j = i
+            while j < len(body) and body[j].isdigit():
+                j += 1
+            charge += sign * int(body[i:j])
+            i = j
+        else:
+            charge += sign
+    if i < len(body) and body[i] == ":":  # atom map number
+        i += 1
+        while i < len(body) and body[i].isdigit():
+            i += 1
+    if i != len(body):
+        raise SmilesError(f"bad bracket atom [{body}] in {smiles!r}")
+    return elem, aromatic, charge
+
+
+def _perceive_aromatic_rings(mol: MolGraph) -> None:
+    """Normalize Kekulé-written benzenoid 6-rings to aromatic, so
+    ``C1=CC=CC=C1`` and ``c1ccccc1`` share one WL identity (the
+    perception RDKit's SanitizeMol performs for the reference,
+    main.py:94). Conservative rule, iterated to fixpoint for fused
+    systems (naphthalene): a 6-cycle qualifies when every cycle edge is
+    single/double/aromatic, no atom joins two double cycle edges, and
+    every atom touches a double or aromatic CYCLE edge (exocyclic
+    doubles — quinones — do not count). Five-membered aromatics are
+    recognized only when written lowercase (no Hückel electron count
+    here; documented subset boundary)."""
+    g = nx.Graph(list(mol.bonds))
+    try:
+        cycles = nx.cycle_basis(g)
+    except nx.NetworkXError:
+        return
+    hexes = [c for c in cycles if len(c) == 6]
+    changed = True
+    while changed:
+        changed = False
+        for cyc in hexes:
+            edges = [
+                (min(cyc[k], cyc[(k + 1) % 6]), max(cyc[k], cyc[(k + 1) % 6]))
+                for k in range(6)
+            ]
+            orders = [mol.bonds.get(e) for e in edges]
+            if any(o not in (1.0, 2.0, AROMATIC_ORDER) for o in orders):
+                continue
+            if all(o == AROMATIC_ORDER for o in orders):
+                continue  # already aromatic
+            ok = True
+            for k in range(6):
+                prev_o, next_o = orders[k - 1], orders[k]
+                if prev_o == 2.0 and next_o == 2.0:  # cumulated double
+                    ok = False
+                    break
+                if prev_o == 1.0 and next_o == 1.0:  # atom with no π edge
+                    ok = False
+                    break
+            if not ok:
+                continue
+            for e in edges:
+                mol.bonds[e] = AROMATIC_ORDER
+            mol.aromatic.update(cyc)
+            changed = True
+
+
 def parse_smiles(smiles: str) -> MolGraph:
-    """Parse the single-bond SMILES subset: C/N/O atoms, branches
-    ``()``, ring closures 1–9, optional explicit ``-`` bonds. Raises
-    SmilesError on anything else (aromatics, multiple bonds, charges,
-    disconnected '.')."""
+    """Parse the SMILES subset described in the module docstring.
+    Raises SmilesError on anything outside it (disconnected '.'
+    molecules included, matching the reference's candidate filter
+    main.py:101)."""
     mol = MolGraph()
     prev: int | None = None
     stack: list[int] = []
-    rings: dict[str, int] = {}
+    rings: dict[str, tuple[int, float | None]] = {}
+    pending: float | None = None  # explicit bond symbol awaiting use
     i = 0
-    while i < len(smiles):
+    n = len(smiles)
+
+    def attach(idx: int, aromatic: bool) -> None:
+        nonlocal prev, pending
+        if prev is not None:
+            if pending is not None:
+                order = pending
+            elif aromatic and prev in mol.aromatic:
+                order = AROMATIC_ORDER
+            else:
+                order = 1.0
+            mol.add_bond(prev, idx, order)
+        pending = None
+        prev = idx
+
+    while i < n:
         ch = smiles[i]
-        if ch in VALENCE:
-            idx = mol.add_atom(ch)
-            if prev is not None:
-                mol.add_bond(prev, idx)
-            prev = idx
+        if ch == "[":
+            end = smiles.find("]", i)
+            if end < 0:
+                raise SmilesError(f"unclosed '[' in {smiles!r}")
+            elem, aromatic, charge = _parse_bracket(smiles[i + 1 : end], smiles)
+            idx = mol.add_atom(elem)
+            if aromatic:
+                mol.aromatic.add(idx)
+            if charge:
+                mol.charges[idx] = charge
+            attach(idx, aromatic)
+            i = end + 1
+            continue
+        two = smiles[i : i + 2]
+        if two in ("Cl", "Br"):
+            attach(mol.add_atom(two), False)
+            i += 2
+            continue
+        if ch in VALENCE:  # single-letter uppercase organic atom
+            attach(mol.add_atom(ch), False)
+        elif ch in _AROMATIC_ORGANIC:
+            idx = mol.add_atom(_AROMATIC_ORGANIC[ch])
+            mol.aromatic.add(idx)
+            attach(idx, True)
+        elif ch in _BOND_SYMBOLS:
+            pending = _BOND_SYMBOLS[ch]
         elif ch == "(":
             if prev is None:
                 raise SmilesError("branch before first atom")
@@ -165,15 +368,30 @@ def parse_smiles(smiles: str) -> MolGraph:
             if not stack:
                 raise SmilesError("unbalanced ')'")
             prev = stack.pop()
-        elif ch.isdigit():
+        elif ch.isdigit() or ch == "%":
+            if ch == "%":
+                if i + 2 >= n or not smiles[i + 1 : i + 3].isdigit():
+                    raise SmilesError(f"bad %nn ring closure in {smiles!r}")
+                label = smiles[i + 1 : i + 3]
+                i += 2
+            else:
+                label = ch
             if prev is None:
                 raise SmilesError("ring closure before first atom")
-            if ch in rings:
-                mol.add_bond(rings.pop(ch), prev)
+            if label in rings:
+                other, other_pending = rings.pop(label)
+                order = pending if pending is not None else other_pending
+                if order is None:
+                    order = (
+                        AROMATIC_ORDER
+                        if prev in mol.aromatic and other in mol.aromatic
+                        else 1.0
+                    )
+                mol.add_bond(other, prev, order)
+                pending = None
             else:
-                rings[ch] = prev
-        elif ch == "-":
-            pass  # explicit single bond
+                rings[label] = (prev, pending)
+                pending = None
         else:
             raise SmilesError(f"unsupported SMILES token {ch!r} in {smiles!r}")
         i += 1
@@ -181,10 +399,13 @@ def parse_smiles(smiles: str) -> MolGraph:
         raise SmilesError("unbalanced '('")
     if rings:
         raise SmilesError("unclosed ring bond")
+    if pending is not None:
+        raise SmilesError("dangling bond symbol")
     if mol.n_atoms == 0:
         raise SmilesError("empty SMILES")
     if not mol.is_connected():
         raise SmilesError("disconnected molecule")
+    _perceive_aromatic_rings(mol)
     if not mol.valence_ok():
         raise SmilesError("valence violation")
     return mol
@@ -192,7 +413,8 @@ def parse_smiles(smiles: str) -> MolGraph:
 
 def to_smiles(mol: MolGraph) -> str:
     """Write a (representative, deterministic) SMILES string via DFS
-    from node 0 with ring-closure digits. Not canonical — identity is
+    from node 0 with ring-closure digits; aromatic atoms lowercase,
+    double/triple bonds as ``=``/``#``. Not canonical — identity is
     the WL hash (``mol_key``); this string is for display/round-trip."""
     if mol.n_atoms == 0:
         return ""
@@ -216,14 +438,32 @@ def to_smiles(mol: MolGraph) -> str:
         pair: str(k + 1) for k, pair in enumerate(ring_bonds)
     }
 
+    def bond_sym(a: int, b: int) -> str:
+        o = mol.bonds[(min(a, b), max(a, b))]
+        if o == 2.0:
+            return "="
+        if o == 3.0:
+            return "#"
+        return ""  # single and aromatic are implicit
+
+    def atom_sym(u: int) -> str:
+        sym = mol.elements[u].lower() if u in mol.aromatic else mol.elements[u]
+        q = mol.charges.get(u, 0)
+        if q:
+            qs = ("+" if q > 0 else "-") * abs(q) if abs(q) <= 2 else f"{q:+d}"
+            return f"[{sym}{qs}]"
+        return sym
+
     def emit(u: int) -> str:
-        s = mol.elements[u]
+        s = atom_sym(u)
         for pair, d in ring_digit.items():
             if u in pair:
-                s += d
+                other = pair[0] if pair[1] == u else pair[1]
+                # bond symbol on the second (closing) endpoint only
+                s += (bond_sym(u, other) if u == max(pair) else "") + d
         kids = tree[u]
         for k, v in enumerate(kids):
-            sub = emit(v)
+            sub = bond_sym(u, v) + emit(v)
             s += f"({sub})" if k < len(kids) - 1 else sub
         return s
 
@@ -232,11 +472,11 @@ def to_smiles(mol: MolGraph) -> str:
 
 def mol_key(mol: MolGraph, iterations: int = 3) -> str:
     """Deterministic isomorphism-invariant identity: WL graph hash over
-    element labels (replaces RDKit canonical SMILES as the vertex-
-    identity function, main.py:95; networkx ≥3.5 hash convention per
-    SURVEY.md §7 M3)."""
+    element labels AND bond orders (replaces RDKit canonical SMILES as
+    the vertex-identity function, main.py:95; networkx ≥3.5 hash
+    convention per SURVEY.md §7 M3)."""
     return nx.weisfeiler_lehman_graph_hash(
-        mol.to_nx(), node_attr="symbol", iterations=iterations
+        mol.to_nx(), node_attr="symbol", edge_attr="order", iterations=iterations
     )
 
 
@@ -252,4 +492,6 @@ def validate_ged_input(smiles: str) -> tuple[bool, str]:
         return False, f"too many atoms ({mol.n_atoms} > {MAX_ATOMS_GED})"
     if any(el != "C" for el in mol.elements):
         return False, "non-carbon atom"
+    if any(o != 1.0 for o in mol.bonds.values()):
+        return False, "non-single bond"
     return True, "ok"

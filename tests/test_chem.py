@@ -104,6 +104,64 @@ def test_edge_diff_sign_is_dst_minus_src():
     assert edges[(ccc_key, cc_key)] == (-1, -1)
 
 
+def test_reference_demo_molecules_parse():
+    # The reference's own demo corpus (/root/reference/main.py:385-391)
+    # parses end-to-end; heavy-atom counts match the molecular formulas
+    # (sildenafil C22H30N6O4S=33, vardenafil C23H32N6O4S=34,
+    # tadalafil C22H19N3O4=29, aspirin C9H8O4=13, ibuprofen C13H18O2=15).
+    demos = {
+        r"CCCC1=NN(C2=C1N=C(NC2=O)C3=C(C=CC(=C3)S(=O)(=O)N4CCN(CC4)C)OCC)C": 33,
+        r"O=C2\N=C(/Nn1c(nc(c12)C)CCC)c3cc(ccc3OCC)S(=O)(=O)N4CCN(CC)CC4": 34,
+        r"CN1CC(=O)N2[C@H](Cc3c([nH]c4ccccc34)[C@H]2c2ccc3c(c2)OCO3)C1=O": 29,
+        r"O=C(C)Oc1ccccc1C(=O)O": 13,
+        r"CC(C)Cc1ccc(cc1)[C@@H](C)C(=O)O": 15,
+    }
+    for smi, n in demos.items():
+        m = parse_smiles(smi)
+        assert m.n_atoms == n, smi
+        # display round-trip preserves identity
+        assert mol_key(parse_smiles(to_smiles(m))) == mol_key(m), smi
+
+
+def test_kekule_aromatic_identity():
+    # Perceived Kekulé benzenoid rings share identity with lowercase
+    # aromatic forms (RDKit SanitizeMol behavior the reference relies
+    # on, main.py:94-95) ...
+    pairs = [
+        ("c1ccccc1", "C1=CC=CC=C1"),
+        ("c1ccncc1", "C1=CC=NC=C1"),
+        ("c1ccc2ccccc2c1", "C1=CC=CC2=C1C=CC=C2"),
+        ("O=C(C)Oc1ccccc1C(=O)O", "CC(=O)OC1=CC=CC=C1C(=O)O"),
+    ]
+    for a, b in pairs:
+        assert mol_key(parse_smiles(a)) == mol_key(parse_smiles(b)), (a, b)
+    # ... while bond order still separates non-isomorphic molecules,
+    # and anti-aromatic/quinoid rings stay non-aromatic.
+    assert len({mol_key(parse_smiles(s)) for s in ("CC", "C=C", "C#C")}) == 3
+    assert not parse_smiles("O=C1C=CC(=O)C=C1").aromatic  # quinone
+    assert not parse_smiles("C1CCCCC1").aromatic  # cyclohexane
+
+
+def test_aspirin_edit_expansion_counts():
+    # Single-edit generator counts over aspirin, pinned (deterministic
+    # under the extended model; the reference expands exactly this
+    # molecule at main.py:393-400).
+    from molgraphdb_spark.chem.edits import (
+        atom_deletions,
+        atom_substitutions,
+        bond_deletions,
+    )
+
+    aspirin = parse_smiles("O=C(C)Oc1ccccc1C(=O)O")
+    assert len(list(atom_substitutions(aspirin, "a"))) == 14
+    assert len(list(bond_deletions(aspirin, "a"))) == 26
+    assert len(list(atom_deletions(aspirin, "a"))) == 16
+    edges = list(all_single_edits(aspirin, "a"))
+    assert len(edges) == 56
+    for _, smi, *_ in edges:
+        assert parse_smiles(smi).valence_ok()
+
+
 def test_exact_ged_hand_cases():
     p = parse_smiles
     assert exact_ged(p("CCC"), p("CCC")) == 0.0
@@ -115,11 +173,12 @@ def test_exact_ged_hand_cases():
 
 # ---------------------------------------------------------------- spark layer
 def test_parse_molecules_quarantine(spark):
-    df = parse_molecules(spark, ["CCCC", "C=C", "CCO"])
+    df = parse_molecules(spark, ["CCCC", "C=C", "CC(C", "CC.CC"])
     rows = {r.smiles: r for r in df.collect()}
     assert rows["CCCC"].valid and rows["CCCC"].n_atoms == 4
-    assert not rows["C=C"].valid
-    assert rows["CCO"].valid  # parseable; GED gate (carbon-only) is separate
+    assert rows["C=C"].valid and rows["C=C"].n_bonds == 1  # double bond, one bond entry
+    assert not rows["CC(C"].valid  # unbalanced branch → quarantined
+    assert not rows["CC.CC"].valid  # disconnected → quarantined
 
 
 def test_subgraph_catalog_semantics(spark):

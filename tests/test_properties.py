@@ -42,7 +42,10 @@ def test_wl_key_invariant_under_relabeling(mol, rnd):
     rnd.shuffle(perm)
     shuffled = MolGraph(
         elements=[mol.elements[perm.index(i)] for i in range(mol.n_atoms)],
-        bonds={(min(perm[a], perm[b]), max(perm[a], perm[b])) for a, b in mol.bonds},
+        bonds={
+            (min(perm[a], perm[b]), max(perm[a], perm[b])): o
+            for (a, b), o in mol.bonds.items()
+        },
     )
     assert mol_key(shuffled) == mol_key(mol)
 
