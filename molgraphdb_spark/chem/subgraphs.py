@@ -67,71 +67,139 @@ def overlap_metrics(hashes1: set[str], hashes2: set[str], max_nodes: int) -> dic
     }
 
 
-def exact_ged(mol1: MolGraph, mol2: MolGraph, max_atoms: int = 7) -> float | None:
+def exact_ged(mol1: MolGraph, mol2: MolGraph, max_atoms: int = 10) -> float | None:
     """Exact graph edit distance (F16, mcs.py:338–346) — exponential;
-    guarded by a hard size cap (SURVEY.md §7 risk 4 upgrades the
-    reference's try/except-only guard to a predicate). Returns None
-    when skipped, matching the reference's None-on-failure contract.
+    guarded by a hard size cap matching the reference's effective
+    10-atom validator bound (mcs.py:41; SURVEY.md §7 risk 4 upgrades
+    the try/except-only guard to a predicate). Returns None when
+    skipped, matching the reference's None-on-failure contract.
 
     Unit costs match the networkx defaults the reference relies on:
     node insert/delete 1, node relabel 1 (symbol mismatch), edge
-    insert/delete 1. networkx's own solver needs scipy (absent here),
-    so this is a direct branch-and-bound over injective node mappings
-    — exact for the guarded sizes.
+    insert/delete 1 (edge attrs/orders ignored — nx default).
+    networkx's own solver needs scipy (absent here), so this is a
+    branch-and-bound over injective node mappings, exact for the
+    guarded sizes. Pruning that makes 10 atoms tractable: small-side
+    nodes visited in BFS order from the highest-degree node so edge
+    costs accrue EARLY (incrementally per assignment, not at leaves),
+    a greedy initial upper bound, and candidate ordering by
+    label-match + degree proximity.
     """
     if mol1.n_atoms > max_atoms or mol2.n_atoms > max_atoms:
         return None
     small, big = (mol1, mol2) if mol1.n_atoms <= mol2.n_atoms else (mol2, mol1)
     n1, n2 = small.n_atoms, big.n_atoms
-    big_nodes = list(range(n2))
-    best = float("inf")
+    m2 = big.n_bonds
 
-    def edge_cost(mapping: dict[int, int | None]) -> float:
-        mapped = {u: v for u, v in mapping.items() if v is not None}
-        cost = 0
-        # edges of small: deleted if either endpoint unmapped or image edge absent
-        for a, b in small.bonds:
-            va, vb = mapping.get(a), mapping.get(b)
-            if va is None or vb is None or (min(va, vb), max(va, vb)) not in big.bonds:
-                cost += 1
-        # edges of big between mapped images not covered above are insertions;
-        # edges touching un-imaged big nodes are insertions too
-        images = set(mapped.values())
-        inv = {v: u for u, v in mapped.items()}
-        for a, b in big.bonds:
-            if a in images and b in images:
-                if (min(inv[a], inv[b]), max(inv[a], inv[b])) not in small.bonds:
+    # BFS order over the small graph from the max-degree node: each
+    # newly assigned node is adjacent to already-assigned ones, so the
+    # incremental edge cost is informative from depth 1.
+    order: list[int] = []
+    seen: set[int] = set()
+    for start in sorted(range(n1), key=lambda u: -small.degree(u)):
+        if start in seen:
+            continue
+        queue = [start]
+        seen.add(start)
+        while queue:
+            u = queue.pop(0)
+            order.append(u)
+            for nb in small.neighbors(u):
+                if nb not in seen:
+                    seen.add(nb)
+                    queue.append(nb)
+
+    small_adj = {u: set(small.neighbors(u)) for u in range(n1)}
+    big_adj = {v: set(big.neighbors(v)) for v in range(n2)}
+
+    def assign_cost(pos: int, v: int | None, mapping: list[int | None]) -> tuple[float, int]:
+        """Incremental cost of assigning order[pos] → v, given earlier
+        assignments; returns (edit cost, big edges newly covered)."""
+        u = order[pos]
+        cost = 0.0
+        covered = 0
+        if v is None:
+            # node deletion + deletion of its edges to assigned nodes
+            cost += 1
+            for k in range(pos):
+                if order[k] in small_adj[u]:
                     cost += 1
-            else:
+            return cost, 0
+        if small.elements[u] != big.elements[v]:
+            cost += 1
+        for k in range(pos):
+            w = mapping[k]
+            has_small = order[k] in small_adj[u]
+            has_big = w is not None and w in big_adj[v]
+            if has_big:
+                covered += 1
+            if has_small != has_big:
                 cost += 1
-        return cost
+        return cost, covered
 
-    def rec(i: int, mapping: dict[int, int | None], used: set[int], node_cost: float) -> None:
+    def leaf_tail(used_count: int, covered: int) -> float:
+        """Cost of completing a full small-side assignment: unmapped
+        big nodes are insertions, plus every big edge not between
+        images (covered edges were already priced)."""
+        return (n2 - used_count) + (m2 - covered)
+
+    # Greedy upper bound: map in BFS order to the cheapest available
+    # candidate (or delete); any valid mapping's cost bounds best.
+    g_mapping: list[int | None] = [None] * n1
+    g_used: set[int] = set()
+    g_cost = 0.0
+    g_covered = 0
+    for pos in range(n1):
+        choices: list[tuple[float, int, int | None]] = [
+            (assign_cost(pos, None, g_mapping)[0], 0, None)
+        ]
+        for v in range(n2):
+            if v in g_used:
+                continue
+            c, cov = assign_cost(pos, v, g_mapping)
+            choices.append((c, cov, v))
+        c, cov, v = min(choices, key=lambda t: (t[0] - 0.25 * t[1], t[2] is None))
+        g_mapping[pos] = v
+        if v is not None:
+            g_used.add(v)
+        g_cost += c
+        g_covered += cov
+    best = g_cost + leaf_tail(len(g_used), g_covered)
+
+    mapping: list[int | None] = [None] * n1
+
+    def rec(pos: int, used: set[int], cost: float, covered: int) -> None:
         nonlocal best
-        if node_cost >= best:
+        # admissible bound: every unmapped big node still costs ≥1 once
+        # fewer small nodes remain than big nodes
+        remaining_small = n1 - pos
+        lb = cost + max(0, (n2 - len(used)) - remaining_small)
+        if lb >= best:
             return
-        if i == n1:
-            # unmapped big nodes are insertions
-            total_nodes = node_cost + (n2 - len(used))
-            if total_nodes >= best:
-                return
-            total = total_nodes + edge_cost(mapping)
-            best = min(best, total)
+        if pos == n1:
+            total = cost + leaf_tail(len(used), covered)
+            if total < best:
+                best = total
             return
-        # delete small node i
-        mapping[i] = None
-        rec(i + 1, mapping, used, node_cost + 1)
-        del mapping[i]
-        # map small node i to an unused big node
-        for v in big_nodes:
+        u = order[pos]
+        cands: list[tuple[float, int, int | None]] = []
+        for v in range(n2):
             if v in used:
                 continue
-            sub = 0 if small.elements[i] == big.elements[v] else 1
-            mapping[i] = v
-            used.add(v)
-            rec(i + 1, mapping, used, node_cost + sub)
-            used.discard(v)
-            del mapping[i]
+            c, cov = assign_cost(pos, v, mapping)
+            cands.append((c, cov, v))
+        c_del, _ = assign_cost(pos, None, mapping)
+        cands.append((c_del, 0, None))
+        # try cheapest (covered-adjusted) first for fast tight bounds
+        cands.sort(key=lambda t: (t[0] - 0.25 * t[1], t[2] is None))
+        for c, cov, v in cands:
+            mapping[pos] = v
+            if v is not None:
+                used.add(v)
+            rec(pos + 1, used, cost + c, covered + cov)
+            if v is not None:
+                used.discard(v)
+            mapping[pos] = None
 
-    rec(0, {}, set(), 0.0)
+    rec(0, set(), 0.0, 0)
     return float(best)

@@ -99,17 +99,29 @@ FROM m GROUP BY format ORDER BY format
 
 
 def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fake decode + feature extraction: mean byte value and a 4-band
-    byte histogram per payload. Real shape: bytes → ndarray → features."""
+    """Fake decode + feature extraction: byte sum and a 4-band byte
+    histogram per payload, vectorized with numpy inside the Arrow batch
+    (frombuffer + bincount — never a per-byte Python loop: at 100 TB of
+    binaries that inner loop IS the pipeline). Real shape: bytes →
+    ndarray → features."""
+    import numpy as np
+
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            n = len(b)
-            bands = [0, 0, 0, 0]
-            for x in b:
-                bands[x >> 6] += 1
-            out.append((doc_id, n, int(sum(b)), bands[0], bands[1], bands[2], bands[3]))
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            bands = np.bincount(arr >> 6, minlength=4)
+            out.append(
+                (
+                    doc_id,
+                    arr.size,
+                    int(arr.sum(dtype=np.int64)),
+                    int(bands[0]),
+                    int(bands[1]),
+                    int(bands[2]),
+                    int(bands[3]),
+                )
+            )
         yield pd.DataFrame(
             out,
             columns=["doc_id", "n_bytes", "byte_sum", "band_0", "band_1", "band_2", "band_3"],

@@ -288,6 +288,24 @@ ORDER BY query_id, rk
 # --------------------------------------------------------------------------
 DUP_THRESHOLD_UBP = 400_000  #: cosine >= 0.40 (in ubp units)
 
+#: Hard input bound for the exact-quadratic baseline: n² pairs above
+#: this are a scale bug, not a workload — callers must switch to the
+#: LSH/IVF twins (similarity_lsh_topk, dedup_minhash_lsh_pairs).
+MAX_EXACT_PAIRS_INPUT = 100_000
+
+
+def _guard_quadratic(df: DataFrame, name: str) -> DataFrame:
+    """Refuse to run an O(n²) exact baseline on more than
+    MAX_EXACT_PAIRS_INPUT rows. The count is one cheap column-pruned
+    job — nothing compared to the n² join it prevents."""
+    n = df.count()
+    if n > MAX_EXACT_PAIRS_INPUT:
+        raise ValueError(
+            f"{name}: exact-quadratic baseline refused on {n} rows "
+            f"(> {MAX_EXACT_PAIRS_INPUT}); use the LSH/IVF scale path instead"
+        )
+    return df
+
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: every vector that is
@@ -299,8 +317,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join). The 100 TB path swaps the cross join for LSH blocking
     (sign buckets here, MinHash bands for text — see
     similarity_lsh_topk / dedup_minhash_lsh_pairs); the downstream
-    group-by is unchanged."""
-    emb = _emb(spark, sf_dir)
+    group-by is unchanged; a hard input-size guard refuses corpora
+    beyond MAX_EXACT_PAIRS_INPUT."""
+    emb = _guard_quadratic(_emb(spark, sf_dir), "dedup_embedding_cosine")
     a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     pairs = (

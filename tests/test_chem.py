@@ -168,7 +168,13 @@ def test_exact_ged_hand_cases():
     assert exact_ged(p("CC"), p("CCC")) == 2.0  # 1 node + 1 edge
     assert exact_ged(p("CCCC"), p("C1CCC1")) == 1.0  # close the ring
     assert exact_ged(p("CCC"), p("CNC")) == 1.0  # 1 relabel
-    assert exact_ged(p("CCCCCCCC"), p("CC")) is None  # size guard
+    # 8–10-atom cases (cap now matches the reference's 10-atom
+    # validator bound, mcs.py:41)
+    assert exact_ged(p("CCCCCCCC"), p("CC(C)CCCCC")) == 2.0  # move a methyl
+    assert exact_ged(p("C1CCCCCCC1"), p("CCCCCCCC")) == 1.0  # open the ring
+    assert exact_ged(p("C1CCCCC1CCCC"), p("CCCCCCCCCC")) == 1.0
+    assert exact_ged(p("CCCCCCCCCC"), p("NCCCCCCCCN")) == 2.0  # 2 relabels
+    assert exact_ged(p("CCCCCCCCCCC"), p("CC")) is None  # >10-atom guard
 
 
 # ---------------------------------------------------------------- spark layer

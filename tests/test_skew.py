@@ -29,3 +29,14 @@ def test_salted_groupby_equals_plain(spark, sf_dir):
         for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert salted == plain
+def test_quadratic_guard_refuses_large_input(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from molgraphdb_spark.queries import similarity as sim
+
+    big = spark.range(sim.MAX_EXACT_PAIRS_INPUT + 1)
+    with pytest.raises(ValueError, match="exact-quadratic baseline refused"):
+        sim._guard_quadratic(big, "test")
+    small = spark.range(10)
+    assert sim._guard_quadratic(small, "test") is small
