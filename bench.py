@@ -64,15 +64,26 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Median of N_RUNS per query so one co-tenant noise spike (the
+    # round-1 51.7s MinHash outlier re-ran at 2-6s) cannot masquerade
+    # as a plan regression; min is reported too as the contention-free
+    # floor. "queries" stays name → seconds (median) for the driver.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        mins[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -82,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

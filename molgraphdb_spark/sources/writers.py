@@ -22,6 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import fcntl
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,64 @@ def append_new_keys(spark: SparkSession, path: str, new: DataFrame, keys: list[s
     if n:
         delta.write.mode("append").parquet(path)
     return n
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, "_CURRENT")
+
+
+def read_current(spark: SparkSession, root: str) -> DataFrame | None:
+    """Read the current snapshot of a merge-managed dataset (None if
+    no snapshot has been committed yet)."""
+    ptr = _pointer_path(root)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(root, version))
+
+
+def merge_upsert(
+    spark: SparkSession, root: str, updates: DataFrame, keys: list[str]
+) -> int:
+    """MERGE (upsert-by-key, S6 / SURVEY.md §1.3 multi-writer form):
+    rows matching on ``keys`` are replaced by ``updates``, others kept —
+    the reference's row-at-a-time upsert (mcs.py:101–144) as one
+    anti-join + union, committed as a two-phase atomic snapshot swap:
+
+    1. write the merged result to a fresh versioned directory;
+    2. atomically repoint ``_CURRENT`` at it (``os.replace``).
+
+    Readers (:func:`read_current`) always see a complete snapshot —
+    never a half-written mix. Writers serialize on an fcntl file lock,
+    so concurrent merges apply in some serial order with no lost
+    updates. This is the single-host stand-in for Delta/Iceberg MERGE
+    (same logical shape; a real cluster swaps this file pointer for a
+    transaction log). Returns the merged snapshot's row count.
+    """
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_LOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        current = read_current(spark, root)
+        fresh = updates.dropDuplicates(keys)
+        if current is not None:
+            merged = fresh.unionByName(current.join(fresh, keys, "left_anti"))
+        else:
+            merged = fresh
+        ptr = _pointer_path(root)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                version = int(f.read().strip().lstrip("v"))
+        else:
+            version = 0
+        new_dir = f"v{version + 1:05d}"
+        merged.write.mode("overwrite").parquet(os.path.join(root, new_dir))
+        n = spark.read.parquet(os.path.join(root, new_dir)).count()
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_dir)
+        os.replace(tmp, ptr)  # the atomic commit point
+        return n
 
 
 def write_bucketed(

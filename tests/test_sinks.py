@@ -7,7 +7,50 @@ from pyspark.sql import functions as F
 
 from molgraphdb_spark.plans.explain import plan_summary
 from molgraphdb_spark.sources.tables import load_table
-from molgraphdb_spark.sources.writers import append_new_keys, write_bucketed
+from molgraphdb_spark.sources.writers import (
+    append_new_keys,
+    merge_upsert,
+    read_current,
+    write_bucketed,
+)
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    root = str(tmp_path / "merged")
+    assert read_current(spark, root) is None
+    v1 = spark.createDataFrame([("A", 1), ("B", 1)], ["k", "val"])
+    assert merge_upsert(spark, root, v1, ["k"]) == 2
+    # update one key, insert one
+    v2 = spark.createDataFrame([("B", 2), ("C", 1)], ["k", "val"])
+    assert merge_upsert(spark, root, v2, ["k"]) == 3
+    rows = {r.k: r.val for r in read_current(spark, root).collect()}
+    assert rows == {"A": 1, "B": 2, "C": 1}  # updates win, others kept
+
+
+def test_merge_upsert_concurrent_writers(spark, tmp_path):
+    # two writers merging concurrently serialize on the lock: both
+    # batches land, per-key last-committed wins, reader never sees a
+    # partial snapshot.
+    import threading
+
+    root = str(tmp_path / "cmerged")
+    merge_upsert(spark, root, spark.createDataFrame([("A", 0)], ["k", "val"]), ["k"])
+
+    def writer(tag: int):
+        batch = spark.createDataFrame(
+            [(f"W{tag}", tag), ("A", 100 + tag)], ["k", "val"]
+        )
+        merge_upsert(spark, root, batch, ["k"])
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    rows = {r.k: r.val for r in read_current(spark, root).collect()}
+    assert set(rows) == {"A", "W1", "W2"}  # no lost update
+    assert rows["W1"] == 1 and rows["W2"] == 2
+    assert rows["A"] in (101, 102)  # one of the concurrent updates won
 
 
 def test_append_new_keys_idempotent(spark, tmp_path):
