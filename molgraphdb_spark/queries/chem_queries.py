@@ -211,7 +211,149 @@ def chem_edit_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(nv)
 
 
+#: The reference's pharmaceutical demo corpus (main.py:385–391) —
+#: parsable since the round-2 SMILES extension (chem/mol.py).
+PHARMA = [
+    ("aspirin", r"O=C(C)Oc1ccccc1C(=O)O"),
+    ("ibuprofen", r"CC(C)Cc1ccc(cc1)[C@@H](C)C(=O)O"),
+    ("sildenafil", r"CCCC1=NN(C2=C1N=C(NC2=O)C3=C(C=CC(=C3)S(=O)(=O)N4CCN(CC4)C)OCC)C"),
+    ("tadalafil", r"CN1CC(=O)N2[C@H](Cc3c([nH]c4ccccc34)[C@H]2c2ccc3c(c2)OCO3)C1=O"),
+    ("vardenafil", r"O=C2\N=C(/Nn1c(nc(c12)C)CCC)c3cc(ccc3OCC)S(=O)(=O)N4CCN(CC)CC4"),
+]
+
+
+def chem_pharma_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the reference demo pharmaceuticals (main.py:385–391,
+    exactly the inputs its own flagship demo feeds RDKit) and profile
+    each: heavy atoms, bonds, aromatic atoms, double bonds, and the
+    unique single-edit neighbor count (undirected candidate pairs from
+    G2–G5). One fused mapInPandas pass; golden VALUES oracle (atom
+    counts independently checkable against the molecular formulas:
+    aspirin C9H8O4=13 heavy atoms, ibuprofen C13H18O2=15, sildenafil
+    C22H30N6O4S=33, tadalafil C22H19N3O4=29, vardenafil C23H32N6O4S=34).
+    """
+    import pandas as pd
+
+    tune(spark)
+    from molgraphdb_spark.chem.edits import all_single_edits
+    from molgraphdb_spark.chem.mol import parse_smiles
+    from molgraphdb_spark.functions.literals import literal_df
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for name, smi in zip(pdf["name"], pdf["smiles"]):
+                m = parse_smiles(smi)
+                uniq_pairs = {
+                    (a, c) for a, _, c, *_ in all_single_edits(m, name)
+                }
+                rows.append(
+                    (
+                        name,
+                        m.n_atoms,
+                        m.n_bonds,
+                        len(m.aromatic),
+                        sum(1 for o in m.bonds.values() if o == 2.0),
+                        len(uniq_pairs) // 2,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "name", "n_atoms", "n_bonds", "n_aromatic",
+                    "n_double_bonds", "n_edit_neighbors",
+                ],
+            )
+
+    return (
+        literal_df(spark, PHARMA, ["name", "smiles"])
+        .coalesce(1)
+        .mapInPandas(
+            gen,
+            schema=(
+                "name string, n_atoms int, n_bonds int, n_aromatic int, "
+                "n_double_bonds int, n_edit_neighbors int"
+            ),
+        )
+        .orderBy("name")
+    )
+
+
+CHEM_PHARMA_SQL = """
+SELECT * FROM (VALUES
+  ('aspirin', 13, 13, 6, 2, 24),
+  ('ibuprofen', 15, 15, 6, 1, 22),
+  ('sildenafil', 33, 36, 6, 6, 57),
+  ('tadalafil', 29, 34, 15, 2, 75),
+  ('vardenafil', 34, 37, 11, 4, 62)
+) AS t(name, n_atoms, n_bonds, n_aromatic, n_double_bonds, n_edit_neighbors)
+ORDER BY name
+"""
+
+
+#: Subgraph-size cap for drug-sized molecules: enumeration is O(2^n)
+#: node subsets, so the pharma overlap runs on ≤6-atom subgraphs —
+#: comparable information to the reference's ≤6-atom fixture corpus
+#: (mcs.py:700–706) while staying polynomial-bounded (ΣC(15,2..6)≈10⁴).
+PHARMA_MAX_SUBGRAPH = 6
+
+
+def chem_pharma_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mcs overlap pipeline (A5/A6, mcs.py:285–336) on the
+    reference's own flagship pair — aspirin vs ibuprofen
+    (main.py:399–404): WL subgraph sets (size 2..PHARMA_MAX_SUBGRAPH),
+    Tanimoto + approx GED with the reference's exact formulas. Golden
+    VALUES oracle; one Arrow batch, both molecules enumerated in it."""
+    import pandas as pd
+
+    tune(spark)
+    from molgraphdb_spark.chem.mol import parse_smiles
+    from molgraphdb_spark.chem.subgraphs import enumerate_subgraphs, overlap_metrics
+    from molgraphdb_spark.functions.literals import literal_df
+
+    pair = [(PHARMA[0][0], PHARMA[0][1], PHARMA[1][0], PHARMA[1][1])]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for na, sa, nb, sb in zip(pdf["na"], pdf["sa"], pdf["nb"], pdf["sb"]):
+                ma, mb = parse_smiles(sa), parse_smiles(sb)
+                ha = set(enumerate_subgraphs(ma, min_size=2, max_size=PHARMA_MAX_SUBGRAPH))
+                hb = set(enumerate_subgraphs(mb, min_size=2, max_size=PHARMA_MAX_SUBGRAPH))
+                m = overlap_metrics(ha, hb, max_nodes=max(ma.n_atoms, mb.n_atoms))
+                rows.append(
+                    (na, nb, len(ha), len(hb), m["n_shared"], m["n_union"],
+                     m["tanimoto"], m["ged_approx"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["mol_a", "mol_b", "n_a", "n_b", "n_shared",
+                         "n_union", "tanimoto", "ged_approx"],
+            )
+
+    return (
+        literal_df(spark, pair, ["na", "sa", "nb", "sb"])
+        .coalesce(1)
+        .mapInPandas(
+            gen,
+            schema=(
+                "mol_a string, mol_b string, n_a int, n_b int, n_shared int, "
+                "n_union int, tanimoto double, ged_approx double"
+            ),
+        )
+    )
+
+
+CHEM_PHARMA_OVERLAP_SQL = """
+SELECT * FROM (VALUES
+  ('aspirin', 'ibuprofen', 82, 58, 21, 119, 0.176, 9.569)
+) AS t(mol_a, mol_b, n_a, n_b, n_shared, n_union, tanimoto, ged_approx)
+"""
+
+
 QUERIES = {
+    "chem_pharma_profile": chem_pharma_profile,
+    "chem_pharma_overlap": chem_pharma_overlap,
     "chem_subgraph_counts": chem_subgraph_counts,
     "chem_tanimoto_pairs": chem_tanimoto_pairs,
     "chem_subgraph_catalog_hist": chem_subgraph_catalog_hist,
@@ -220,6 +362,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chem_pharma_profile": CHEM_PHARMA_SQL,
+    "chem_pharma_overlap": CHEM_PHARMA_OVERLAP_SQL,
     "chem_subgraph_counts": CHEM_SUBGRAPH_COUNTS_SQL,
     "chem_tanimoto_pairs": CHEM_TANIMOTO_SQL,
     "chem_subgraph_catalog_hist": CHEM_CATALOG_SQL,
