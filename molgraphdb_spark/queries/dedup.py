@@ -335,15 +335,78 @@ FROM agg ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Cluster resolution: LSH pairs → connected components → canonical doc.
+# --------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME a training-data pipeline actually ships:
+    resolve LSH candidate pairs into duplicate clusters (connected
+    components over the pair graph) and pick one canonical document
+    per cluster (min doc_id). Emits multi-document clusters with size
+    and the sorted member list.
+
+    Composition of two scale-safe operators already in the engine:
+    the banding join (no n² comparison) and the iterative min-label CC
+    (one Observation-metered job per round). At 100 TB the pair graph
+    is tiny relative to the corpus — CC runs on pairs only, never on
+    unpaired documents."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    from molgraphdb_spark.operators.graph import connected_components
+
+    cc = connected_components(edges)
+    return (
+        cc.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("id")), "|").alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL_CTE},
+sig AS (
+  SELECT doc_id,
+         {_MH_MIN_SQL}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{_BAND_SQL}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT cluster_id, COUNT(*) AS n_docs,
+       array_to_string(list(id ORDER BY id), '|') AS members
+FROM comp GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "neardup_jaccard_pairs": NEARDUP_JACCARD_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SQL,

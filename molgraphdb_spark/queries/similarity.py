@@ -284,6 +284,73 @@ ORDER BY query_id, rk
 
 
 # --------------------------------------------------------------------------
+# ANN quality measurement: IVF recall@3 vs the exact scan.
+# --------------------------------------------------------------------------
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF path against the exact brute-force top-3,
+    per query — the measurement loop every ANN deployment needs before
+    trusting the approximate path at scale. Emits integer hit counts
+    (n_exact, n_hit) per query; deterministic on both engines.
+
+    Plan shape: the exact side is one broadcast-queries corpus scan +
+    window (the correctness baseline's own shape); the IVF side reuses
+    similarity_ivf_topk; the comparison is a tiny left join on
+    (query_id, neighbor_id)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(
+        (F.col("vec_id") >= IVF_QLO) & (F.col("vec_id") < IVF_QHI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    pairs = F.broadcast(queries).crossJoin(emb).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _ubp(_cosine(F.col("qv"), F.col("v"))).alias("cosine_ubp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_ubp"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = similarity_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SIM_IVF_RECALL_SQL = f"""
+WITH {_EMB_CTE},
+exact_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(floor(({_COS_SQL}) * 1000000 + 0.5) AS BIGINT) AS cosine_ubp
+  FROM e a JOIN e b ON b.vec_id != a.vec_id
+  WHERE a.vec_id >= {IVF_QLO} AND a.vec_id < {IVF_QHI}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_ubp DESC, neighbor_id ASC) AS rk
+    FROM exact_scored) WHERE rk <= 3
+),
+ivf AS (SELECT query_id, neighbor_id FROM ({SIM_IVF_SQL}))
+SELECT x.query_id, COUNT(*) AS n_exact,
+       SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+FROM exact x LEFT JOIN ivf i
+  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup: the dedup framing of similarity.
 # --------------------------------------------------------------------------
 DUP_THRESHOLD_UBP = 400_000  #: cosine >= 0.40 (in ubp units)
@@ -390,11 +457,13 @@ QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
+    "similarity_ivf_recall": similarity_ivf_recall,
     "similarity_label_bands": similarity_label_bands,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
+    "similarity_ivf_recall": SIM_IVF_RECALL_SQL,
     "similarity_cosine_topk": SIM_TOPK_SQL,
     "similarity_lsh_topk": SIM_LSH_SQL,
     "similarity_ivf_topk": SIM_IVF_SQL,
