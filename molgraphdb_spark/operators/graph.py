@@ -117,10 +117,12 @@ def bfs_distances(
         .select(id_lit.alias("id"), F.lit(0).cast("long").alias("dist"))
         .localCheckpoint()
     )
+    if target is not None and (
+        (isinstance(source, int) and source == target) or source == target
+    ):
+        return visited
     frontier = visited
     for depth in range(1, max_depth + 1):
-        if target is not None and frontier.filter(F.col("id") == target).limit(1).count() > 0:
-            break
         # No forced broadcast: wave-1 frontiers are tiny (AQE
         # broadcasts them), but mid-BFS frontiers can be a large share
         # of the graph — forcing those through a broadcast is a driver
@@ -130,14 +132,30 @@ def bfs_distances(
             .select(F.col("dst").alias("id"))
             .distinct()
         )
+        # ONE job per wave: the frontier-size and target-hit probes are
+        # Observation metrics on the checkpoint job itself (same
+        # pattern as connected_components), not separate count() jobs.
+        obs = Observation()
+        tgt = (
+            (F.col("id") == target).cast("long")
+            if target is not None
+            else F.lit(0).cast("long")
+        )
         new_frontier = (
             candidates.join(visited.select("id"), "id", "left_anti")
             .withColumn("dist", F.lit(depth))
+            .observe(obs, F.count(F.lit(1)).alias("n"), F.sum(tgt).alias("hit"))
             .localCheckpoint()  # truncate lineage per wave
         )
-        if new_frontier.limit(1).count() == 0:
+        got = obs.get
+        if not got.get("n"):
             break
-        visited = visited.unionByName(new_frontier).localCheckpoint()
+        # Lazy union: children are all checkpointed RDDs, so the chain
+        # stays shallow and next wave's anti-join reads them directly —
+        # no extra materialization job per wave.
+        visited = visited.unionByName(new_frontier)
+        if got.get("hit"):
+            break
         frontier = new_frontier
     return visited
 
