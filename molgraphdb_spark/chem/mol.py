@@ -306,6 +306,23 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
             changed = True
 
 
+def from_adjacency(elements: list[str], adjacency: list[list[int]]) -> MolGraph:
+    """Reconstruct a molecule from the STORED catalog representation
+    (element labels + 0/1 adjacency matrix) — the F15 reconstruction
+    step (mcs.py:376–410 ``networkx_to_rdkit_subgraph`` rebuilds an
+    RDKit mol from persisted subgraph structure; here the persisted
+    form is the adjacency ArrayType column and the round-trip target
+    is MolGraph → display SMILES). Occupancy is 0/1, so bonds come
+    back single — exactly the GED-pipeline domain the catalog stores."""
+    mol = MolGraph(elements=list(elements))
+    n = len(elements)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if adjacency[i][j]:
+                mol.add_bond(i, j)
+    return mol
+
+
 def parse_smiles(smiles: str) -> MolGraph:
     """Parse the SMILES subset described in the module docstring.
     Raises SmilesError on anything outside it (disconnected '.'

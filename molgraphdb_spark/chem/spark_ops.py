@@ -38,7 +38,7 @@ from molgraphdb_spark.functions.literals import literal_df
 EDGE_COLS = "src string, src_smiles string, dst string, diff_atom int, diff_bond int, subs int"
 SUBGRAPH_COLS = (
     "parent string, subgraph_hash string, size int, n_edges int, "
-    "adjacency array<array<int>>"
+    "adjacency array<array<int>>, elements array<string>"
 )
 MOL_COLS = "smiles string, mol_id string, n_atoms int, n_bonds int, valid boolean, reason string"
 
@@ -193,9 +193,12 @@ def _subgraphs_udtf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except SmilesError:
                 continue
             for h, sub in enumerate_subgraphs(mol).items():
-                rows.append((smi, h, sub.n_atoms, sub.n_bonds, sub.adjacency_matrix()))
+                rows.append(
+                    (smi, h, sub.n_atoms, sub.n_bonds, sub.adjacency_matrix(), sub.elements)
+                )
         yield pd.DataFrame(
-            rows, columns=["parent", "subgraph_hash", "size", "n_edges", "adjacency"]
+            rows,
+            columns=["parent", "subgraph_hash", "size", "n_edges", "adjacency", "elements"],
         )
 
 
@@ -223,11 +226,17 @@ def named_molecule_subgraphs(spark: SparkSession, named: list[tuple[str, str]]) 
                     continue
                 for h, sub in enumerate_subgraphs(mol).items():
                     rows.append(
-                        (name, h, sub.n_atoms, sub.n_bonds, sub.adjacency_matrix(), mol.n_atoms)
+                        (
+                            name, h, sub.n_atoms, sub.n_bonds,
+                            sub.adjacency_matrix(), sub.elements, mol.n_atoms,
+                        )
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["parent", "subgraph_hash", "size", "n_edges", "adjacency", "parent_atoms"],
+                columns=[
+                    "parent", "subgraph_hash", "size", "n_edges",
+                    "adjacency", "elements", "parent_atoms",
+                ],
             )
 
     return (
@@ -246,6 +255,7 @@ def subgraph_catalog(subgraphs: DataFrame) -> DataFrame:
     return subgraphs.groupBy("subgraph_hash").agg(
         F.first("size").alias("size"),
         F.first("adjacency").alias("adjacency_matrix"),
+        F.first("elements").alias("elements"),
         F.array_sort(F.collect_set("parent")).alias("parent_molecules"),
         F.count(F.lit(1)).alias("frequency"),
     )

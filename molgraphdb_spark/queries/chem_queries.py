@@ -351,9 +351,75 @@ SELECT * FROM (VALUES
 """
 
 
+def chem_subgraph_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (mcs.py:376–410 ``networkx_to_rdkit_subgraph``): rebuild a
+    standalone molecule from the catalog's STORED representation —
+    element labels + adjacency matrix — and render its display SMILES
+    (the headless analogue of the reference's RDKit visualization
+    reconstruction; pixel rendering stays out of scope). One row per
+    unique subgraph across the fixture corpus; the canonical display
+    string is the MIN over per-parent representatives, so the result
+    is deterministic even though isomorphic representatives from
+    different parents serialize differently."""
+    import pandas as pd
+
+    tune(spark)
+    from molgraphdb_spark.chem.mol import from_adjacency, to_smiles
+
+    sg = _fixture_subgraphs(spark)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for h, size, n_edges, adjacency, elements in zip(
+                pdf["subgraph_hash"], pdf["size"], pdf["n_edges"],
+                pdf["adjacency"], pdf["elements"],
+            ):
+                m = from_adjacency(
+                    [str(e) for e in elements],
+                    [[int(x) for x in row] for row in adjacency],
+                )
+                rows.append((h, int(size), int(n_edges), to_smiles(m)))
+            yield pd.DataFrame(
+                rows, columns=["subgraph_hash", "size", "n_edges", "display_smiles"]
+            )
+
+    disp = sg.select("subgraph_hash", "size", "n_edges", "adjacency", "elements").mapInPandas(
+        gen, schema="subgraph_hash string, size int, n_edges int, display_smiles string"
+    )
+    return (
+        disp.groupBy("subgraph_hash")
+        .agg(
+            F.first("size").alias("size"),
+            F.first("n_edges").alias("n_edges"),
+            F.min("display_smiles").alias("display_smiles"),
+            F.count(F.lit(1)).alias("frequency"),
+        )
+        .select("size", "n_edges", "display_smiles", "frequency")
+        .orderBy("size", "display_smiles")
+    )
+
+
+CHEM_DISPLAY_SQL = """
+SELECT * FROM (VALUES
+  (2, 1, 'CC', 5),
+  (3, 2, 'CCC', 5),
+  (4, 4, 'C1CCC1', 1),
+  (4, 3, 'CC(C)C', 2),
+  (4, 3, 'CCCC', 3),
+  (5, 4, 'CC(C)(C)C', 1),
+  (5, 4, 'CCC(C)C', 1),
+  (5, 4, 'CCCCC', 1),
+  (6, 5, 'CCCCCC', 1)
+) AS t(size, n_edges, display_smiles, frequency)
+ORDER BY size, display_smiles
+"""
+
+
 QUERIES = {
     "chem_pharma_profile": chem_pharma_profile,
     "chem_pharma_overlap": chem_pharma_overlap,
+    "chem_subgraph_display": chem_subgraph_display,
     "chem_subgraph_counts": chem_subgraph_counts,
     "chem_tanimoto_pairs": chem_tanimoto_pairs,
     "chem_subgraph_catalog_hist": chem_subgraph_catalog_hist,
@@ -364,6 +430,7 @@ QUERIES = {
 ORACLES = {
     "chem_pharma_profile": CHEM_PHARMA_SQL,
     "chem_pharma_overlap": CHEM_PHARMA_OVERLAP_SQL,
+    "chem_subgraph_display": CHEM_DISPLAY_SQL,
     "chem_subgraph_counts": CHEM_SUBGRAPH_COUNTS_SQL,
     "chem_tanimoto_pairs": CHEM_TANIMOTO_SQL,
     "chem_subgraph_catalog_hist": CHEM_CATALOG_SQL,

@@ -52,6 +52,17 @@ def test_wl_key_invariant_under_relabeling(mol, rnd):
 
 @given(random_trees())
 @settings(max_examples=40, deadline=None)
+def test_adjacency_roundtrip_preserves_identity(mol):
+    # F15 reconstruction: the stored catalog form (elements + 0/1
+    # adjacency) rebuilds a molecule with the same WL identity.
+    from molgraphdb_spark.chem.mol import from_adjacency
+
+    rebuilt = from_adjacency(mol.elements, mol.adjacency_matrix())
+    assert mol_key(rebuilt) == mol_key(mol)
+
+
+@given(random_trees())
+@settings(max_examples=40, deadline=None)
 def test_edits_emit_is_bidirectional_and_consistent(mol):
     if mol.n_atoms < 2:
         return
