@@ -336,6 +336,81 @@ FROM agg ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Candidate → verify: LSH pairs confirmed by exact Jaccard.
+# --------------------------------------------------------------------------
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-phase dedup flow: LSH banding proposes
+    candidate pairs (cheap, probabilistic), exact shingle Jaccard
+    verifies each candidate (exact, but computed ONLY for candidates —
+    never n²). Emits every candidate with its exact Jaccard and a
+    verified flag (≥0.8), so false positives of the S-curve are visible
+    rather than silently kept.
+
+    Scale: verification joins the candidate pair list (tiny relative
+    to the corpus) against the inverted index twice — cost is
+    Σ(shingles per candidate doc), linear in candidates."""
+    cands = dedup_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle"))
+    common = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        cands.join(common, ["id_a", "id_b"], "left")
+        .fillna(0, subset=["n_common"])
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.floor(jac * 10000 + 0.5).cast("long").alias("jaccard_bp"),
+            (jac >= 0.8).cast("int").alias("verified"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_LSH_VERIFIED_SQL = f"""
+WITH {_SHINGLES_SQL_CTE},
+sig AS (
+  SELECT doc_id,
+         {_MH_MIN_SQL}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{_BAND_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, COALESCE(m.n_common, 0) AS n_common,
+       CAST(floor((COALESCE(m.n_common, 0) * 1.0 / (x.n_sh + y.n_sh - COALESCE(m.n_common, 0))) * 10000 + 0.5) AS BIGINT) AS jaccard_bp,
+       CAST(COALESCE(m.n_common, 0) * 1.0 / (x.n_sh + y.n_sh - COALESCE(m.n_common, 0)) >= 0.8 AS INT) AS verified
+FROM cand c
+LEFT JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+JOIN sz x ON c.id_a = x.doc_id
+JOIN sz y ON c.id_b = y.doc_id
+ORDER BY c.id_a, c.id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Cluster resolution: LSH pairs → connected components → canonical doc.
 # --------------------------------------------------------------------------
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,10 +477,12 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
+    "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "neardup_jaccard_pairs": NEARDUP_JACCARD_SQL,

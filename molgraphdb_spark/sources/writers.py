@@ -105,6 +105,16 @@ def merge_upsert(
         return n
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Persist hive-partitioned parquet (S7 layout for time/tenant
+    keys): queries filtering on ``partition_cols`` scan only matching
+    directories — partition pruning, the directory-level complement of
+    row-group predicate pushdown. The 100 TB events table would be
+    partitioned by event date exactly like this (tests assert the
+    pruned-scan plan)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
 ) -> None:

@@ -68,6 +68,28 @@ def test_append_new_keys_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from molgraphdb_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the status predicate must land in PartitionFilters (directory
+    # pruning), not PushedFilters/post-scan filter
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
+    # and the data still round-trips
+    expect = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expect
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     # disable broadcast so the plan must choose sort-merge — at real
     # scale both sides are fact tables and broadcast isn't an option
