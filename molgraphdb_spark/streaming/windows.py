@@ -171,6 +171,23 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins against the (batch) dimension — no watermark or state needed
+    for a stream-static inner join; Spark re-plans the static side per
+    micro-batch, so a broadcast-sized dim costs one broadcast per
+    trigger. The canonical 100 TB shape: fact stream enriched with a
+    dimension snapshot (user → segment here)."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.join(F.broadcast(d), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a stream into an in-memory table (test/dev sink); returns
     the query handle after processing all available input."""

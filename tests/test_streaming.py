@@ -14,12 +14,30 @@ from molgraphdb_spark.queries.events import _events, events_tumbling_window
 from molgraphdb_spark.streaming.windows import (
     click_purchase_join,
     dedup_stream,
+    enrich_stream_with_dim,
     read_events_stream,
     run_to_memory,
     running_user_totals,
     session_counts,
     tumbling_counts,
 )
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_stream_dir):
+    from molgraphdb_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(enrich_stream_with_dim(ev, cust), "t_enrich")
+    try:
+        got = {r.segment: r.n_events for r in spark.table("t_enrich").collect()}
+        want = {
+            r.segment: r.n_events
+            for r in enrich_stream_with_dim(_events(spark, sf_dir), cust).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
 
 
 @pytest.fixture(scope="module")
