@@ -33,10 +33,14 @@ HEADLINE = [
     "similarity_ivf_topk",
     "dedup_minhash_signatures",
     "neardup_jaccard_pairs",
+    "dedup_lsh_verified",
+    "dedup_clusters",
     "similarity_cosine_topk",
+    "similarity_ivf_recall",
     "doc_quality_scores",
     "graph_bfs_path_lengths",
     "chem_tanimoto_pairs",
+    "chem_pharma_profile",
     "mm_feature_extract",
 ]
 
