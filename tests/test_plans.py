@@ -64,6 +64,28 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     assert not s["has_python_worker"]
 
 
+def test_lsh_verified_no_cartesian(spark, sf_dir):
+    # Candidate generation is a bucket equi-join and verification is an
+    # equi-join against the inverted index — an n² CartesianProduct or
+    # non-broadcast nested loop anywhere is a scale regression.
+    from molgraphdb_spark.queries.dedup import dedup_lsh_verified
+
+    s = plan_summary(dedup_lsh_verified(spark, sf_dir))
+    assert "CartesianProduct" not in s["plan"]
+    assert not s["has_python_worker"]
+
+
+def test_dedup_cluster_pair_graph_no_cartesian(spark, sf_dir):
+    # The pair-graph derivation feeding CC must stay an equi-join on
+    # (band, bucket). (The CC loop itself materializes eagerly, so the
+    # full query isn't introspectable as one plan — the pair graph is.)
+    from molgraphdb_spark.queries.dedup import dedup_minhash_lsh_pairs
+
+    s = plan_summary(dedup_minhash_lsh_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in s["plan"]
+    assert not s["has_python_worker"]
+
+
 def test_asof_join_single_shuffle_per_side(spark, sf_dir):
     # Union-then-window as-of: both inputs shuffle once on the join
     # key for the window sort; no range explosion, no extra exchanges.
