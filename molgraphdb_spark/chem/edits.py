@@ -44,6 +44,8 @@ def _candidate_edges(
         return
     if not cand.valence_ok():  # sanitize (main.py:94)
         return
+    if not cand.aromatic_ok():  # kekulization failure dies in sanitize too
+        return
     if cand.n_atoms < min_atoms or cand.n_bonds < min_bonds:  # main.py:96–105
         return
     ckey = mol_key(cand)

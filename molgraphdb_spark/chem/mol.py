@@ -130,6 +130,21 @@ class MolGraph:
                     stack.append(nb)
         return len(seen) == self.n_atoms
 
+    def aromatic_ok(self) -> bool:
+        """Every aromatic atom must sit in an aromatic ring (≥2
+        aromatic bonds). A dangling aromatic atom is unkekulizable —
+        RDKit's SanitizeMol rejects it, and so does the reference's
+        candidate gate through that sanitize call (main.py:94): edits
+        that tear an aromatic ring open die here."""
+        for i in self.aromatic:
+            n_arom = sum(
+                1 for (a, b), o in self.bonds.items()
+                if i in (a, b) and o == AROMATIC_ORDER
+            )
+            if n_arom < 2:
+                return False
+        return True
+
     def valence_ok(self) -> bool:
         """Sanitize-analogue (main.py:94): total bond order within the
         element's valence bound, widened by |formal charge|."""
@@ -275,31 +290,50 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
         cycles = nx.cycle_basis(g)
     except nx.NetworkXError:
         return
-    hexes = [c for c in cycles if len(c) == 6]
+    rings = [c for c in cycles if len(c) in (5, 6)]
     changed = True
     while changed:
         changed = False
-        for cyc in hexes:
+        for cyc in rings:
+            n = len(cyc)
             edges = [
-                (min(cyc[k], cyc[(k + 1) % 6]), max(cyc[k], cyc[(k + 1) % 6]))
-                for k in range(6)
+                (min(cyc[k], cyc[(k + 1) % n]), max(cyc[k], cyc[(k + 1) % n]))
+                for k in range(n)
             ]
             orders = [mol.bonds.get(e) for e in edges]
             if any(o not in (1.0, 2.0, AROMATIC_ORDER) for o in orders):
                 continue
             if all(o == AROMATIC_ORDER for o in orders):
                 continue  # already aromatic
-            ok = True
-            for k in range(6):
-                prev_o, next_o = orders[k - 1], orders[k]
-                if prev_o == 2.0 and next_o == 2.0:  # cumulated double
-                    ok = False
-                    break
-                if prev_o == 1.0 and next_o == 1.0:  # atom with no π edge
-                    ok = False
-                    break
-            if not ok:
-                continue
+            if n == 6:
+                ok = True
+                for k in range(6):
+                    prev_o, next_o = orders[k - 1], orders[k]
+                    if prev_o == 2.0 and next_o == 2.0:  # cumulated double
+                        ok = False
+                        break
+                    if prev_o == 1.0 and next_o == 1.0:  # atom with no π edge
+                        ok = False
+                        break
+                if not ok:
+                    continue
+            else:
+                # 5-ring: aromatic iff exactly two non-adjacent double
+                # cycle edges and the unique atom flanked by two single
+                # cycle edges is a lone-pair donor (N/O/S) — the
+                # pyrrole/furan/thiophene Kekulé pattern. (Cyclo-
+                # pentadiene keeps its sp³ carbon and correctly fails.)
+                if sum(1 for o in orders if o == 2.0) != 2:
+                    continue
+                if any(orders[k - 1] == 2.0 and orders[k] == 2.0 for k in range(5)):
+                    continue
+                donors = [
+                    cyc[k]
+                    for k in range(5)
+                    if orders[k - 1] != 2.0 and orders[k] != 2.0
+                ]
+                if len(donors) != 1 or mol.elements[donors[0]] not in ("N", "O", "S"):
+                    continue
             for e in edges:
                 mol.bonds[e] = AROMATIC_ORDER
             mol.aromatic.update(cyc)
@@ -423,6 +457,8 @@ def parse_smiles(smiles: str) -> MolGraph:
     if not mol.is_connected():
         raise SmilesError("disconnected molecule")
     _perceive_aromatic_rings(mol)
+    if not mol.aromatic_ok():
+        raise SmilesError("aromatic atom outside an aromatic ring")
     if not mol.valence_ok():
         raise SmilesError("valence violation")
     return mol
@@ -461,6 +497,8 @@ def to_smiles(mol: MolGraph) -> str:
             return "="
         if o == 3.0:
             return "#"
+        if o == 1.0 and a in mol.aromatic and b in mol.aromatic:
+            return "-"  # biphenyl-type single between aromatic atoms
         return ""  # single and aromatic are implicit
 
     def atom_sym(u: int) -> str:

@@ -281,11 +281,11 @@ def chem_pharma_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHEM_PHARMA_SQL = """
 SELECT * FROM (VALUES
-  ('aspirin', 13, 13, 6, 2, 24),
-  ('ibuprofen', 15, 15, 6, 1, 22),
-  ('sildenafil', 33, 36, 6, 6, 57),
-  ('tadalafil', 29, 34, 15, 2, 75),
-  ('vardenafil', 34, 37, 11, 4, 62)
+  ('aspirin', 13, 13, 6, 2, 14),
+  ('ibuprofen', 15, 15, 6, 1, 17),
+  ('sildenafil', 33, 36, 11, 4, 43),
+  ('tadalafil', 29, 34, 15, 2, 46),
+  ('vardenafil', 34, 37, 11, 4, 45)
 ) AS t(name, n_atoms, n_bonds, n_aromatic, n_double_bonds, n_edit_neighbors)
 ORDER BY name
 """

@@ -50,6 +50,25 @@ def test_wl_key_invariant_under_relabeling(mol, rnd):
     assert mol_key(shuffled) == mol_key(mol)
 
 
+@given(st.text(alphabet="CNOSPcnos()[]=#123+-.@H\\/%Fl", max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_parser_total_on_arbitrary_input(s):
+    # The parser is TOTAL over arbitrary strings: either a valid,
+    # connected, valence-sane molecule or SmilesError — never a crash
+    # with any other exception type (quarantine contract, P3).
+    from molgraphdb_spark.chem.mol import SmilesError
+
+    try:
+        mol = parse_smiles(s)
+    except SmilesError:
+        return
+    assert mol.n_atoms > 0
+    assert mol.is_connected()
+    assert mol.valence_ok()
+    # and whatever parses must round-trip through the writer
+    assert mol_key(parse_smiles(to_smiles(mol))) == mol_key(mol)
+
+
 @given(random_trees())
 @settings(max_examples=40, deadline=None)
 def test_adjacency_roundtrip_preserves_identity(mol):
