@@ -336,6 +336,98 @@ FROM agg ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# SimHash Hamming pairs via pigeonhole banding.
+# --------------------------------------------------------------------------
+SIMHASH_MAX_HAMMING = 3  #: pair threshold (bits differing)
+_SIMHASH_BANDS = 4  #: pigeonhole: d ≤ 3 ⇒ at least one of 4 bands equal
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ SIMHASH_MAX_HAMMING,
+    found WITHOUT an n² comparison: split the 32-bit signature into 4
+    bands of 8 bits — by pigeonhole, any pair within Hamming distance 3
+    agrees exactly on ≥1 band — equi-join on (band, content), then
+    verify the exact distance on the candidates only. Same
+    candidate→verify shape as dedup_lsh_verified, specialized to bit
+    signatures."""
+    sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash: 32-char '0'/'1')
+    width = SIMHASH_BITS // _SIMHASH_BANDS
+    bands = [
+        sig.select(
+            "doc_id",
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("content"),
+        )
+        for b in range(_SIMHASH_BANDS)
+    ]
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.content") == F.col("b.content"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1)).cast("int")
+        for i in range(SIMHASH_BITS)
+    )
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIMHASH_BAND_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, simhash, {b} AS band, substr(simhash, {b * 8 + 1}, 8) AS content FROM sims"
+    for b in range(_SIMHASH_BANDS)
+)
+_HAMMING_SQL = " + ".join(
+    f"CASE WHEN substr(a.simhash, {i + 1}, 1) != substr(b.simhash, {i + 1}, 1) THEN 1 ELSE 0 END"
+    for i in range(SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {_SIM_SUMS_SQL}
+  FROM tk GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, {_SIM_BITS_SQL} AS simhash FROM agg
+), banded AS (
+{_SIMHASH_BAND_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash, b.simhash AS simhash_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.content = b.content AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b,
+         ({_HAMMING_SQL.replace("a.simhash", "c.simhash").replace("b.simhash", "c.simhash_b")}) AS hamming
+  FROM cand c
+) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Candidate → verify: LSH pairs confirmed by exact Jaccard.
 # --------------------------------------------------------------------------
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,11 +569,13 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
