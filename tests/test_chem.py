@@ -208,6 +208,21 @@ def test_subgraph_catalog_semantics(spark):
     assert len({r.subgraph_hash for r in cat}) == 9
 
 
+def test_reference_simple_demo_flow(spark):
+    # The reference's simple-molecule demo verbatim (main.py:377-382):
+    # add_relations([CCC, CC, C(C)C], min_atoms=1) then
+    # query(CCCCCC, CC(CC)C) — neither query molecule is in the edit
+    # graph (single edits only shrink), so the path length is -1.
+    edges, _ = expand_relations(spark, ["CCC", "CC", "C(C)C"], depth=2)
+    from molgraphdb_spark.operators.graph import bfs_query
+
+    k_hexane = mol_key(parse_smiles("CCCCCC"))
+    k_methylbutane = mol_key(parse_smiles("CC(CC)C"))
+    assert bfs_query(edges, k_hexane, k_methylbutane) == -1
+    # and a pair that IS connected resolves (CCC -> CC, one deletion)
+    assert bfs_query(edges, mol_key(parse_smiles("CCC")), mol_key(parse_smiles("CC"))) == 2
+
+
 def test_expand_relations_fixed_point(spark):
     # seeds CCC, CC, C(C)C (main.py:377–380): CCC ≡ C(C)C (same WL id)
     edges, vertices = expand_relations(spark, ["CCC", "CC", "C(C)C"], depth=2)
