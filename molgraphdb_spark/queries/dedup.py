@@ -237,19 +237,26 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison never happens; only bucket collisions join."""
     sig = _sig_df(spark, sf_dir)
     n_bands = MINHASH_K // BAND_ROWS
-    bands = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
-            ).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    # All band buckets computed in ONE pass per row, then exploded — a
+    # union of per-band branches would recompute the whole signature
+    # subplan (a full corpus scan + the md5 folds) once PER BAND, a 4×
+    # scan cost invisible at test scale and ruinous at 100 TB.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -352,18 +359,23 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures."""
     sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash: 32-char '0'/'1')
     width = SIMHASH_BITS // _SIMHASH_BANDS
-    bands = [
-        sig.select(
-            "doc_id",
-            F.col("simhash"),
-            F.lit(b).alias("band"),
-            F.substring("simhash", b * width + 1, width).alias("content"),
-        )
-        for b in range(_SIMHASH_BANDS)
-    ]
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    # One pass + explode, NOT a per-band union: the signature subplan
+    # (explode + 32-counter groupBy) would otherwise run once per band.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("simhash", b * width + 1, width).alias("content"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.content").alias("content"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

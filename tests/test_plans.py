@@ -84,6 +84,10 @@ def test_dedup_cluster_pair_graph_no_cartesian(spark, sf_dir):
     s = plan_summary(dedup_minhash_lsh_pairs(spark, sf_dir))
     assert "CartesianProduct" not in s["plan"]
     assert not s["has_python_worker"]
+    # banding computes every band in one pass + explode: the corpus is
+    # scanned exactly twice (self-join sides), NOT 2×n_bands times as
+    # the per-band-union formulation would
+    assert s["n_scans"] == 2, s["n_scans"]
 
 
 def test_asof_join_single_shuffle_per_side(spark, sf_dir):
