@@ -146,13 +146,65 @@ ORDER BY s.hour, t.event_type
 """
 
 
+def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per event-type 15-minute bars with open
+    (first value by event time), high, low, close (last value) — the
+    canonical timeseries resample, expressed with ``min_by``/``max_by``
+    over a (ts, event_id) ordering key (zero-padded string: DuckDB's
+    arg_min takes scalar keys only, and lexicographic order over the
+    padding equals numeric order) so timestamp ties resolve
+    deterministically on both engines. One shuffle on (bar, type);
+    values are rounded to 2dp for cross-engine float identity."""
+    ev = _events(spark, sf_dir)
+    order_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_part"),
+            (F.floor(F.minute("ts") / 15) * 15).cast("int").alias("minute_part"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", order_key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", order_key), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            (F.unix_micros("hour_part") + F.col("minute_part").cast("long") * 60_000_000)
+            .alias("bar_start_us"),
+            "event_type", "open", "high", "low", "close", "n_events",
+        )
+        .orderBy("bar_start_us", "event_type")
+    )
+
+
+EVENTS_OHLC_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) + (CAST(floor(minute(ts) / 15) * 15 AS BIGINT)) * 60000000 AS bar_start_us,
+       event_type,
+       ROUND(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')), 2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')), 2) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY bar_start_us, event_type
+"""
+
+
 QUERIES = {
+    "events_ohlc_resample": events_ohlc_resample,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_gap_fill": events_gap_fill,
 }
 
 ORACLES = {
+    "events_ohlc_resample": EVENTS_OHLC_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_range_join": EVENTS_RANGE_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
