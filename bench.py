@@ -72,7 +72,7 @@ def main() -> None:
     # round-1 51.7s MinHash outlier re-ran at 2-6s) cannot masquerade
     # as a plan regression; min is reported too as the contention-free
     # floor. "queries" stays name → seconds (median) for the driver.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     for name in HEADLINE:

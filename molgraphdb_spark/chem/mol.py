@@ -318,21 +318,21 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
                 if not ok:
                     continue
             else:
-                # 5-ring: aromatic iff exactly two non-adjacent double
-                # cycle edges and the unique atom flanked by two single
-                # cycle edges is a lone-pair donor (N/O/S) — the
-                # pyrrole/furan/thiophene Kekulé pattern. (Cyclo-
-                # pentadiene keeps its sp³ carbon and correctly fails.)
-                if sum(1 for o in orders if o == 2.0) != 2:
-                    continue
-                if any(orders[k - 1] == 2.0 and orders[k] == 2.0 for k in range(5)):
-                    continue
+                # 5-ring: aromatic iff exactly one atom — the lone-pair
+                # donor, which must be N/O/S — has two SINGLE cycle
+                # edges, every other atom touches a π cycle edge
+                # (double or already-aromatic, so FUSED systems like
+                # Kekulé indole work after their benzo ring perceives),
+                # and no atom joins two doubles. Cyclopentadiene's sp³
+                # carbon donor correctly fails the element test.
                 donors = [
                     cyc[k]
                     for k in range(5)
-                    if orders[k - 1] != 2.0 and orders[k] != 2.0
+                    if orders[k - 1] == 1.0 and orders[k] == 1.0
                 ]
                 if len(donors) != 1 or mol.elements[donors[0]] not in ("N", "O", "S"):
+                    continue
+                if any(orders[k - 1] == 2.0 and orders[k] == 2.0 for k in range(5)):
                     continue
             for e in edges:
                 mol.bonds[e] = AROMATIC_ORDER
@@ -456,9 +456,26 @@ def parse_smiles(smiles: str) -> MolGraph:
         raise SmilesError("empty SMILES")
     if not mol.is_connected():
         raise SmilesError("disconnected molecule")
+    # An aromatic-order bond that is a BRIDGE (in no ring) between two
+    # aromatic atoms is really a single bond — biphenyl written
+    # 'c1ccccc1c1ccccc1' must equal the explicit '-' form (RDKit
+    # semantics: implicit aromatic bonding applies within rings only).
+    arom_bridges = [
+        e for e in nx.bridges(nx.Graph(list(mol.bonds)))
+        if mol.bonds.get((min(e), max(e))) == AROMATIC_ORDER
+    ]
+    for e in arom_bridges:
+        a, b = min(e), max(e)
+        if a in mol.aromatic and b in mol.aromatic:
+            mol.bonds[(a, b)] = 1.0
     _perceive_aromatic_rings(mol)
     if not mol.aromatic_ok():
         raise SmilesError("aromatic atom outside an aromatic ring")
+    # Any surviving aromatic-order bond with a non-aromatic endpoint
+    # (explicit 'C:C') is unkekulizable — RDKit rejects it too.
+    for (a, b), o in mol.bonds.items():
+        if o == AROMATIC_ORDER and (a not in mol.aromatic or b not in mol.aromatic):
+            raise SmilesError("aromatic bond between non-aromatic atoms")
     if not mol.valence_ok():
         raise SmilesError("valence violation")
     return mol
@@ -487,8 +504,12 @@ def to_smiles(mol: MolGraph) -> str:
                     ring_bonds.append(pair)
 
     dfs(0)
+    # Labels ≥10 must use the %nn form: bare '12' re-parses as two
+    # separate single-digit closures and silently rebuilds a different
+    # molecule (caught by differential fuzzing on dense polycyclics).
     ring_digit: dict[tuple[int, int], str] = {
-        pair: str(k + 1) for k, pair in enumerate(ring_bonds)
+        pair: (str(k + 1) if k < 9 else f"%{k + 1:02d}")
+        for k, pair in enumerate(ring_bonds)
     }
 
     def bond_sym(a: int, b: int) -> str:

@@ -117,9 +117,7 @@ def bfs_distances(
         .select(id_lit.alias("id"), F.lit(0).cast("long").alias("dist"))
         .localCheckpoint()
     )
-    if target is not None and (
-        (isinstance(source, int) and source == target) or source == target
-    ):
+    if target is not None and source == target:
         return visited
     frontier = visited
     for depth in range(1, max_depth + 1):

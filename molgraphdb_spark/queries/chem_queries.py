@@ -18,8 +18,6 @@ demo corpus, the only molecule fixture that exists (SURVEY.md §5).
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,22 +56,25 @@ def _example_mols(spark: SparkSession) -> DataFrame:
 
 
 #: Per-session cache of the checkpointed fixture subgraph relation —
-#: the three chem queries share one Python stage instead of three.
-#: Keyed by a WeakKeyDictionary on the session object itself: a stopped
-#: and garbage-collected SparkSession drops its entry, so a new session
-#: reusing the same id() can never receive a DataFrame bound to a dead
-#: session.
-_SG_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = weakref.WeakKeyDictionary()
+#: the chem queries share one Python stage instead of several. Keyed by
+#: the Spark applicationId (stable per session, never reused the way
+#: id() is) and bounded to ONE entry: a new session's insert evicts the
+#: old DataFrame, so a dead session's checkpoint can neither be
+#: returned nor leak unboundedly. (A WeakKeyDictionary would not evict
+#: here: the cached DataFrame strongly references its session.)
+_SG_CACHE: dict[str, DataFrame] = {}
 
 
 def _fixture_subgraphs(spark: SparkSession) -> DataFrame:
-    """(parent=NAME, subgraph_hash, size, n_edges, adjacency,
+    """(parent=NAME, subgraph_hash, size, n_edges, adjacency, elements,
     parent_atoms), parse+enumerate fused into one mapInPandas pass and
     localCheckpoint-ed once per session."""
     tune(spark)
-    if spark not in _SG_CACHE:
-        _SG_CACHE[spark] = named_molecule_subgraphs(spark, EXAMPLES).localCheckpoint()
-    return _SG_CACHE[spark]
+    key = spark.sparkContext.applicationId
+    if key not in _SG_CACHE:
+        _SG_CACHE.clear()
+        _SG_CACHE[key] = named_molecule_subgraphs(spark, EXAMPLES).localCheckpoint()
+    return _SG_CACHE[key]
 
 
 def chem_subgraph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -403,8 +403,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BAND_WIDTH = SIMHASH_BITS // _SIMHASH_BANDS
 _SIMHASH_BAND_SQL = "\n  UNION ALL\n".join(
-    f"  SELECT doc_id, simhash, {b} AS band, substr(simhash, {b * 8 + 1}, 8) AS content FROM sims"
+    f"  SELECT doc_id, simhash, {b} AS band,"
+    f" substr(simhash, {b * _SIMHASH_BAND_WIDTH + 1}, {_SIMHASH_BAND_WIDTH}) AS content FROM sims"
     for b in range(_SIMHASH_BANDS)
 )
 _HAMMING_SQL = " + ".join(

@@ -137,6 +137,11 @@ def test_kekule_aromatic_identity():
         ("c1cc[nH]c1", "C1=CC=CN1"),
         ("c1ccoc1", "C1=CC=CO1"),
         ("c1ccsc1", "C1=CC=CS1"),
+        # fused: Kekulé indole perceives after its benzo ring does
+        ("c1ccc2[nH]ccc2c1", "C1=CC=C2NC=CC2=C1"),
+        # biphenyl: implicit inter-ring bond is a single (bridge), same
+        # identity as the explicit '-' form
+        ("c1ccccc1c1ccccc1", "c1ccccc1-c1ccccc1"),
     ]
     for a, b in pairs:
         assert mol_key(parse_smiles(a)) == mol_key(parse_smiles(b)), (a, b)
@@ -146,6 +151,30 @@ def test_kekule_aromatic_identity():
     assert not parse_smiles("O=C1C=CC(=O)C=C1").aromatic  # quinone
     assert not parse_smiles("C1CCCCC1").aromatic  # cyclohexane
     assert not parse_smiles("C1=CC=CC1").aromatic  # cyclopentadiene (C donor)
+    with pytest.raises(SmilesError):
+        parse_smiles("C:C")  # explicit aromatic bond, non-aromatic atoms
+
+
+def test_dense_polycyclic_roundtrip_uses_percent_labels():
+    # 10+ simultaneous ring closures must emit %nn labels — bare '12'
+    # re-parses as two single-digit closures and silently rebuilds a
+    # different molecule.
+    from molgraphdb_spark.chem.mol import MolGraph
+
+    m = MolGraph(elements=["C"] * 20)
+
+    def idx(r, c):
+        return r * 5 + c
+
+    for r in range(4):
+        for c in range(5):
+            if c < 4:
+                m.add_bond(idx(r, c), idx(r, c + 1))
+            if r < 3:
+                m.add_bond(idx(r, c), idx(r + 1, c))
+    s = to_smiles(m)
+    assert "%" in s
+    assert mol_key(parse_smiles(s)) == mol_key(m)
 
 
 def test_aspirin_edit_expansion_counts():

@@ -50,7 +50,7 @@ def test_wl_key_invariant_under_relabeling(mol, rnd):
     assert mol_key(shuffled) == mol_key(mol)
 
 
-@given(st.text(alphabet="CNOSPcnos()[]=#123+-.@H\\/%Fl", max_size=30))
+@given(st.text(alphabet="CNOSPcnos()[]=#:123+-.@H\\/%Fl", max_size=30))
 @settings(max_examples=300, deadline=None)
 def test_parser_total_on_arbitrary_input(s):
     # The parser is TOTAL over arbitrary strings: either a valid,
