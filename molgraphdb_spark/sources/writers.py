@@ -115,6 +115,34 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_bytes`` files (the operational fix for the
+    many-tiny-files problem that kills scan throughput and NameNode/
+    listing latency at scale — streaming sinks and per-wave appends
+    both produce it). Two-phase: write the compacted copy next to the
+    original, then atomically swap directories. Returns the output
+    file count."""
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
 ) -> None:

@@ -68,6 +68,22 @@ def test_append_new_keys_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import os
+
+    from molgraphdb_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "shards")
+    # 40 tiny files (the streaming-sink pathology)
+    spark.range(4000).repartition(40).write.parquet(path)
+    assert sum(f.endswith(".parquet") for f in os.listdir(path)) == 40
+    before = {r.id for r in spark.read.parquet(path).collect()}
+    n = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert n == 1
+    assert sum(f.endswith(".parquet") for f in os.listdir(path)) == 1
+    assert {r.id for r in spark.read.parquet(path).collect()} == before
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     from molgraphdb_spark.sources.writers import write_partitioned
 
