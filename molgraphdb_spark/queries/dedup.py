@@ -121,7 +121,7 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plants near-identical pairs at ≈0.99). Candidate pairs come from
     the shingle equi-join — quadratic only within a shingle's posting
     list, never globally."""
-    sh = _shingle_rows(spark, sf_dir)
+    sh = _shingle_rows(spark, sf_dir).cache()  # 3 references below (see dedup_lsh_verified)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -254,8 +254,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .cache()  # self-joined below: one signature computation, not two
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -456,7 +458,12 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus) against the inverted index twice — cost is
     Σ(shingles per candidate doc), linear in candidates."""
     cands = dedup_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
-    sh = _shingle_rows(spark, sf_dir)
+    # cache(): the inverted index is referenced three times below
+    # (sizes, both join sides) with different projections — Spark's
+    # exchange reuse does NOT unify them (verified: 0 ReusedExchange),
+    # so without this the corpus is scanned and shuffled per reference.
+    # Lazy, so the query function still returns an unexecuted plan.
+    sh = _shingle_rows(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle"))

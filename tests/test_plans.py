@@ -84,10 +84,11 @@ def test_dedup_cluster_pair_graph_no_cartesian(spark, sf_dir):
     s = plan_summary(dedup_minhash_lsh_pairs(spark, sf_dir))
     assert "CartesianProduct" not in s["plan"]
     assert not s["has_python_worker"]
-    # banding computes every band in one pass + explode: the corpus is
-    # scanned exactly twice (self-join sides), NOT 2×n_bands times as
-    # the per-band-union formulation would
-    assert s["n_scans"] == 2, s["n_scans"]
+    # banding computes every band in one pass + explode and caches the
+    # banded relation before the self-join: the corpus parquet appears
+    # exactly ONCE in the plan (both join sides read the cache), NOT
+    # 2×n_bands times as the per-band-union formulation would
+    assert s["n_scans"] == 1, s["n_scans"]
 
 
 def test_asof_join_single_shuffle_per_side(spark, sf_dir):
