@@ -92,7 +92,7 @@ WITH m AS (
          octet_length(encode(text)) AS n_bytes
   FROM documents
 )
-SELECT format, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
+SELECT format, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MIN(n_bytes % 64 + 1) AS min_width, MAX(n_bytes % 48 + 1) AS max_height
 FROM m GROUP BY format ORDER BY format
 """

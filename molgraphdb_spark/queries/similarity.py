@@ -342,7 +342,7 @@ exact AS (
 ),
 ivf AS (SELECT query_id, neighbor_id FROM ({SIM_IVF_SQL}))
 SELECT x.query_id, COUNT(*) AS n_exact,
-       SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
 FROM exact x LEFT JOIN ivf i
   ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
 GROUP BY x.query_id
