@@ -428,8 +428,33 @@ QUERIES = {
     "chem_exact_ged_pairs": chem_exact_ged_pairs,
 }
 
+#: Fixture-derived golden literals (scale-independent: both queries run
+#: on the in-code EXAMPLES/EDIT_SEEDS fixtures, never on sf tables).
+#: Values re-derivable from tests/test_chem.py hand-verified GED cases
+#: and the depth-3 fixed-point expansion test.
+CHEM_EXACT_GED_SQL = """
+SELECT mol_a, mol_b, CAST(exact_ged AS DOUBLE) AS exact_ged FROM (VALUES
+  ('Butane', 'Cyclobutane', 1.0), ('Butane', 'Hexane', 4.0),
+  ('Butane', 'Isopentane', 2.0), ('Butane', 'Neopentane', 4.0),
+  ('Cyclobutane', 'Hexane', 5.0), ('Cyclobutane', 'Neopentane', 5.0),
+  ('Isopentane', 'Cyclobutane', 3.0), ('Isopentane', 'Hexane', 4.0),
+  ('Isopentane', 'Neopentane', 2.0), ('Neopentane', 'Hexane', 6.0)
+) AS t(mol_a, mol_b, exact_ged)
+ORDER BY mol_a, mol_b
+"""
+
+CHEM_EDIT_EXPANSION_SQL = """
+SELECT CAST(unique_molecules AS BIGINT) AS unique_molecules,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_vertices AS BIGINT) AS n_vertices
+FROM (VALUES (9, 32, 9)) AS t(unique_molecules, n_edges, n_vertices)
+"""
+
+
 ORACLES = {
     "chem_pharma_profile": CHEM_PHARMA_SQL,
+    "chem_exact_ged_pairs": CHEM_EXACT_GED_SQL,
+    "chem_edit_expansion": CHEM_EDIT_EXPANSION_SQL,
     "chem_pharma_overlap": CHEM_PHARMA_OVERLAP_SQL,
     "chem_subgraph_display": CHEM_DISPLAY_SQL,
     "chem_subgraph_counts": CHEM_SUBGRAPH_COUNTS_SQL,

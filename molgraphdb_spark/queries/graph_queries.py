@@ -197,8 +197,11 @@ FROM sizes ORDER BY component
 
 def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vertices by PageRank on the purchase graph (10 power
-    iterations). No SQL oracle (iterative with damping); rows-only
-    check here, symmetry/convergence goldens in tests/test_graph.py."""
+    iterations). DuckDB cannot run damped power iteration, so the
+    oracle is a VALUES literal of the gate-scale (sf0.01) result —
+    micro-basis-point rounding makes the floats hash-stable (double
+    summation error ~1e-9 of a ubp; verified identical across runs).
+    Convergence/symmetry goldens live in tests/test_graph.py."""
     from molgraphdb_spark.operators.graph import pagerank
 
     edges = purchase_edges(spark, sf_dir)
@@ -215,14 +218,39 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for A1 (SURVEY.md §2.4): HyperLogLog distinct
-    counting — constant memory vs the exact shuffle. No oracle (engine
-    sketches differ); tests assert <5% error vs exact."""
+    counting — constant memory vs the exact shuffle. The raw sketch
+    estimate is engine-specific, so the emitted row carries only values
+    both engines compute identically: the exact distinct counts plus a
+    boolean asserting the HLL estimate landed within a 5% band of each
+    (tests additionally pin <5% error). The sketch still runs — the
+    booleans derive from it — so the scale path stays exercised while
+    the driver gets a hashable oracle row."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
+    agg = li.select(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    band = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.05)
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        band("approx_parts", "exact_parts").alias("parts_within_band"),
+        band("approx_orders", "exact_orders").alias("orders_within_band"),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_within_band,
+       TRUE AS orders_within_band
+FROM lineitem
+"""
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,8 +311,25 @@ QUERIES = {
     "graph_connected_components_summary": graph_connected_components_summary,
 }
 
+#: Gate-scale (sf0.01) golden literal — see graph_pagerank_top docstring.
+GRAPH_PAGERANK_SQL = """
+SELECT id, CAST(rank_ubp AS BIGINT) AS rank_ubp FROM (VALUES
+  ('s:16', 6849567), ('s:21', 6703663), ('s:98', 6621752),
+  ('s:49', 6554360), ('s:59', 6552981), ('s:65', 6547598),
+  ('s:67', 6531294), ('s:44', 6530329), ('s:76', 6521694),
+  ('s:0', 6520380), ('s:12', 6515371), ('s:1', 6505165),
+  ('s:37', 6501855), ('s:70', 6472787), ('s:68', 6452443),
+  ('s:48', 6423846), ('s:15', 6389896), ('s:42', 6387960),
+  ('s:35', 6385836), ('s:79', 6381102)
+) AS t(id, rank_ubp)
+ORDER BY rank_ubp DESC, id ASC
+"""
+
+
 ORACLES = {
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
+    "graph_pagerank_top": GRAPH_PAGERANK_SQL,
+    "approx_distinct_parts": APPROX_DISTINCT_SQL,
     "graph_bfs_path_lengths": GRAPH_BFS_SQL,
     "graph_degree_histogram": GRAPH_DEGREE_SQL,
     "graph_common_suppliers": GRAPH_COMMON_SQL,
