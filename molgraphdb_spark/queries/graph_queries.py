@@ -311,6 +311,11 @@ QUERIES = {
     "graph_connected_components_summary": graph_connected_components_summary,
 }
 
+#: Oracles whose VALUES literals encode the result at the driver's gate
+#: scale (sf0.01) — value-hash comparison is only meaningful there.
+#: Other scales still check row count + schema (tests/test_oracle_parity).
+GATE_SCALE_ONLY = {"graph_pagerank_top"}
+
 #: Gate-scale (sf0.01) golden literal — see graph_pagerank_top docstring.
 GRAPH_PAGERANK_SQL = """
 SELECT id, CAST(rank_ubp AS BIGINT) AS rank_ubp FROM (VALUES

@@ -107,13 +107,15 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     from molgraphdb_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
-    approx = approx_distinct_parts(spark, sf_dir).first()
+    row = approx_distinct_parts(spark, sf_dir).first()
     li = load_table(spark, sf_dir, "lineitem")
     exact = li.select(
         F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_orderkey").alias("o")
     ).first()
-    assert abs(approx.approx_parts - exact.p) / exact.p < 0.05
-    assert abs(approx.approx_orders - exact.o) / exact.o < 0.05
+    # The query now emits exact counts + in-band booleans (so both
+    # engines hash identically); the <5% HLL tolerance is the booleans.
+    assert row.exact_parts == exact.p and row.exact_orders == exact.o
+    assert row.parts_within_band and row.orders_within_band
 
 
 def test_connected_components(edges):
