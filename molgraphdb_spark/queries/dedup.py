@@ -18,8 +18,14 @@ Scale notes (100 TB):
   O(1) per group (min + count). This is THE canonical first pass.
 - shingle self-join: candidate generation joins on the shingle key, so
   cost is Σ(docs-per-shingle²), not n² — the standard inverted-index
-  bound. Stop-shingles (appearing in >X% of docs) would be dropped at
-  real scale; at test scale none qualify.
+  bound. Stop-shingles (document frequency > MAX_SHINGLE_DF) are
+  dropped from the index before the join: one ubiquitous shingle would
+  otherwise contribute df² pairs by itself while carrying almost no
+  similarity signal. The cap is absolute, not fractional — what blows
+  up is the posting-list length, which must stay bounded no matter how
+  big the corpus grows. At test scale no shingle reaches the cap, so
+  results are unchanged (tests plant a synthetic hot shingle to prove
+  the exclusion).
 - MinHash/LSH: signatures fold over the per-document shingle array
   map-only (zero shuffle — see _sig_df); banding turns near-dup search
   into an equi-join on (band, band_hash) — the n² never materializes.
@@ -43,6 +49,13 @@ BAND_ROWS = 2
 #: SimHash width in bits (each bit sourced from one md5 hex digit LSB).
 SIMHASH_BITS = 32
 
+#: Stop-shingle cap: shingles in more than this many documents are
+#: dropped from the inverted index (candidate generation AND the
+#: Jaccard universe — both engines apply the same filter, so oracles
+#: stay exact). 1024 bounds any single shingle's self-join contribution
+#: to ~0.5M pairs regardless of corpus size.
+MAX_SHINGLE_DF = 1024
+
 _SEP = "\x1f"
 
 
@@ -65,12 +78,29 @@ def _shingles_col(n: int = 3) -> Column:
     )
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct — the inverted-index relation."""
-    return (
+def _shingle_rows(
+    spark: SparkSession, sf_dir: str, max_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
+    """(doc_id, shingle) distinct — the inverted-index relation, with
+    stop-shingles (document frequency > ``max_df``) excluded.
+
+    The df filter is a count over a shingle-partitioned window, not a
+    groupBy+join: one shuffle, and the output stays hash-partitioned
+    (and sorted) on ``shingle``, exactly the layout the downstream
+    posting-list self-join needs — so the filter rides the shuffle the
+    join pays anyway."""
+    sh = (
         _norm_docs(spark, sf_dir)
         .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
         .distinct()
+    )
+    if max_df is None:
+        return sh
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
 
 
@@ -84,6 +114,17 @@ tk AS (
          unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
                 i -> array_to_string(toks[i : i + least(3, len(toks)) - 1], ' '))) AS shingle
   FROM tk
+)
+"""
+
+#: Filtered inverted index (stop-shingles dropped) — appended after
+#: _SHINGLES_SQL_CTE wherever the posting-list join/Jaccard universe is
+#: built. Mirrors _shingle_rows' windowed document-frequency cap.
+_SHF_SQL_CTE = f"""
+shf AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= {MAX_SHINGLE_DF}
 )
 """
 
@@ -146,10 +187,11 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_JACCARD_SQL = f"""
 WITH {_SHINGLES_SQL_CTE},
-sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+{_SHF_SQL_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_common,
@@ -504,12 +546,13 @@ sig AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+), {_SHF_SQL_CTE.strip()},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
 common AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS n_common
   FROM cand c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  JOIN shf a ON a.doc_id = c.id_a
+  JOIN shf b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b, COALESCE(m.n_common, 0) AS n_common,

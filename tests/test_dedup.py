@@ -1,0 +1,53 @@
+"""Dedup-family unit tests (the oracle gate covers end-to-end results;
+these pin the pieces DuckDB can't see: the stop-shingle cap and the
+inverted-index helper's semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from molgraphdb_spark.queries.dedup import MAX_SHINGLE_DF, _shingle_rows
+
+
+@pytest.fixture(scope="module")
+def hot_shingle_dir(spark, tmp_path_factory):
+    """Six-doc corpus where the phrase 'omega omega omega' appears in
+    every document (df=6) and each doc carries one unique shingle."""
+    path = str(tmp_path_factory.mktemp("hotshingle"))
+    rows = [
+        (i, f"unique{i} token{i} word{i} omega omega omega", "en", "t", 40)
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_hot_shingle_excluded(spark, hot_shingle_dir):
+    sh = _shingle_rows(spark, hot_shingle_dir, max_df=3)
+    shingles = {r.shingle for r in sh.collect()}
+    # the planted ubiquitous shingle (df=6 > 3) must be gone...
+    assert "omega omega omega" not in shingles
+    # ...while per-document rare shingles survive
+    assert "unique0 token0 word0" in shingles
+
+
+def test_df_cap_noop_below_threshold(spark, hot_shingle_dir):
+    """With the cap above every df, the filtered index is identical to
+    the unfiltered one — the production default must be a no-op on
+    corpora without stop-shingles (the sf test corpora qualify; oracle
+    parity would catch a divergence there)."""
+    capped = _shingle_rows(spark, hot_shingle_dir, max_df=MAX_SHINGLE_DF)
+    uncapped = _shingle_rows(spark, hot_shingle_dir, max_df=None)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
+
+
+def test_df_cap_rides_shingle_partitioning(spark, hot_shingle_dir):
+    """The df window must not add a shuffle beyond the one the
+    posting-list self-join already needs: exactly one Exchange below
+    the Window in the filtered plan."""
+    sh = _shingle_rows(spark, hot_shingle_dir, max_df=3)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # distinct agg + window reuse one hash layout
