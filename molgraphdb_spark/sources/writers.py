@@ -115,6 +115,43 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def _dataset_bytes(path: str) -> int:
+    """Recursive parquet byte count — hive-partitioned datasets keep
+    their files in key=value subdirectories, so a top-level listdir
+    sees nothing."""
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for f in filenames:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def _dataset_files(path: str) -> int:
+    return sum(
+        f.endswith(".parquet")
+        for _d, _s, files in os.walk(path)
+        for f in files
+    )
+
+
+def _partition_cols(path: str) -> list[str]:
+    """Re-discover hive partition columns from the key=value directory
+    chain (what Spark's partition discovery does on read)."""
+    cols: list[str] = []
+    p = path
+    while True:
+        subdirs = [
+            d
+            for d in os.listdir(p)
+            if "=" in d and os.path.isdir(os.path.join(p, d))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        p = os.path.join(p, subdirs[0])
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
@@ -122,25 +159,80 @@ def compact_parquet(
     ~``target_file_bytes`` files (the operational fix for the
     many-tiny-files problem that kills scan throughput and NameNode/
     listing latency at scale — streaming sinks and per-wave appends
-    both produce it). Two-phase: write the compacted copy next to the
-    original, then atomically swap directories. Returns the output
-    file count."""
+    both produce it). Returns the output file count.
+
+    Hive-partitioned datasets are handled: sizes are walked
+    recursively, partition columns are re-discovered from the
+    key=value directory chain, and the rewrite keeps ``partitionBy``
+    (repartitioning ON the partition columns, so each task writes one
+    file per directory it owns — the layout and its pruning survive).
+
+    Commit is write-aside + directory swap behind the same fcntl lock
+    discipline merge_upsert uses; stale ``._compact``/``._old`` debris
+    from a crashed prior run is recovered or cleared first. POSIX has
+    no atomic directory exchange, so there is a sub-millisecond window
+    between the two renames when ``path`` is absent — single-writer,
+    reader-tolerant datasets only. For zero-gap compaction use a
+    merge_upsert-managed root and :func:`compact_current`, which
+    commits through the ``_CURRENT`` pointer (one atomic
+    ``os.replace``) and never unlinks a live snapshot."""
     import shutil
 
-    total = sum(
-        os.path.getsize(os.path.join(path, f))
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    )
-    n_files = max(1, -(-total // target_file_bytes))  # ceil
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + "._old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return n_files
+    with open(path.rstrip("/") + "._lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        # crash recovery: a prior run that died between its two renames
+        # left the data in ._old — restore it before anything else.
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
+        for stale in (tmp, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        total = _dataset_bytes(path)
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+        part_cols = _partition_cols(path)
+        df = spark.read.parquet(path)
+        if part_cols:
+            (
+                df.repartition(n_files, *part_cols)
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(tmp)
+            )
+        else:
+            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)  # ← the gap closes here
+        shutil.rmtree(old)
+        return _dataset_files(path)
+
+
+def compact_current(
+    spark: SparkSession, root: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact the current snapshot of a merge_upsert-managed root into
+    a NEW versioned directory and atomically repoint ``_CURRENT`` — the
+    zero-gap form of :func:`compact_parquet`: readers either see the
+    old snapshot or the compacted one, never an absent or partial
+    dataset. Returns the compacted snapshot's file count."""
+    ptr = _pointer_path(root)
+    with open(os.path.join(root, "_LOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        with open(ptr) as f:
+            version_dir = f.read().strip()
+        src = os.path.join(root, version_dir)
+        total = _dataset_bytes(src)
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+        new_dir = f"v{int(version_dir.lstrip('v')) + 1:05d}"
+        spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(root, new_dir)
+        )
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_dir)
+        os.replace(tmp, ptr)  # the atomic commit point
+        return _dataset_files(os.path.join(root, new_dir))
 
 
 def write_bucketed(

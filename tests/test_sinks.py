@@ -84,6 +84,70 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(path).collect()} == before
 
 
+def test_compact_parquet_preserves_partitions(spark, tmp_path):
+    import os
+
+    from molgraphdb_spark.sources.writers import compact_parquet, write_partitioned
+
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [(i, "AF"[i % 2]) for i in range(400)], ["k", "status"]
+    ).repartition(20)
+    write_partitioned(df, path, ["status"])
+    before = {(r.k, r.status) for r in spark.read.parquet(path).collect()}
+    n = compact_parquet(spark, path, target_file_bytes=10**9)
+    # hive layout survives: key=value dirs still present, data intact
+    subdirs = {d for d in os.listdir(path) if d.startswith("status=")}
+    assert subdirs == {"status=A", "status=F"}
+    assert {(r.k, r.status) for r in spark.read.parquet(path).collect()} == before
+    assert n == 2  # one compacted file per partition directory
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("status") == "A")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan  # pruning still works post-compaction
+
+
+def test_compact_parquet_recovers_stale_old(spark, tmp_path):
+    import os
+
+    from molgraphdb_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "crashed")
+    spark.range(100).repartition(4).write.parquet(path)
+    # simulate a prior run that died between its two renames: data
+    # sits in ._old, the live path is gone
+    os.rename(path, path + "._old")
+    n = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert n == 1
+    assert {r.id for r in spark.read.parquet(path).collect()} == set(range(100))
+    assert not os.path.exists(path + "._old")
+
+
+def test_compact_current_zero_gap(spark, tmp_path):
+    import os
+
+    from molgraphdb_spark.sources.writers import (
+        compact_current,
+        merge_upsert,
+        read_current,
+    )
+
+    root = str(tmp_path / "managed")
+    df = spark.range(500).withColumnRenamed("id", "k").repartition(16)
+    merge_upsert(spark, root, df, ["k"])
+    v1 = open(os.path.join(root, "_CURRENT")).read().strip()
+    n = compact_current(spark, root, target_file_bytes=10**9)
+    assert n == 1
+    v2 = open(os.path.join(root, "_CURRENT")).read().strip()
+    assert v2 != v1  # committed a NEW snapshot via the pointer
+    assert os.path.isdir(os.path.join(root, v1))  # old snapshot not unlinked
+    assert {r.k for r in read_current(spark, root).collect()} == set(range(500))
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     from molgraphdb_spark.sources.writers import write_partitioned
 
