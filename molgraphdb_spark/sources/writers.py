@@ -235,6 +235,24 @@ def compact_current(
         return _dataset_files(os.path.join(root, new_dir))
 
 
+def metadata_set(spark: SparkSession, root: str, key: str, value: str) -> None:
+    """Keyed metadata store (S7 — the reference's ``metadata`` KV table,
+    /root/reference/main.py:164–169: ``key TEXT PRIMARY KEY, value
+    TEXT``). The PRIMARY-KEY upsert is merge_upsert on the key column —
+    same snapshot-swap atomicity, trivially small data."""
+    kv = spark.createDataFrame([(key, value)], "key string, value string")
+    merge_upsert(spark, root, kv, ["key"])
+
+
+def metadata_get(spark: SparkSession, root: str, key: str) -> str | None:
+    """Point lookup in the metadata KV store (None when absent)."""
+    current = read_current(spark, root)
+    if current is None:
+        return None
+    row = current.filter(current.key == key).select("value").first()
+    return None if row is None else row.value
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
 ) -> None:

@@ -148,6 +148,20 @@ def test_compact_current_zero_gap(spark, tmp_path):
     assert {r.k for r in read_current(spark, root).collect()} == set(range(500))
 
 
+def test_metadata_kv_roundtrip(spark, tmp_path):
+    from molgraphdb_spark.sources.writers import metadata_get, metadata_set
+
+    root = str(tmp_path / "meta")
+    assert metadata_get(spark, root, "schema_version") is None
+    metadata_set(spark, root, "schema_version", "1")
+    metadata_set(spark, root, "created_by", "molgraphdb_spark")
+    assert metadata_get(spark, root, "schema_version") == "1"
+    # PRIMARY KEY semantics: same key overwrites, no duplicate rows
+    metadata_set(spark, root, "schema_version", "2")
+    assert metadata_get(spark, root, "schema_version") == "2"
+    assert metadata_get(spark, root, "created_by") == "molgraphdb_spark"
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     from molgraphdb_spark.sources.writers import write_partitioned
 
