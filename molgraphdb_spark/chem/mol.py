@@ -286,11 +286,17 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
     recognized only when written lowercase (no Hückel electron count
     here; documented subset boundary)."""
     g = nx.Graph(list(mol.bonds))
+    # All simple 5/6-cycles, not a cycle basis: nx.cycle_basis returns a
+    # FUNDAMENTAL basis, which for peri-fused polycyclics (pyrene:
+    # [6,6,6,12]) omits some hexagonal faces entirely and would silently
+    # split the WL identity of Kekulé vs lowercase forms. length_bound
+    # enumeration is exact and cheap on molecular graphs (≤ tens of
+    # atoms; ring count is bounded by the cyclomatic number).
     try:
-        cycles = nx.cycle_basis(g)
+        cycles = nx.simple_cycles(g, length_bound=6)
+        rings = [c for c in cycles if len(c) in (5, 6)]
     except nx.NetworkXError:
         return
-    rings = [c for c in cycles if len(c) in (5, 6)]
     changed = True
     while changed:
         changed = False

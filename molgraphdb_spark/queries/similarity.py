@@ -361,17 +361,25 @@ DUP_THRESHOLD_UBP = 400_000  #: cosine >= 0.40 (in ubp units)
 MAX_EXACT_PAIRS_INPUT = 100_000
 
 
-def _guard_quadratic(df: DataFrame, name: str) -> DataFrame:
-    """Refuse to run an O(n²) exact baseline on more than
-    MAX_EXACT_PAIRS_INPUT rows. The count is one cheap column-pruned
-    job — nothing compared to the n² join it prevents."""
-    n = df.count()
+def _guard_quadratic(sf_dir: str, name: str) -> None:
+    """Refuse to build an O(n²) exact baseline over more than
+    MAX_EXACT_PAIRS_INPUT rows. The count comes from the parquet
+    footers (pyarrow dataset metadata) — exact, driver-side,
+    milliseconds — so query construction stays job-free and returns an
+    unexecuted plan like every other query in this package; plan-audit
+    paths that never execute the query pay nothing."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    n = ds.dataset(
+        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+    ).count_rows()
     if n > MAX_EXACT_PAIRS_INPUT:
         raise ValueError(
             f"{name}: exact-quadratic baseline refused on {n} rows "
             f"(> {MAX_EXACT_PAIRS_INPUT}); use the LSH/IVF scale path instead"
         )
-    return df
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,7 +394,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_lsh_topk / dedup_minhash_lsh_pairs); the downstream
     group-by is unchanged; a hard input-size guard refuses corpora
     beyond MAX_EXACT_PAIRS_INPUT."""
-    emb = _guard_quadratic(_emb(spark, sf_dir), "dedup_embedding_cosine")
+    _guard_quadratic(sf_dir, "dedup_embedding_cosine")
+    emb = _emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     pairs = (

@@ -139,6 +139,12 @@ def test_kekule_aromatic_identity():
         ("c1ccsc1", "C1=CC=CS1"),
         # fused: Kekulé indole perceives after its benzo ring does
         ("c1ccc2[nH]ccc2c1", "C1=CC=C2NC=CC2=C1"),
+        # peri-fused: pyrene's FUNDAMENTAL cycle basis is [6,6,6,12], so
+        # basis-driven perception finds 0/16 aromatic atoms — the
+        # all-simple-5/6-cycle enumeration finds every hexagonal face
+        ("c1cc2ccc3cccc4ccc(c1)c2c34", "C1=CC2=C3C(=C1)C=CC4=CC=CC(=C43)C=C2"),
+        # linear fused (anthracene) still converges via the fixpoint
+        ("c1ccc2cc3ccccc3cc2c1", "C1=CC2=CC3=CC=CC=C3C=C2C=C1"),
         # biphenyl: implicit inter-ring bond is a single (bridge), same
         # identity as the explicit '-' form
         ("c1ccccc1c1ccccc1", "c1ccccc1-c1ccccc1"),

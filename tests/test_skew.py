@@ -29,14 +29,24 @@ def test_salted_groupby_equals_plain(spark, sf_dir):
         for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert salted == plain
-def test_quadratic_guard_refuses_large_input(spark):
+def test_quadratic_guard_refuses_large_input(tmp_path, monkeypatch, sf_dir):
+    # The guard reads parquet FOOTER metadata (no Spark job, no Spark
+    # session needed at all) — construction of the quadratic baseline
+    # stays lazy like every other query.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import pytest
-    from pyspark.sql import functions as F
 
     from molgraphdb_spark.queries import similarity as sim
 
-    big = spark.range(sim.MAX_EXACT_PAIRS_INPUT + 1)
+    pq.write_table(
+        pa.table({"vec_id": list(range(20))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sim._guard_quadratic(str(tmp_path), "test")  # 20 <= default cap
+    monkeypatch.setattr(sim, "MAX_EXACT_PAIRS_INPUT", 10)
     with pytest.raises(ValueError, match="exact-quadratic baseline refused"):
-        sim._guard_quadratic(big, "test")
-    small = spark.range(10)
-    assert sim._guard_quadratic(small, "test") is small
+        sim._guard_quadratic(str(tmp_path), "test")
+    # real testdata passes under the default cap
+    monkeypatch.undo()
+    sim._guard_quadratic(sf_dir, "test")
