@@ -31,6 +31,17 @@ Scale notes (100 TB):
   into an equi-join on (band, band_hash) — the n² never materializes.
 - SimHash: one explode + groupBy per doc; the 32 bit-counters are
   plain sums, map-side combined.
+
+Cache lifetime: the ``.cache()`` calls below mark relations referenced
+2–3 times within ONE returned plan (Spark does not reuse exchanges
+across differently-projected references — 0 ReusedExchange, verified).
+They are lazy and scoped to the query's execution; they are NOT
+unpersisted here because the query functions return unexecuted plans
+and cannot know when the caller is done. Driver/oracle sessions run
+each query once so at most one shingle index is resident; a long-lived
+interactive session should call ``spark.catalog.clearCache()`` between
+query families (bench.py does exactly this per timed run so medians
+price the materialization, not a warm cache).
 """
 
 from __future__ import annotations
