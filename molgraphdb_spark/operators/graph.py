@@ -240,3 +240,85 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         if not obs.get.get("changed"):
             break
     return labels
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds independent of
+    graph DIAMETER, where min-label propagation
+    (:func:`connected_components`) needs O(diameter) rounds — the
+    difference between ~8 and ~1000 shuffles on a 100 TB dedup graph
+    with long similarity chains. Returns (id, component), component =
+    min vertex id, identical to :func:`connected_components`.
+
+    Per round, both stars compose into ONE lineage with ONE
+    localCheckpoint (1 job/round, same as min-label):
+      large-star: every node's strictly-larger neighbors re-point to
+        m(u) = min(N(u) ∪ {u});  small-star: every node and its
+        smaller neighbors re-point to the minimum of the smaller
+        neighborhood. No collect_list — both stars are a groupBy-min
+        plus an equi-join back to the edge list, so a high-degree hub
+        costs a join fan-out, never a single giant in-memory array.
+    Convergence = the canonical big→small edge set reaches a fixpoint,
+    detected by an order-independent xxhash64-sum fingerprint observed
+    on the checkpoint job itself (no extra comparison job; a 64-bit
+    sum collision is ~2⁻⁶⁴ per round).
+
+    Diagnostics: ``connected_components_star.last_rounds`` holds the
+    round count of the most recent call (tests assert the O(log n)
+    bound on a planted path graph)."""
+    verts = vertices(edges)
+    # canonical big→small pairs; self-loops drop out
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp: tuple = ()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star over the symmetrized view ------------------
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m_large = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        ls = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(m_large, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )  # invariant: src > dst
+        # -- small-star over the big→small output ------------------
+        m_small = ls.groupBy("src").agg(F.min("dst").alias("m"))
+        ss = (
+            ls.join(m_small, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .unionByName(m_small.select("src", F.col("m").alias("dst")))
+            .distinct()
+        )
+        obs = Observation()
+        e = ss.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode makes a bigint sum of 64-bit hashes
+            # throw on overflow; decimal(38,0) absorbs any edge count
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("fp"),
+        ).localCheckpoint()
+        got = obs.get
+        fp = (got.get("n"), got.get("fp"))
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    connected_components_star.last_rounds = rounds
+    return (
+        verts.join(e.groupBy("src").agg(F.min("dst").alias("c")), verts.id == F.col("src"), "left")
+        .select("id", F.coalesce("c", "id").alias("component"))
+    )

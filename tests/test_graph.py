@@ -121,3 +121,47 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
 def test_connected_components(edges):
     comp = {r.id: r.component for r in connected_components(edges).collect()}
     assert comp == {"A": "A", "B": "A", "C": "A", "D": "A", "X": "X", "Y": "X"}
+
+
+def test_connected_components_star_matches_min_label(edges):
+    from molgraphdb_spark.operators.graph import connected_components_star
+
+    comp = {r.id: r.component for r in connected_components_star(edges).collect()}
+    assert comp == {"A": "A", "B": "A", "C": "A", "D": "A", "X": "X", "Y": "X"}
+
+
+def test_connected_components_star_logarithmic_on_path(spark):
+    # A planted path graph is the adversarial case for min-label
+    # propagation (O(diameter) = 199 rounds here, beyond its max_iter);
+    # the alternating star algorithm must solve it in O(log n) rounds.
+    from molgraphdb_spark.operators.graph import connected_components_star
+
+    n = 200
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = {r.id: r.component for r in connected_components_star(path).collect()}
+    assert labels == {i: 0 for i in range(n)}
+    assert connected_components_star.last_rounds <= 12, (
+        connected_components_star.last_rounds
+    )
+
+
+def test_connected_components_star_random_graph_parity(spark):
+    # Star and min-label agree on an arbitrary multi-component graph
+    # (fixed seed; includes self-loops, isolated-by-self-loop vertices,
+    # duplicate and reversed edges).
+    import random
+
+    from molgraphdb_spark.operators.graph import connected_components_star
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    rows += [(77, 77), (200, 201)]
+    # min-label propagates src->dst only (contract: bidirectional edge
+    # table, as append_edges writes); star symmetrizes internally
+    rows += [(b, a) for a, b in rows]
+    g = spark.createDataFrame(rows, "src long, dst long")
+    a = {r.id: r.component for r in connected_components(g).collect()}
+    b = {r.id: r.component for r in connected_components_star(g).collect()}
+    assert a == b
