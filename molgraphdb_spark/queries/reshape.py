@@ -239,6 +239,46 @@ def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATUM_QUOTA = 40  #: documents kept per (lang, source) stratum
+
+
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of the documents corpus: keep
+    up to STRATUM_QUOTA docs per (lang, source) stratum, chosen by
+    md5(doc_id) order — the reproducible equivalent of "random k per
+    stratum" a training-data pipeline uses to balance mixtures across
+    languages/sources. Hash order makes the pick independent of both
+    ingestion order and engine, so holdout sets are stable across
+    reruns AND across engines (same property as
+    sample_systematic_orders, lifted to per-stratum quotas).
+
+    One shuffle on the stratum key; the per-stratum top-k is a window
+    over that same partitioning (rank + filter, no global sort). At
+    100 TB strata are large but the state per stratum is the k-row
+    heap, and the output is quota-bounded: |strata| × k rows."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    pick = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(pick.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= STRATUM_QUOTA)
+        .orderBy("lang", "source", "pick_rank")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, pick_rank FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS pick_rank
+  FROM documents)
+WHERE pick_rank <= {STRATUM_QUOTA}
+ORDER BY lang, source, pick_rank
+"""
+
+
 NTILE_SQL = """
 WITH totals AS (
   SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS lifetime_value
@@ -257,6 +297,7 @@ QUERIES = {
     "ntile_customer_value": ntile_customer_value,
     "full_outer_nation_profile": full_outer_nation_profile,
     "sample_systematic_orders": sample_systematic_orders,
+    "sample_stratified_docs": sample_stratified_docs,
     "pivot_status_by_priority": pivot_status_by_priority,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "grouping_sets_revenue": grouping_sets_revenue,
@@ -267,6 +308,7 @@ ORACLES = {
     "ntile_customer_value": NTILE_SQL,
     "full_outer_nation_profile": FULL_OUTER_SQL,
     "sample_systematic_orders": SAMPLE_SQL,
+    "sample_stratified_docs": SAMPLE_STRATIFIED_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
     "unpivot_lineitem_measures": UNPIVOT_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,

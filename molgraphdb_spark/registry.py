@@ -52,6 +52,8 @@ _PRIORITY = [
     "dedup_lsh_verified",
     "dedup_embedding_cosine",
     "graph_connected_components_summary",
+    # new this round (must be verified on debut)
+    "sample_stratified_docs",
     # r1-only relational tail (verified r1, outside r2's window)
     "full_outer_nation_profile",
     "sample_systematic_orders",
@@ -92,7 +94,9 @@ _PRIORITY = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "graph_triangle_count",
-    "graph_bfs_path_lengths",
+    # graph_bfs_path_lengths rotated out to stay at 50 entries: it is
+    # r2-green and untouched this round (1-round staleness, like the
+    # rest of the post-window tail)
 ]
 
 
