@@ -271,12 +271,111 @@ LIMIT 20
 """
 
 
+RARE_MAX_DF = 2  #: a token is "rare" when its corpus frequency is <= this
+
+
+def doc_line_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document line repetition — the classic Gopher/RefinedWeb
+    quality rule: boilerplate-heavy pages (nav bars, cookie banners,
+    templated listings) repeat whole lines, and a high duplicate-line
+    ratio flags them for removal before training. Entirely map-only:
+    literal '\\n' split + array_distinct per row, no explode, no
+    shuffle — the filter runs at scan throughput at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    n_uniq = F.size(F.array_distinct(lines))
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_uniq.alias("n_uniq_lines"),
+        F.when(n_lines == 0, F.lit(0))
+        .otherwise(F.floor((n_lines - n_uniq) * 10000.0 / n_lines + 0.5))
+        .cast("long")
+        .alias("dup_line_bp"),
+    ).orderBy("doc_id")
+
+
+DOC_LINE_DEDUP_SQL = """
+WITH l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM documents
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(list_distinct(lines)) AS n_uniq_lines,
+       CAST(CASE WHEN len(lines) = 0 THEN 0
+                 ELSE floor((len(lines) - len(list_distinct(lines))) * 10000.0
+                            / len(lines) + 0.5) END AS BIGINT) AS dup_line_bp
+FROM l
+ORDER BY doc_id
+"""
+
+
+def doc_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token ratio: the share of tokens whose CORPUS
+    frequency is <= RARE_MAX_DF — a cheap OOV/noise signal (gibberish,
+    mangled encodings, and machine-generated junk score high; clean
+    prose scores low). All-integer arithmetic, so the oracle hashes
+    exactly.
+
+    Two shuffles at any scale: one groupBy(token) for corpus
+    frequencies, one groupBy(doc_id) to re-aggregate after the
+    token→frequency join. The frequency relation is Zipf-shaped but
+    the join key is the token itself, so AQE's skew split handles the
+    head terms; no driver-side vocabulary ever materializes."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("df") <= RARE_MAX_DF).cast("long")).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        F.floor(F.col("n_rare") * 10000.0 / F.col("n_tokens") + 0.5)
+        .cast("long")
+        .alias("rare_bp"),
+    ).orderBy("doc_id")
+
+
+DOC_RARE_TOKEN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN f.df <= {RARE_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(floor(SUM(CASE WHEN f.df <= {RARE_MAX_DF} THEN 1 ELSE 0 END) * 10000.0
+                  / COUNT(*) + 0.5) AS BIGINT) AS rare_bp
+FROM tok t JOIN freq f USING (tok)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
     "doc_language_id": doc_language_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_ngram_topk": doc_ngram_topk,
+    "doc_line_dedup_ratio": doc_line_dedup_ratio,
+    "doc_rare_token_ratio": doc_rare_token_ratio,
 }
 
 ORACLES = {
@@ -285,4 +384,6 @@ ORACLES = {
     "doc_language_id": DOC_LANGUAGE_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_ngram_topk": DOC_NGRAM_SQL,
+    "doc_line_dedup_ratio": DOC_LINE_DEDUP_SQL,
+    "doc_rare_token_ratio": DOC_RARE_TOKEN_SQL,
 }

@@ -54,6 +54,8 @@ _PRIORITY = [
     "graph_connected_components_summary",
     # new this round (must be verified on debut)
     "sample_stratified_docs",
+    "doc_line_dedup_ratio",
+    "doc_rare_token_ratio",
     # r1-only relational tail (verified r1, outside r2's window)
     "full_outer_nation_profile",
     "sample_systematic_orders",
@@ -91,12 +93,10 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "dedup_clusters",
     "similarity_cosine_topk",
-    "similarity_lsh_topk",
     "similarity_ivf_topk",
-    "graph_triangle_count",
-    # graph_bfs_path_lengths rotated out to stay at 50 entries: it is
-    # r2-green and untouched this round (1-round staleness, like the
-    # rest of the post-window tail)
+    # graph_triangle_count / graph_bfs_path_lengths / similarity_lsh_topk
+    # rotated out to keep 50 entries: all r2-green and untouched this
+    # round (1-round staleness, like the rest of the post-window tail)
 ]
 
 
