@@ -23,21 +23,31 @@ from molgraphdb_spark.sources.tables import load_table
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load events, normalizing the nanosecond-precision parquet
-    timestamp to Spark's microsecond TIMESTAMP.
+    """Load events, normalizing ``ts`` to Spark's microsecond
+    TIMESTAMP regardless of how the parquet writer encoded it.
 
-    The driver's events.parquet stores ``ts`` as INT64
-    TIMESTAMP(NANOS), which Spark's vectorized parquet reader rejects
-    outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
-    (``nanosAsLong``) and floor-divide to micros — the same µs
-    truncation DuckDB applies when it maps parquet ns → its internal
-    µs TIMESTAMP, so both engines see identical instants.
+    The driver has shipped this table in two formats so far, and the
+    reader must accept both (plus the trivial third):
+
+    - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      ([PARQUET_TYPE_ILLEGAL]) unless ``nanosAsLong`` maps it to
+      bigint; we then floor-divide to micros — the same µs truncation
+      DuckDB applies for parquet ns, so both engines see identical
+      instants.
+    - µs TIMESTAMP_NTZ (``isAdjustedToUTC=false``): Spark infers
+      ``timestamp_ntz``; the session timezone is pinned UTC (see
+      :func:`molgraphdb_spark.session.tune`), so the NTZ→TZ cast is
+      instant-preserving and matches DuckDB's naive-as-UTC reading.
+    - µs TIMESTAMP (UTC-adjusted): already what we want; no-op.
     """
     tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    dtype = dict(ev.dtypes).get("ts")
+    if dtype == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

@@ -24,40 +24,66 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from molgraphdb_spark.session import tune
 from pyspark.sql.types import (
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-#: Parquet schema of events with the ns timestamp read as long
-#: (spark.sql.legacy.parquet.nanosAsLong — streaming reads need an
-#: explicit schema; see queries/events.py for the batch rationale).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanoseconds since epoch
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_type) -> StructType:
+    """Events schema with ``ts`` in whatever physical type the parquet
+    files actually carry (streaming reads need an explicit schema)."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: Legacy alias: the ns-as-long variant (kept for callers that stage
+#: their own ns-format fixtures).
+EVENTS_RAW_SCHEMA = _events_raw_schema(LongType())
 
 
 def read_events_stream(spark: SparkSession, events_dir: str, max_files: int = 1) -> DataFrame:
     """File-source stream over a directory of events parquet files,
-    normalizing the ns timestamp to Spark micros exactly like the
-    batch reader."""
+    normalizing ``ts`` to Spark micros exactly like the batch reader
+    (queries/events.py::_events).
+
+    The physical ``ts`` type is probed from the files' footers with a
+    one-off batch read (cheap: schema only, no scan) — the driver has
+    shipped both INT64 TIMESTAMP(NANOS) and µs TIMESTAMP_NTZ, and a
+    hardcoded schema silently mis-scales one of them. readStream needs
+    the schema declared up front, so probe-then-declare is the only
+    format-robust shape.
+    """
+    tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = {f.name: f.dataType for f in spark.read.parquet(events_dir).schema.fields}
+    ts_type = probed.get("ts", TimestampNTZType())
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("maxFilesPerTrigger", max_files)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        # ns-as-bigint → floor to µs
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # wall-clock µs; session tz is pinned UTC so the cast is
+        # instant-preserving
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
