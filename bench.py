@@ -75,24 +75,32 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         runs = []
-        for _ in range(n_runs):
-            # Cold-cache per run: queries that .cache() a multiply-
-            # referenced relation (neardup/LSH shingle index) would
-            # otherwise hit run 1's materialized cache via Spark's
-            # logical-plan cache matching, making the median a warm
-            # number that hides the materialization cost the headline
-            # claims to measure. JVM/codegen warmth is intended and
-            # stays (see the warmup block above).
-            spark.catalog.clearCache()
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+        # Fault isolation: one failing query must cost exactly one
+        # "errors" entry, never the whole round's record (round 3's
+        # BENCH file was a traceback because query 7 of 21 threw).
+        try:
+            for _ in range(n_runs):
+                # Cold-cache per run: queries that .cache() a multiply-
+                # referenced relation (neardup/LSH shingle index) would
+                # otherwise hit run 1's materialized cache via Spark's
+                # logical-plan cache matching, making the median a warm
+                # number that hides the materialization cost the headline
+                # claims to measure. JVM/codegen warmth is intended and
+                # stays (see the warmup block above).
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            continue
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         mins[name] = round(runs[0], 3)
@@ -106,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": mins,
+                "errors": errors,
                 "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -31,72 +31,56 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.relational",
 ]
 
-# Round-3 verification window (first 50): the 7 rows red in
-# CORRECTNESS_r02 (3 oracle-type hash fails, now cast; 4 newly-oracled
-# no_oracle queries), then every query whose code or oracle changed this
-# round, then the 28 relational-tail queries last verified in round 1,
-# then the heaviest round-2-green algorithmic queries. The 28 entries
-# past the cap are all round-2-green and untouched, so their staleness
-# is exactly one round.
+# Round-4 verification window (first 50). Round 3 proved that
+# "green last round + code untouched" does not imply "still runs" —
+# the driver regenerated events.parquet with a new timestamp encoding
+# and three rotated-out temporal queries broke silently. So r4 leads
+# with the four NTZ-broken-now-fixed queries, then re-verifies ALL 31
+# entries rotated out of r3 (staleness reset to 0 across the board),
+# then new/changed code this round. Everything past the cap was green
+# in r3 itself (1-round staleness), and a full-registry plan-build
+# smoke (tests/test_registry_smoke.py) now guards the rotated-out tail
+# against environment drift between rounds.
 _PRIORITY = [
-    # red in r02 — fixed this round
+    # NTZ-broken in r3 (sessionize red in-window; asof/range/ohlc broken
+    # out-of-window) — fixed this round, must re-verify first
     "events_sessionize",
-    "mm_metadata_summary",
-    "similarity_ivf_recall",
-    "graph_pagerank_top",
-    "approx_distinct_parts",
-    "chem_edit_expansion",
-    "chem_exact_ged_pairs",
-    # code/oracle touched this round
-    "neardup_jaccard_pairs",
-    "dedup_lsh_verified",
-    "dedup_embedding_cosine",
-    "graph_connected_components_summary",
-    # new this round (must be verified on debut)
-    "sample_stratified_docs",
-    "doc_line_dedup_ratio",
-    "doc_rare_token_ratio",
-    # r1-only relational tail (verified r1, outside r2's window)
-    "full_outer_nation_profile",
-    "sample_systematic_orders",
-    "pivot_status_by_priority",
-    "unpivot_lineitem_measures",
-    "grouping_sets_revenue",
-    "quantiles_price_by_flag",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "filter_project_pushdown",
-    "distinct_count_customers",
-    "group_count_orderstatus",
-    "topk_orders_per_customer",
-    "multikey_sort_parts",
-    "cross_pairs_nations",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "agg_stats_lineitem",
-    "window_running_total",
-    "rollup_region_nation",
-    "case_bucket_orders",
-    "string_funcs_customers",
-    "orders_above_customer_avg",
-    "orders_monthly_revenue",
-    "ship_delay_stats",
-    "supplier_part_sets",
-    "cube_status_priority",
-    "null_handling_discounts",
-    # heaviest r2-green algorithmic queries fill the window
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    "events_asof_join",
+    "events_range_join",
+    "events_ohlc_resample",
+    # remaining events family (same _events reader path, rotated out of r3)
+    "events_hourly_counts",
+    "events_tumbling_window",
+    "events_json_extract",
+    "events_lag_lead_delta",
+    "events_gap_fill",
+    # rest of the 31 rotated-out-of-r3 entries
+    "similarity_lsh_topk",
+    "similarity_label_bands",
+    "graph_triangle_count",
+    "graph_bfs_path_lengths",
+    "graph_degree_histogram",
+    "graph_common_suppliers",
+    "chem_pharma_profile",
+    "chem_pharma_overlap",
+    "chem_subgraph_display",
+    "chem_subgraph_counts",
+    "chem_tanimoto_pairs",
+    "chem_subgraph_catalog_hist",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_language_id",
+    "doc_fingerprint",
+    "doc_ngram_topk",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "setop_except_nations",
+    "ntile_customer_value",
+    # code changed this round (dedup_clusters perf dispatch)
     "dedup_clusters",
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    # graph_triangle_count / graph_bfs_path_lengths / similarity_lsh_topk
-    # rotated out to keep 50 entries: all r2-green and untouched this
-    # round (1-round staleness, like the rest of the post-window tail)
+    # new queries this round debut here (inserted as they land)
 ]
 
 

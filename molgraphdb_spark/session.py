@@ -8,8 +8,48 @@ AQE, Arrow) is set via runtime conf in :func:`tune` at call time.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+#: applicationIds the package zip has already been shipped to — addPyFile
+#: is once-per-app, not per-query.
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``molgraphdb_spark`` importable on Python workers regardless
+    of the driver's cwd.
+
+    Worker processes resolve imports through their own sys.path; when
+    the engine is driven from outside the repo root, every
+    mapInPandas/applyInPandas UDF that references this package dies
+    with ModuleNotFoundError. Shipping the package as a py-file zip
+    (the cluster-standard mechanism — on a real cluster this is
+    ``spark-submit --py-files``) removes the cwd dependence. Runtime
+    ``addPyFile`` is used instead of builder conf so it also covers
+    sessions we did not build (the driver owns the session in verify
+    runs).
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "molgraphdb_spark_pyfiles.zip")
+    tmp_path = zip_path + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    os.replace(tmp_path, zip_path)  # atomic: concurrent sessions see a whole file
+    sc.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app)
 
 
 def get_spark(app_name: str = "molgraphdb-spark", cpus: int | None = None) -> SparkSession:
@@ -48,4 +88,5 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    _ship_package(spark)
     return spark

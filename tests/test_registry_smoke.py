@@ -1,0 +1,37 @@
+"""Full-registry plan-build smoke: every registered query must at least
+ANALYZE against the current testdata.
+
+Round 3's lesson: the driver regenerated events.parquet with a new
+timestamp encoding between rounds, and three queries that were green in
+round 2 (and therefore rotated out of round 3's 50-entry verification
+window) broke without any code change. Rotation policy can only reason
+about code staleness; this gate covers environment staleness.
+
+Cost: plan-build only — ``fn(spark, sf_dir).schema`` forces analysis
+(footer reads + Catalyst resolution) but runs no job, so the whole
+81-query sweep is seconds, not minutes. Any AnalysisException (missing
+column, type mismatch, rejected parquet type) fails here the round it
+appears, not the round the rotation window happens to revisit it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from molgraphdb_spark.registry import all_oracles, all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_builds(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.schema is not None and len(df.schema.fields) > 0
+
+
+def test_every_query_has_oracle():
+    """The driver's strong (value-hash) gate needs an oracle per query;
+    a registry entry silently missing its oracle downgrades to the weak
+    rows-only check without anyone noticing."""
+    missing = sorted(set(QUERIES) - set(all_oracles()))
+    assert missing == [], f"queries without oracle SQL: {missing}"
