@@ -588,17 +588,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the sorted member list.
 
     Composition of two scale-safe operators already in the engine:
-    the banding join (no n² comparison) and alternating large-star/
-    small-star CC — O(log n) Observation-metered rounds regardless of
-    component DIAMETER, where min-label propagation is O(diameter)
-    (a long similarity chain at 100 TB would mean thousands of
-    shuffles). At 100 TB the pair graph is tiny relative to the
-    corpus — CC runs on pairs only, never on unpaired documents."""
+    the banding join (no n² comparison) and size-dispatched connected
+    components — min-label propagation (cheap rounds) while the pair
+    graph is small, alternating large-star/small-star (O(log n)
+    rounds regardless of component DIAMETER; a long similarity chain
+    at 100 TB would mean thousands of min-label shuffles) once it
+    crosses the dispatch threshold. At 100 TB the pair graph is tiny
+    relative to the corpus — CC runs on pairs only, never on unpaired
+    documents."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    from molgraphdb_spark.operators.graph import connected_components_star
+    from molgraphdb_spark.operators.graph import connected_components_auto
 
-    cc = connected_components_star(edges)
+    cc = connected_components_auto(edges)
     return (
         cc.groupBy(F.col("component").alias("cluster_id"))
         .agg(

@@ -165,3 +165,43 @@ def test_connected_components_star_random_graph_parity(spark):
     a = {r.id: r.component for r in connected_components(g).collect()}
     b = {r.id: r.component for r in connected_components_star(g).collect()}
     assert a == b
+
+
+def test_connected_components_auto_dispatch_and_parity(spark):
+    # auto matches both underlying algorithms and records which path ran
+    import random
+
+    from molgraphdb_spark.operators.graph import (
+        connected_components_auto,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(60), rng.randrange(60)) for _ in range(90)]
+    rows += [(b, a) for a, b in rows]
+    g = spark.createDataFrame(rows, "src long, dst long")
+    want = {r.id: r.component for r in connected_components_star(g).collect()}
+
+    small = {r.id: r.component for r in connected_components_auto(g).collect()}
+    assert connected_components_auto.last_strategy == "minlabel"
+    assert small == want
+
+    # force the star path with a zero threshold
+    big = {r.id: r.component for r in connected_components_auto(g, small_graph_edges=0).collect()}
+    assert connected_components_auto.last_strategy == "star"
+    assert big == want
+
+
+def test_connected_components_auto_escalates_on_unconverged(spark):
+    # a path graph with max_small_iter=1 cannot converge via min-label;
+    # auto must escalate to star instead of returning wrong labels
+    from molgraphdb_spark.operators.graph import connected_components_auto
+
+    n = 12
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)] + [(i + 1, i) for i in range(n)],
+        "src long, dst long",
+    )
+    labels = {r.id: r.component for r in connected_components_auto(path, max_small_iter=1).collect()}
+    assert connected_components_auto.last_strategy == "minlabel→star"
+    assert set(labels.values()) == {0} and len(labels) == n + 1
