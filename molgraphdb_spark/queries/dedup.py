@@ -640,6 +640,93 @@ FROM comp GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step after cluster
+    resolution in a real pipeline: within each duplicate cluster keep
+    the highest-quality member (here: longest text, ties to the
+    smallest doc_id) and account for what was dropped. Emits one row
+    per multi-document cluster: the keeper, cluster size, kept chars,
+    and discarded chars (the dedup savings a corpus report quotes).
+
+    Scale: reuses the size-dispatched CC of dedup_clusters; the
+    member→document join shuffles on doc_id; per-cluster keeper
+    selection is a groupBy with a max_by-style struct-max — one
+    shuffle, map-side combinable, no window sort."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    from molgraphdb_spark.operators.graph import connected_components_auto
+
+    cc = connected_components_auto(edges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = cc.join(docs, cc.id == docs.doc_id).select(
+        F.col("component").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    # keeper = max over (n_chars, -doc_id): struct-ordering max gives
+    # argmax without a per-cluster window sort
+    keeper = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            keeper.alias("k"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("k.neg_id")).cast("long").alias("keep_doc_id"),
+            "n_docs",
+            F.col("k.n_chars").alias("kept_chars"),
+            (F.col("total_chars") - F.col("k.n_chars")).alias("dropped_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL_CTE},
+sig AS (
+  SELECT doc_id,
+         {_MH_MIN_SQL}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{_BAND_SQL}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+members AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM members
+)
+SELECT m.cluster_id,
+       MAX(CASE WHEN r.rn = 1 THEN r.doc_id END) AS keep_doc_id,
+       COUNT(*) AS n_docs,
+       MAX(CASE WHEN r.rn = 1 THEN r.n_chars END) AS kept_chars,
+       SUM(m.n_chars) - MAX(CASE WHEN r.rn = 1 THEN r.n_chars END) AS dropped_chars
+FROM members m
+JOIN ranked r ON r.cluster_id = m.cluster_id AND r.doc_id = m.doc_id
+GROUP BY m.cluster_id
+ORDER BY m.cluster_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
@@ -649,6 +736,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLES = {
@@ -660,4 +748,5 @@ ORACLES = {
     "dedup_minhash_signatures": DEDUP_MINHASH_SQL,
     "dedup_minhash_lsh_pairs": DEDUP_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
 }

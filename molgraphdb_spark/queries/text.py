@@ -368,6 +368,188 @@ ORDER BY t.doc_id
 """
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 terms — the classic relevance/keyword
+    signal a data pipeline uses for topic tagging and near-dup triage.
+
+    Determinism across engines: tfidf is materialized as integer
+    milli-units (floor(tf·ln((N+1)/(df+1))·1000 + .5)) and the per-doc
+    ranking orders by that integer (then term), so float ulp drift can
+    never reorder the top-k.
+
+    Scale: two shuffles — groupBy(doc, term) for tf and groupBy(term)
+    for df; the corpus size N is a 1-row broadcast, and the df
+    relation joins back on the term key (Zipf head handled by AQE skew
+    split). No driver-side vocabulary."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("tfidf_milli"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_milli"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", F.col("tok").alias("term"), "tf", "df", "tfidf_milli")
+        .orderBy("doc_id", "rank")
+    )
+
+
+DOC_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1000 + 0.5)
+              AS BIGINT) AS tfidf_milli
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, tf, df, tfidf_milli,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_milli DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term, tf, df, tfidf_milli
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+#: Word-boundary regexes shared by Spark (Java regex) and DuckDB (RE2):
+#: \b, non-capturing groups, and bounded repetition behave identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+BLOCKLIST = r"\b(?:spark|vector|stream)\b"
+BLOCKLIST_MAX_HITS = 8
+
+
+def doc_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex content filtering — the PII-scrub + blocklist gate every
+    training-data pipeline runs before a corpus ships: count email and
+    IPv4 literals (redaction targets) and blocklist-term hits, and
+    emit the keep/drop decision (any PII ⇒ drop; more than
+    BLOCKLIST_MAX_HITS blocklist hits ⇒ drop).
+
+    Map-only: three regexp_extract_all projections per row, zero
+    shuffle — runs at scan throughput at any corpus size, and the
+    filter composes with partition pruning upstream."""
+    docs = _docs(spark, sf_dir)
+    n_email = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), F.lit(0)))
+    n_block = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BLOCKLIST), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_block.alias("n_blocklist"),
+        (
+            (n_email == 0) & (n_ipv4 == 0) & (n_block <= BLOCKLIST_MAX_HITS)
+        ).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+DOC_CONTENT_FILTER_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(lower(text), '{BLOCKLIST}')) AS n_blocklist,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) = 0
+            AND len(regexp_extract_all(text, '{PII_IPV4}')) = 0
+            AND len(regexp_extract_all(lower(text), '{BLOCKLIST}')) <= {BLOCKLIST_MAX_HITS}
+            AS INT) AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
+DECONTAM_EVAL_MOD = 97  #: doc_id % this == 0 ⇒ held-out "benchmark" doc
+DECONTAM_NGRAM = 3  #: word n-gram order for the overlap check
+DECONTAM_MIN_OVERLAP = 2  #: shared distinct n-grams to flag contamination
+
+
+def doc_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing
+    ≥ DECONTAM_MIN_OVERLAP distinct word-3-grams with a held-out eval
+    split (here a deterministic doc_id slice standing in for the
+    benchmark suite). The standard n-gram-overlap decontamination from
+    GPT-3/PaLM data work.
+
+    Scale: the eval split is tiny relative to a 100 TB corpus, so its
+    exploded 5-gram set BROADCASTs; the train side is a map-only
+    explode that never shuffles full text — only matched (train, eval)
+    gram hits reach the final groupBy."""
+    docs = _docs(spark, sf_dir)
+    grams = F.expr(
+        "transform(sequence(0, size(t) - 3),"
+        " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    )
+    with_grams = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    exploded = with_grams.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    ev = exploded.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    train = exploded.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= DECONTAM_MIN_OVERLAP)
+        .orderBy("train_doc_id", "eval_doc_id")
+    )
+
+
+DOC_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM toks WHERE len(t) >= 3
+)
+SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+       COUNT(*) AS n_shared_ngrams
+FROM grams tr
+JOIN grams ev ON tr.gram = ev.gram
+WHERE tr.doc_id % {DECONTAM_EVAL_MOD} <> 0 AND ev.doc_id % {DECONTAM_EVAL_MOD} = 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= {DECONTAM_MIN_OVERLAP}
+ORDER BY train_doc_id, eval_doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -376,6 +558,9 @@ QUERIES = {
     "doc_ngram_topk": doc_ngram_topk,
     "doc_line_dedup_ratio": doc_line_dedup_ratio,
     "doc_rare_token_ratio": doc_rare_token_ratio,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_content_filter": doc_content_filter,
+    "doc_decontaminate_overlap": doc_decontaminate_overlap,
 }
 
 ORACLES = {
@@ -386,4 +571,7 @@ ORACLES = {
     "doc_ngram_topk": DOC_NGRAM_SQL,
     "doc_line_dedup_ratio": DOC_LINE_DEDUP_SQL,
     "doc_rare_token_ratio": DOC_RARE_TOKEN_SQL,
+    "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+    "doc_content_filter": DOC_CONTENT_FILTER_SQL,
+    "doc_decontaminate_overlap": DOC_DECONTAM_SQL,
 }

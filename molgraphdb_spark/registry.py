@@ -80,7 +80,14 @@ _PRIORITY = [
     "ntile_customer_value",
     # code changed this round (dedup_clusters perf dispatch)
     "dedup_clusters",
-    # new queries this round debut here (inserted as they land)
+    # new queries this round debut here
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "doc_tfidf_top_terms",
+    "doc_content_filter",
+    "doc_decontaminate_overlap",
+    "dedup_keep_best",
 ]
 
 
