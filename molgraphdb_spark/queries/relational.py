@@ -729,13 +729,236 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between two nations — double-dimension join
+# with a pair predicate + year rollup. Scale: both nation maps broadcast;
+# the fact tables shuffle once on orderkey; the pair filter prunes
+# before the group-by.
+# --------------------------------------------------------------------------
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution — LEFT join preserving
+# order-less customers, two-level aggregation. Scale: one shuffle on
+# custkey, one (tiny) on the count.
+# --------------------------------------------------------------------------
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18: large-volume customers — HAVING over a fact-side pre-agg
+# that then drives a semi-filtered join. Scale: the qualifying-order
+# set is tiny after the HAVING, so it broadcasts into the detail join;
+# lineitem is aggregated once on its natural orderkey clustering.
+# --------------------------------------------------------------------------
+Q18_MIN_QTY = 320
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate"),
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(total_qty, 2) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_MIN_QTY}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19: disjunctive multi-clause predicate over a join — the
+# classic OR-of-ANDs the optimizer must keep push-down-able. Scale:
+# part broadcasts; the common qty bound (the OR's hull) still prunes
+# the fact scan.
+# --------------------------------------------------------------------------
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22: global sales opportunity — scalar-subquery threshold +
+# anti join, grouped by nation. Scale: the AVG is a 1-row broadcast;
+# the anti join is a shuffle-free broadcast-anti when the date-bounded
+# custkey set is small, else a shuffled left-anti on custkey. (Adapted:
+# every sf0.01 customer has SOME order, so "dormant" is defined as no
+# order since Q22_CUTOFF instead of no order ever — same anti-join
+# shape, non-degenerate result.)
+# --------------------------------------------------------------------------
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+Q22_CUTOFF = "2000-01-01"
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(*Q22_NATIONS))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= Q22_CUTOFF),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN {Q22_NATIONS}
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0 AND c_nationkey IN {Q22_NATIONS})
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q22_sales_opportunity": q22_sales_opportunity,
     "filter_project_pushdown": filter_project_pushdown,
     "distinct_count_customers": distinct_count_customers,
     "group_count_orderstatus": group_count_orderstatus,
@@ -762,8 +985,13 @@ ORACLES = {
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q7_volume_shipping": Q7_SQL,
     "q10_returned_items": Q10_SQL,
+    "q13_customer_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q22_sales_opportunity": Q22_SQL,
     "filter_project_pushdown": FILTER_PROJECT_SQL,
     "distinct_count_customers": DISTINCT_COUNT_SQL,
     "group_count_orderstatus": GROUP_COUNT_SQL,

@@ -383,7 +383,11 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     split). No driver-side vocabulary."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the score and the df aggregation; Spark does not
+    # reuse exchanges across differently-projected references, so an
+    # uncached tf would tokenize the corpus twice (lazy cache — far
+    # smaller than the text it summarizes)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -88,6 +88,11 @@ _PRIORITY = [
     "doc_content_filter",
     "doc_decontaminate_overlap",
     "dedup_keep_best",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
 ]
 
 
