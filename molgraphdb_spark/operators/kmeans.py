@@ -1,0 +1,115 @@
+"""DataFrame-native Lloyd's k-means for coarse-quantizer (IVF) training.
+
+The IVF queries in queries/similarity.py use deterministic centroids
+(vec_id < k) — correct for the oracle gate, but a production ANN index
+trains its coarse quantizer. This operator is the training step,
+expressed Spark-first:
+
+- **Assignment is map-only.** Centroids are k×d floats — trivially
+  driver-collectable at any corpus scale (k ≤ thousands, d ≤
+  thousands) — and are inlined as a literal array, so each iteration's
+  assignment is a single `F.aggregate` argmin fold per row inside
+  whole-stage codegen: no join, no shuffle, no Python.
+- **Update is one aggregation.** Component sums are d parallel
+  `F.sum(v[i])` columns (static d read from the schema's first row),
+  so the per-iteration shuffle moves exactly k×(d+1) partial
+  aggregates per map task — map-side combined, independent of row
+  count. No posexplode (which would shuffle n×d rows).
+- **n_iter driver jobs total**, one per Lloyd round (plus the init
+  collect) — the standard big-data k-means shape (same plan MLlib's
+  KMeans produces, without the RDD/legacy-API detour).
+
+Determinism: init is the first k rows by ascending id (no RNG — the
+repo-wide design rule), and ties in the argmin resolve to the lowest
+centroid id. Float component sums depend on partition reduce order, so
+exact centroid bits are NOT reproducible across partitionings; tests
+assert invariants (partition coverage, WCSS monotonicity, cluster
+count) rather than exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def assign_cells(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-only nearest-centroid assignment: adds ``cid`` (and the
+    squared distance ``d2``) to ``df`` via a literal-array argmin fold.
+    Ties resolve to the lowest centroid id (strict < keeps the first).
+    """
+    cent_arr = _centroid_literal(cents)
+    v = F.col(vec_col)
+
+    def d2(c: Column) -> Column:
+        diff = F.zip_with(v, c["cv"], lambda x, y: x - y)
+        return _dot(diff, diff)
+
+    init = F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cid"))
+    best = F.aggregate(
+        cent_arr,
+        init,
+        lambda acc, c: F.when(
+            d2(c) < acc["d2"], F.struct(d2(c).alias("d2"), c["cid"].alias("cid"))
+        ).otherwise(acc),
+    )
+    return df.withColumn("_best", best).select(
+        "*", F.col("_best.cid").alias("cid"), F.col("_best.d2").alias("d2")
+    ).drop("_best")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_iter: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Train k centroids by ``n_iter`` Lloyd rounds; returns
+    ``[(cid, centroid_vector), ...]`` ordered by cid.
+
+    Empty-cluster rule: a cell that captures no points keeps its
+    previous centroid (the standard practical fallback)."""
+    d = len(df.select(vec_col).first()[0])
+    first_k = (
+        df.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col).collect()
+    )
+    cents = [(i, list(map(float, r[1]))) for i, r in enumerate(first_k)]
+    for _ in range(n_iter):
+        assigned = assign_cells(df, vec_col, cents)
+        rows = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col(vec_col)[i]).alias(f"s{i}") for i in range(d)],
+            )
+            .collect()
+        )
+        new = dict(cents)
+        for r in rows:
+            new[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(d)]
+        cents = sorted(new.items())
+    return cents
+
+
+def kmeans_wcss(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> float:
+    """Within-cluster sum of squares under ``cents`` (one job)."""
+    return assign_cells(df, vec_col, cents).agg(F.sum("d2")).first()[0]

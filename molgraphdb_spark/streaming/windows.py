@@ -226,3 +226,37 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.processAllAvailable()
     return q
+
+
+def run_to_merge_sink(
+    stream_df: DataFrame,
+    root: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """Drain a stream into the engine's MERGE snapshot store via
+    ``foreachBatch`` — the production sink shape for windowed
+    aggregates: each micro-batch upserts by ``keys``, so REPLAYED
+    batches (restart after a crash between sink-commit and
+    checkpoint-commit) overwrite rather than duplicate. Idempotent
+    sink + checkpointed offsets = end-to-end exactly-once for
+    deterministic aggregates — the standard Structured Streaming
+    recipe, here against the same merge_upsert used by batch (one
+    sink implementation, two execution modes).
+
+    Update-mode output keeps micro-batches small: only windows whose
+    aggregate changed are re-emitted (and re-merged)."""
+    from molgraphdb_spark.sources.writers import merge_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, root, batch_df, keys)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

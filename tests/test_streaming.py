@@ -135,3 +135,48 @@ def test_stateful_running_totals(spark, sf_dir, events_stream_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_foreachbatch_merge_sink_idempotent(spark, sf_dir, events_stream_dir, tmp_path):
+    """Stream → foreachBatch MERGE snapshot sink: final state equals the
+    batch answer, and replaying the whole stream (fresh checkpoint, same
+    sink root — the worst-case duplicate delivery) leaves the snapshot
+    unchanged (idempotent upsert by key)."""
+    from molgraphdb_spark.sources.writers import read_current
+    from molgraphdb_spark.streaming.windows import read_events_stream, run_to_merge_sink, tumbling_counts
+
+    root = str(tmp_path / "merge_root")
+
+    def snapshot():
+        cur = read_current(spark, root)
+        return sorted(
+            (r.window_start, r.event_type, r.n_events, round(r.total_value, 6))
+            for r in cur.collect()
+        )
+
+    ev = read_events_stream(spark, events_stream_dir)
+    run_to_merge_sink(
+        tumbling_counts(ev), root, ["window_start", "event_type"], str(tmp_path / "ckpt1")
+    )
+    first = snapshot()
+
+    want = sorted(
+        (r.window_start, r.event_type, r.n_events, round(r.total_value, 6))
+        for r in events_tumbling_window(spark, sf_dir)
+        .join(
+            _events(spark, sf_dir)
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "total_value"),
+            ["window_start", "event_type"],
+        )
+        .collect()
+    )
+    assert first == want and len(first) > 0
+
+    # replay: same data, fresh checkpoint → every batch re-delivered
+    ev2 = read_events_stream(spark, events_stream_dir)
+    run_to_merge_sink(
+        tumbling_counts(ev2), root, ["window_start", "event_type"], str(tmp_path / "ckpt2")
+    )
+    assert snapshot() == first
