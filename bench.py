@@ -42,6 +42,11 @@ HEADLINE = [
     "chem_tanimoto_pairs",
     "chem_pharma_profile",
     "mm_feature_extract",
+    # added round 4 (new-query coverage; absent from r2/r3 baselines)
+    "q10_returned_items",
+    "doc_tfidf_top_terms",
+    "doc_decontaminate_overlap",
+    "dedup_keep_best",
 ]
 
 

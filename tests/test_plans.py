@@ -101,3 +101,56 @@ def test_asof_join_single_shuffle_per_side(spark, sf_dir):
     # for the final orderBy's range partitioning)
     assert s["n_exchanges"] <= 2
     assert not s["has_python_worker"]
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from molgraphdb_spark.queries.relational import q6_forecast_revenue
+
+    s = plan_summary(q6_forecast_revenue(spark, sf_dir))
+    joined = ";".join(s["pushed_filters"])
+    assert "l_shipdate" in joined and "l_discount" in joined and "l_quantity" in joined
+    # 4-column read out of 11 (shipdate, discount, quantity, extendedprice)
+    assert len(s["read_columns"]) == 4
+    assert not s["has_python_worker"]
+
+
+def test_q10_broadcasts_dims_single_shuffle(spark, sf_dir):
+    from molgraphdb_spark.queries.relational import q10_returned_items
+
+    s = plan_summary(q10_returned_items(spark, sf_dir))
+    # nation explicitly broadcast; AQE broadcasts the filtered orders
+    # and customer sides too on this data — at minimum the hint holds
+    assert s["n_broadcast_joins"] >= 1
+    # returnflag + both date bounds pushed to the scans
+    joined = ";".join(s["pushed_filters"])
+    assert "l_returnflag" in joined and "o_orderdate" in joined
+    assert not s["has_python_worker"]
+
+
+def test_q18_preagg_broadcast(spark, sf_dir):
+    from molgraphdb_spark.queries.relational import q18_large_orders
+
+    s = plan_summary(q18_large_orders(spark, sf_dir))
+    # the HAVING-filtered order set must reach the detail join as a
+    # broadcast, not a shuffle of orders
+    assert s["n_broadcast_joins"] >= 1
+    assert not s["has_python_worker"]
+
+
+def test_content_filter_map_only(spark, sf_dir):
+    from molgraphdb_spark.queries.text import doc_content_filter
+
+    s = plan_summary(doc_content_filter(spark, sf_dir))
+    assert not s["has_python_worker"]
+    # per-doc regex scoring shuffles only for the final presentation sort
+    assert s["n_exchanges"] <= 1
+
+
+def test_decontam_broadcasts_eval_side(spark, sf_dir):
+    from molgraphdb_spark.queries.text import doc_decontaminate_overlap
+
+    s = plan_summary(doc_decontaminate_overlap(spark, sf_dir))
+    # the tiny eval split must broadcast; the train-side gram explode
+    # must never hit a cartesian/shuffled join against it
+    assert s["n_broadcast_joins"] >= 1
+    assert not s["has_python_worker"]
