@@ -462,6 +462,49 @@ ORDER BY same_label, cos_band
 """
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene stats per label: L2-norm min/mean/max
+    and zero-vector count — the sanity pass every embedding pipeline
+    runs before indexing (un-normalized or degenerate vectors poison
+    cosine ANN). Map-only per-row fold + one tiny groupBy(label)
+    shuffle; norms in integer micro-units (floor) for cross-engine
+    float identity."""
+    emb = _emb(spark, sf_dir)
+    norm_u = F.floor(F.sqrt(_dot(F.col("v"), F.col("v"))) * 1_000_000 + 0.5).cast("long")
+    return (
+        emb.select("label", norm_u.alias("norm_u"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm_u").alias("min_norm_u"),
+            F.floor(F.avg("norm_u") + 0.5).cast("long").alias("mean_norm_u"),
+            F.max("norm_u").alias("max_norm_u"),
+            F.sum((F.col("norm_u") == 0).cast("long")).alias("n_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_NORM_SQL = """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT label,
+         CAST(floor(sqrt(list_dot_product(v, v)) * 1000000 + 0.5) AS BIGINT) AS norm_u
+  FROM e
+)
+SELECT label, COUNT(*) AS n_vecs,
+       MIN(norm_u) AS min_norm_u,
+       CAST(floor(AVG(norm_u) + 0.5) AS BIGINT) AS mean_norm_u,
+       MAX(norm_u) AS max_norm_u,
+       CAST(SUM(CASE WHEN norm_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM n
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -469,6 +512,7 @@ QUERIES = {
     "similarity_ivf_recall": similarity_ivf_recall,
     "similarity_label_bands": similarity_label_bands,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_norm_stats": embedding_norm_stats,
 }
 
 ORACLES = {
@@ -478,4 +522,5 @@ ORACLES = {
     "similarity_ivf_topk": SIM_IVF_SQL,
     "similarity_label_bands": SIM_BANDS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
+    "embedding_norm_stats": EMB_NORM_SQL,
 }

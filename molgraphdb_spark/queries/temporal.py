@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from molgraphdb_spark.operators.asof import asof_join, interval_point_join
 from molgraphdb_spark.queries.events import _events
@@ -196,11 +197,87 @@ ORDER BY bar_start_us, event_type
 """
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 10-minute windows every 5 minutes via
+    ``F.window(ts, '10 minutes', '5 minutes')`` — each event lands in
+    exactly two windows; the same expression runs incrementally under
+    Structured Streaming. Oracle: each event's two window starts are
+    floor(epoch/300)*300 and that minus 300, generated by unnest.
+
+    Scale: the window generator doubles rows map-side, then one
+    shuffle on (window, type) with partial aggregation — state at
+    stream scale is O(open windows x types), bounded by the
+    watermark."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH starts AS (
+  SELECT event_type,
+         unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS start_s
+  FROM events
+)
+SELECT make_timestamp(start_s * 1000000) AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregate: per event, the count and mean of
+    the same user's events in the trailing hour — RANGE BETWEEN (a
+    time interval) rather than ROWS BETWEEN, the window shape ROWS
+    can't express when events are irregularly spaced. One shuffle on
+    user_id; the frame is evaluated with a sliding-range scan inside
+    each partition (no self-join, no explode).
+
+    Micros-integer frame bound on both engines so the hour boundary is
+    exact; mean emitted in integer micro-units (floor) for
+    cross-engine float identity."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000 + 1, 0)  # (ts - 1h, ts]
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.floor(F.avg("value").over(w) * 1_000_000 + 0.5).cast("long").alias("avg_value_u"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(floor(AVG(value) OVER w * 1000000 + 0.5) AS BIGINT) AS avg_value_u
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "events_ohlc_resample": events_ohlc_resample,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_gap_fill": events_gap_fill,
+    "events_sliding_window": events_sliding_window,
+    "events_rolling_hour_avg": events_rolling_hour_avg,
 }
 
 ORACLES = {
@@ -208,4 +285,6 @@ ORACLES = {
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_range_join": EVENTS_RANGE_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "events_sliding_window": EVENTS_SLIDING_SQL,
+    "events_rolling_hour_avg": EVENTS_ROLLING_SQL,
 }

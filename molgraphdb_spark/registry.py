@@ -93,6 +93,9 @@ _PRIORITY = [
     "q18_large_orders",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
+    "events_sliding_window",
+    "events_rolling_hour_avg",
+    "embedding_norm_stats",
 ]
 
 
