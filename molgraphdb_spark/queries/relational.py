@@ -947,6 +947,50 @@ ORDER BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Data profiling: per-column null counts / exact NDV / min-max in ONE
+# aggregation pass — the ANALYZE TABLE-shaped statistics a pipeline
+# collects before planning joins and validating landed data. Scale:
+# single scan; the multi-distinct rewrites to one Expand + two-phase
+# aggregate (map-side partials), never one job per column.
+# --------------------------------------------------------------------------
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nulls"),
+        F.countDistinct("l_quantity").alias("qty_ndv"),
+        F.round(F.min("l_quantity"), 2).alias("qty_min"),
+        F.round(F.max("l_quantity"), 2).alias("qty_max"),
+        F.sum(F.col("l_discount").isNull().cast("long")).alias("disc_nulls"),
+        F.countDistinct("l_discount").alias("disc_ndv"),
+        F.round(F.min("l_discount"), 2).alias("disc_min"),
+        F.round(F.max("l_discount"), 2).alias("disc_max"),
+        F.countDistinct("l_returnflag").alias("flag_ndv"),
+        F.min("l_returnflag").alias("flag_min"),
+        F.max("l_returnflag").alias("flag_max"),
+        F.countDistinct("l_orderkey").alias("order_ndv"),
+    )
+
+
+PROFILE_LINEITEM_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+       COUNT(DISTINCT l_quantity) AS qty_ndv,
+       ROUND(MIN(l_quantity), 2) AS qty_min,
+       ROUND(MAX(l_quantity), 2) AS qty_max,
+       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS disc_nulls,
+       COUNT(DISTINCT l_discount) AS disc_ndv,
+       ROUND(MIN(l_discount), 2) AS disc_min,
+       ROUND(MAX(l_discount), 2) AS disc_max,
+       COUNT(DISTINCT l_returnflag) AS flag_ndv,
+       MIN(l_returnflag) AS flag_min,
+       MAX(l_returnflag) AS flag_max,
+       COUNT(DISTINCT l_orderkey) AS order_ndv
+FROM lineitem
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -959,6 +1003,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
+    "profile_lineitem": profile_lineitem,
     "filter_project_pushdown": filter_project_pushdown,
     "distinct_count_customers": distinct_count_customers,
     "group_count_orderstatus": group_count_orderstatus,
@@ -992,6 +1037,7 @@ ORACLES = {
     "q18_large_orders": Q18_SQL,
     "q19_discounted_revenue": Q19_SQL,
     "q22_sales_opportunity": Q22_SQL,
+    "profile_lineitem": PROFILE_LINEITEM_SQL,
     "filter_project_pushdown": FILTER_PROJECT_SQL,
     "distinct_count_customers": DISTINCT_COUNT_SQL,
     "group_count_orderstatus": GROUP_COUNT_SQL,

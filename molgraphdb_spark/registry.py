@@ -96,6 +96,7 @@ _PRIORITY = [
     "events_sliding_window",
     "events_rolling_hour_avg",
     "embedding_norm_stats",
+    "profile_lineitem",
 ]
 
 
