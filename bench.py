@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from molgraphdb_spark.session import get_spark
+from molgraphdb_spark.session import get_spark, tune
 from molgraphdb_spark.registry import all_queries
 
 HEADLINE = [
@@ -54,6 +54,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("molgraphdb-bench")
+    tune(spark)  # ships the package zip to workers before the warmup uses it
     queries = all_queries()
 
     # Steady-state warmup so the first measured query isn't charged
@@ -62,6 +63,11 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     def _boot(it):
+        # Import the engine inside the worker so the pool both spins up
+        # AND pays the py-files zip import here, not in the first
+        # measured chem/mm query (~3 s first-touch otherwise).
+        import molgraphdb_spark.chem.mol  # noqa: F401
+
         yield from it
 
     spark.range(32).repartition(32).mapInPandas(_boot, schema="id long").write.format(
