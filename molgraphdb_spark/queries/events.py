@@ -191,12 +191,96 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged funnel analysis: per user, the first view, the first
+    click AFTER that view, the first purchase AFTER that click —
+    ordered-sequence matching, the canonical event-analytics op that a
+    naive self-join cubes. Three conditional-min window passes over
+    the SAME user_id partitioning (one shuffle total — Spark reuses
+    the exchange/sort for identical window specs), then a global
+    rollup of stage-reach counts with a basis-point conversion."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("view_ts").alias("view_ts"),
+        F.max("click_ts").alias("click_ts"),
+        F.max("purchase_ts").alias("purchase_ts"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("view_ts").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("click_ts").isNotNull().cast("long")).alias("n_view_click"),
+        F.sum(F.col("purchase_ts").isNotNull().cast("long")).alias("n_full_funnel"),
+        F.floor(
+            F.sum(F.col("purchase_ts").isNotNull().cast("long"))
+            * 10000.0
+            / F.sum(F.col("view_ts").isNotNull().cast("long"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("conversion_bp"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS view_ts
+  FROM events
+), c AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > view_ts THEN ts END)
+            OVER (PARTITION BY user_id) AS click_ts
+  FROM v
+), p AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > click_ts THEN ts END)
+            OVER (PARTITION BY user_id) AS purchase_ts
+  FROM c
+), u AS (
+  SELECT user_id, MAX(view_ts) AS view_ts, MAX(click_ts) AS click_ts,
+         MAX(purchase_ts) AS purchase_ts
+  FROM p GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+       CAST(floor(SUM(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) * 10000.0
+                  / SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END) + 0.5) AS BIGINT) AS conversion_bp
+FROM u
+"""
+
+
 QUERIES = {
     "events_hourly_counts": events_hourly_counts,
     "events_tumbling_window": events_tumbling_window,
     "events_json_extract": events_json_extract,
     "events_sessionize": events_sessionize,
     "events_lag_lead_delta": events_lag_lead_delta,
+    "events_funnel": events_funnel,
 }
 
 ORACLES = {
@@ -205,4 +289,5 @@ ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_lag_lead_delta": EVENTS_LAG_LEAD_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
 }

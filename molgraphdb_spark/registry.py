@@ -97,6 +97,7 @@ _PRIORITY = [
     "events_rolling_hour_avg",
     "embedding_norm_stats",
     "profile_lineitem",
+    "events_funnel",
 ]
 
 
