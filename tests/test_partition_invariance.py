@@ -1,0 +1,42 @@
+"""Partition-count invariance: query results must be identical under
+different shuffle parallelism — the property that makes local[4]
+correctness evidence transfer to a 1000-executor cluster, and the one
+float-order-dependent or hash()-dependent code silently breaks.
+
+Exercises the algorithmic families most at risk: iterative CC
+(dedup_clusters), map-fold signatures (minhash), corpus-frequency
+joins (tfidf), and window sequencing (funnel, sessionize)."""
+
+from __future__ import annotations
+
+import pytest
+
+from molgraphdb_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+AT_RISK = [
+    "dedup_clusters",
+    "dedup_minhash_signatures",
+    "doc_tfidf_top_terms",
+    "events_funnel",
+    "events_sessionize",
+    "embedding_norm_stats",
+]
+
+
+def _rows(spark, name, sf_dir, partitions):
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = QUERIES[name](spark, sf_dir)
+        return sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+
+@pytest.mark.parametrize("name", AT_RISK)
+def test_result_invariant_under_shuffle_partitions(name, spark, sf_dir):
+    a = _rows(spark, name, sf_dir, 2)
+    b = _rows(spark, name, sf_dir, 17)  # odd, non-divisor parallelism
+    assert a == b and len(a) > 0
