@@ -214,6 +214,69 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# Containment near-dup: asymmetric doc-in-doc detection.
+# --------------------------------------------------------------------------
+CONTAINMENT_MIN_BP = 8000  #: flag pairs with containment >= 0.8
+
+
+def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: containment(A,B) =
+    |A∩B| / min(|A|,|B|) over 3-shingle sets — catches a short
+    document embedded in a longer one (quotes, wrappers, boilerplate
+    around a copied core), which symmetric Jaccard misses because the
+    union is dominated by the longer side.
+
+    Same inverted-index self-join as neardup_jaccard_pairs (shared
+    cached shingle relation; quadratic only within posting lists);
+    emits both the containment and the Jaccard so downstream policy
+    can distinguish subset-dups from full-dups."""
+    sh = _shingle_rows(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    cont_bp = F.floor(cont * 10000 + 0.5).cast("long")
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b", "n_common",
+            cont_bp.alias("containment_bp"),
+            F.floor(jac * 10000 + 0.5).cast("long").alias("jaccard_bp"),
+        )
+        .filter(F.col("containment_bp") >= CONTAINMENT_MIN_BP)
+        .orderBy("id_a", "id_b")
+    )
+
+
+NEARDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_SQL_CTE},
+{_SHF_SQL_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b, n_common,
+         CAST(floor((n_common * 1.0 / least(x.n_sh, y.n_sh)) * 10000 + 0.5) AS BIGINT) AS containment_bp,
+         CAST(floor((n_common * 1.0 / (x.n_sh + y.n_sh - n_common)) * 10000 + 0.5) AS BIGINT) AS jaccard_bp
+  FROM pairs JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+)
+SELECT * FROM scored
+WHERE containment_bp >= {CONTAINMENT_MIN_BP}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash signatures: k 32-bit lanes sliced from ceil(k/4) salted md5s.
 # --------------------------------------------------------------------------
 def _sig_df(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
@@ -737,6 +800,7 @@ QUERIES = {
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "neardup_containment_pairs": neardup_containment_pairs,
 }
 
 ORACLES = {
@@ -749,4 +813,5 @@ ORACLES = {
     "dedup_minhash_lsh_pairs": DEDUP_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "neardup_containment_pairs": NEARDUP_CONTAINMENT_SQL,
 }

@@ -75,7 +75,6 @@ _PRIORITY = [
     "doc_fingerprint",
     "doc_ngram_topk",
     "setop_intersect_nations",
-    "setop_union_nations",
     "setop_except_nations",
     "ntile_customer_value",
     # code changed this round (dedup_clusters perf dispatch)
@@ -98,6 +97,11 @@ _PRIORITY = [
     "embedding_norm_stats",
     "profile_lineitem",
     "events_funnel",
+    "neardup_containment_pairs",
+    # setop_union_nations yields its slot to the containment debut: it
+    # is the lowest-risk rotated-out entry (trivial UNION on the 25-row
+    # nation table, r2-green, untouched since r1, plan-smoke-guarded);
+    # it re-enters the r5 window.
 ]
 
 
