@@ -180,3 +180,29 @@ def test_foreachbatch_merge_sink_idempotent(spark, sf_dir, events_stream_dir, tm
         tumbling_counts(ev2), root, ["window_start", "event_type"], str(tmp_path / "ckpt2")
     )
     assert snapshot() == first
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    from molgraphdb_spark.queries.temporal import events_sliding_window
+    from molgraphdb_spark.streaming.windows import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, events_stream_dir)
+    sliding = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = run_to_memory(sliding, "t_sliding")
+    try:
+        got = {
+            (r.window_start, r.event_type): r.n_events
+            for r in spark.table("t_sliding").collect()
+        }
+        want = {
+            (r.window_start, r.event_type): r.n_events
+            for r in events_sliding_window(spark, sf_dir).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
