@@ -1,0 +1,62 @@
+"""Compare two bench JSON records and flag per-query movers.
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [threshold]
+
+Accepts either a raw bench.py output line ({"metric": ...}) or a
+driver BENCH_r{N}.json wrapper ({"parsed": {...}}). Prints one line
+per query with the ratio, sorted worst-first, and exits nonzero if any
+query moved more than ``threshold``× (default 2.0) in either
+direction — so a round's perf regression is a visible diff, not a
+number someone has to eyeball across files.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no 'queries' key (crashed bench record?)")
+    return d
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    old, new = _load(sys.argv[1]), _load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    rows = []
+    for name, t_new in new["queries"].items():
+        t_old = old["queries"].get(name)
+        if t_old is None:
+            rows.append((float("nan"), name, t_old, t_new, "NEW"))
+            continue
+        ratio = t_new / t_old if t_old else float("inf")
+        flag = "SLOWER" if ratio > threshold else ("FASTER" if ratio < 1 / threshold else "")
+        rows.append((ratio, name, t_old, t_new, flag))
+    for name in old["queries"].keys() - new["queries"].keys():
+        rows.append((float("nan"), name, old["queries"][name], None, "GONE"))
+    rows.sort(key=lambda r: -(r[0] if r[0] == r[0] else 0))
+    bad = 0
+    for ratio, name, t_old, t_new, flag in rows:
+        r = f"{ratio:6.2f}x" if ratio == ratio else "    — "
+        print(f"{name:34s} {t_old if t_old is not None else '—':>8} → "
+              f"{t_new if t_new is not None else '—':>8}  {r}  {flag}")
+        if flag in ("SLOWER", "FASTER"):
+            bad += 1
+    errs = new.get("errors") or {}
+    for name, e in errs.items():
+        print(f"{name:34s} ERROR: {e}")
+    print(f"\n{bad} queries moved >{threshold}x; {len(errs)} errored")
+    sys.exit(1 if (bad or errs) else 0)
+
+
+if __name__ == "__main__":
+    main()
