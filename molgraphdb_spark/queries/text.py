@@ -554,6 +554,79 @@ ORDER BY train_doc_id, eval_doc_id
 """
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the cheap perplexity proxy a
+    pretraining pipeline uses when a real LM is too expensive for a
+    first pass: score(doc) = mean −log p(token) under the corpus's own
+    unigram distribution (add-one smoothed). Gibberish and
+    boilerplate-heavy docs score high/low respectively vs typical
+    prose.
+
+    Determinism engineering: the per-token −ln p is floored to INTEGER
+    milli-nats first and then SUMMED AS INTEGERS — float addition is
+    partition-order dependent, integer addition is not, so the result
+    is bit-stable at any parallelism (the property
+    tests/test_partition_invariance.py enforces).
+
+    Scale: one groupBy(token) for the model, one broadcast-friendly
+    join back on token, one groupBy(doc) — the same two-shuffle shape
+    as doc_rare_token_ratio; the unigram model is Zipf-skewed and AQE
+    splits the head keys."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    totals = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    n_total = totals.agg(
+        F.sum("tf").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = (
+        tok.join(totals, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log((F.col("tf") + 1.0) / (F.col("n_tokens") + F.col("vocab")))
+                * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("neglogp_milli"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("neglogp_milli").alias("sum_neglogp_milli"),
+            F.floor(F.sum("neglogp_milli") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_neglogp_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_UNIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), model AS (
+  SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok
+), n AS (
+  SELECT SUM(tf) AS n_tokens, COUNT(*) AS vocab FROM model
+), scored AS (
+  SELECT t.doc_id,
+         CAST(floor(-ln((m.tf + 1.0) / (n.n_tokens + n.vocab)) * 1000 + 0.5) AS BIGINT) AS neglogp_milli
+  FROM tok t JOIN model m USING (tok) CROSS JOIN n
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       SUM(neglogp_milli) AS sum_neglogp_milli,
+       CAST(floor(SUM(neglogp_milli) * 1.0 / COUNT(*)) AS BIGINT) AS mean_neglogp_milli
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -565,6 +638,7 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_content_filter": doc_content_filter,
     "doc_decontaminate_overlap": doc_decontaminate_overlap,
+    "doc_unigram_logprob": doc_unigram_logprob,
 }
 
 ORACLES = {
@@ -578,4 +652,5 @@ ORACLES = {
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_content_filter": DOC_CONTENT_FILTER_SQL,
     "doc_decontaminate_overlap": DOC_DECONTAM_SQL,
+    "doc_unigram_logprob": DOC_UNIGRAM_SQL,
 }

@@ -74,7 +74,6 @@ _PRIORITY = [
     "doc_language_id",
     "doc_fingerprint",
     "doc_ngram_topk",
-    "setop_intersect_nations",
     "setop_except_nations",
     "ntile_customer_value",
     # code changed this round (dedup_clusters perf dispatch)
@@ -98,10 +97,12 @@ _PRIORITY = [
     "profile_lineitem",
     "events_funnel",
     "neardup_containment_pairs",
-    # setop_union_nations yields its slot to the containment debut: it
-    # is the lowest-risk rotated-out entry (trivial UNION on the 25-row
-    # nation table, r2-green, untouched since r1, plan-smoke-guarded);
-    # it re-enters the r5 window.
+    "doc_unigram_logprob",
+    # setop_union_nations / setop_intersect_nations yield their slots
+    # to the last two debuts: they are the lowest-risk rotated-out
+    # entries (trivial set ops on the 25-row nation table, r2-green,
+    # untouched since r1, plan-smoke-guarded); they re-enter the r5
+    # window first.
 ]
 
 

@@ -22,6 +22,7 @@ AT_RISK = [
     "events_funnel",
     "events_sessionize",
     "embedding_norm_stats",
+    "doc_unigram_logprob",  # integer-milli log sums — the order-free-sum case
 ]
 
 
