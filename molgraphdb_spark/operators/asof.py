@@ -48,6 +48,7 @@ def asof_join(
     tiebreak: str | None = None,
     suffix: str = "_r",
     allow_exact: bool = True,
+    tolerance_micros: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach the most recent
     right row with the same key and ``right_ts <= left_ts`` (strict
@@ -58,6 +59,12 @@ def asof_join(
     can collide). Right payload columns come back suffixed, plus
     ``asof_ts{suffix}`` = the matched right timestamp; all are NULL
     when no right row precedes the left row.
+
+    ``tolerance_micros`` bounds staleness (pandas ``merge_asof``
+    tolerance): a match older than ``left_ts − tolerance`` is treated
+    as no-match (NULL payload). Applied as a post-predicate on the
+    matched struct — the window pass is unchanged, so the plan shape
+    (one shuffle per side) is identical with or without it.
     """
     keys = list(on)
     rcols = list(right_cols) if right_cols is not None else [
@@ -102,6 +109,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = l2.unionByName(r2).withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+    if tolerance_micros is not None:
+        fresh = F.unix_micros(F.col("_match.asof_ts")) >= (
+            F.unix_micros(F.col("_ats")) - F.lit(int(tolerance_micros))
+        )
+        filled = filled.withColumn("_match", F.when(fresh, F.col("_match")))
     out = filled.filter(F.col("_side") == 0).select(
         *keys,
         F.col("_ats").alias(left_ts),

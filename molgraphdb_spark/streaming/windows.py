@@ -260,3 +260,60 @@ def run_to_merge_sink(
     )
     q.awaitTermination()
     return q
+
+
+try:  # transformWithState landed in Spark 4.0; guard for older runtimes.
+    # NOTE: running a TWS query additionally requires the
+    # ``google.protobuf`` package (the Python driver worker speaks the
+    # state-server protocol over protobuf) and the RocksDB state store;
+    # in an environment without protobuf the query crashes at PRE_INIT
+    # and the applyInPandasWithState twin below is the supported path.
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        """transformWithStateInPandas twin of _running_totals — the
+        modern arbitrary-state API (typed state variables, timers,
+        TTL support) that supersedes applyInPandasWithState. Both
+        implementations are kept: same semantics, two state APIs,
+        and the stream==batch test pins them to the batch answer."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        """Streaming running totals per user via transformWithStateInPandas.
+
+        transformWithState requires the RocksDB state store (the
+        HDFS-backed default provider does not implement the
+        multi-column-family layout typed state variables use); set per
+        session before the query starts."""
+        events.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover — pre-4.0 runtime
+    running_user_totals_tws = None

@@ -120,3 +120,20 @@ def test_interval_join_left_keeps_empty(spark):
     rows = {r.iid: r.pid for r in out.collect()}
     assert rows == {10: 1, 11: None}
     assert out.count() == 2
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    left, right = _asof_fixture(spark)
+    # lid=101 at t=20 matches rid=903 at t=15 (5 min stale); a 4-minute
+    # tolerance must null it while keeping the exact/fresh matches
+    out = asof_join(
+        left, right, on=["k"], right_cols=["rid"], tiebreak="rid",
+        tolerance_micros=4 * 60 * 1_000_000,
+    )
+    got = {r.lid: r.rid_r for r in out.collect()}
+    assert got[100] == 902  # exact-ts match, zero staleness
+    assert got[101] is None  # 5 min stale > 4 min tolerance
+    assert got[102] is None and got[103] is None  # unchanged no-matches
+    # matched timestamp nulls in lockstep with the payload
+    ts = {r.lid: r.asof_ts_r for r in out.collect()}
+    assert ts[101] is None and ts[100] is not None

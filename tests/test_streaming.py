@@ -206,3 +206,34 @@ def test_sliding_stream_equals_batch(spark, sf_dir, events_stream_dir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_tws(spark, sf_dir, events_stream_dir):
+    """transformWithStateInPandas (the modern arbitrary-state API) must
+    produce the same final per-user totals as the batch aggregation and
+    the applyInPandasWithState twin."""
+    from molgraphdb_spark.streaming.windows import running_user_totals_tws
+
+    if running_user_totals_tws is None:
+        pytest.skip("transformWithStateInPandas unavailable")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        # The TWS state-server protocol speaks protobuf from the Python
+        # driver worker; without the google.protobuf package the query
+        # crashes at PRE_INIT (verified: StateMessage_pb2 ImportError).
+        pytest.skip("google.protobuf not installed — TWS state protocol unavailable")
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(running_user_totals_tws(ev), "t_running_tws", output_mode="update")
+    try:
+        got = {r.user_id: (r.n, round(r.total, 6)) for r in spark.table("t_running_tws").collect()}
+        want = {
+            r.user_id: (r.n, round(r.total, 6))
+            for r in _events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
