@@ -29,6 +29,19 @@ def test_plan_builds(name, spark, sf_dir):
     assert df.schema is not None and len(df.schema.fields) > 0
 
 
+def test_priority_window_names_are_real():
+    """A typo in _PRIORITY silently drops the entry from the first-50
+    verification window (reorder keeps only names present in the
+    registry) — exactly the kind of quiet coverage shrink the rotation
+    policy can't see."""
+    from molgraphdb_spark.registry import _PRIORITY
+
+    unknown = sorted(set(_PRIORITY) - set(QUERIES))
+    assert unknown == [], f"_PRIORITY entries not in registry: {unknown}"
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY entries"
+    assert len(_PRIORITY) <= 50, "window overflow: driver verifies only first 50"
+
+
 def test_every_query_has_oracle():
     """The driver's strong (value-hash) gate needs an oracle per query;
     a registry entry silently missing its oracle downgrades to the weak
