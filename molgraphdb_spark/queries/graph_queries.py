@@ -89,7 +89,10 @@ def graph_bfs_path_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices within BFS_DEPTH waves — the reference's shortest-path
     query generalized to one-to-all."""
     edges = purchase_edges(spark, sf_dir)
-    source = 2 * int(load_table(spark, sf_dir, "orders").agg(F.min("o_custkey")).first()[0])
+    min_cust = load_table(spark, sf_dir, "orders").agg(F.min("o_custkey")).first()[0]
+    # empty orders → no source vertex; BFS over the (also empty) edge
+    # set from a sentinel id correctly yields zero reachable rows
+    source = 2 * int(min_cust if min_cust is not None else 0)
     dists = bfs_distances(edges, source, max_depth=BFS_DEPTH)
     return dists.select(_fmt_id(F.col("id")).alias("id"), "dist").orderBy("dist", "id")
 

@@ -191,15 +191,26 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").collect(),
         key=lambda r: r.vec_id,
     )
-    cent_arr = F.array(
-        *[
+    if cents:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r.vec_id)).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+                )
+                for r in cents
+            ]
+        )
+    else:
+        # Empty corpus slice → F.array() of zero structs is untyped and
+        # breaks field extraction; a typed sentinel centroid keeps the
+        # plan analyzable (no rows flow through it — emb is empty too).
+        cent_arr = F.array(
             F.struct(
-                F.lit(int(r.vec_id)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+                F.lit(-1).alias("cid"),
+                F.array().cast("array<double>").alias("cv"),
             )
-            for r in cents
-        ]
-    )
+        )
 
     def cell_score(c: Column, v: Column) -> Column:
         return _ubp(_dot(v, c["cv"]) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c["cv"], c["cv"]))))
