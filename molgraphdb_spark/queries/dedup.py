@@ -144,22 +144,29 @@ shf AS (
 # Exact dedup: hash-groupBy on the normalized content hash.
 # --------------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-text rule: md5(NULL) is NULL, and a hash-partitioned window
+    would put every null-text document (crawl errors, decode failures)
+    in ONE dup group — at corpus scale that mass-cans unrelated rows.
+    Null-hash docs are their own canonical and never a dup group."""
     docs = _norm_docs(spark, sf_dir)
     hashed = docs.select("doc_id", F.md5("norm").alias("content_hash"))
     w = Window.partitionBy("content_hash")
+    has_hash = F.col("content_hash").isNotNull()
     return hashed.select(
         "doc_id",
         "content_hash",
-        F.min("doc_id").over(w).alias("canonical_id"),
-        (F.count(F.lit(1)).over(w) > 1).cast("int").alias("is_dup_group"),
+        F.when(has_hash, F.min("doc_id").over(w)).otherwise(F.col("doc_id")).alias("canonical_id"),
+        (has_hash & (F.count(F.lit(1)).over(w) > 1)).cast("int").alias("is_dup_group"),
     )
 
 
 DEDUP_EXACT_SQL = """
 SELECT doc_id,
        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
-       MIN(doc_id) OVER w AS canonical_id,
-       CAST(COUNT(*) OVER w > 1 AS INT) AS is_dup_group
+       CASE WHEN md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) IS NOT NULL
+            THEN MIN(doc_id) OVER w ELSE doc_id END AS canonical_id,
+       CAST(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) IS NOT NULL
+            AND COUNT(*) OVER w > 1 AS INT) AS is_dup_group
 FROM documents
 WINDOW w AS (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
 """

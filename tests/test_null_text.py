@@ -1,0 +1,56 @@
+"""NULL-text robustness: crawl errors and decode failures land as NULL
+text at pipeline scale. Text/dedup queries must not throw, and —
+critically — exact dedup must NOT cluster all null-text documents into
+one duplicate group (md5(NULL) = NULL would share a single window
+partition and mass-cans unrelated rows)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+TEXT_FAMILY = [
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_language_id",
+    "doc_fingerprint",
+    "doc_content_filter",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+]
+
+
+@pytest.fixture(scope="module")
+def nulled_sf_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("null_text_sf")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("text"))
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings".split()
+    ):
+        os.symlink(os.path.join(sf_dir, f"{t}.parquet"), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TEXT_FAMILY)
+def test_text_family_survives_null_text(name, spark, nulled_sf_dir):
+    QUERIES[name](spark, nulled_sf_dir).collect()  # must not throw
+
+
+def test_exact_dedup_never_groups_null_text(spark, nulled_sf_dir):
+    out = QUERIES["dedup_exact"](spark, nulled_sf_dir)
+    nulls = out.filter(F.col("content_hash").isNull())
+    assert nulls.count() > 0  # the fixture planted them
+    rows = nulls.collect()
+    assert all(r.is_dup_group == 0 for r in rows)
+    assert all(r.canonical_id == r.doc_id for r in rows)
