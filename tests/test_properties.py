@@ -111,3 +111,75 @@ def test_overlap_metrics_bounds(mol):
     assert 0.0 <= m["tanimoto"] <= 1.0
     assert m["ged_approx"] >= 0.0
     assert m["n_shared"] <= min(len(h), len(other))
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs pandas merge_asof (the reference implementation)
+# ---------------------------------------------------------------------------
+import pandas as pd
+from hypothesis import settings
+
+from molgraphdb_spark.operators.asof import asof_join
+
+_asof_cases = st.tuples(
+    st.lists(  # left: (key, ts_second)
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # right: (key, ts_second) — unique ts per key below
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),
+        min_size=0, max_size=12,
+    ),
+    st.sampled_from([None, 60, 200]),  # tolerance seconds
+)
+
+
+@given(_asof_cases)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(case):
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # property runs inside the session-scoped suite
+        from molgraphdb_spark.session import get_spark
+
+        spark = get_spark("asof-prop", cpus=2)
+    lrows, rrows, tol = case
+    # merge_asof semantics need unique right ts per key for a unique
+    # answer; dedupe (keep one) and sort
+    rseen = {}
+    for k, t in rrows:
+        rseen[(k, t)] = True
+    rrows = sorted(rseen)
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {"k": [k for k, _ in lrows],
+         "ts": [base + pd.Timedelta(seconds=t) for _, t in lrows],
+         "lid": range(len(lrows))}
+    ).sort_values("ts", kind="stable").reset_index(drop=True)
+    rpdf = pd.DataFrame(
+        {"k": pd.Series([k for k, _ in rrows], dtype="int64"),
+         "ts": pd.Series([base + pd.Timedelta(seconds=t) for _, t in rrows],
+                          dtype="datetime64[ns]"),
+         "rid": pd.Series([100 + i for i in range(len(rrows))], dtype="int64")}
+    ).sort_values("ts", kind="stable").reset_index(drop=True)
+
+    want_df = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="k", suffixes=("", "_r"),
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf) if len(rpdf) else spark.createDataFrame(
+        [], "k long, ts timestamp, rid long"
+    )
+    out = asof_join(
+        left, right, on=["k"], right_cols=["rid"], tiebreak="rid",
+        tolerance_micros=None if tol is None else tol * 1_000_000,
+    )
+    got = {int(r.lid): (None if r.rid_r is None else int(r.rid_r)) for r in out.collect()}
+    assert got == want
