@@ -265,25 +265,27 @@ def connected_components_auto(
     chain means thousands — while star-CC is O(log n) regardless of
     diameter.
 
-    The threshold count runs on the canonicalized, checkpointed edge
-    set (a cheap post-shuffle count, and CC re-reads the same
+    The threshold count rides the canonicalization checkpoint job as
+    an Observation metric — zero extra jobs, and CC re-reads the same
     checkpoint, so upstream work — e.g. the whole MinHash/LSH pipeline
-    — is never computed twice). Safety valve: if min-label hits
+    — is never computed twice. Safety valve: if min-label hits
     ``max_small_iter`` without converging (a pathological
     high-diameter small graph), escalate to star-CC on the same
     checkpointed edges rather than return unconverged labels.
 
     Diagnostics: ``connected_components_auto.last_strategy`` records
     which path ran ('minlabel' | 'star' | 'minlabel→star')."""
+    obs = Observation()
     e = (
         edges.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    if e.count() <= small_graph_edges:
+    if obs.get.get("n") <= small_graph_edges:
         # min-label's contract is a bidirectional edge table (it
         # propagates src→dst only); symmetrize the canonical view
         sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
