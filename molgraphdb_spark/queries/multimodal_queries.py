@@ -186,14 +186,79 @@ WHERE doc_id % 3 = 2
 """
 
 
+#: Audio-chunking window: CHUNK bytes per window, STRIDE-byte hop
+#: (25% overlap) — the wav2vec/Whisper-style framing shape.
+CHUNK_BYTES = 64
+CHUNK_STRIDE = 48
+
+
+def mm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunk windows over the audio-modality
+    payloads — the framing step every audio feature pipeline runs
+    before a model sees bytes. Emits (doc_id, chunk_idx, offset,
+    chunk_len, chunk_md5) so downstream dedup/embedding jobs key on
+    content hashes, never raw bytes.
+
+    Map-only: offsets come from a generated ``sequence`` (no join,
+    no shuffle before the presentation sort); the explode multiplies
+    rows ~n_bytes/stride map-side. The final window is the natural
+    partial one (substring past the end truncates identically in both
+    engines). Payload bytes are ASCII text (see module docstring), so
+    the oracle chunks the same characters."""
+    m = multimodal_manifest(spark, sf_dir).filter(F.col("metadata.format") == "audio")
+    text = F.decode("payload", "UTF-8")
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("metadata.n_bytes") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunked = m.select(
+        "doc_id",
+        text.alias("t"),
+        F.posexplode(offsets).alias("chunk_idx", "offset"),
+    )
+    chunk = F.substring(F.col("t"), F.col("offset") + 1, CHUNK_BYTES)
+    return (
+        chunked.select(
+            "doc_id",
+            "chunk_idx",
+            "offset",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+MM_CHUNKS_SQL = f"""
+WITH audio AS (
+  SELECT doc_id, text AS t, length(text) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 1
+), offs AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(n_bytes - 1, 0) + 1, {CHUNK_STRIDE})) AS "offset"
+  FROM audio
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS INT) AS chunk_idx,
+       "offset",
+       length(substring(t, CAST("offset" + 1 AS INT), {CHUNK_BYTES})) AS chunk_len,
+       md5(substring(t, CAST("offset" + 1 AS INT), {CHUNK_BYTES})) AS chunk_md5
+FROM offs
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "mm_metadata_summary": mm_metadata_summary,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
+    "mm_chunk_windows": mm_chunk_windows,
 }
 
 ORACLES = {
     "mm_metadata_summary": MM_METADATA_SQL,
     "mm_feature_extract": MM_FEATURES_SQL,
     "mm_frame_sample": MM_FRAMES_SQL,
+    "mm_chunk_windows": MM_CHUNKS_SQL,
 }

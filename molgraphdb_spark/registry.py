@@ -74,7 +74,6 @@ _PRIORITY = [
     "doc_language_id",
     "doc_fingerprint",
     "doc_ngram_topk",
-    "setop_except_nations",
     "ntile_customer_value",
     # code changed this round (dedup_clusters perf dispatch)
     "dedup_clusters",
@@ -98,11 +97,13 @@ _PRIORITY = [
     "events_funnel",
     "neardup_containment_pairs",
     "doc_unigram_logprob",
-    # setop_union_nations / setop_intersect_nations yield their slots
-    # to the last two debuts: they are the lowest-risk rotated-out
-    # entries (trivial set ops on the 25-row nation table, r2-green,
-    # untouched since r1, plan-smoke-guarded); they re-enter the r5
-    # window first.
+    "mm_chunk_windows",
+    # The three setop_* queries yield their slots to the newest
+    # debuts: they are the lowest-risk rotated-out entries (trivial
+    # set ops on the 25-row nation table, r2-green, untouched since
+    # r1, plan-smoke-guarded, and still value-hash-checked every
+    # session by tests/test_oracle_parity.py at sf0.001); they
+    # re-enter the r5 window first.
 ]
 
 
