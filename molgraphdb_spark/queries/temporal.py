@@ -271,6 +271,69 @@ ORDER BY event_id
 """
 
 
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — the telemetry/finance
+    aggregate where each reading holds until the next one, so sparse
+    readings must not be diluted and bursts must not dominate: weight
+    = duration to the successor event (the last reading carries no
+    weight).
+
+    Determinism engineering: readings become integer micro-units and
+    the (value × duration) products accumulate as DECIMAL(38,0) —
+    exact, order-free arithmetic, unlike float sums which vary with
+    partition reduce order. The single final division is one IEEE
+    double op on two exact aggregates, identical in both engines.
+
+    One shuffle on user_id; the lead() window and the groupBy share
+    the partitioning."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v_u = F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+    dur = F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))
+    weighted = ev.select(
+        "user_id",
+        v_u.alias("v_u"),
+        dur.alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.sum(F.col("v_u").cast("decimal(38,0)") * F.col("dur_us")).alias("_sp"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_dur_us",
+            F.floor(F.col("_sp").cast("double") / F.col("total_dur_us"))
+            .cast("long")
+            .alias("twap_u"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_TWAP_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_u,
+         LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       SUM(dur_us) AS total_dur_us,
+       CAST(floor(CAST(SUM(CAST(v_u AS DECIMAL(38,0)) * dur_us) AS DOUBLE)
+                  / SUM(dur_us)) AS BIGINT) AS twap_u
+FROM d
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_ohlc_resample": events_ohlc_resample,
     "events_asof_join": events_asof_join,
@@ -278,6 +341,7 @@ QUERIES = {
     "events_gap_fill": events_gap_fill,
     "events_sliding_window": events_sliding_window,
     "events_rolling_hour_avg": events_rolling_hour_avg,
+    "events_twap": events_twap,
 }
 
 ORACLES = {
@@ -287,4 +351,5 @@ ORACLES = {
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "events_sliding_window": EVENTS_SLIDING_SQL,
     "events_rolling_hour_avg": EVENTS_ROLLING_SQL,
+    "events_twap": EVENTS_TWAP_SQL,
 }

@@ -74,7 +74,6 @@ _PRIORITY = [
     "doc_language_id",
     "doc_fingerprint",
     "doc_ngram_topk",
-    "ntile_customer_value",
     # code changed this round (dedup_clusters perf dispatch)
     "dedup_clusters",
     # new queries this round debut here
@@ -98,10 +97,11 @@ _PRIORITY = [
     "neardup_containment_pairs",
     "doc_unigram_logprob",
     "mm_chunk_windows",
-    # The three setop_* queries yield their slots to the newest
-    # debuts: they are the lowest-risk rotated-out entries (trivial
-    # set ops on the 25-row nation table, r2-green, untouched since
-    # r1, plan-smoke-guarded, and still value-hash-checked every
+    "events_twap",
+    # The three setop_* queries and ntile_customer_value yield their
+    # slots to the newest debuts: they are the lowest-risk rotated-out
+    # entries (trivial ops on tiny/stable inputs, r2-green, untouched
+    # since r1, plan-smoke-guarded, and still value-hash-checked every
     # session by tests/test_oracle_parity.py at sf0.001); they
     # re-enter the r5 window first.
 ]

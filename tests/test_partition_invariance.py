@@ -23,6 +23,7 @@ AT_RISK = [
     "events_sessionize",
     "embedding_norm_stats",
     "doc_unigram_logprob",  # integer-milli log sums — the order-free-sum case
+    "events_twap",          # decimal product sums — exact order-free arithmetic
 ]
 
 
