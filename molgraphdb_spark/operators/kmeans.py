@@ -88,7 +88,10 @@ def kmeans_fit(
 
     Empty-cluster rule: a cell that captures no points keeps its
     previous centroid (the standard practical fallback)."""
-    d = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError("cannot fit k-means on empty input (no rows with a vector)")
+    d = len(probe[0])
     first_k = (
         df.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col).collect()
     )

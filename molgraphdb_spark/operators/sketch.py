@@ -75,7 +75,12 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     ``est_count + max_undercount`` where max_undercount = n/(k+1).
     Every item with true count > max_undercount is guaranteed present.
     """
-    sums = mg_summaries(df, col, k)
+    # cache(): the summaries are referenced twice below (items filter +
+    # totals filter) and Spark would otherwise execute the mapInPandas
+    # MG pass — and the full input scan under it — once per reference,
+    # defeating the one-pass design. The cached relation is tiny:
+    # ≤ (k+1) × n_partitions rows.
+    sums = mg_summaries(df, col, k).cache()
     items = (
         sums.filter(F.col("item").isNotNull())
         .groupBy("item")

@@ -234,14 +234,19 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("view_ts").isNotNull().cast("long")).alias("n_view"),
         F.sum(F.col("click_ts").isNotNull().cast("long")).alias("n_view_click"),
         F.sum(F.col("purchase_ts").isNotNull().cast("long")).alias("n_full_funnel"),
-        F.floor(
-            F.sum(F.col("purchase_ts").isNotNull().cast("long"))
-            * 10000.0
-            / F.sum(F.col("view_ts").isNotNull().cast("long"))
-            + 0.5
-        )
-        .cast("long")
-        .alias("conversion_bp"),
+        # Zero guard: with no 'view' rows at all the divisor is 0 —
+        # unguarded, Spark yields NULL while DuckDB computes 0/0 = NaN
+        # and diverges at floor+CAST. Both sides pin the result to NULL
+        # (oracle uses NULLIF(..., 0)).
+        F.when(
+            F.sum(F.col("view_ts").isNotNull().cast("long")) > 0,
+            F.floor(
+                F.sum(F.col("purchase_ts").isNotNull().cast("long"))
+                * 10000.0
+                / F.sum(F.col("view_ts").isNotNull().cast("long"))
+                + 0.5
+            ).cast("long"),
+        ).alias("conversion_bp"),
     )
 
 
@@ -269,7 +274,7 @@ SELECT COUNT(*) AS n_users,
        CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
        CAST(SUM(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
        CAST(floor(SUM(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) * 10000.0
-                  / SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END) + 0.5) AS BIGINT) AS conversion_bp
+                  / NULLIF(SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END), 0) + 0.5) AS BIGINT) AS conversion_bp
 FROM u
 """
 

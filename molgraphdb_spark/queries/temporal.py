@@ -324,7 +324,7 @@ WITH d AS (
 )
 SELECT user_id,
        COUNT(*) AS n_intervals,
-       SUM(dur_us) AS total_dur_us,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
        CAST(floor(CAST(SUM(CAST(v_u AS DECIMAL(38,0)) * dur_us) AS DOUBLE)
                   / SUM(dur_us)) AS BIGINT) AS twap_u
 FROM d

@@ -619,7 +619,7 @@ WITH tok AS (
   FROM tok t JOIN model m USING (tok) CROSS JOIN n
 )
 SELECT doc_id, COUNT(*) AS n_tokens,
-       SUM(neglogp_milli) AS sum_neglogp_milli,
+       CAST(SUM(neglogp_milli) AS BIGINT) AS sum_neglogp_milli,
        CAST(floor(SUM(neglogp_milli) * 1.0 / COUNT(*)) AS BIGINT) AS mean_neglogp_milli
 FROM scored
 GROUP BY doc_id

@@ -7,6 +7,8 @@ AQE, Arrow) is set via runtime conf in :func:`tune` at call time.
 
 from __future__ import annotations
 
+import getpass
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -37,17 +39,39 @@ def _ship_package(spark: SparkSession) -> None:
     if app in _SHIPPED_APPS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "molgraphdb_spark_pyfiles.zip")
-    tmp_path = zip_path + f".{os.getpid()}.tmp"
-    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for fname in files:
-                if not fname.endswith(".py"):
-                    continue
-                full = os.path.join(root, fname)
-                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+            sources.append((rel, full))
+    sources.sort()
+    # The zip path embeds the user (a world-shared /tmp name fails
+    # os.replace across owners on a multi-user host) AND a content
+    # hash (two concurrent sessions from different checkouts must not
+    # swap each other's code — atomic replace only prevents torn
+    # files, not cross-version races).
+    digest = hashlib.md5()
+    for rel, full in sources:
+        digest.update(rel.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    try:
+        user = getpass.getuser()
+    except Exception:  # no passwd entry in minimal containers
+        user = str(os.getuid()) if hasattr(os, "getuid") else "u"
+    zip_path = os.path.join(
+        tempfile.gettempdir(),
+        f"molgraphdb_spark_pyfiles_{user}_{digest.hexdigest()[:12]}.zip",
+    )
+    if not os.path.exists(zip_path):
+        tmp_path = zip_path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, full in sources:
                 zf.write(full, rel)
-    os.replace(tmp_path, zip_path)  # atomic: concurrent sessions see a whole file
+        os.replace(tmp_path, zip_path)  # atomic: concurrent same-content sessions see a whole file
     sc.addPyFile(zip_path)
     _SHIPPED_APPS.add(app)
 

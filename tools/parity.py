@@ -41,6 +41,33 @@ def _norm_cell(v):
     return str(v)
 
 
+#: Spark dtype strings that are plain integers (no int128 counterpart exists).
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+
+
+def lint_oracle_types(spark_dtypes: dict[str, str], duck_desc: list[tuple]) -> list[str]:
+    """Flag DuckDB output types the driver's hash renders differently than Spark's.
+
+    The twice-shipped bug class (r2 commit 748f6bb, r4 verdict item 1): a bare
+    DuckDB ``SUM(BIGINT)`` is typed HUGEINT (int128), which survives a
+    ``fetchall()``-based comparison but fails the driver's type-faithful hash.
+    Rules: HUGEINT/UHUGEINT is always an error (Spark has no int128 — the
+    oracle must CAST), and DECIMAL paired with an integral Spark column is an
+    error (the renderings diverge: '5.00' vs 5).
+    """
+    problems = []
+    for row in duck_desc:
+        dname, dtype = row[0], str(row[1]).upper()
+        s = spark_dtypes.get(dname)
+        if s is None:
+            continue  # column-set mismatch is reported by the schema check
+        if dtype in ("HUGEINT", "UHUGEINT"):
+            problems.append(f"{dname}: DuckDB {dtype} vs Spark {s} — CAST the oracle expression to BIGINT")
+        elif dtype.startswith("DECIMAL") and s in _INTEGRAL_SPARK:
+            problems.append(f"{dname}: DuckDB {dtype} vs Spark {s} — cast one side so renderings agree")
+    return problems
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
@@ -81,6 +108,7 @@ def main() -> int:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
+            duck_desc = con.execute("DESCRIBE " + oracles[name]).fetchall()
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -88,14 +116,18 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {ex}")
             failures.append(name)
             continue
+        lint = lint_oracle_types(dict(sdf.dtypes), duck_desc)
         ok_count = len(srows) == len(drows)
         ok_schema = sorted(scols) == sorted(dcols)
         sh, dh = value_hash(scols, srows), value_hash(dcols, drows)
         ok_hash = sh == dh
-        status = "OK  " if (ok_count and ok_schema and ok_hash) else "FAIL"
+        status = "OK  " if (ok_count and ok_schema and ok_hash and not lint) else "FAIL"
         print(
-            f"{status} {name}: rows {len(srows)}/{len(drows)} schema={ok_schema} hash={ok_hash} ({time.time()-t0:.1f}s)"
+            f"{status} {name}: rows {len(srows)}/{len(drows)} schema={ok_schema} hash={ok_hash}"
+            f" typelint={'clean' if not lint else 'DIRTY'} ({time.time()-t0:.1f}s)"
         )
+        for p in lint:
+            print(f"   typelint: {p}")
         if status == "FAIL":
             failures.append(name)
             if not ok_schema:
