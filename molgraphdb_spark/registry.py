@@ -29,81 +29,77 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.setops",
     "molgraphdb_spark.queries.reshape",
     "molgraphdb_spark.queries.relational",
+    "molgraphdb_spark.queries.tpch_rest",
 ]
 
-# Round-4 verification window (first 50). Round 3 proved that
-# "green last round + code untouched" does not imply "still runs" —
-# the driver regenerated events.parquet with a new timestamp encoding
-# and three rotated-out temporal queries broke silently. So r4 leads
-# with the four NTZ-broken-now-fixed queries, then re-verifies ALL 31
-# entries rotated out of r3 (staleness reset to 0 across the board),
-# then new/changed code this round. Everything past the cap was green
-# in r3 itself (1-round staleness), and a full-registry plan-build
-# smoke (tests/test_registry_smoke.py) now guards the rotated-out tail
-# against environment drift between rounds.
+# Round-5 verification window (first 50). Leads with the three r4 reds
+# (oracle HUGEINT casts, fixed this round), then the four r2-stale
+# entries the r4 comment promised first re-entry, then every query
+# whose engine code changed this round (shingle df-cap redesign,
+# dedup_exact null routing, events_funnel zero guard), then the 11
+# TPC-H debuts, then the oldest-stale families rotated out of r4
+# (similarity/graph/chem/mm/dedup-minhash/simhash/text-ratio/reshape +
+# q1/q3/q5). The 18 relational entries left outside (trivial ops:
+# filter/distinct/group/sort/setop-shape/string/case/null-handling,
+# r3-green, untouched) are staleness-2; they LEAD the r6 window.
+# All 102+11 queries also pass tools/parity.py at sf0.01 locally this
+# session — the window ranks driver-recorded evidence, not coverage.
 _PRIORITY = [
-    # NTZ-broken in r3 (sessionize red in-window; asof/range/ohlc broken
-    # out-of-window) — fixed this round, must re-verify first
-    "events_sessionize",
-    "events_asof_join",
-    "events_range_join",
-    "events_ohlc_resample",
-    # remaining events family (same _events reader path, rotated out of r3)
-    "events_hourly_counts",
-    "events_tumbling_window",
-    "events_json_extract",
-    "events_lag_lead_delta",
-    "events_gap_fill",
-    # rest of the 31 rotated-out-of-r3 entries
-    "similarity_lsh_topk",
-    "similarity_label_bands",
-    "graph_triangle_count",
-    "graph_bfs_path_lengths",
-    "graph_degree_histogram",
-    "graph_common_suppliers",
-    "chem_pharma_profile",
-    "chem_pharma_overlap",
-    "chem_subgraph_display",
-    "chem_subgraph_counts",
-    "chem_tanimoto_pairs",
-    "chem_subgraph_catalog_hist",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_language_id",
-    "doc_fingerprint",
-    "doc_ngram_topk",
-    # code changed this round (dedup_clusters perf dispatch)
-    "dedup_clusters",
-    # new queries this round debut here
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "doc_tfidf_top_terms",
-    "doc_content_filter",
-    "doc_decontaminate_overlap",
+    # r4 reds — oracle-side HUGEINT casts fixed this round
     "dedup_keep_best",
-    "q7_volume_shipping",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "events_sliding_window",
-    "events_rolling_hour_avg",
-    "embedding_norm_stats",
-    "profile_lineitem",
-    "events_funnel",
-    "neardup_containment_pairs",
     "doc_unigram_logprob",
-    "mm_chunk_windows",
     "events_twap",
-    # The three setop_* queries and ntile_customer_value yield their
-    # slots to the newest debuts: they are the lowest-risk rotated-out
-    # entries (trivial ops on tiny/stable inputs, r2-green, untouched
-    # since r1, plan-smoke-guarded, and still value-hash-checked every
-    # session by tests/test_oracle_parity.py at sf0.001); they
-    # re-enter the r5 window first.
+    # r2-stale re-entries (promised first slots in the r4 rotation note)
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "setop_except_nations",
+    "ntile_customer_value",
+    # engine code changed this round
+    "dedup_exact",
+    "neardup_jaccard_pairs",
+    "neardup_containment_pairs",
+    "dedup_lsh_verified",
+    "events_funnel",
+    # TPC-H completion debuts (22/22 relational matrix)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    # oldest-stale (rotated out of r4, last driver-checked r3)
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "similarity_ivf_recall",
+    "dedup_embedding_cosine",
+    "graph_pagerank_top",
+    "approx_distinct_parts",
+    "graph_connected_components_summary",
+    "chem_edit_expansion",
+    "chem_exact_ged_pairs",
+    "mm_metadata_summary",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_line_dedup_ratio",
+    "doc_rare_token_ratio",
+    "full_outer_nation_profile",
+    "sample_systematic_orders",
+    "sample_stratified_docs",
+    "pivot_status_by_priority",
+    "unpivot_lineitem_measures",
+    "grouping_sets_revenue",
+    "quantiles_price_by_flag",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "dedup_clusters",
 ]
 
 

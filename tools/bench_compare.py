@@ -32,12 +32,22 @@ def main() -> None:
         raise SystemExit(__doc__)
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    # Host-drift normalization: if both records carry the constant-work
+    # DuckDB canary, scale old timings by the canary ratio so a slower
+    # co-tenant host doesn't read as a plan regression (and a faster
+    # host doesn't hide one).
+    drift = 1.0
+    if old.get("canary_duckdb_sec") and new.get("canary_duckdb_sec"):
+        drift = new["canary_duckdb_sec"] / old["canary_duckdb_sec"]
+        print(f"canary: old={old['canary_duckdb_sec']}s new={new['canary_duckdb_sec']}s "
+              f"-> normalizing old timings by {drift:.2f}x host drift\n")
     rows = []
     for name, t_new in new["queries"].items():
         t_old = old["queries"].get(name)
         if t_old is None:
             rows.append((float("nan"), name, t_old, t_new, "NEW"))
             continue
+        t_old = round(t_old * drift, 3)
         ratio = t_new / t_old if t_old else float("inf")
         flag = "SLOWER" if ratio > threshold else ("FASTER" if ratio < 1 / threshold else "")
         rows.append((ratio, name, t_old, t_new, flag))
