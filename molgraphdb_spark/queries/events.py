@@ -191,15 +191,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged funnel analysis: per user, the first view, the first
-    click AFTER that view, the first purchase AFTER that click —
-    ordered-sequence matching, the canonical event-analytics op that a
-    naive self-join cubes. Three conditional-min window passes over
-    the SAME user_id partitioning (one shuffle total — Spark reuses
-    the exchange/sort for identical window specs), then a global
-    rollup of stage-reach counts with a basis-point conversion."""
-    ev = _events(spark, sf_dir)
+def funnel_stages(ev: DataFrame) -> DataFrame:
+    """Per-user funnel stage relation: (user_id, view_ts, click_ts,
+    purchase_ts) — first view, first click AFTER that view, first
+    purchase AFTER that click. Shared by the batch query below and the
+    streaming twin's equality test (streaming/windows.py::
+    funnel_stage_stream must reproduce exactly this table)."""
     w = Window.partitionBy("user_id")
     staged = (
         ev.withColumn(
@@ -224,11 +221,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
-    per_user = staged.groupBy("user_id").agg(
+    return staged.groupBy("user_id").agg(
         F.max("view_ts").alias("view_ts"),
         F.max("click_ts").alias("click_ts"),
         F.max("purchase_ts").alias("purchase_ts"),
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged funnel analysis: per user, the first view, the first
+    click AFTER that view, the first purchase AFTER that click —
+    ordered-sequence matching, the canonical event-analytics op that a
+    naive self-join cubes. Three conditional-min window passes over
+    the SAME user_id partitioning (one shuffle total — Spark reuses
+    the exchange/sort for identical window specs), then a global
+    rollup of stage-reach counts with a basis-point conversion."""
+    per_user = funnel_stages(_events(spark, sf_dir))
     return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.col("view_ts").isNotNull().cast("long")).alias("n_view"),

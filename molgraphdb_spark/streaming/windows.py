@@ -20,6 +20,7 @@ Scale notes (100 TB/day stream):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -142,6 +143,127 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         _running_totals,
         outputStructType=_OUT_SCHEMA,
         stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_TWAP_STATE = "last_ts long, last_v long, n long, sum_dur long, sum_vdur string"
+_TWAP_OUT = "user_id long, n_intervals long, total_dur_us long, twap_u long"
+
+
+def _twap_state_fn(key, pdf_iter, state: GroupState):
+    """Streaming TWAP per user (twin of queries/temporal.py::
+    events_twap): each reading holds until its successor, weight =
+    inter-event duration, the last reading carries no weight — which
+    streaming-wise means an interval is emitted only when the NEXT
+    event arrives, so state carries the open (last_ts, last_value)
+    reading across micro-batches.
+
+    Exactness: v_u×dur products accumulate in an unbounded Python int
+    (serialized as a string in the state row — the batch twin uses
+    DECIMAL(38,0) for the same order-free exact accumulation); the
+    single final division is one IEEE double op, identical to the
+    batch/oracle computation."""
+    (user_id,) = key
+    if state.exists:
+        last_ts, last_v, n, sum_dur, sum_vdur_s = state.get
+        sum_vdur = int(sum_vdur_s)
+    else:
+        last_ts, last_v, n, sum_dur, sum_vdur = None, None, 0, 0, 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64")).tolist()
+        v_u = np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype("int64").tolist()
+        for t, v in zip(ts_us, v_u):
+            if last_ts is not None:
+                dur = t - last_ts
+                n += 1
+                sum_dur += dur
+                sum_vdur += int(last_v) * dur
+            last_ts, last_v = t, v
+    state.update((last_ts, last_v, n, sum_dur, str(sum_vdur)))
+    if sum_dur > 0:
+        import math
+
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_intervals": [n],
+                "total_dur_us": [sum_dur],
+                "twap_u": [math.floor(float(sum_vdur) / sum_dur)],
+            }
+        )
+
+
+def twap_stream(events: DataFrame) -> DataFrame:
+    """Streaming time-weighted average per user via
+    applyInPandasWithState (LEAD over an unbounded stream is not
+    expressible with built-ins: the weight of a reading is only known
+    when its successor arrives — inherently stateful)."""
+    # ts → int64 micros JVM-side: a datetime64 pandas column's integer
+    # unit (ns vs us) depends on the Arrow/pandas version; unix_micros
+    # pins the contract the state function assumes.
+    return events.select(
+        "user_id", F.unix_micros("ts").alias("ts"), "event_id", "value"
+    ).groupBy("user_id").applyInPandasWithState(
+        _twap_state_fn,
+        outputStructType=_TWAP_OUT,
+        stateStructType=_TWAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_FUNNEL_STATE = "view_us long, click_us long, purchase_us long"
+_FUNNEL_OUT = "user_id long, view_us long, click_us long, purchase_us long"
+
+
+def _funnel_state_fn(key, pdf_iter, state: GroupState):
+    """Streaming funnel stages per user (twin of queries/events.py::
+    funnel_stages): first view, first click strictly after that view,
+    first purchase strictly after that click. Processing rows in ts
+    order makes 'first qualifying' ≡ the batch twin's conditional MIN:
+    view_ts is the min view; once set it never moves, so the min
+    qualifying click is the first one encountered after it, and
+    likewise for the purchase."""
+    (user_id,) = key
+    view_us, click_us, purchase_us = state.get if state.exists else (None, None, None)
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for t, et in zip(pdf["ts"].astype("int64").tolist(), pdf["event_type"].tolist()):
+            if et == "view" and view_us is None:
+                view_us = t
+            elif et == "click" and click_us is None and view_us is not None and t > view_us:
+                click_us = t
+            elif et == "purchase" and purchase_us is None and click_us is not None and t > click_us:
+                purchase_us = t
+    state.update((view_us, click_us, purchase_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "view_us": [view_us],
+            "click_us": [click_us],
+            "purchase_us": [purchase_us],
+        }
+    )
+
+
+def funnel_stage_stream(events: DataFrame) -> DataFrame:
+    """Streaming funnel-stage tracker via applyInPandasWithState —
+    ordered-sequence matching (A then B then C with strict time
+    progression) needs per-user state across micro-batches; emits the
+    current (view, click, purchase) stage timestamps per user in
+    update mode. Downstream, a per-trigger aggregate of this table is
+    the streaming conversion funnel."""
+    # ts → int64 micros JVM-side (same unit-pinning rationale as
+    # twap_stream).
+    return events.select(
+        "user_id", F.unix_micros("ts").alias("ts"), "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _funnel_state_fn,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

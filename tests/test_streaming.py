@@ -237,3 +237,62 @@ def test_stateful_running_totals_tws(spark, sf_dir, events_stream_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_twap_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    """Streaming TWAP (applyInPandasWithState, exact int accumulation in
+    state) must reproduce the batch events_twap table exactly — column
+    for column, including the floor-divided twap_u."""
+    from molgraphdb_spark.queries.temporal import events_twap
+    from molgraphdb_spark.streaming.windows import twap_stream
+
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(twap_stream(ev), "t_twap", output_mode="update")
+    try:
+        got = {
+            r.user_id: (r.n_intervals, r.total_dur_us, r.twap_u)
+            for r in spark.table("t_twap").collect()
+        }
+        want = {
+            r.user_id: (r.n_intervals, r.total_dur_us, r.twap_u)
+            for r in events_twap(spark, sf_dir).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_funnel_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    """Streaming funnel stages must reproduce the batch funnel_stages
+    relation (first view / first later click / first later purchase per
+    user), and the conversion counts derived from it must match the
+    batch events_funnel rollup."""
+    from molgraphdb_spark.queries.events import events_funnel, funnel_stages
+    from molgraphdb_spark.streaming.windows import funnel_stage_stream
+
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(funnel_stage_stream(ev), "t_funnel", output_mode="update")
+    try:
+        got = {
+            r.user_id: (r.view_us, r.click_us, r.purchase_us)
+            for r in spark.table("t_funnel").collect()
+        }
+        want = {
+            r.user_id: (r.view_us, r.click_us, r.purchase_us)
+            for r in funnel_stages(_events(spark, sf_dir))
+            .select(
+                "user_id",
+                F.unix_micros("view_ts").alias("view_us"),
+                F.unix_micros("click_ts").alias("click_us"),
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+            )
+            .collect()
+        }
+        assert got == want and len(want) > 0
+        # rollup equality against the batch query's headline numbers
+        n_view = sum(1 for v in got.values() if v[0] is not None)
+        n_full = sum(1 for v in got.values() if v[2] is not None)
+        batch = events_funnel(spark, sf_dir).first()
+        assert (len(got), n_view, n_full) == (batch.n_users, batch.n_view, batch.n_full_funnel)
+    finally:
+        q.stop()

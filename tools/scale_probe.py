@@ -1,0 +1,198 @@
+"""Scale probe: one decade beyond bench scale for the dedup/similarity
+family (r4 verdict item 6 — turn the 100 TB design claims into at
+least one measured scale-up).
+
+Builds synthetic corpora from sf0.1 documents (replicate×K with
+per-replica token perturbation → planted near-dup clusters of size K,
+plus a boilerplate phrase on 30% of docs → genuinely hot shingles that
+MUST be capped), then measures:
+
+probe A — stop-shingle cap at 10× (50k docs):
+  * capped posting lists are bounded (max df ≤ MAX_SHINGLE_DF);
+  * the planted hot shingles are excluded, rare shingles survive;
+  * neardup pairs == the planted expectation: every within-cluster
+    pair (K·C(K,2) per original... exactly C(K,2)·n_orig) and zero
+    cross-cluster pairs — i.e. the cap changed COST, not RESULTS.
+    (An uncapped run is intractable by construction: the boilerplate
+    shingle alone would contribute C(15000,2) ≈ 112M candidate pairs.)
+
+probe B — connected-components dispatch at 225k and 1.5M edges:
+  * below the 1M-edge threshold the size dispatch picks min-label,
+    above it large-star/small-star; both return the planted
+    componentization (n_orig components of size K).
+
+probe C — wall-times for the headline dedup pipeline at 10×
+  (neardup pairs, MinHash+LSH, LSH-verified) — recorded in
+  BASELINE.md §scale-probe.
+
+Usage: python tools/scale_probe.py [K] (default 10; 25 → 1.5M edges)
+Writes parquet under /tmp/molgraphdb_scale_probe/ and prints one JSON
+line per probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.session import get_spark, tune
+
+BASE = "/tmp/molgraphdb_scale_probe"
+BOILER = "standard legal disclaimer applies to this document body"
+
+
+def build_corpus(spark, k: int) -> str:
+    """Replicate sf0.1 documents k× with per-replica perturbation.
+
+    Replica 0 keeps the original text; replicas 1..k-1 append a
+    replica-specific token pair, so each original forms a near-dup
+    cluster of size k (3-shingle Jaccard ≈ 0.9 within the cluster,
+    ≈ 0 across clusters). Docs with doc_id % 10 < 3 additionally get
+    the shared boilerplate sentence — at 50k docs those 3-shingles
+    reach df ≈ 15k, far past MAX_SHINGLE_DF (1024)."""
+    out = f"{BASE}/k{k}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    boiler = F.when(F.col("doc_id") % 10 < 3, F.lit(" " + BOILER)).otherwise(F.lit(""))
+    reps = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep"),
+        "text", "lang", "source",
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("rep") == 0, F.lit("")).otherwise(
+                F.concat(F.lit(" replica"), F.col("rep"), F.lit(" variant"), F.col("rep"))
+            ),
+            boiler,
+        ).alias("text"),
+        "lang", "source",
+    ).withColumn("n_chars", F.length("text"))
+    reps.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def probe_cap(spark, sf_dir: str, k: int, n_orig: int) -> dict:
+    from molgraphdb_spark.queries.dedup import MAX_SHINGLE_DF, _shingle_rows, neardup_jaccard_pairs
+
+    t0 = time.time()
+    sh = _shingle_rows(spark, sf_dir)
+    stats = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).agg(
+        F.max("df").alias("max_df"), F.count(F.lit(1)).alias("n_shingles")
+    ).first()
+    boiler_present = sh.filter(F.col("shingle").startswith("standard legal disclaimer")).count()
+    t_index = time.time() - t0
+
+    # One pass: total pairs + the split into within-replica-cluster vs
+    # cross-cluster. Cross-cluster pairs are EXPECTED: sf0.1 itself
+    # plants near-identical document pairs, and each such original
+    # pair (a, b) yields up to k×k cross-cluster replica pairs. And
+    # not every within-cluster pair survives: a short doc (few
+    # shingles) drops below 0.8 Jaccard once the replica tokens are
+    # appended. The load-bearing assertions are boundedness + hot-
+    # shingle exclusion + pair volume in the modeled range — the cap
+    # changes cost, never which pairs qualify (that invariance is
+    # pinned exactly by tests/test_dedup.py on a planted fixture).
+    t0 = time.time()
+    pairs = neardup_jaccard_pairs(spark, sf_dir)
+    cross = (F.col("id_a") / 1000).cast("long") != (F.col("id_b") / 1000).cast("long")
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(cross.cast("long")).alias("cross_cluster"),
+    ).first()
+    t_pairs = time.time() - t0
+    spark.catalog.clearCache()
+
+    upper_within = n_orig * (k * (k - 1) // 2)
+    return {
+        "probe": "cap", "k": k,
+        "max_posting_list": stats["max_df"], "cap": MAX_SHINGLE_DF,
+        "bounded": bool(stats["max_df"] <= MAX_SHINGLE_DF),
+        "n_shingles": stats["n_shingles"],
+        "hot_shingles_in_index": boiler_present,
+        "pairs": row["n_pairs"],
+        "within_cluster_pairs": row["n_pairs"] - (row["cross_cluster"] or 0),
+        "upper_bound_within": upper_within,
+        "cross_cluster_pairs": row["cross_cluster"],
+        "t_index_s": round(t_index, 1), "t_pairs_s": round(t_pairs, 1),
+    }
+
+
+def probe_cc(spark, k: int, n_orig: int) -> dict:
+    """Planted clique components of size k over n_orig clusters —
+    generated directly (no text pipeline) so the edge count is exact:
+    n_orig × C(k,2)."""
+    from molgraphdb_spark.operators.graph import connected_components_auto
+
+    base = spark.range(n_orig).select((F.col("id") * 1000).alias("root"))
+    edges = (
+        base.select(
+            "root",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        )
+        .select("root", "i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .select((F.col("root") + F.col("i")).alias("src"), (F.col("root") + F.col("j")).alias("dst"))
+    )
+    n_edges = edges.count()
+    t0 = time.time()
+    comp = connected_components_auto(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    n_comp = sizes.count()
+    bad = sizes.filter(F.col("n") != k).count()
+    t_cc = time.time() - t0
+    return {
+        "probe": "cc", "k": k, "edges": n_edges,
+        "strategy": connected_components_auto.last_strategy,
+        "components": n_comp, "expected_components": n_orig,
+        "wrong_size_components": bad,
+        "correct": bool(n_comp == n_orig and bad == 0),
+        "t_cc_s": round(t_cc, 1),
+    }
+
+
+def probe_lsh(spark, sf_dir: str) -> dict:
+    from molgraphdb_spark.queries.dedup import dedup_minhash_lsh_pairs, dedup_lsh_verified
+
+    t0 = time.time()
+    n_cand = dedup_minhash_lsh_pairs(spark, sf_dir).count()
+    t_cand = time.time() - t0
+    spark.catalog.clearCache()
+    t0 = time.time()
+    n_ver = dedup_lsh_verified(spark, sf_dir).filter(F.col("verified") == 1).count()
+    t_ver = time.time() - t0
+    spark.catalog.clearCache()
+    return {
+        "probe": "lsh", "candidates": n_cand, "verified": n_ver,
+        "t_candidates_s": round(t_cand, 1), "t_verified_s": round(t_ver, 1),
+    }
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-probe")
+    tune(spark)
+    n_orig = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").count()
+
+    sf_dir = build_corpus(spark, k)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    print(json.dumps({"probe": "corpus", "k": k, "docs": n_docs}))
+
+    print(json.dumps(probe_cap(spark, sf_dir, k, n_orig)))
+    print(json.dumps(probe_lsh(spark, sf_dir)))
+    # CC at both sides of the 1M-edge dispatch threshold.
+    print(json.dumps(probe_cc(spark, k=10, n_orig=5000)))       # 225k edges
+    print(json.dumps(probe_cc(spark, k=25, n_orig=5000)))       # 1.5M edges
+
+
+if __name__ == "__main__":
+    main()
