@@ -1,0 +1,169 @@
+"""Training-data mixture operators over ``documents``: deterministic
+rebalancing sampling and sequence-packing offsets — the two steps
+between a deduplicated corpus and a tokenizer shard list in an LLM
+data pipeline (extension surface alongside dedup/text/similarity;
+same first-class treatment: oracle-checked, scale-annotated).
+
+Determinism rule (SURVEY.md §7 risk 3): sampling decisions use an
+integer mixing hash of doc_id (Knuth multiplicative, identical
+arithmetic in Spark and DuckDB) — never rand()/PYTHONHASHSEED — so
+the sample is reproducible at any parallelism and testable against
+the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from molgraphdb_spark.session import tune
+from molgraphdb_spark.sources.tables import load_table
+
+#: Deterministic per-doc uniform in [0, 1e6): Knuth multiplicative
+#: hash of doc_id. doc_id fits in 40 bits across every sf, so the
+#: product stays inside int64 on both engines.
+_HASH_MOD = 1_000_000
+
+
+def _u_milli(col):
+    return (col * 2654435761) % _HASH_MOD
+
+
+# --------------------------------------------------------------------------
+# Mixture sampling: equalize language contributions.
+# --------------------------------------------------------------------------
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to an equal-count language mixture: every
+    language is downsampled to the size of the smallest one with a
+    deterministic hash-threshold filter (u(doc_id) < rate).
+
+    Output: per-language accounting (input count, rate in ppm of the
+    hash modulus, sampled count) — the mixture report a pipeline logs
+    when it builds a training shard list.
+
+    Scale: one two-level aggregation computes the per-language counts
+    (map-side combined), the min is a 1-row broadcast, the rate join
+    is a broadcast of |langs| rows, and the sampling filter is
+    map-only over the corpus — the documents themselves are never
+    shuffled. Exactly-target-size sampling would need a per-language
+    rank (sort); the hash-threshold form trades ±√n wobble for a
+    shuffle-free plan, the standard at-scale choice."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    target = counts.agg(F.min("n_in").alias("target_n"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n_in",
+        "target_n",
+        F.least(
+            F.lit(_HASH_MOD),
+            F.floor(F.col("target_n") * _HASH_MOD / F.col("n_in")).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_u_milli(F.col("doc_id")) < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "lang", "left")
+        .select("lang", "n_in", "target_n", "rate_ppm", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+DOC_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_in FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_in,
+         (SELECT MIN(n_in) FROM counts) AS target_n,
+         LEAST({_HASH_MOD}, CAST(floor((SELECT MIN(n_in) FROM counts) * {_HASH_MOD} / n_in) AS BIGINT)) AS rate_ppm
+  FROM counts
+), sampled AS (
+  SELECT d.lang, COUNT(*) AS n_sampled
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE (d.doc_id * 2654435761) % {_HASH_MOD} < r.rate_ppm
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_in, r.target_n, r.rate_ppm, COALESCE(s.n_sampled, 0) AS n_sampled
+FROM rates r LEFT JOIN sampled s ON r.lang = s.lang
+ORDER BY r.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concat-then-chunk offsets.
+# --------------------------------------------------------------------------
+PACK_CAP = 512  #: context window size in (whitespace) tokens
+
+
+def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, offset form: within each source,
+    documents are concatenated in doc_id order and cut into
+    ``PACK_CAP``-token context windows; each doc's [start_tok,
+    end_tok) span and the bins it lands in fall out of one running
+    token cumsum. This is the standard "concat and chunk" packing —
+    bins are full by construction and a document may straddle a bin
+    boundary (first_bin < last_bin).
+
+    Scale: the cumsum window partitions by ``source`` — packing
+    parallelizes across sources (shards), never a global single-
+    partition sort; within one source the running sum is the sequential
+    semantics packing requires. One shuffle on source."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    end = F.sum("n_tok").over(w)
+    start = end - F.col("n_tok")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        F.floor(start / PACK_CAP).cast("long").alias("first_bin"),
+        F.floor((end - 1) / PACK_CAP).cast("long").alias("last_bin"),
+        (F.floor((end - 1) / PACK_CAP) - F.floor(start / PACK_CAP) + 1).cast("long").alias("n_bins_spanned"),
+    ).orderBy("source", "doc_id")
+
+
+DOC_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER w - n_tok AS start_tok,
+         SUM(n_tok) OVER w AS end_tok
+  FROM t
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(end_tok AS BIGINT) AS end_tok,
+       CAST(floor(start_tok / {PACK_CAP}) AS BIGINT) AS first_bin,
+       CAST(floor((end_tok - 1) / {PACK_CAP}) AS BIGINT) AS last_bin,
+       CAST(floor((end_tok - 1) / {PACK_CAP}) - floor(start_tok / {PACK_CAP}) + 1 AS BIGINT) AS n_bins_spanned
+FROM c
+ORDER BY source, doc_id
+"""
+
+
+QUERIES = {
+    "doc_mixture_sample": doc_mixture_sample,
+    "doc_pack_offsets": doc_pack_offsets,
+}
+
+ORACLES = {
+    "doc_mixture_sample": DOC_MIXTURE_SQL,
+    "doc_pack_offsets": DOC_PACK_SQL,
+}

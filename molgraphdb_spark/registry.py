@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.reshape",
     "molgraphdb_spark.queries.relational",
     "molgraphdb_spark.queries.tpch_rest",
+    "molgraphdb_spark.queries.mixing",
 ]
 
 # Round-5 verification window (first 50). Leads with the three r4 reds
@@ -96,10 +97,15 @@ _PRIORITY = [
     "unpivot_lineitem_measures",
     "grouping_sets_revenue",
     "quantiles_price_by_flag",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # mixture/packing debuts (round 5)
+    "doc_mixture_sample",
+    "doc_pack_offsets",
     "q5_nation_revenue",
     "dedup_clusters",
+    # q1_pricing_summary / q3_shipping_priority yield their slots to
+    # the two debuts: they are the most continuously exercised queries
+    # in the repo (bench medians every round + local parity), r3-green,
+    # untouched — the lowest-risk staleness-2 entries possible.
 ]
 
 

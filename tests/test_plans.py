@@ -154,3 +154,66 @@ def test_decontam_broadcasts_eval_side(spark, sf_dir):
     # must never hit a cartesian/shuffled join against it
     assert s["n_broadcast_joins"] >= 1
     assert not s["has_python_worker"]
+
+
+def test_q8_dim_tree_broadcasts(spark, sf_dir):
+    """q8's 8-table tree: every dim (part/supplier/nation/region/
+    customer-region semi filter) must broadcast — only the
+    lineitem⋈orders fact-fact join may shuffle."""
+    from molgraphdb_spark.queries.tpch_rest import q8_market_share
+
+    s = plan_summary(q8_market_share(spark, sf_dir))
+    assert s["n_broadcast_joins"] >= 3
+    joined = ";".join(s["pushed_filters"])
+    assert "o_orderdate" in joined  # date bounds reach the orders scan
+    assert not s["has_python_worker"]
+
+
+def test_q21_semi_anti_over_same_relation(spark, sf_dir):
+    """q21's EXISTS + NOT EXISTS: the region-filtered supplier dim
+    broadcasts; the pair/late relations join on orderkey (no
+    cartesian)."""
+    from molgraphdb_spark.queries.tpch_rest import q21_waiting_suppliers
+
+    s = plan_summary(q21_waiting_suppliers(spark, sf_dir))
+    assert s["n_broadcast_joins"] >= 1
+    assert "CartesianProduct" not in s["plan"]
+    assert not s["has_python_worker"]
+
+
+def test_q17_decorrelated_avg_broadcasts(spark, sf_dir):
+    """q17's correlated per-part AVG must decorrelate to a broadcast
+    aggregate join, not a per-row subquery or shuffled join."""
+    from molgraphdb_spark.queries.tpch_rest import q17_small_qty_revenue
+
+    s = plan_summary(q17_small_qty_revenue(spark, sf_dir))
+    assert s["n_broadcast_joins"] >= 2  # part filter + per-part avg
+    assert not s["has_python_worker"]
+
+
+def test_mixture_sample_is_map_only_over_docs(spark, sf_dir):
+    """The sampling filter must be map-only over documents: rates are
+    a broadcast of |langs| rows; the corpus never shuffles to be
+    sampled (the final per-lang report agg is the only exchange
+    beyond the count aggs)."""
+    from molgraphdb_spark.queries.mixing import doc_mixture_sample
+
+    s = plan_summary(doc_mixture_sample(spark, sf_dir))
+    # corpus ⋈ rates is a broadcast hash join (docs side never
+    # shuffles to be sampled); the 1-row target joins in as a
+    # broadcast nested-loop cross
+    assert s["n_broadcast_joins"] >= 1
+    assert "BroadcastNestedLoopJoin Cross" in s["plan"]
+    assert not s["has_python_worker"]
+
+
+def test_pack_offsets_partitions_by_source(spark, sf_dir):
+    """Packing must parallelize across sources — a single global-
+    partition window (Window.partitionBy() empty) would serialize the
+    cumsum on one task at corpus scale."""
+    from molgraphdb_spark.queries.mixing import doc_pack_offsets
+
+    df = doc_pack_offsets(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(source" in plan
+    assert not plan_summary(df)["has_python_worker"]
