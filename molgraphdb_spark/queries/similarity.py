@@ -516,6 +516,78 @@ ORDER BY label
 """
 
 
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column with
+    per-label reconstruction-error accounting — the compression pass an
+    ANN index build runs (int8 storage is 4× smaller than float32;
+    acceptable iff the dequantization error is small next to inter-
+    vector distances).
+
+    q_i = floor(x_i·127/s + 0.5) clamped to [-127, 127], s = corpus
+    max |x_i| (a 1-row broadcast — at 100 TB it is still one double).
+    Per-element squared errors are floored to integer PICO-units
+    BEFORE summation, so every aggregate is order-free integer
+    arithmetic (the oracle hashes exactly at any parallelism); the
+    quantize/dequantize chain itself is identical IEEE double ops on
+    both engines. Map-only over the corpus + one tiny groupBy(label).
+    """
+    emb = _emb(spark, sf_dir)
+    scale = emb.agg(
+        F.max(F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))).alias("s")
+    )
+
+    def _err_p(x):
+        q = F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x * 127.0 / F.col("s") + 0.5)),
+        )
+        e = x - q * F.col("s") / 127.0
+        return F.floor(e * e * 1e12 + 0.5).cast("long")
+
+    per_vec = emb.crossJoin(F.broadcast(scale)).select(
+        "label",
+        F.aggregate(
+            F.transform(F.col("v"), _err_p), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("err_p"),
+        F.size("v").alias("dim"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err_p").alias("sum_sq_err_p"),
+            F.floor(F.sum("err_p") / F.sum("dim")).cast("long").alias("mse_p"),
+            F.max("err_p").alias("max_vec_err_p"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_QUANT_SQL = """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS s FROM e
+), pv AS (
+  SELECT label,
+         list_sum(list_transform(v, x -> CAST(floor(
+             (x - greatest(-127.0, least(127.0, floor(x * 127.0 / s.s + 0.5))) * s.s / 127.0)
+           * (x - greatest(-127.0, least(127.0, floor(x * 127.0 / s.s + 0.5))) * s.s / 127.0)
+           * 1e12 + 0.5) AS BIGINT))) AS err_p,
+         len(v) AS dim
+  FROM e CROSS JOIN s
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(err_p) AS BIGINT) AS sum_sq_err_p,
+       CAST(floor(SUM(err_p) * 1.0 / SUM(dim)) AS BIGINT) AS mse_p,
+       CAST(MAX(err_p) AS BIGINT) AS max_vec_err_p
+FROM pv
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -524,9 +596,11 @@ QUERIES = {
     "similarity_label_bands": similarity_label_bands,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_norm_stats": embedding_norm_stats,
+    "embedding_quantize_stats": embedding_quantize_stats,
 }
 
 ORACLES = {
+    "embedding_quantize_stats": EMB_QUANT_SQL,
     "similarity_ivf_recall": SIM_IVF_RECALL_SQL,
     "similarity_cosine_topk": SIM_TOPK_SQL,
     "similarity_lsh_topk": SIM_LSH_SQL,
