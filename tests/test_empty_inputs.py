@@ -30,6 +30,11 @@ REPRESENTATIVE = [
     "similarity_ivf_recall",     # exact-vs-IVF comparison
     "graph_bfs_path_lengths",    # driver-probed source vertex
     "embedding_norm_stats",      # vector folds
+    "doc_mixture_sample",        # scalar-subquery rate derivation
+    "doc_pack_offsets",          # per-source cumsum windows
+    "embedding_quantize_stats",  # broadcast scale derivation
+    "q15_top_supplier",          # max-over-aggregated-view
+    "q21_waiting_suppliers",     # exists/not-exists chain
 ]
 
 

@@ -24,6 +24,9 @@ AT_RISK = [
     "embedding_norm_stats",
     "doc_unigram_logprob",  # integer-milli log sums — the order-free-sum case
     "events_twap",          # decimal product sums — exact order-free arithmetic
+    "doc_mixture_sample",   # hash-threshold sampling must not depend on layout
+    "doc_pack_offsets",     # per-source cumsum windows — sequencing case
+    "embedding_quantize_stats",  # integer pico-unit error sums
 ]
 
 

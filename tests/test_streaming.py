@@ -296,3 +296,100 @@ def test_funnel_stream_equals_batch(spark, sf_dir, events_stream_dir):
         assert (len(got), n_view, n_full) == (batch.n_users, batch.n_view, batch.n_full_funnel)
     finally:
         q.stop()
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into two files along the time axis (all of a user's
+    earlier events in file 0, later in file 1) with staggered mtimes —
+    with maxFilesPerTrigger=1 the file source processes them as TWO
+    micro-batches in order, so stateful twins must carry state across
+    the batch boundary to stay equal to batch."""
+    import time as _time
+
+    import glob
+
+    d = tmp_path_factory.mktemp("events_split")
+    stage = tmp_path_factory.mktemp("events_split_stage")
+    ev = _events(spark, sf_dir)
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).first()[0]
+    halves = [
+        ev.filter(F.unix_micros("ts") <= cut),
+        ev.filter(F.unix_micros("ts") > cut),
+    ]
+    for i, half in enumerate(halves):
+        # write.parquet produces a DIRECTORY; the file stream source
+        # wants flat files — extract the single part file
+        out = str(stage / f"h{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(out)
+        (part,) = glob.glob(f"{out}/part-*.parquet")
+        shutil.copy(part, d / f"part{i}.parquet")
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+    return str(d)
+
+
+def test_twap_stream_multibatch_carries_state(spark, sf_dir, split_events_dir):
+    """Two micro-batches: the open (last_ts, last_value) reading must
+    survive the batch boundary — the interval that STRADDLES the split
+    only exists if state carried. Final per-user rows (argmax by
+    n_intervals across update-mode emissions) must equal batch."""
+    from molgraphdb_spark.queries.temporal import events_twap
+    from molgraphdb_spark.streaming.windows import twap_stream
+
+    ev = read_events_stream(spark, split_events_dir)  # maxFilesPerTrigger=1
+    q = run_to_memory(twap_stream(ev), "t_twap_mb", output_mode="update")
+    try:
+        final = (
+            spark.table("t_twap_mb")
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_intervals", "total_dur_us", "twap_u")).alias("s"))
+            .select("user_id", "s.n_intervals", "s.total_dur_us", "s.twap_u")
+        )
+        got = {
+            r.user_id: (r.n_intervals, r.total_dur_us, r.twap_u) for r in final.collect()
+        }
+        want = {
+            r.user_id: (r.n_intervals, r.total_dur_us, r.twap_u)
+            for r in events_twap(spark, sf_dir).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_funnel_stream_multibatch_carries_state(spark, sf_dir, split_events_dir):
+    """Funnel stages set in batch 0 (e.g. the first view) must gate
+    transitions observed in batch 1 (a click after the split) — max per
+    column across emissions is the final state (stages are set-once)."""
+    from molgraphdb_spark.queries.events import funnel_stages
+    from molgraphdb_spark.streaming.windows import funnel_stage_stream
+
+    ev = read_events_stream(spark, split_events_dir)
+    q = run_to_memory(funnel_stage_stream(ev), "t_funnel_mb", output_mode="update")
+    try:
+        final = (
+            spark.table("t_funnel_mb")
+            .groupBy("user_id")
+            .agg(
+                F.max("view_us").alias("view_us"),
+                F.max("click_us").alias("click_us"),
+                F.max("purchase_us").alias("purchase_us"),
+            )
+        )
+        got = {
+            r.user_id: (r.view_us, r.click_us, r.purchase_us) for r in final.collect()
+        }
+        want = {
+            r.user_id: (r.view_us, r.click_us, r.purchase_us)
+            for r in funnel_stages(_events(spark, sf_dir))
+            .select(
+                "user_id",
+                F.unix_micros("view_ts").alias("view_us"),
+                F.unix_micros("click_ts").alias("click_us"),
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+            )
+            .collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
