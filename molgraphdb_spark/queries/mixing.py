@@ -158,12 +158,65 @@ ORDER BY source, doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Retention cohorts (orders): the classic cohort matrix.
+# --------------------------------------------------------------------------
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly retention cohort matrix over orders: customers grouped
+    by the quarter of their FIRST order (the cohort), counted as
+    retained in each subsequent quarter they ordered again — the
+    standard growth-analytics rollup, here quarterly so the matrix
+    stays dense at every sf.
+
+    Scale: the first-order derivation is a groupBy(custkey) min
+    (map-side combined) joined back to orders ON custkey — both sides
+    hash-partition on custkey, one co-partitioned shuffle each; the
+    cohort matrix agg is a tiny (cohort × period) grid. No windows, no
+    fact-side broadcast, integer period arithmetic on both engines."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    q = F.date_trunc("quarter", "o_orderdate")
+    first = orders.groupBy("o_custkey").agg(F.min(q).alias("cohort_q"))
+    period = (
+        (F.year(q) - F.year("cohort_q")) * 4 + (F.quarter(q) - F.quarter("cohort_q"))
+    ).cast("long")
+    return (
+        orders.join(first, "o_custkey")
+        .select("o_custkey", F.col("cohort_q").alias("cohort"), period.alias("period_q"))
+        .distinct()
+        .groupBy("cohort", "period_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("cohort", "period_q")
+    )
+
+
+ORDERS_RETENTION_SQL = """
+WITH first AS (
+  SELECT o_custkey, MIN(date_trunc('quarter', o_orderdate)) AS cohort_q
+  FROM orders GROUP BY o_custkey
+), activity AS (
+  SELECT DISTINCT o.o_custkey,
+         f.cohort_q AS cohort,
+         (year(date_trunc('quarter', o.o_orderdate)) - year(f.cohort_q)) * 4
+           + (quarter(date_trunc('quarter', o.o_orderdate)) - quarter(f.cohort_q)) AS period_q
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort, CAST(period_q AS BIGINT) AS period_q,
+       COUNT(*) AS n_customers
+FROM activity
+GROUP BY cohort, period_q
+ORDER BY cohort, period_q
+"""
+
+
 QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "doc_pack_offsets": doc_pack_offsets,
+    "orders_retention_cohorts": orders_retention_cohorts,
 }
 
 ORACLES = {
     "doc_mixture_sample": DOC_MIXTURE_SQL,
     "doc_pack_offsets": DOC_PACK_SQL,
+    "orders_retention_cohorts": ORDERS_RETENTION_SQL,
 }

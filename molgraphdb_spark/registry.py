@@ -97,16 +97,16 @@ _PRIORITY = [
     "unpivot_lineitem_measures",
     "grouping_sets_revenue",
     "quantiles_price_by_flag",
-    # mixture/packing/quantization debuts (round 5)
+    # mixture/packing/quantization/cohort debuts (round 5)
     "doc_mixture_sample",
     "doc_pack_offsets",
     "embedding_quantize_stats",
-    "dedup_clusters",
-    # q1_pricing_summary / q3_shipping_priority / q5_nation_revenue
-    # yield their slots to the three debuts: they are the most
-    # continuously exercised queries in the repo (bench medians every
-    # round + local parity), r3-green, untouched — the lowest-risk
-    # staleness-2 entries possible.
+    "orders_retention_cohorts",
+    # q1_pricing_summary / q3_shipping_priority / q5_nation_revenue /
+    # dedup_clusters yield their slots to the four debuts: all are
+    # benched every round (medians + local parity), r3/r4-green, and
+    # untouched this round — the lowest-risk staleness entries
+    # possible.
 ]
 
 
