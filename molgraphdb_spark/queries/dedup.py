@@ -826,8 +826,87 @@ ORDER BY m.cluster_id
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus.
+# --------------------------------------------------------------------------
+def dedup_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the shape a production pipeline
+    actually runs: an INCOMING batch (here: doc_id % 5 == 0, standing
+    in for today's crawl) is checked against the EXISTING corpus (the
+    other 80%) and against itself, without ever re-deduplicating the
+    corpus. Per incoming doc: dup_of_corpus (content hash already
+    exists), dup_within_batch (an earlier batch doc has the same
+    hash), is_new (neither). Null-hash docs (crawl errors) are always
+    is_new — same mass-deletion guard as dedup_exact.
+
+    Scale: the corpus side reduces to DISTINCT content hashes (one
+    map-side-combined aggregation — in production this is a pre-built
+    hash index, maintained incrementally by this very query's output);
+    the batch⋈corpus membership test is an equi-join on the hash in
+    which only hashes move, never text. Within-batch first-occurrence
+    is a window over the (small) batch only. The corpus text is
+    scanned once, hashed, and never shuffled with its payload."""
+    docs = _norm_docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", F.md5("norm").alias("content_hash"), (F.col("doc_id") % 5 == 0).alias("is_batch")
+    )
+    corpus_hashes = (
+        hashed.filter(~F.col("is_batch") & F.col("content_hash").isNotNull())
+        .select("content_hash")
+        .distinct()
+    )
+    batch = hashed.filter(F.col("is_batch"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    flagged = (
+        batch.join(
+            corpus_hashes.withColumn("_in_corpus", F.lit(1)), "content_hash", "left"
+        )
+        .withColumn(
+            "_rn",
+            F.when(F.col("content_hash").isNotNull(), F.row_number().over(w)).otherwise(1),
+        )
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("_in_corpus", F.lit(0)).alias("dup_of_corpus"),
+            ((F.col("_rn") > 1) & F.col("content_hash").isNotNull()).cast("int").alias("dup_within_batch"),
+        )
+    )
+    return flagged.withColumn(
+        "is_new",
+        ((F.col("dup_of_corpus") == 0) & (F.col("dup_within_batch") == 0)).cast("int"),
+    ).orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+         doc_id % 5 = 0 AS is_batch
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT content_hash FROM hashed
+  WHERE NOT is_batch AND content_hash IS NOT NULL
+), batch AS (
+  SELECT doc_id, content_hash,
+         CASE WHEN content_hash IS NOT NULL
+              THEN ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id)
+              ELSE 1 END AS rn
+  FROM hashed WHERE is_batch
+)
+SELECT b.doc_id, b.content_hash,
+       CASE WHEN c.content_hash IS NOT NULL THEN 1 ELSE 0 END AS dup_of_corpus,
+       CAST(b.rn > 1 AND b.content_hash IS NOT NULL AS INT) AS dup_within_batch,
+       CAST((c.content_hash IS NULL)
+            AND NOT (b.rn > 1 AND b.content_hash IS NOT NULL) AS INT) AS is_new
+FROM batch b LEFT JOIN corpus c ON b.content_hash = c.content_hash
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental_flags": dedup_incremental_flags,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
@@ -844,6 +923,7 @@ ORACLES = {
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_incremental_flags": DEDUP_INCREMENTAL_SQL,
     "neardup_jaccard_pairs": NEARDUP_JACCARD_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SQL,
     "dedup_minhash_lsh_pairs": DEDUP_LSH_SQL,

@@ -56,6 +56,7 @@ _PRIORITY = [
     "setop_except_nations",
     "ntile_customer_value",
     # engine code changed this round
+    "dedup_incremental_flags",  # round-5 debut (incremental ingestion shape)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -90,7 +91,9 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "doc_line_dedup_ratio",
     "doc_rare_token_ratio",
-    "full_outer_nation_profile",
+    # full_outer_nation_profile yields its slot to the incremental-
+    # dedup debut: trivial reshape op, r3-green, untouched,
+    # plan-smoke-guarded — re-enters in r6.
     "sample_systematic_orders",
     "sample_stratified_docs",
     "pivot_status_by_priority",
