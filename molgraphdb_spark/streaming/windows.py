@@ -148,6 +148,34 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_bars(events: DataFrame, window: str = "15 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming OHLC bars — the streaming twin of
+    queries/temporal.py::events_ohlc_resample. open/close are
+    ``min_by``/``max_by`` over the same zero-padded (ts, event_id)
+    ordering key as the batch query (deterministic tie-break on both
+    execution modes); the watermark bounds bar state at one hour of
+    late data. One stateful aggregation keyed on (window, event_type)."""
+    order_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", order_key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", order_key), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bar_start_us"),
+            "event_type", "open", "high", "low", "close", "n_events",
+        )
+    )
+
+
 _TWAP_STATE = "last_ts long, last_v long, n long, sum_dur long, sum_vdur string"
 _TWAP_OUT = "user_id long, n_intervals long, total_dur_us long, twap_u long"
 

@@ -393,3 +393,26 @@ def test_funnel_stream_multibatch_carries_state(spark, sf_dir, split_events_dir)
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_ohlc_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    """Streaming OHLC bars must equal the batch resample bar-for-bar —
+    including open/close, which depend on the deterministic
+    (ts, event_id) ordering key, not arrival order."""
+    from molgraphdb_spark.queries.temporal import events_ohlc_resample
+    from molgraphdb_spark.streaming.windows import ohlc_bars
+
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(ohlc_bars(ev), "t_ohlc")
+    try:
+        got = {
+            (r.bar_start_us, r.event_type): (r.open, r.high, r.low, r.close, r.n_events)
+            for r in spark.table("t_ohlc").collect()
+        }
+        want = {
+            (r.bar_start_us, r.event_type): (r.open, r.high, r.low, r.close, r.n_events)
+            for r in events_ohlc_resample(spark, sf_dir).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
