@@ -177,6 +177,67 @@ def probe_lsh(spark, sf_dir: str) -> dict:
     }
 
 
+def build_embeddings(spark, k: int) -> str:
+    """Replicate sf0.1 embeddings k× with a deterministic per-(replica,
+    dim) perturbation of ±8e-3. Replica 0 keeps the ORIGINAL vec_id
+    (so the IVF centroid ids < 8 and the query id range [100, 120)
+    stay meaningful); replicas get vec_id + rep·1e6 — near-duplicate
+    vectors that realistically land in the same coarse cell as their
+    original."""
+    out = f"{BASE}/emb_k{k}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    reps = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep"),
+        "embedding", "label",
+    ).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + F.col("rep") * ((i + 1) % 17 - 8).cast("double") * 1e-3
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    reps.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def probe_ann(spark, k: int) -> dict:
+    from molgraphdb_spark.queries.similarity import (
+        similarity_cosine_topk,
+        similarity_ivf_topk,
+        similarity_ivf_recall,
+    )
+
+    emb_dir = build_embeddings(spark, k)
+    n_vecs = spark.read.parquet(f"{emb_dir}/embeddings.parquet").count()
+
+    t0 = time.time()
+    n_exact_rows = similarity_cosine_topk(spark, emb_dir).count()
+    t_exact = time.time() - t0
+    t0 = time.time()
+    n_ivf_rows = similarity_ivf_topk(spark, emb_dir).count()
+    t_ivf = time.time() - t0
+    t0 = time.time()
+    rec = similarity_ivf_recall(spark, emb_dir).agg(
+        F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")
+    ).first()
+    t_recall = time.time() - t0
+    spark.catalog.clearCache()
+    return {
+        "probe": "ann", "k": k, "vectors": n_vecs,
+        "exact_rows": n_exact_rows, "t_exact_s": round(t_exact, 1),
+        "ivf_rows": n_ivf_rows, "t_ivf_s": round(t_ivf, 1),
+        "recall_at3": round((rec["h"] or 0) / (rec["e"] or 1), 4),
+        "t_recall_s": round(t_recall, 1),
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe")
@@ -192,6 +253,8 @@ def main() -> None:
     # CC at both sides of the 1M-edge dispatch threshold.
     print(json.dumps(probe_cc(spark, k=10, n_orig=5000)))       # 225k edges
     print(json.dumps(probe_cc(spark, k=25, n_orig=5000)))       # 1.5M edges
+    # ANN at k× vectors: exact brute force vs IVF, with recall.
+    print(json.dumps(probe_ann(spark, k)))
 
 
 if __name__ == "__main__":
