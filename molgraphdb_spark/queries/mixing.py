@@ -51,7 +51,9 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free plan, the standard at-scale choice."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    # cache(): counts feeds both the target scalar and the rates join
+    # (tiny: |langs| rows) — uncached, the corpus count agg runs twice.
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in")).cache()
     target = counts.agg(F.min("n_in").alias("target_n"))
     rates = counts.crossJoin(F.broadcast(target)).select(
         "lang",

@@ -78,9 +78,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = part.filter(F.col("p_size").isin(*Q2_SIZES) & (F.col("p_type") == Q2_TYPE)).select(
         "p_partkey", "p_name"
     )
+    # cache(): offers is referenced twice below (min-per-part groupBy +
+    # the equality join back) with different projections — without it
+    # the lineitem aggregation under ps executes twice (Spark reuses no
+    # exchanges across differently-projected references; see dedup.py).
+    # The cached relation is small: target-parts × EU-suppliers offers.
     offers = ps.join(F.broadcast(tgt), F.col("l_partkey") == F.col("p_partkey")).join(
         F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
-    )
+    ).cache()
     min_cost = offers.groupBy(F.col("l_partkey").alias("mk")).agg(
         F.min("unit_cost").alias("min_cost")
     )
@@ -326,11 +331,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey")
+    # cache(): per_part feeds both the total (scalar subquery) and the
+    # threshold filter — uncached, the semi-join + aggregation over
+    # lineitem would execute twice.
     per_part = (
         li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("part_value"))
-    )
+    ).cache()
     total = per_part.agg(F.round(F.sum("part_value"), 2).alias("total_value"))
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -408,6 +416,9 @@ Q15_START, Q15_END = "1996-01-01", "1996-04-01"
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
+    # cache(): the revenue view is referenced by both the MAX scalar
+    # and the equality filter — one materialization instead of two
+    # lineitem aggregations.
     revenue = (
         li.filter(
             (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
@@ -415,7 +426,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
-    )
+    ).cache()
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))
@@ -600,14 +611,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
 
+    # ONE pass over the fact-fact join: collapse to distinct
+    # (order, supplier) pairs carrying a was-ever-late flag, cached —
+    # deriving `late` and `all_pairs` as separate distincts would
+    # execute the lineitem⋈orders join twice.
     lo = li.join(
         orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
-    late = lo.filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
-    ).select("l_orderkey", "l_suppkey").distinct()
-    all_pairs = lo.select("l_orderkey", "l_suppkey").distinct()
+    pairs_flagged = (
+        lo.select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+            ).cast("int").alias("is_late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("is_late"))
+    ).cache()
+    late = pairs_flagged.filter(F.col("is_late") == 1).select("l_orderkey", "l_suppkey")
+    all_pairs = pairs_flagged.select("l_orderkey", "l_suppkey")
 
     l1 = late.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
     others = all_pairs.select(
