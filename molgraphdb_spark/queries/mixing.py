@@ -211,14 +211,62 @@ ORDER BY cohort, period_q
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split.
+# --------------------------------------------------------------------------
+SPLIT_VAL_PPM = 10_000   #: 1% validation
+SPLIT_TEST_PPM = 10_000  #: 1% test
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the same mixing hash as
+    doc_mixture_sample partitions [0, 1e6) into test | val | train
+    ranges — membership is a pure function of doc_id, so the split is
+    stable across runs, re-shards, and engine versions (the property
+    leakage audits depend on: a doc can NEVER migrate between splits).
+    Output: per (split, lang) counts + char volume — the shard
+    manifest summary. Map-only over the corpus + a 15-group agg."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    u = _u_milli(F.col("doc_id"))
+    split = (
+        F.when(u < SPLIT_TEST_PPM, "test")
+        .when(u < SPLIT_TEST_PPM + SPLIT_VAL_PPM, "val")
+        .otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+DOC_SPLIT_SQL = f"""
+SELECT CASE WHEN (doc_id * 2654435761) % {_HASH_MOD} < {SPLIT_TEST_PPM} THEN 'test'
+            WHEN (doc_id * 2654435761) % {_HASH_MOD} < {SPLIT_TEST_PPM + SPLIT_VAL_PPM} THEN 'val'
+            ELSE 'train' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "doc_pack_offsets": doc_pack_offsets,
     "orders_retention_cohorts": orders_retention_cohorts,
+    "doc_split_assign": doc_split_assign,
 }
 
 ORACLES = {
     "doc_mixture_sample": DOC_MIXTURE_SQL,
     "doc_pack_offsets": DOC_PACK_SQL,
     "orders_retention_cohorts": ORDERS_RETENTION_SQL,
+    "doc_split_assign": DOC_SPLIT_SQL,
 }

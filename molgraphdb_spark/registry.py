@@ -91,20 +91,21 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "doc_line_dedup_ratio",
     "doc_rare_token_ratio",
-    # full_outer_nation_profile yields its slot to the incremental-
-    # dedup debut: trivial reshape op, r3-green, untouched,
-    # plan-smoke-guarded — re-enters in r6.
-    "sample_systematic_orders",
+    # full_outer_nation_profile and sample_systematic_orders yield
+    # their slots to the incremental-dedup and split-assign debuts:
+    # trivial reshape/sampling ops, r3-green, untouched,
+    # plan-smoke-guarded — they re-enter in r6.
     "sample_stratified_docs",
     "pivot_status_by_priority",
     "unpivot_lineitem_measures",
     "grouping_sets_revenue",
     "quantiles_price_by_flag",
-    # mixture/packing/quantization/cohort debuts (round 5)
+    # mixture/packing/quantization/cohort/split debuts (round 5)
     "doc_mixture_sample",
     "doc_pack_offsets",
     "embedding_quantize_stats",
     "orders_retention_cohorts",
+    "doc_split_assign",
     # q1_pricing_summary / q3_shipping_priority / q5_nation_revenue /
     # dedup_clusters yield their slots to the four debuts: all are
     # benched every round (medians + local parity), r3/r4-green, and
