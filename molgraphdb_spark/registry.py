@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.relational",
     "molgraphdb_spark.queries.tpch_rest",
     "molgraphdb_spark.queries.mixing",
+    "molgraphdb_spark.queries.linkage",
 ]
 
 # Round-5 verification window (first 50). Leads with the three r4 reds
@@ -57,6 +58,8 @@ _PRIORITY = [
     "ntile_customer_value",
     # engine code changed this round
     "dedup_incremental_flags",  # round-5 debut (incremental ingestion shape)
+    "fuzzy_name_pairs",  # round-5 debut (record-linkage block+verify)
+    "fuzzy_name_clusters",  # round-5 debut (ER cluster resolution)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -95,9 +98,11 @@ _PRIORITY = [
     # their slots to the incremental-dedup and split-assign debuts:
     # trivial reshape/sampling ops, r3-green, untouched,
     # plan-smoke-guarded — they re-enter in r6.
+    # pivot_status_by_priority and unpivot_lineitem_measures yield
+    # their slots to the fuzzy-linkage debuts: trivial reshape ops,
+    # r3-green, untouched, plan-smoke-guarded — they re-enter in r6
+    # alongside the other staleness-2 relational entries.
     "sample_stratified_docs",
-    "pivot_status_by_priority",
-    "unpivot_lineitem_measures",
     "grouping_sets_revenue",
     "quantiles_price_by_flag",
     # mixture/packing/quantization/cohort/split debuts (round 5)
