@@ -627,6 +627,84 @@ ORDER BY doc_id
 """
 
 
+#: Gopher-style top-2-gram repetition cap (basis points of bigram
+#: occurrences owned by the single most frequent bigram).
+GOPHER_TOP2_MAX_BP = 2000
+
+
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition filter: the share of word-bigram
+    occurrences owned by the document's single most frequent bigram.
+    Templated/generated text ("click here click here ...") concentrates
+    mass in one n-gram; clean prose spreads it. Complements
+    doc_line_dedup_ratio (whole-line boilerplate) at the sub-line level.
+
+    Scale shape: entirely MAP-ONLY. The obvious plan — explode bigrams,
+    groupBy(doc_id, bigram), re-aggregate — ships every bigram
+    occurrence of the corpus through two shuffles. Instead the top
+    count is computed per row as the longest equal-run of the SORTED
+    bigram array via a single ``aggregate`` fold (O(n log n) sort +
+    O(n) scan per document, zero exchanges): corpus cost is one scan
+    at any size. The DuckDB oracle keeps the groupBy formulation —
+    identical semantics, only the physical plan differs."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(
+        F.lit("\x00").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _merge(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.array_sort(bg), acc0, _merge, lambda a: a["best"])
+    n2 = F.size(bg).cast("long")
+    bp = F.floor(top * 10000.0 / n2 + 0.5).cast("long")
+    return docs.select(
+        "doc_id",
+        n2.alias("n_bigrams"),
+        top.alias("top_bigram_n"),
+        F.when(n2 > 0, bp).alias("top_bigram_bp"),
+        F.when((n2 == 0) | (bp <= GOPHER_TOP2_MAX_BP), 1)
+        .otherwise(0)
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+DOC_GOPHER_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM tk
+), c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id, MAX(c) AS top_n, CAST(SUM(c) AS BIGINT) AS n2 FROM c GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n2, 0) AS n_bigrams,
+       COALESCE(a.top_n, 0) AS top_bigram_n,
+       CAST(CASE WHEN a.n2 > 0 THEN floor(a.top_n * 10000.0 / a.n2 + 0.5) END AS BIGINT)
+           AS top_bigram_bp,
+       CAST(CASE WHEN a.n2 IS NULL OR floor(a.top_n * 10000.0 / a.n2 + 0.5) <= {GOPHER_TOP2_MAX_BP}
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -639,6 +717,7 @@ QUERIES = {
     "doc_content_filter": doc_content_filter,
     "doc_decontaminate_overlap": doc_decontaminate_overlap,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_gopher_repetition": doc_gopher_repetition,
 }
 
 ORACLES = {
@@ -653,4 +732,5 @@ ORACLES = {
     "doc_content_filter": DOC_CONTENT_FILTER_SQL,
     "doc_decontaminate_overlap": DOC_DECONTAM_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_SQL,
+    "doc_gopher_repetition": DOC_GOPHER_SQL,
 }

@@ -60,6 +60,7 @@ _PRIORITY = [
     "dedup_incremental_flags",  # round-5 debut (incremental ingestion shape)
     "fuzzy_name_pairs",  # round-5 debut (record-linkage block+verify)
     "fuzzy_name_clusters",  # round-5 debut (ER cluster resolution)
+    "doc_gopher_repetition",  # round-5 debut (map-only top-bigram filter)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -102,7 +103,9 @@ _PRIORITY = [
     # their slots to the fuzzy-linkage debuts: trivial reshape ops,
     # r3-green, untouched, plan-smoke-guarded — they re-enter in r6
     # alongside the other staleness-2 relational entries.
-    "sample_stratified_docs",
+    # sample_stratified_docs also yields its slot (to the gopher
+    # repetition debut) on the same trivial/r3-green/plan-guarded
+    # grounds; it re-enters in r6 with the reshape entries.
     "grouping_sets_revenue",
     "quantiles_price_by_flag",
     # mixture/packing/quantization/cohort/split debuts (round 5)

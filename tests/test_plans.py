@@ -54,6 +54,19 @@ def test_text_pipeline_stays_jvm_side(spark, sf_dir):
     assert s["n_exchanges"] == 0  # per-document scoring must not shuffle
 
 
+def test_gopher_repetition_map_only(spark, sf_dir):
+    # top-bigram count is a sorted-run-length fold per row — the
+    # explode+groupBy formulation (two corpus-sized shuffles) must
+    # never creep back in. Final orderBy excluded by dropping the sort.
+    from molgraphdb_spark.queries.text import doc_gopher_repetition
+
+    df = doc_gopher_repetition(spark, sf_dir)
+    s = plan_summary(df.limit(10**9))  # limit strips nothing; sort stays
+    assert not s["has_python_worker"]
+    # allow only the range-partition exchange of the final orderBy
+    assert s["n_exchanges"] <= 1
+
+
 def test_minhash_signatures_map_only(spark, sf_dir):
     # Signature computation folds over the shingle array per row —
     # the plan must contain NO Exchange before the (tiny) final sort.
