@@ -73,3 +73,40 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col(CORRUPT_COL).alias("raw_record")
     )
     return good, bad
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, pattern: str = "*"
+) -> DataFrame:
+    """Raw binary landing reader (images/audio/video files as they
+    arrive from a crawl or vendor drop): Spark's built-in
+    ``binaryFile`` source, projected to the manifest shape the
+    multimodal family consumes (queries/multimodal_queries.py) —
+    (uri, n_bytes, modified_at, content binary).
+
+    Scale notes (100 TB of binaries):
+    - binaryFile is NOT splittable: one file never spans tasks, and
+      small files are grouped per task up to
+      ``spark.sql.files.maxPartitionBytes`` — the small-file problem
+      is absorbed by task grouping, huge single files are the
+      anti-pattern (shard upstream).
+    - Metadata-only queries (counts, size histograms, pathGlob
+      audits) prune ``content``: the source reads file STATUS, not
+      bytes, when the column isn't referenced — same
+      metadata-never-touches-payload property the manifest queries
+      are plan-tested for.
+    - ``spark.sql.binaryFile.maxLength`` guards against a single
+      multi-GB object blowing task memory; oversized payloads belong
+      in object storage with (uri, byte_range) rows instead.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(
+            F.col("path").alias("uri"),
+            F.col("length").alias("n_bytes"),
+            F.col("modificationTime").alias("modified_at"),
+            F.col("content"),
+        )
+    )

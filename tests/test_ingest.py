@@ -72,3 +72,27 @@ def test_good_rows_roundtrip_to_parquet(spark, tmp_path):
     back = spark.read.parquet(str(out))
     assert back.count() == 3
     assert [f.name for f in back.schema.fields] == ["doc_id", "text", "lang"]
+
+
+def test_binary_file_landing(spark, tmp_path):
+    from molgraphdb_spark.sources.ingest import read_binary_files
+
+    blobs = {"a.img": b"\x89PNGfake", "b.img": b"\x00\x01\x02", "c.txt": b"notes"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = read_binary_files(spark, str(tmp_path), "*.img")
+    rows = {r.uri.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}  # glob filter applied
+    for name, r in rows.items():
+        assert bytes(r.content) == blobs[name]
+        assert r.n_bytes == len(blobs[name])
+
+
+def test_binary_file_metadata_only_prunes_content(spark, tmp_path):
+    from molgraphdb_spark.sources.ingest import read_binary_files
+
+    (tmp_path / "x.img").write_bytes(b"12345")
+    df = read_binary_files(spark, str(tmp_path), "*.img").select("uri", "n_bytes")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan  # payload bytes pruned from the scan
+    assert df.collect()[0].n_bytes == 5
