@@ -334,6 +334,79 @@ ORDER BY user_id
 """
 
 
+#: Minimum events per user before the 2-sigma rule applies.
+MIN_ANOMALY_N = 5
+
+
+def events_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user statistical outliers: events whose value deviates from
+    the user's own mean by more than two population standard
+    deviations — the telemetry anomaly flag (fraud spikes, sensor
+    glitches, bot bursts) every event pipeline runs.
+
+    Determinism engineering: floats never enter the comparison. With
+    integer micro-unit readings, |v - mean| > 2*sigma is equivalent to
+
+        (n*v - S)^2 > 4*(n*Q - S^2)        (multiply through by n^2)
+
+    where S = sum(v_u), Q = sum(v_u^2) over the user's events — all
+    exact DECIMAL(38,0) integer arithmetic (HUGEINT on the DuckDB
+    side), order-free and partition-invariant; no sqrt, no division,
+    no float ulp at the decision boundary. Headroom: v_u up to ~1e12
+    with 1e8 events/user stays under the 38-digit cap.
+
+    Strict '>' makes zero-variance users (all readings equal)
+    outlier-free by construction; users with fewer than MIN_ANOMALY_N
+    events are excluded (a 2-sigma rule over 3 points is noise).
+
+    One shuffle on user_id: the three aggregates ride one window
+    partitioning, reused by the filter."""
+    ev = _events(spark, sf_dir)
+    v_u = F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+    base = ev.select("event_id", "user_id", v_u.alias("v_u")).filter(
+        F.col("v_u").isNotNull()
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    w = Window.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dec(F.col("v_u"))).over(w)
+    q = F.sum(dec(F.col("v_u")) * F.col("v_u")).over(w)
+    stats = base.select(
+        "event_id", "user_id", "v_u",
+        n.alias("n"), s.alias("s"), q.alias("q"),
+    )
+    dev = dec(F.col("n") * F.col("v_u")) - F.col("s")
+    thr = 4 * (dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        stats.filter((F.col("n") >= MIN_ANOMALY_N) & (dev * dev > thr))
+        .select("event_id", "user_id", "v_u", F.col("n").alias("n_user"))
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_u
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT event_id, user_id, v_u,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(CAST(v_u AS HUGEINT)) OVER (PARTITION BY user_id) AS s,
+         SUM(CAST(v_u AS HUGEINT) * v_u) OVER (PARTITION BY user_id) AS q
+  FROM b
+)
+SELECT event_id, user_id, v_u, CAST(n AS BIGINT) AS n_user
+FROM s
+WHERE n >= {{min_n}}
+  AND (n * v_u - s) * (n * v_u - s) > 4 * (n * q - s * s)
+ORDER BY event_id
+""".format(min_n=MIN_ANOMALY_N)
+
+
 QUERIES = {
     "events_ohlc_resample": events_ohlc_resample,
     "events_asof_join": events_asof_join,
@@ -342,6 +415,7 @@ QUERIES = {
     "events_sliding_window": events_sliding_window,
     "events_rolling_hour_avg": events_rolling_hour_avg,
     "events_twap": events_twap,
+    "events_anomaly_outliers": events_anomaly_outliers,
 }
 
 ORACLES = {
@@ -352,4 +426,5 @@ ORACLES = {
     "events_sliding_window": EVENTS_SLIDING_SQL,
     "events_rolling_hour_avg": EVENTS_ROLLING_SQL,
     "events_twap": EVENTS_TWAP_SQL,
+    "events_anomaly_outliers": EVENTS_ANOMALY_SQL,
 }

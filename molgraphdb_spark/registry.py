@@ -61,6 +61,7 @@ _PRIORITY = [
     "fuzzy_name_pairs",  # round-5 debut (record-linkage block+verify)
     "fuzzy_name_clusters",  # round-5 debut (ER cluster resolution)
     "doc_gopher_repetition",  # round-5 debut (map-only top-bigram filter)
+    "events_anomaly_outliers",  # round-5 debut (integer-exact 2-sigma flag)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -103,10 +104,10 @@ _PRIORITY = [
     # their slots to the fuzzy-linkage debuts: trivial reshape ops,
     # r3-green, untouched, plan-smoke-guarded — they re-enter in r6
     # alongside the other staleness-2 relational entries.
-    # sample_stratified_docs also yields its slot (to the gopher
-    # repetition debut) on the same trivial/r3-green/plan-guarded
-    # grounds; it re-enters in r6 with the reshape entries.
-    "grouping_sets_revenue",
+    # sample_stratified_docs and grouping_sets_revenue also yield
+    # their slots (to the gopher-repetition and anomaly-outlier
+    # debuts) on the same trivial/r3-green/plan-guarded grounds; they
+    # re-enter in r6 with the reshape entries.
     "quantiles_price_by_flag",
     # mixture/packing/quantization/cohort/split debuts (round 5)
     "doc_mixture_sample",

@@ -27,6 +27,7 @@ AT_RISK = [
     "doc_mixture_sample",   # hash-threshold sampling must not depend on layout
     "doc_pack_offsets",     # per-source cumsum windows — sequencing case
     "embedding_quantize_stats",  # integer pico-unit error sums
+    "events_anomaly_outliers",   # decimal window sums — order-free exactness
 ]
 
 
