@@ -588,6 +588,50 @@ ORDER BY label
 """
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection, LSH-bounded — the scale path the
+    exact ``dedup_embedding_cosine`` docstring promises: candidate
+    pairs come from an equi-join on the sign bucket (same policy,
+    cosine >= 0.40 to an earlier vector, same output shape), so the
+    pair universe is Sigma(bucket_size^2), never N^2, and the
+    quadratic input guard is unnecessary. Recall is partial by design
+    (a near-dup pair split across buckets is missed; at 100 TB one
+    widens coverage with multiple bucket tables / multi-probe, same
+    join shape per table). True near-identical vectors agree on sign
+    bits almost surely, so the high-cosine pairs this query exists to
+    catch survive bucketing — the ANN scale probe measured recall 1.0
+    on exactly that replica structure (BASELINE.md)."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "bucket")
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"))
+        .filter(F.col("cos_ubp") >= DUP_THRESHOLD_UBP)
+    )
+    return (
+        pairs.groupBy(F.col("ib").alias("vec_id"))
+        .agg(F.min("ia").alias("dup_of"), F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_EMB_LSH_SQL = f"""
+WITH {_EMB_CTE},
+bucketed AS (SELECT vec_id, v, {_SIGN_SQL} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(floor(({_COS_SQL}) * 1000000 + 0.5) AS BIGINT) AS cos_ubp
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT ib AS vec_id, MIN(ia) AS dup_of, COUNT(*) AS n_matches
+FROM pairs WHERE cos_ubp >= {DUP_THRESHOLD_UBP}
+GROUP BY ib
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -595,6 +639,7 @@ QUERIES = {
     "similarity_ivf_recall": similarity_ivf_recall,
     "similarity_label_bands": similarity_label_bands,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_quantize_stats": embedding_quantize_stats,
 }
@@ -607,5 +652,6 @@ ORACLES = {
     "similarity_ivf_topk": SIM_IVF_SQL,
     "similarity_label_bands": SIM_BANDS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
+    "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
     "embedding_norm_stats": EMB_NORM_SQL,
 }

@@ -62,6 +62,7 @@ _PRIORITY = [
     "fuzzy_name_clusters",  # round-5 debut (ER cluster resolution)
     "doc_gopher_repetition",  # round-5 debut (map-only top-bigram filter)
     "events_anomaly_outliers",  # round-5 debut (integer-exact 2-sigma flag)
+    "dedup_embedding_lsh",  # round-5 debut (bounded embedding-dedup scale path)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -104,11 +105,11 @@ _PRIORITY = [
     # their slots to the fuzzy-linkage debuts: trivial reshape ops,
     # r3-green, untouched, plan-smoke-guarded — they re-enter in r6
     # alongside the other staleness-2 relational entries.
-    # sample_stratified_docs and grouping_sets_revenue also yield
-    # their slots (to the gopher-repetition and anomaly-outlier
-    # debuts) on the same trivial/r3-green/plan-guarded grounds; they
-    # re-enter in r6 with the reshape entries.
-    "quantiles_price_by_flag",
+    # sample_stratified_docs, grouping_sets_revenue and
+    # quantiles_price_by_flag also yield their slots (to the
+    # gopher-repetition, anomaly-outlier and embedding-LSH debuts) on
+    # the same trivial/r3-green/plan-guarded grounds; they re-enter
+    # in r6 with the reshape entries.
     # mixture/packing/quantization/cohort/split debuts (round 5)
     "doc_mixture_sample",
     "doc_pack_offsets",
