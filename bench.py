@@ -50,6 +50,11 @@ HEADLINE = [
     # added round 5 (TPC-H completion showcase; absent from r2-r4 baselines)
     "q8_market_share",
     "q21_waiting_suppliers",
+    # added round 5 session 2 (new families; absent from prior baselines)
+    "fuzzy_name_clusters",
+    "doc_gopher_repetition",
+    "events_anomaly_outliers",
+    "dedup_embedding_lsh",
 ]
 
 

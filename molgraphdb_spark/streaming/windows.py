@@ -297,6 +297,49 @@ def funnel_stage_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_MOMENTS_STATE = "n long, s string, q string"
+_MOMENTS_OUT = "user_id long, n long, s string, q string"
+
+
+def _moments_state_fn(key, pdf_iter, state: GroupState):
+    """Streaming per-user moment accumulator — the stateful core of the
+    2-sigma anomaly flag (twin of queries/temporal.py::
+    events_anomaly_outliers). An event's outlier verdict depends on the
+    user's FULL history (n, S = sum v_u, Q = sum v_u^2 enter the
+    decision inequality), so the streaming op maintains exactly those
+    sufficient statistics; flags are derived by joining the latest
+    moments back onto the events (see the stream==batch test). S and Q
+    accumulate as unbounded Python ints serialized as strings — the
+    same order-free exact arithmetic as the batch DECIMAL(38,0)."""
+    (user_id,) = key
+    if state.exists:
+        n, s_s, q_s = state.get
+        s, q = int(s_s), int(q_s)
+    else:
+        n, s, q = 0, 0, 0
+    for pdf in pdf_iter:
+        v_u = np.floor(pdf["value"].dropna().to_numpy() * 1_000_000 + 0.5).astype("int64")
+        n += len(v_u)
+        s += int(v_u.sum())
+        q += int((v_u.astype(object) ** 2).sum())
+    state.update((n, str(s), str(q)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n": [n], "s": [str(s)], "q": [str(q)]}
+    )
+
+
+def user_moments_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user (n, S, Q) moments via applyInPandasWithState;
+    update mode emits each user's latest exact statistics per batch."""
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _moments_state_fn,
+        outputStructType=_MOMENTS_OUT,
+        stateStructType=_MOMENTS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def click_purchase_join(
     events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

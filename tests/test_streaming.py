@@ -416,3 +416,57 @@ def test_ohlc_stream_equals_batch(spark, sf_dir, events_stream_dir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_moments_stream_matches_batch_anomalies(spark, sf_dir, events_stream_dir):
+    """The streaming per-user moment accumulator must carry exact
+    (n, S, Q) across micro-batches; flags derived from the final
+    moments must equal the batch events_anomaly_outliers output."""
+    from molgraphdb_spark.queries.temporal import (
+        MIN_ANOMALY_N,
+        events_anomaly_outliers,
+    )
+    from molgraphdb_spark.queries.events import _events
+    from molgraphdb_spark.streaming.windows import user_moments_stream
+    import math
+
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(user_moments_stream(ev), "t_moments", output_mode="update")
+    try:
+        moments = {
+            r.user_id: (r.n, int(r.s), int(r.q))
+            for r in spark.table("t_moments").collect()
+        }
+        # exact-moment equality vs batch aggregation
+        from pyspark.sql import functions as F
+
+        v_u = F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+        batch = (
+            _events(spark, sf_dir)
+            .select("user_id", v_u.alias("v_u"))
+            .filter(F.col("v_u").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v_u").cast("decimal(38,0)")).alias("s"),
+                F.sum(F.col("v_u").cast("decimal(38,0)") * F.col("v_u")).alias("q"),
+            )
+        )
+        want_m = {r.user_id: (r.n, int(r.s), int(r.q)) for r in batch.collect()}
+        assert moments == want_m and len(want_m) > 0
+        # flags derived from final moments == batch anomaly query
+        ev_rows = (
+            _events(spark, sf_dir)
+            .select("event_id", "user_id", v_u.alias("v_u"))
+            .filter(F.col("v_u").isNotNull())
+            .collect()
+        )
+        flagged = set()
+        for r in ev_rows:
+            n, s, qq = moments[r.user_id]
+            if n >= MIN_ANOMALY_N and (n * r.v_u - s) ** 2 > 4 * (n * qq - s * s):
+                flagged.add(r.event_id)
+        want = {r.event_id for r in events_anomaly_outliers(spark, sf_dir).collect()}
+        assert flagged == want
+    finally:
+        q.stop()
