@@ -493,6 +493,41 @@ ORDER BY doc_id
 """
 
 
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION (the transform counterpart of doc_content_filter's
+    detect-only gate): emails -> '<EMAIL>', IPv4 literals -> '<IP>',
+    applied in that fixed order on both engines. The redacted text is
+    verified by md5 (the transform itself is hash-checked, not just
+    the counts). Map-only, zero shuffle — scan-throughput scrubbing."""
+    docs = _docs(spark, sf_dir)
+    red = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+    )
+    n_email = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        (n_email + n_ipv4).alias("n_redactions"),
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+DOC_PII_REDACT_SQL = f"""
+WITH r AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{{email}}', '<EMAIL>', 'g'),
+                        '{{ipv4}}', '<IP>', 'g') AS red,
+         len(regexp_extract_all(text, '{{email}}'))
+           + len(regexp_extract_all(text, '{{ipv4}}')) AS n_redactions
+  FROM documents
+)
+SELECT doc_id, CAST(n_redactions AS INT) AS n_redactions,
+       CAST(length(red) AS INT) AS redacted_len, md5(red) AS redacted_md5
+FROM r ORDER BY doc_id
+""".format(email=PII_EMAIL, ipv4=PII_IPV4)
+
+
 DECONTAM_EVAL_MOD = 97  #: doc_id % this == 0 ⇒ held-out "benchmark" doc
 DECONTAM_NGRAM = 3  #: word n-gram order for the overlap check
 DECONTAM_MIN_OVERLAP = 2  #: shared distinct n-grams to flag contamination
@@ -718,6 +753,7 @@ QUERIES = {
     "doc_decontaminate_overlap": doc_decontaminate_overlap,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_gopher_repetition": doc_gopher_repetition,
+    "doc_pii_redact": doc_pii_redact,
 }
 
 ORACLES = {
@@ -733,4 +769,5 @@ ORACLES = {
     "doc_decontaminate_overlap": DOC_DECONTAM_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_SQL,
     "doc_gopher_repetition": DOC_GOPHER_SQL,
+    "doc_pii_redact": DOC_PII_REDACT_SQL,
 }

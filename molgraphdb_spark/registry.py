@@ -63,6 +63,7 @@ _PRIORITY = [
     "doc_gopher_repetition",  # round-5 debut (map-only top-bigram filter)
     "events_anomaly_outliers",  # round-5 debut (integer-exact 2-sigma flag)
     "dedup_embedding_lsh",  # round-5 debut (bounded embedding-dedup scale path)
+    "doc_pii_redact",  # round-5 debut (hash-verified PII redaction transform)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -95,7 +96,9 @@ _PRIORITY = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "doc_line_dedup_ratio",
+    # doc_line_dedup_ratio yields its slot to the pii-redact debut:
+    # trivial map-only ratio, green in this session's full local
+    # sf0.01 sweep (the identical driver comparison); re-enters r6.
     "doc_rare_token_ratio",
     # full_outer_nation_profile and sample_systematic_orders yield
     # their slots to the incremental-dedup and split-assign debuts:
