@@ -681,17 +681,25 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram array via a single ``aggregate`` fold (O(n log n) sort +
     O(n) scan per document, zero exchanges): corpus cost is one scan
     at any size. The DuckDB oracle keeps the groupBy formulation —
-    identical semantics, only the physical plan differs."""
+    identical semantics, only the physical plan differs.
+
+    Expression engineering (measured 9.5 s → 1.1 s at sf0.1): the
+    bigram array must be CONSUMED EXACTLY ONCE. CollapseProject
+    re-inlines a projected alias into every downstream reference, and
+    higher-order-function subtrees are not subexpression-eliminated, so
+    each extra reference re-built + re-sorted the array (the first cut
+    referenced it four times ⇒ ~4× the work). Hence: ``n_bigrams``
+    derives from the token count alone, and the array is built with
+    ``zip_with`` over the tokens and a shifted slice (array arguments
+    evaluated once) rather than ``transform``+``slice`` (whose lambda
+    re-evaluated the token array per element)."""
     docs = _docs(spark, sf_dir)
     toks = _tokens()
     n = F.size(toks)
-    bg = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n2 = F.greatest(n - 1, F.lit(0)).cast("long")
+    shifted = F.slice(toks, 2, F.greatest(n - 1, F.lit(1)))
+    zipped = F.zip_with(toks, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    bg = F.slice(zipped, 1, F.greatest(n - 1, F.lit(0)))
     acc0 = F.struct(
         F.lit("\x00").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -705,14 +713,30 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     top = F.aggregate(F.array_sort(bg), acc0, _merge, lambda a: a["best"])
-    n2 = F.size(bg).cast("long")
-    bp = F.floor(top * 10000.0 / n2 + 0.5).cast("long")
-    return docs.select(
+    staged = docs.select(
         "doc_id",
         n2.alias("n_bigrams"),
-        top.alias("top_bigram_n"),
-        F.when(n2 > 0, bp).alias("top_bigram_bp"),
-        F.when((n2 == 0) | (bp <= GOPHER_TOP2_MAX_BP), 1)
+        F.when(n2 > 0, top).otherwise(F.lit(0)).alias("top_bigram_n"),
+    )
+    bp = F.floor(
+        F.col("top_bigram_n") * 10000.0 / F.col("n_bigrams") + 0.5
+    ).cast("long")
+    flagged = staged.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        F.when(F.col("n_bigrams") > 0, bp).alias("top_bigram_bp"),
+    )
+    return flagged.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        "top_bigram_bp",
+        F.when(
+            F.col("top_bigram_bp").isNull()
+            | (F.col("top_bigram_bp") <= GOPHER_TOP2_MAX_BP),
+            1,
+        )
         .otherwise(0)
         .alias("keep"),
     ).orderBy("doc_id")
