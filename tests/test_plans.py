@@ -67,6 +67,26 @@ def test_gopher_repetition_map_only(spark, sf_dir):
     assert s["n_exchanges"] <= 1
 
 
+def test_anomaly_outliers_single_user_shuffle(spark, sf_dir):
+    # three window aggregates must ride ONE user_id exchange (plus the
+    # final orderBy); a python worker or extra shuffle is a regression
+    from molgraphdb_spark.queries.temporal import events_anomaly_outliers
+
+    s = plan_summary(events_anomaly_outliers(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert s["n_exchanges"] <= 2
+
+
+def test_embedding_lsh_dedup_no_cartesian(spark, sf_dir):
+    # candidate generation is an equi-join on the sign bucket — an n^2
+    # CartesianProduct anywhere defeats the query's purpose
+    from molgraphdb_spark.queries.similarity import dedup_embedding_lsh
+
+    s = plan_summary(dedup_embedding_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in s["plan"]
+    assert not s["has_python_worker"]
+
+
 def test_minhash_signatures_map_only(spark, sf_dir):
     # Signature computation folds over the shingle array per row —
     # the plan must contain NO Exchange before the (tiny) final sort.
