@@ -36,15 +36,16 @@ _QUERY_MODULES = [
 
 # Round-5 verification window (first 50). Leads with the three r4 reds
 # (oracle HUGEINT casts, fixed this round), then the four r2-stale
-# entries the r4 comment promised first re-entry, then every query
-# whose engine code changed this round (shingle df-cap redesign,
-# dedup_exact null routing, events_funnel zero guard), then the 11
-# TPC-H debuts, then the oldest-stale families rotated out of r4
-# (similarity/graph/chem/mm/dedup-minhash/simhash/text-ratio/reshape +
-# q1/q3/q5). The 18 relational entries left outside (trivial ops:
-# filter/distinct/group/sort/setop-shape/string/case/null-handling,
-# r3-green, untouched) are staleness-2; they LEAD the r6 window.
-# All 102+11 queries also pass tools/parity.py at sf0.01 locally this
+# entries the r4 comment promised first re-entry, then the round-5
+# debuts (incremental dedup, fuzzy linkage, gopher repetition,
+# anomaly outliers, embedding-LSH dedup, PII redaction, mixture/
+# packing/quantization/cohort/split), then every query whose engine
+# code changed this round (shingle df-cap redesign, dedup_exact null
+# routing, events_funnel zero guard, gopher single-consumer rewrite),
+# then the 11 TPC-H completion debuts, then the oldest-stale families
+# rotated out of r4. Entries left outside (trivial relational/reshape
+# ops, r2/r3-green, untouched, plan-smoke-guarded) LEAD the r6 window.
+# All 125 registry queries pass tools/parity.py at sf0.01 locally this
 # session — the window ranks driver-recorded evidence, not coverage.
 _PRIORITY = [
     # r4 reds — oracle-side HUGEINT casts fixed this round
