@@ -991,6 +991,99 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# ABC / Pareto analysis: cumulative-share classification of parts by
+# revenue — the inventory-analytics staple (A = the head parts covering
+# 70% of revenue, B = next 20%, C = tail).
+# --------------------------------------------------------------------------
+def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part revenue in integer cents (floor(ep*(1-disc)*100+0.5)
+    per line item — identical double expression both engines, then
+    order-free integer sums), ranked desc with a deterministic
+    partkey tiebreak, cumulative revenue share in basis points, and
+    the A/<=7000bp, B/<=9000bp, C class.
+
+    Scale shape: the fact scan reduces to a per-part aggregate FIRST
+    (one shuffle on l_partkey, map-side combined); the global
+    cumulative window then runs over the parts DICTIONARY (|parts| ~
+    0.2% of |lineitem| rows and shrinking with SF), so the inherently
+    serial cumulative sort never touches fact-table cardinality. The
+    global window is single-partition by definition — acceptable
+    exactly because its input is dictionary-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("revenue_c"))
+    w = Window.orderBy(F.desc("revenue_c"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = rev.agg(F.sum("revenue_c").alias("t"))
+    ranked = rev.select(
+        F.col("l_partkey").alias("p_partkey"),
+        "revenue_c",
+        F.sum("revenue_c").over(w).alias("cum_c"),
+    ).crossJoin(F.broadcast(total))
+    cum_bp = F.floor(F.col("cum_c") * 10000.0 / F.col("t") + 0.5).cast("long")
+    return ranked.select(
+        "p_partkey",
+        "revenue_c",
+        cum_bp.alias("cum_share_bp"),
+        F.when(cum_bp <= 7000, "A").when(cum_bp <= 9000, "B").otherwise("C").alias("abc_class"),
+    ).orderBy(F.desc("revenue_c"), F.asc("p_partkey"))
+
+
+PARTS_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT p_partkey, revenue_c,
+         CAST(SUM(revenue_c) OVER (ORDER BY revenue_c DESC, p_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+         CAST(SUM(revenue_c) OVER () AS BIGINT) AS t
+  FROM rev
+)
+SELECT p_partkey, revenue_c,
+       CAST(floor(cum_c * 10000.0 / t + 0.5) AS BIGINT) AS cum_share_bp,
+       CASE WHEN floor(cum_c * 10000.0 / t + 0.5) <= 7000 THEN 'A'
+            WHEN floor(cum_c * 10000.0 / t + 0.5) <= 9000 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+ORDER BY revenue_c DESC, p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigation demonstration: the salted two-phase aggregation
+# (operators/skew.py) produces results identical to the plain groupBy.
+# --------------------------------------------------------------------------
+def skew_salted_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per o_orderstatus computed via the SALTED two-phase
+    aggregation (count per (key, salt), re-aggregate per key) — wiring
+    the skew operator into the oracle-checked surface proves the
+    rewrite is semantics-preserving: the oracle is the plain GROUP BY.
+    o_orderstatus is the textbook hot key (3 distinct values over the
+    whole fact table); for algebraic counts Spark's map-side combine
+    already absorbs the skew, so this exists as the CORRECTNESS pin
+    for the pattern holistic aggregations genuinely need at 100 TB."""
+    from molgraphdb_spark.operators.skew import salted_groupby_count
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        salted_groupby_count(orders.select("o_orderstatus"), "o_orderstatus")
+        .select("o_orderstatus", F.col("n").cast("long").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+SKEW_SALTED_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1023,6 +1116,8 @@ QUERIES = {
     "supplier_part_sets": supplier_part_sets,
     "cube_status_priority": cube_status_priority,
     "null_handling_discounts": null_handling_discounts,
+    "parts_abc_analysis": parts_abc_analysis,
+    "skew_salted_status_counts": skew_salted_status_counts,
 }
 
 ORACLES = {
@@ -1057,4 +1152,6 @@ ORACLES = {
     "supplier_part_sets": SUPPLIER_PARTS_SQL,
     "cube_status_priority": CUBE_SQL,
     "null_handling_discounts": NULL_HANDLING_SQL,
+    "parts_abc_analysis": PARTS_ABC_SQL,
+    "skew_salted_status_counts": SKEW_SALTED_SQL,
 }

@@ -65,6 +65,8 @@ _PRIORITY = [
     "events_anomaly_outliers",  # round-5 debut (integer-exact 2-sigma flag)
     "dedup_embedding_lsh",  # round-5 debut (bounded embedding-dedup scale path)
     "doc_pii_redact",  # round-5 debut (hash-verified PII redaction transform)
+    "parts_abc_analysis",  # round-5 debut (Pareto cumulative-share classes)
+    "skew_salted_status_counts",  # round-5 debut (salted two-phase agg pin)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -88,7 +90,11 @@ _PRIORITY = [
     "similarity_ivf_recall",
     "dedup_embedding_cosine",
     "graph_pagerank_top",
-    "approx_distinct_parts",
+    # approx_distinct_parts and doc_rare_token_ratio yield their slots
+    # to the abc-analysis and salted-agg debuts: both r3-green,
+    # untouched, trivial agg shapes, green in this session's full
+    # local sf0.01 sweep (the identical driver comparison); they
+    # re-enter in r6.
     "graph_connected_components_summary",
     "chem_edit_expansion",
     "chem_exact_ged_pairs",
@@ -100,7 +106,6 @@ _PRIORITY = [
     # doc_line_dedup_ratio yields its slot to the pii-redact debut:
     # trivial map-only ratio, green in this session's full local
     # sf0.01 sweep (the identical driver comparison); re-enters r6.
-    "doc_rare_token_ratio",
     # full_outer_nation_profile and sample_systematic_orders yield
     # their slots to the incremental-dedup and split-assign debuts:
     # trivial reshape/sampling ops, r3-green, untouched,
