@@ -160,6 +160,54 @@ ORDER BY query_id
 """
 
 
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (k=3) — every vector is a query. This is
+    the workload the bounded-candidate machinery exists for: at one
+    query per corpus row, brute force is N^2 by definition, while the
+    sign-bucket equi-join bounds candidates per vector to its bucket
+    (~N/256), keeping total work ~N^2/256 and shuffle keys uniform.
+    Exact cosine rerank + row_number within the bucket candidates;
+    vectors whose bucket holds no other vector emit no edges (recall
+    is partial by design — multi-probe/band tables widen it at the
+    same join shape). Output is the adjacency list (vec_id,
+    neighbor_id, rank, cosine_ubp) downstream consumers (SemDeDup-style
+    semantic dedup, graph clustering, label propagation) read."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket")
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), "v", "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("neighbor_id") != F.col("qid"))
+    scored = pairs.select(
+        F.col("qid").alias("vec_id"),
+        "neighbor_id",
+        _ubp(_cosine(F.col("qv"), F.col("v"))).alias("cosine_ubp"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_ubp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_ubp")
+        .orderBy("vec_id", "rank")
+    )
+
+
+SIM_KNN_GRAPH_SQL = f"""
+WITH {_EMB_CTE},
+bucketed AS (SELECT vec_id, v, {_SIGN_SQL} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(floor(({_COS_SQL}) * 1000000 + 0.5) AS BIGINT) AS cosine_ubp
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cosine_ubp DESC, neighbor_id ASC) AS rk
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine_ubp
+FROM ranked WHERE rk <= 3
+ORDER BY vec_id, rk
+"""
+
+
 # --------------------------------------------------------------------------
 # IVF ANN: coarse-quantizer scale path (deterministic centroids).
 # --------------------------------------------------------------------------
@@ -635,6 +683,7 @@ ORDER BY vec_id
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_knn_graph": similarity_knn_graph,
     "similarity_ivf_topk": similarity_ivf_topk,
     "similarity_ivf_recall": similarity_ivf_recall,
     "similarity_label_bands": similarity_label_bands,
@@ -649,6 +698,7 @@ ORACLES = {
     "similarity_ivf_recall": SIM_IVF_RECALL_SQL,
     "similarity_cosine_topk": SIM_TOPK_SQL,
     "similarity_lsh_topk": SIM_LSH_SQL,
+    "similarity_knn_graph": SIM_KNN_GRAPH_SQL,
     "similarity_ivf_topk": SIM_IVF_SQL,
     "similarity_label_bands": SIM_BANDS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,

@@ -67,6 +67,7 @@ _PRIORITY = [
     "doc_pii_redact",  # round-5 debut (hash-verified PII redaction transform)
     "parts_abc_analysis",  # round-5 debut (Pareto cumulative-share classes)
     "skew_salted_status_counts",  # round-5 debut (salted two-phase agg pin)
+    "similarity_knn_graph",  # round-5 debut (all-queries ANN adjacency)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -84,8 +85,10 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
-    # oldest-stale (rotated out of r4, last driver-checked r3)
-    "similarity_cosine_topk",
+    # oldest-stale (rotated out of r4, last driver-checked r3).
+    # similarity_cosine_topk yields its slot to the knn-graph debut:
+    # benched every round (medians + local parity), untouched — the
+    # same lowest-risk grounds as the q1/q3/q5 rotation below.
     "similarity_ivf_topk",
     "similarity_ivf_recall",
     "dedup_embedding_cosine",
