@@ -680,6 +680,65 @@ ORDER BY vec_id
 """
 
 
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster resolution: connected components over the
+    bucket-bounded cosine>=0.40 similarity graph (the same pair set
+    dedup_embedding_lsh flags greedily), labelled by the smallest
+    member, with component size. Greedy keep-first answers "is this a
+    dup"; components answer "how many semantic groups does the corpus
+    hold and how big are they" — the statistic a curation pass budgets
+    against. CC runs on the pair graph (<= corpus edges by the bucket
+    bound); the oracle is a recursive-CTE closure like the fuzzy-
+    linkage and purchase-graph oracles."""
+    from molgraphdb_spark.operators.graph import connected_components
+
+    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "bucket")
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"))
+        .filter(F.col("cos_ubp") >= DUP_THRESHOLD_UBP)
+    )
+    edges = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        connected_components(edges)
+        .groupBy(F.col("component").alias("canonical_vec"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("canonical_vec")
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH RECURSIVE {_EMB_CTE},
+bucketed AS (SELECT vec_id, v, {_SIGN_SQL} AS bucket FROM e),
+matched AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE floor(({_COS_SQL}) * 1000000 + 0.5) >= {DUP_THRESHOLD_UBP}
+),
+edges AS (
+  SELECT ia AS src, ib AS dst FROM matched
+  UNION
+  SELECT ib, ia FROM matched
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.b
+),
+comp AS (SELECT a AS id, MIN(b) AS canonical_vec FROM reach GROUP BY a)
+SELECT canonical_vec, COUNT(*) AS n_vectors
+FROM comp GROUP BY canonical_vec
+ORDER BY canonical_vec
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -689,6 +748,7 @@ QUERIES = {
     "similarity_label_bands": similarity_label_bands,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_semantic_clusters": dedup_semantic_clusters,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_quantize_stats": embedding_quantize_stats,
 }
@@ -703,5 +763,6 @@ ORACLES = {
     "similarity_label_bands": SIM_BANDS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
+    "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
     "embedding_norm_stats": EMB_NORM_SQL,
 }

@@ -68,6 +68,7 @@ _PRIORITY = [
     "parts_abc_analysis",  # round-5 debut (Pareto cumulative-share classes)
     "skew_salted_status_counts",  # round-5 debut (salted two-phase agg pin)
     "similarity_knn_graph",  # round-5 debut (all-queries ANN adjacency)
+    "dedup_semantic_clusters",  # round-5 debut (SemDeDup-style CC resolution)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -86,10 +87,10 @@ _PRIORITY = [
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     # oldest-stale (rotated out of r4, last driver-checked r3).
-    # similarity_cosine_topk yields its slot to the knn-graph debut:
-    # benched every round (medians + local parity), untouched — the
-    # same lowest-risk grounds as the q1/q3/q5 rotation below.
-    "similarity_ivf_topk",
+    # similarity_cosine_topk and similarity_ivf_topk yield their slots
+    # to the knn-graph and semantic-cluster debuts: benched every
+    # round (medians + local parity), untouched — the same lowest-risk
+    # grounds as the q1/q3/q5 rotation below.
     "similarity_ivf_recall",
     "dedup_embedding_cosine",
     "graph_pagerank_top",
