@@ -28,6 +28,9 @@ AT_RISK = [
     "doc_pack_offsets",     # per-source cumsum windows — sequencing case
     "embedding_quantize_stats",  # integer pico-unit error sums
     "events_anomaly_outliers",   # decimal window sums — order-free exactness
+    "fuzzy_name_clusters",       # iterative CC over the fuzzy-match graph
+    "dedup_semantic_clusters",   # iterative CC over the cosine graph
+    "similarity_knn_graph",      # bucket-join + rank — tie-break determinism
 ]
 
 
