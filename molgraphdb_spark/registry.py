@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.tpch_rest",
     "molgraphdb_spark.queries.mixing",
     "molgraphdb_spark.queries.linkage",
+    "molgraphdb_spark.queries.spans",
 ]
 
 # Round-5 verification window (first 50). Leads with the three r4 reds
@@ -69,6 +70,8 @@ _PRIORITY = [
     "skew_salted_status_counts",  # round-5 debut (salted two-phase agg pin)
     "similarity_knn_graph",  # round-5 debut (all-queries ANN adjacency)
     "dedup_semantic_clusters",  # round-5 debut (SemDeDup-style CC resolution)
+    "doc_dup_span_stats",  # round-5 debut (cross-doc duplicated-span coverage)
+    "doc_repetition_suite",  # round-5 debut (full Gopher repetition filters)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -91,7 +94,6 @@ _PRIORITY = [
     # to the knn-graph and semantic-cluster debuts: benched every
     # round (medians + local parity), untouched — the same lowest-risk
     # grounds as the q1/q3/q5 rotation below.
-    "similarity_ivf_recall",
     "dedup_embedding_cosine",
     "graph_pagerank_top",
     # approx_distinct_parts and doc_rare_token_ratio yield their slots
@@ -103,7 +105,11 @@ _PRIORITY = [
     "chem_edit_expansion",
     "chem_exact_ged_pairs",
     "mm_metadata_summary",
-    "dedup_minhash_signatures",
+    # dedup_minhash_signatures and similarity_ivf_recall yield their
+    # slots to the span/repetition debuts: both are benched every round
+    # (cold-cache medians + this session's local parity at sf0.01) and
+    # untouched — the same lowest-risk grounds as the q1/q3/q5
+    # rotation below; they re-enter in r6.
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_simhash_pairs",

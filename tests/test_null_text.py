@@ -25,6 +25,8 @@ TEXT_FAMILY = [
     "doc_unigram_logprob",
     "dedup_exact",
     "dedup_minhash_signatures",
+    "doc_dup_span_stats",
+    "doc_repetition_suite",
 ]
 
 

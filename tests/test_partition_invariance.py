@@ -31,6 +31,7 @@ AT_RISK = [
     "fuzzy_name_clusters",       # iterative CC over the fuzzy-match graph
     "dedup_semantic_clusters",   # iterative CC over the cosine graph
     "similarity_knn_graph",      # bucket-join + rank — tie-break determinism
+    "doc_dup_span_stats",        # groupBy+semi-join+lag coverage — join/window case
 ]
 
 

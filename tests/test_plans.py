@@ -250,3 +250,28 @@ def test_pack_offsets_partitions_by_source(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(source" in plan
     assert not plan_summary(df)["has_python_worker"]
+
+
+def test_repetition_suite_map_only(spark, sf_dir):
+    # top-3/4-gram shares and the dup-5-gram char share are per-row
+    # sorted-run folds — the explode+groupBy formulation (three
+    # corpus-sized shuffles) must never creep back in; only the final
+    # orderBy's range exchange is allowed.
+    from molgraphdb_spark.queries.spans import doc_repetition_suite
+
+    s = plan_summary(doc_repetition_suite(spark, sf_dir))
+    assert s["n_exchanges"] <= 1
+    assert not s["has_python_worker"]
+
+
+def test_dup_span_stats_linear_no_cartesian(spark, sf_dir):
+    # substring-level dedup must stay linear: window groupBy, a semi
+    # join back, per-doc lag coverage, doc join — never a pairwise
+    # expansion (the suffix-array paper's n² alternative) and never a
+    # Python worker.
+    from molgraphdb_spark.queries.spans import doc_dup_span_stats
+
+    s = plan_summary(doc_dup_span_stats(spark, sf_dir))
+    assert "CartesianProduct" not in s["plan"]
+    assert not s["has_python_worker"]
+    assert s["n_exchanges"] <= 6
