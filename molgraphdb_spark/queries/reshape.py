@@ -151,6 +151,48 @@ ORDER BY l_returnflag
 """
 
 
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale path for ``quantiles_price_by_flag``:
+    ``approx_percentile`` (Greenwald–Khanna sketch — constant memory per
+    group, mergeable map-side partials) instead of materializing each
+    group's full value multiset. Same emitted-row pattern as
+    ``approx_distinct_parts`` (the HLL twin): the sketch value itself is
+    engine-specific, so the row carries the exact quantiles both engines
+    compute identically plus booleans asserting the sketch landed within
+    a 1% relative band of each — the sketch still runs (the booleans
+    derive from it), the driver gets a hashable oracle row, and pytest
+    additionally pins the error band."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("exact_p95"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+    )
+    band = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.01)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.floor(F.col("exact_p50") * 100 + 0.5).cast("long").alias("p50_cents"),
+        F.floor(F.col("exact_p95") * 100 + 0.5).cast("long").alias("p95_cents"),
+        band("a50", "exact_p50").alias("p50_within_band"),
+        band("a95", "exact_p95").alias("p95_within_band"),
+    ).orderBy("l_returnflag")
+
+
+APPROX_QUANTILES_SQL = """
+SELECT l_returnflag,
+       CAST(floor(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) AS BIGINT) AS p50_cents,
+       CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) AS BIGINT) AS p95_cents,
+       TRUE AS p50_within_band,
+       TRUE AS p95_within_band
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join of per-nation customer counts vs supplier
     counts — keeps nations populated on either side only (join-type
@@ -302,6 +344,7 @@ QUERIES = {
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "grouping_sets_revenue": grouping_sets_revenue,
     "quantiles_price_by_flag": quantiles_price_by_flag,
+    "approx_quantiles_price": approx_quantiles_price,
 }
 
 ORACLES = {
@@ -313,4 +356,5 @@ ORACLES = {
     "unpivot_lineitem_measures": UNPIVOT_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "quantiles_price_by_flag": QUANTILES_SQL,
+    "approx_quantiles_price": APPROX_QUANTILES_SQL,
 }

@@ -222,6 +222,157 @@ ORDER BY doc_id
 """
 
 
+def _dup_start_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, starts) — sorted array of this doc's duplicated-window
+    start positions (empty array when the doc has none)."""
+    toks = _tokens()
+    n = F.size(toks)
+    occ = docs.select(
+        "doc_id", F.posexplode(_ngram_array(toks, n, SPAN_W)).alias("pos", "win")
+    )
+    dup_wins = (
+        occ.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win")
+    )
+    return (
+        occ.join(dup_wins, "win", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+    )
+
+
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM counterpart of ``doc_dup_span_stats`` (the same
+    detect→transform pairing as doc_content_filter→doc_pii_redact):
+    remove every token covered by a cross-document duplicated window and
+    emit the scrubbed text — what exact-substring dedup actually does to
+    a training corpus.
+
+    The removal is LINEAR per document: the sorted start positions fold
+    into merged disjoint ``[s, e]`` intervals (one O(|starts|) pass),
+    then the kept text is the concatenation of the gap slices between
+    intervals — never a per-token × per-interval membership test (which
+    would be O(n²) on a fully-boilerplate document). Everything after
+    the stats query's shuffles is map-side; the scrubbed text itself is
+    compared cross-engine, pinning tokenization, interval union, and
+    reconstruction bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    joined = docs.select(
+        "doc_id", "text", n.cast("long").alias("n_tokens")
+    ).join(_dup_start_arrays(docs), "doc_id", "left")
+    starts = F.coalesce("starts", F.array().cast("array<int>"))
+
+    # Fold 1: sorted starts -> merged disjoint intervals [s, e].
+    iacc0 = F.struct(
+        F.array().cast("array<struct<s:long,e:long>>").alias("done"),
+        F.lit(None).cast("long").alias("cs"),
+        F.lit(None).cast("long").alias("ce"),
+    )
+
+    def _imerge(a, x):
+        x = x.cast("long")
+        xe = x + F.lit(SPAN_W - 1)
+        fresh = a["cs"].isNull()
+        overlaps = x <= a["ce"] + 1
+        return F.struct(
+            F.when(fresh | overlaps, a["done"])
+            .otherwise(
+                F.concat(
+                    a["done"],
+                    F.array(F.struct(a["cs"].alias("s"), a["ce"].alias("e"))),
+                )
+            )
+            .alias("done"),
+            F.when(fresh | ~overlaps, x).otherwise(a["cs"]).alias("cs"),
+            xe.alias("ce"),  # starts ascend, so the new end always wins
+        )
+
+    intervals = F.aggregate(
+        starts,
+        iacc0,
+        _imerge,
+        lambda a: F.when(
+            a["cs"].isNull(), a["done"]
+        ).otherwise(
+            F.concat(a["done"], F.array(F.struct(a["cs"].alias("s"), a["ce"].alias("e"))))
+        ),
+    )
+
+    # Fold 2: intervals -> kept token slices (the gaps), then re-join.
+    tok_col = _tokens()  # rebuilt from text; consumed once per slice below
+    kacc0 = F.struct(
+        F.lit(0).cast("long").alias("g0"),
+        F.array().cast("array<string>").alias("kept"),
+    )
+
+    def _kmerge(a, iv):
+        gap = F.slice(tok_col, (a["g0"] + 1).cast("int"), (iv["s"] - a["g0"]).cast("int"))
+        return F.struct(
+            (iv["e"] + 1).alias("g0"),
+            F.concat(a["kept"], gap).alias("kept"),
+        )
+
+    kept = F.aggregate(
+        intervals,
+        kacc0,
+        _kmerge,
+        lambda a: F.concat(
+            a["kept"],
+            F.slice(
+                tok_col,
+                (a["g0"] + 1).cast("int"),
+                F.greatest(F.col("n_tokens") - a["g0"], F.lit(0)).cast("int"),
+            ),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size(kept).cast("long")).alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    ).orderBy("doc_id")
+
+
+DOC_DUP_SPAN_REMOVAL_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(toks[i:i+{SPAN_W - 1}], ' ') AS win
+  FROM tk, unnest(range(1, len(toks) - {SPAN_W - 2})) AS u(i)
+), dup AS (
+  SELECT win FROM occ GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+), docc AS (
+  SELECT o.doc_id, o.pos FROM occ o SEMI JOIN dup d ON o.win = d.win
+), covered AS (
+  SELECT DISTINCT doc_id, pos + v AS cpos
+  FROM docc, unnest(range(0, {SPAN_W})) AS w(v)
+), tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+  FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+  WHERE c.cpos IS NULL
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) - COALESCE(a.n_kept, 0)
+            AS BIGINT) AS n_removed,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def doc_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters beyond the top-bigram share: top-3-gram
     and top-4-gram occurrence shares plus the duplicated-5-gram
@@ -335,10 +486,12 @@ ORDER BY d.doc_id
 
 QUERIES = {
     "doc_dup_span_stats": doc_dup_span_stats,
+    "doc_dup_span_removal": doc_dup_span_removal,
     "doc_repetition_suite": doc_repetition_suite,
 }
 
 ORACLES = {
     "doc_dup_span_stats": DOC_DUP_SPAN_SQL,
+    "doc_dup_span_removal": DOC_DUP_SPAN_REMOVAL_SQL,
     "doc_repetition_suite": DOC_REPETITION_SQL,
 }

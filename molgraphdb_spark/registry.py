@@ -71,7 +71,9 @@ _PRIORITY = [
     "similarity_knn_graph",  # round-5 debut (all-queries ANN adjacency)
     "dedup_semantic_clusters",  # round-5 debut (SemDeDup-style CC resolution)
     "doc_dup_span_stats",  # round-5 debut (cross-doc duplicated-span coverage)
+    "doc_dup_span_removal",  # round-5 debut (span-scrub transform, text hash-compared)
     "doc_repetition_suite",  # round-5 debut (full Gopher repetition filters)
+    "approx_quantiles_price",  # round-5 debut (GK-sketch band twin)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -109,9 +111,12 @@ _PRIORITY = [
     # slots to the span/repetition debuts: both are benched every round
     # (cold-cache medians + this session's local parity at sf0.01) and
     # untouched — the same lowest-risk grounds as the q1/q3/q5
-    # rotation below; they re-enter in r6.
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
+    # rotation below; they re-enter in r6. dedup_minhash_lsh_pairs and
+    # dedup_simhash yield theirs to the span-removal and
+    # approx-quantiles debuts: each is the strict pipeline prefix of an
+    # in-window sibling (dedup_lsh_verified re-runs the banding join;
+    # dedup_simhash_pairs re-computes the signatures), r3-green and
+    # untouched; they re-enter in r6.
     "dedup_simhash_pairs",
     # doc_line_dedup_ratio yields its slot to the pii-redact debut:
     # trivial map-only ratio, green in this session's full local

@@ -26,6 +26,7 @@ TEXT_FAMILY = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "doc_dup_span_stats",
+    "doc_dup_span_removal",
     "doc_repetition_suite",
 ]
 

@@ -120,3 +120,39 @@ def test_repetition_suite_flags_templated_text(spark, sf_dir, tmp_path_factory):
     }
     assert out[0]["keep"] == 0 and out[0]["dup5_char_bp"] == 10000
     assert out[1]["keep"] == 1 and out[1]["dup5_char_bp"] == 0
+
+
+def test_dup_span_removal_golden(spark, span_sf_dir):
+    from molgraphdb_spark.queries.spans import doc_dup_span_removal
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in doc_dup_span_removal(spark, span_sf_dir).collect()
+    }
+    # doc 0: overlapping windows merge to one [0,8] interval
+    assert out[0]["n_removed"] == 9
+    assert out[0]["text_clean"] == "u01 u02 u03"
+    # doc 1: interval [2,10] -> outer tokens survive
+    assert out[1]["n_removed"] == 9
+    assert out[1]["text_clean"] == "v11 v12 v13"
+    # doc 2: within-doc repetition only -> untouched
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text_clean"] == SPAN_DOCS[2]
+    # doc 4: fully duplicated -> scrubbed to empty
+    assert out[4]["n_removed"] == 9 and out[4]["text_clean"] == ""
+
+
+def test_removal_matches_stats_coverage(spark, span_sf_dir):
+    # invariant tying the two queries: tokens REMOVED by the transform
+    # must equal tokens COVERED per the stats query, doc by doc
+    from molgraphdb_spark.queries.spans import doc_dup_span_removal
+
+    stats = {
+        r["doc_id"]: r["dup_token_cnt"]
+        for r in doc_dup_span_stats(spark, span_sf_dir).collect()
+    }
+    removed = {
+        r["doc_id"]: r["n_removed"]
+        for r in doc_dup_span_removal(spark, span_sf_dir).collect()
+    }
+    assert stats == removed
