@@ -55,6 +55,10 @@ HEADLINE = [
     "doc_gopher_repetition",
     "events_anomaly_outliers",
     "dedup_embedding_lsh",
+    # added round 5 session 3 (span-dedup family; absent from prior baselines)
+    "doc_dup_span_stats",
+    "doc_dup_span_removal",
+    "doc_repetition_suite",
 ]
 
 

@@ -302,6 +302,19 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # Covered-token count from the CHEAP intervals fold (no token
+    # slicing), so the expensive `kept` expression below has exactly ONE
+    # consumer — referencing it twice (e.g. size(kept) + array_join(kept))
+    # makes CollapseProject evaluate the whole slice chain twice (the
+    # doc_gopher_repetition lesson; measured 134 s vs 36 s at the 50k-doc
+    # scale probe). Intervals are merged and disjoint, so the union size
+    # is just Σ(e-s+1); e ≤ n-1 by construction (s ≤ n-W).
+    covered = F.aggregate(
+        intervals,
+        F.lit(0).cast("long"),
+        lambda a, iv: a + iv["e"] - iv["s"] + 1,
+    )
+
     # Fold 2: intervals -> kept token slices (the gaps), then re-join.
     tok_col = _tokens()  # rebuilt from text; consumed once per slice below
     kacc0 = F.struct(
@@ -332,7 +345,7 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id",
         "n_tokens",
-        (F.col("n_tokens") - F.size(kept).cast("long")).alias("n_removed"),
+        covered.alias("n_removed"),
         F.array_join(kept, " ").alias("text_clean"),
     ).orderBy("doc_id")
 

@@ -177,6 +177,59 @@ def probe_lsh(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_spans(spark, sf_dir: str) -> dict:
+    """Span-dedup at 10×: every replica shares its original's full
+    token prefix, so a replica-0 document WITHOUT the boilerplate
+    suffix (text identical to the original, present in all k replicas)
+    must come out 100% covered by duplicated windows and scrub to
+    empty — a planted exact invariant, plus wall-times showing the
+    linear formulation's cost tracks corpus size, not pairs."""
+    from molgraphdb_spark.queries.spans import (
+        SPAN_W,
+        doc_dup_span_removal,
+        doc_dup_span_stats,
+    )
+
+    rep0_clean = (
+        (F.col("doc_id") % 1000 == 0)
+        & ((F.col("doc_id") / 1000).cast("long") % 10 >= 3)
+        & (F.col("n_tokens") >= SPAN_W)
+    )
+    t0 = time.time()
+    stats = doc_dup_span_stats(spark, sf_dir)
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_dup_windows").alias("dup_windows"),
+        F.sum(rep0_clean.cast("long")).alias("rep0_clean_docs"),
+        F.sum((rep0_clean & (F.col("dup_token_bp") != 10000)).cast("long")).alias(
+            "full_cover_violations"
+        ),
+    ).collect()[0]
+    t_stats = time.time() - t0
+    spark.catalog.clearCache()
+    t0 = time.time()
+    removal = doc_dup_span_removal(spark, sf_dir)
+    rem = removal.agg(
+        F.sum((rep0_clean & (F.col("text_clean") != "")).cast("long")).alias(
+            "unscrubbed_violations"
+        ),
+        F.sum("n_removed").alias("tokens_removed"),
+    ).collect()[0]
+    t_removal = time.time() - t0
+    spark.catalog.clearCache()
+    return {
+        "probe": "spans",
+        "rows": agg["rows"],
+        "dup_windows": int(agg["dup_windows"]),
+        "rep0_clean_docs": int(agg["rep0_clean_docs"]),
+        "full_cover_violations": int(agg["full_cover_violations"]),
+        "unscrubbed_violations": int(rem["unscrubbed_violations"]),
+        "tokens_removed": int(rem["tokens_removed"]),
+        "t_stats_s": round(t_stats, 1),
+        "t_removal_s": round(t_removal, 1),
+    }
+
+
 def build_embeddings(spark, k: int) -> str:
     """Replicate sf0.1 embeddings k× with a deterministic per-(replica,
     dim) perturbation of ±8e-3. Replica 0 keeps the ORIGINAL vec_id
@@ -250,6 +303,7 @@ def main() -> None:
 
     print(json.dumps(probe_cap(spark, sf_dir, k, n_orig)))
     print(json.dumps(probe_lsh(spark, sf_dir)))
+    print(json.dumps(probe_spans(spark, sf_dir)))
     # CC at both sides of the 1M-edge dispatch threshold.
     print(json.dumps(probe_cc(spark, k=10, n_orig=5000)))       # 225k edges
     print(json.dumps(probe_cc(spark, k=25, n_orig=5000)))       # 1.5M edges
