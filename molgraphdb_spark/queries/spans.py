@@ -100,15 +100,21 @@ def _top_run(arr: Column) -> Column:
     return F.aggregate(F.array_sort(arr), acc0, _merge, lambda a: a["best"])
 
 
-def _dup_chars(arr: Column) -> Column:
-    """Total characters (gram lengths summed over occurrences) belonging
-    to elements that appear ≥2 times in ``arr`` — again a sorted-run
-    fold: entering a run's 2nd element books both its chars, later
-    elements book their own."""
+def _dup_char_bp(arr: Column) -> Column:
+    """Duplicated-character share of ``arr`` in basis points: chars
+    (gram lengths summed over occurrences) belonging to elements that
+    appear ≥2 times, over total chars — ONE sorted-run fold tracking
+    both sums, with the ratio computed in the finish lambda so the
+    caller consumes a single scalar. (Returning a two-field struct and
+    referencing both fields would make CollapseProject evaluate the
+    sort+fold twice — A/B'd at sf0.1: separate dup/all folds 2.77 s,
+    this combined fold 2.19 s, hash-sorted variant 2.41 s rejected.)
+    A run's 2nd element books both its chars, later elements their own."""
     acc0 = F.struct(
         F.lit("\x00").alias("prev"),
         F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("chars"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("all"),
     )
 
     def _merge(a, x):
@@ -119,23 +125,27 @@ def _dup_chars(arr: Column) -> Column:
             .otherwise(F.lit(0))
         )
         return F.struct(
-            x.alias("prev"), run.alias("run"), (a["chars"] + add).alias("chars")
+            x.alias("prev"),
+            run.alias("run"),
+            (a["dup"] + add).alias("dup"),
+            (a["all"] + F.length(x)).alias("all"),
         )
 
-    return F.aggregate(F.array_sort(arr), acc0, _merge, lambda a: a["chars"])
+    return F.aggregate(
+        F.array_sort(arr),
+        acc0,
+        _merge,
+        lambda a: F.when(
+            a["all"] > 0,
+            F.floor(a["dup"] * 10000.0 / a["all"] + 0.5).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
-def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document coverage by cross-document duplicated token windows.
-
-    Output: ``doc_id, n_tokens, n_dup_windows, dup_token_cnt,
-    dup_token_bp, keep`` — ``dup_token_cnt`` is the exact size of the
-    union of ``[pos, pos+SPAN_W-1]`` intervals over this document's
-    duplicated-window start positions (computed with a per-doc lag
-    window: each interval contributes ``min(SPAN_W, gap to previous
-    start)``), and ``dup_token_bp`` is that count over ``n_tokens`` in
-    basis points."""
-    docs = _docs(spark, sf_dir)
+def dup_span_stats(docs: DataFrame) -> DataFrame:
+    """Core of ``doc_dup_span_stats`` over any frame with
+    ``(doc_id, text)`` — split out so property tests can drive it with
+    in-memory corpora."""
     toks = _tokens()
     n = F.size(toks)
     wins = _ngram_array(toks, n, SPAN_W)
@@ -182,6 +192,19 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         F.when(F.col("dup_token_bp") <= DUP_SPAN_MAX_BP, 1).otherwise(0),
     ).orderBy("doc_id")
+
+
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage by cross-document duplicated token windows.
+
+    Output: ``doc_id, n_tokens, n_dup_windows, dup_token_cnt,
+    dup_token_bp, keep`` — ``dup_token_cnt`` is the exact size of the
+    union of ``[pos, pos+SPAN_W-1]`` intervals over this document's
+    duplicated-window start positions (computed with a per-doc lag
+    window: each interval contributes ``min(SPAN_W, gap to previous
+    start)``), and ``dup_token_bp`` is that count over ``n_tokens`` in
+    basis points."""
+    return dup_span_stats(_docs(spark, sf_dir))
 
 
 DOC_DUP_SPAN_SQL = f"""
@@ -243,22 +266,10 @@ def _dup_start_arrays(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRANSFORM counterpart of ``doc_dup_span_stats`` (the same
-    detect→transform pairing as doc_content_filter→doc_pii_redact):
-    remove every token covered by a cross-document duplicated window and
-    emit the scrubbed text — what exact-substring dedup actually does to
-    a training corpus.
-
-    The removal is LINEAR per document: the sorted start positions fold
-    into merged disjoint ``[s, e]`` intervals (one O(|starts|) pass),
-    then the kept text is the concatenation of the gap slices between
-    intervals — never a per-token × per-interval membership test (which
-    would be O(n²) on a fully-boilerplate document). Everything after
-    the stats query's shuffles is map-side; the scrubbed text itself is
-    compared cross-engine, pinning tokenization, interval union, and
-    reconstruction bit-for-bit."""
-    docs = _docs(spark, sf_dir)
+def dup_span_removal(docs: DataFrame) -> DataFrame:
+    """Core of ``doc_dup_span_removal`` over any ``(doc_id, text)``
+    frame — split out so property tests can drive it with in-memory
+    corpora."""
     toks = _tokens()
     n = F.size(toks)
     joined = docs.select(
@@ -350,6 +361,24 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM counterpart of ``doc_dup_span_stats`` (the same
+    detect→transform pairing as doc_content_filter→doc_pii_redact):
+    remove every token covered by a cross-document duplicated window and
+    emit the scrubbed text — what exact-substring dedup actually does to
+    a training corpus.
+
+    The removal is LINEAR per document: the sorted start positions fold
+    into merged disjoint ``[s, e]`` intervals (one O(|starts|) pass),
+    then the kept text is the concatenation of the gap slices between
+    intervals — never a per-token × per-interval membership test (which
+    would be O(n²) on a fully-boilerplate document). Everything after
+    the stats query's shuffles is map-side; the scrubbed text itself is
+    compared cross-engine, pinning tokenization, interval union, and
+    reconstruction bit-for-bit."""
+    return dup_span_removal(_docs(spark, sf_dir))
+
+
 DOC_DUP_SPAN_REMOVAL_SQL = f"""
 WITH tk AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
@@ -407,19 +436,9 @@ def doc_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n >= 4, _top_run(_ngram_array(toks, n, 4)))
         .otherwise(F.lit(0).cast("long"))
         .alias("top4_n"),
-        F.when(n >= 5, _dup_chars(_ngram_array(toks, n, 5)))
+        F.when(n >= 5, _dup_char_bp(_ngram_array(toks, n, 5)))
         .otherwise(F.lit(0).cast("long"))
-        .alias("dup5_chars"),
-        F.when(
-            n >= 5,
-            F.aggregate(
-                _ngram_array(toks, n, 5),
-                F.lit(0).cast("long"),
-                lambda a, x: a + F.length(x),
-            ),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("all5_chars"),
+        .alias("dup5_char_bp"),
     )
     bp = lambda num, den: F.when(  # noqa: E731
         F.col(den) > 0,
@@ -430,7 +449,7 @@ def doc_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         bp("top3_n", "n3").alias("top3_bp"),
         bp("top4_n", "n4").alias("top4_bp"),
-        bp("dup5_chars", "all5_chars").alias("dup5_char_bp"),
+        "dup5_char_bp",
     )
     return scored.withColumn(
         "keep",
