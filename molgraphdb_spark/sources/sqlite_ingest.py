@@ -139,3 +139,92 @@ def ingest_sqlite(
         path = stage_table(db_path, table, out_dir, batch_rows=batch_rows)
         out[table] = spark.read.parquet(path)
     return out
+
+
+# --- export direction: Spark → SQLite -------------------------------
+
+_SPARK_TO_SQLITE = {
+    "tinyint": "INTEGER",
+    "smallint": "INTEGER",
+    "int": "INTEGER",
+    "bigint": "INTEGER",
+    "boolean": "INTEGER",
+    "float": "REAL",
+    "double": "REAL",
+    "string": "TEXT",
+    "binary": "BLOB",
+    "date": "TEXT",
+    "timestamp": "TEXT",
+    "timestamp_ntz": "TEXT",
+}
+
+
+def export_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    mode: str = "error",
+) -> int:
+    """Export a DataFrame into a SQLite table — the return leg of the
+    migration bridge, so results computed here flow back into the
+    reference's single-file tooling (main.py:144–169 consumes exactly
+    such .db files). Returns the row count written.
+
+    Egress is inherently single-writer (one SQLite file, one write
+    lock) — the same boundary as ``stage_table``'s extraction, in
+    reverse. The stream is ``toLocalIterator`` over the computed
+    partitions, inserted in ``batch_rows`` chunks: O(batch) driver
+    memory regardless of result size. This is an EGRESS sink for
+    result-sized relations (catalogs, cluster maps, metrics) — parquet
+    remains the canonical format for corpus-sized data. ``mode``:
+    ``error`` (default, refuse existing table), ``overwrite`` (drop +
+    recreate), ``append``. Atomicity: rows land in one transaction —
+    a crashed export leaves the previous table state, never half."""
+    dtypes = dict(df.dtypes)
+    unsupported = {c: t for c, t in dtypes.items() if t not in _SPARK_TO_SQLITE}
+    if unsupported:
+        raise ValueError(
+            f"no SQLite mapping for columns {unsupported}; cast arrays/"
+            "structs/decimals to a scalar type before export"
+        )
+    cols = df.columns
+    ddl_cols = ", ".join(f"{_qident(c)} {_SPARK_TO_SQLITE[dtypes[c]]}" for c in cols)
+    placeholders = ", ".join("?" for _ in cols)
+    norm = {
+        "date": lambda v: v.isoformat() if v is not None else None,
+        "timestamp": lambda v: v.isoformat(sep=" ") if v is not None else None,
+        "timestamp_ntz": lambda v: v.isoformat(sep=" ") if v is not None else None,
+        "boolean": lambda v: int(v) if v is not None else None,
+    }
+    casts = [norm.get(dtypes[c]) for c in cols]
+    n = 0
+    with sqlite3.connect(db_path) as conn:
+        exists = conn.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (table,)
+        ).fetchone()
+        if exists and mode == "error":
+            raise FileExistsError(f"table {table!r} already exists in {db_path}")
+        if exists and mode == "overwrite":
+            conn.execute(f"DROP TABLE {_qident(table)}")
+        conn.execute(f"CREATE TABLE IF NOT EXISTS {_qident(table)} ({ddl_cols})")
+        buf: list[tuple] = []
+
+        def _flush():
+            nonlocal n
+            if buf:
+                conn.executemany(
+                    f"INSERT INTO {_qident(table)} VALUES ({placeholders})", buf
+                )
+                n += len(buf)
+                buf.clear()
+
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(
+                tuple(f(v) if f else v for f, v in zip(casts, row))
+            )
+            if len(buf) >= batch_rows:
+                _flush()
+        _flush()
+        conn.commit()
+    return n

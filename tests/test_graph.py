@@ -205,3 +205,29 @@ def test_connected_components_auto_escalates_on_unconverged(spark):
     labels = {r.id: r.component for r in connected_components_auto(path, max_small_iter=1).collect()}
     assert connected_components_auto.last_strategy == "minlabel→star"
     assert set(labels.values()) == {0} and len(labels) == n + 1
+
+
+def test_approx_quantiles_within_band(spark, sf_dir):
+    # same pattern as the HLL twin: the emitted booleans ARE the
+    # GK-sketch error pin — verify them true per group and the exact
+    # cents against a direct percentile computation
+    from molgraphdb_spark.queries.reshape import approx_quantiles_price
+    from molgraphdb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = approx_quantiles_price(spark, sf_dir).collect()
+    assert rows, "lineitem has at least one return flag"
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.floor(F.percentile("l_extendedprice", F.lit(0.5)) * 100 + 0.5).alias("p50"),
+            F.floor(F.percentile("l_extendedprice", F.lit(0.95)) * 100 + 0.5).alias("p95"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["p50_within_band"] and r["p95_within_band"], r["l_returnflag"]
+        assert r["p50_cents"] == exact[r["l_returnflag"]]["p50"]
+        assert r["p95_cents"] == exact[r["l_returnflag"]]["p95"]

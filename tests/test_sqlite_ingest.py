@@ -86,3 +86,50 @@ def test_stage_table_batching_and_atomicity(spark, tmp_path, ref_db):
     # unknown table is a clear error
     with pytest.raises(ValueError, match="no such table"):
         stage_table(ref_db, "nope", str(tmp_path / "c"))
+
+
+def test_export_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from molgraphdb_spark.sources.sqlite_ingest import export_sqlite
+
+    df = spark.range(10).select(
+        F.col("id"),
+        F.concat(F.lit("s"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    db = str(tmp_path / "export.db")
+    n = export_sqlite(df, db, "results")
+    assert n == 10
+    # round-trip back through the ingest leg: identical content
+    back = ingest_sqlite(spark, db, str(tmp_path / "staged"))["results"]
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(
+        (r["id"], r["name"], r["score"], int(r["flag"])) for r in df.collect()
+    )
+    assert got == want
+
+
+def test_export_modes(spark, tmp_path):
+    from molgraphdb_spark.sources.sqlite_ingest import export_sqlite
+
+    df = spark.range(3).select("id")
+    db = str(tmp_path / "modes.db")
+    export_sqlite(df, db, "t")
+    with pytest.raises(FileExistsError):
+        export_sqlite(df, db, "t")  # mode='error' default
+    assert export_sqlite(df, db, "t", mode="append") == 3
+    assert sqlite3.connect(db).execute("SELECT COUNT(*) FROM t").fetchone()[0] == 6
+    assert export_sqlite(df, db, "t", mode="overwrite") == 3
+    assert sqlite3.connect(db).execute("SELECT COUNT(*) FROM t").fetchone()[0] == 3
+
+
+def test_export_rejects_unmappable_types(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from molgraphdb_spark.sources.sqlite_ingest import export_sqlite
+
+    df = spark.range(2).select(F.array("id").alias("a"))
+    with pytest.raises(ValueError, match="no SQLite mapping"):
+        export_sqlite(df, str(tmp_path / "x.db"), "t")
