@@ -764,8 +764,61 @@ ORDER BY doc_id
 """
 
 
+def vocab_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction support: the first BPE merge step — count
+    adjacent character pairs across the corpus (weighted by word
+    frequency) and emit the top-20 merge candidates. The highest-count
+    pair is exactly what a byte-pair-encoding trainer would merge
+    first; re-running after applying merges yields the full vocab.
+
+    Scale shape: DICTIONARY RESOLVE (the linkage.py pattern). Words are
+    first reduced to the distinct-word dictionary with counts (one
+    groupBy with map-side partials — the dictionary is orders of
+    magnitude smaller than the token stream), pair expansion runs over
+    the dictionary only, and the final pair groupBy's key space is
+    ≤ alphabet² — tiny. Corpus-sized data crosses exactly one shuffle."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    chars = F.split(F.col("w"), "")
+    ln = F.size(chars)
+    pairs = F.zip_with(
+        F.slice(chars, 1, F.greatest(ln - 1, F.lit(0))),
+        F.slice(chars, 2, F.greatest(ln - 1, F.lit(1))),
+        lambda a, b: F.concat(a, b),
+    )
+    return (
+        wc.select(F.explode(pairs).alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+VOCAB_BPE_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM w WHERE length(w) >= 2 GROUP BY 1
+), p AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair, c
+  FROM wc
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "vocab_bpe_merge_pairs": vocab_bpe_merge_pairs,
     "doc_quality_scores": doc_quality_scores,
     "doc_language_id": doc_language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -782,6 +835,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "vocab_bpe_merge_pairs": VOCAB_BPE_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "doc_language_id": DOC_LANGUAGE_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

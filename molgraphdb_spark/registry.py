@@ -74,6 +74,7 @@ _PRIORITY = [
     "doc_dup_span_removal",  # round-5 debut (span-scrub transform, text hash-compared)
     "doc_repetition_suite",  # round-5 debut (full Gopher repetition filters)
     "approx_quantiles_price",  # round-5 debut (GK-sketch band twin)
+    "vocab_bpe_merge_pairs",  # round-5 debut (BPE merge-step pair counts)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -105,7 +106,10 @@ _PRIORITY = [
     # re-enter in r6.
     "graph_connected_components_summary",
     "chem_edit_expansion",
-    "chem_exact_ged_pairs",
+    # chem_exact_ged_pairs yields its slot to the bpe-merge debut: its
+    # driver check is rows-only anyway (the weakest evidence class —
+    # the exact-GED values are pinned by pytest goldens instead), and
+    # a never-checked oracle query outranks re-running it; re-enters r6.
     "mm_metadata_summary",
     # dedup_minhash_signatures and similarity_ivf_recall yield their
     # slots to the span/repetition debuts: both are benched every round
