@@ -662,6 +662,106 @@ ORDER BY doc_id
 """
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 twin of ``doc_unigram_logprob``: score(doc) = mean
+    −ln p(w₂|w₁) under the corpus's own add-one-smoothed bigram model,
+    p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V). The conditional model separates
+    locally-coherent text from bag-of-frequent-words gibberish that the
+    unigram score cannot distinguish.
+
+    Same determinism engineering (integer milli-nat sums — partition-
+    order-free) and the same scale shape one order up: a bigram-model
+    groupBy, a unigram groupBy for the conditioning counts, two
+    model joins back, one per-doc groupBy. The bigram dictionary is
+    larger than the unigram one but still ≪ the occurrence stream."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    w1s = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    w2s = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = F.zip_with(w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    occ = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.w1").alias("w1"),
+            F.concat("p.w1", F.lit(" "), "p.w2").alias("bg"),
+        )
+    )
+    tok = docs.select(F.explode(toks).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).cache()
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    bgm = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        occ.join(bgm, "bg")
+        .join(uni, occ["w1"] == uni["tok"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))) * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("nlp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nlp").alias("sum_nlp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_nlp", F.lit(0)).cast("long").alias("sum_neglogp_milli"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.floor(F.col("sum_nlp") / F.col("n_bigrams")).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("mean_neglogp_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_BIGRAM_SQL = """
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), tok AS (
+  SELECT unnest(toks) AS tok FROM tk
+), uni AS (
+  SELECT tok, COUNT(*) AS c1 FROM tok GROUP BY tok
+), v AS (
+  SELECT COUNT(*) AS vocab FROM uni
+), occ AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+  FROM tk, unnest(range(1, len(toks))) AS u(i)
+), bgm AS (
+  SELECT bg, COUNT(*) AS c2 FROM occ GROUP BY bg
+), scored AS (
+  SELECT o.doc_id,
+         CAST(floor(-ln((m.c2 + 1.0) / (u.c1 + v.vocab)) * 1000 + 0.5) AS BIGINT) AS nlp
+  FROM occ o JOIN bgm m USING (bg) JOIN uni u ON o.w1 = u.tok CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(nlp) AS BIGINT) AS sum_nlp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.sum_nlp, 0) AS sum_neglogp_milli,
+       CASE WHEN p.n_bigrams > 0
+            THEN CAST(floor(p.sum_nlp * 1.0 / p.n_bigrams) AS BIGINT)
+            ELSE 0 END AS mean_neglogp_milli
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 #: Gopher-style top-2-gram repetition cap (basis points of bigram
 #: occurrences owned by the single most frequent bigram).
 GOPHER_TOP2_MAX_BP = 2000
@@ -829,6 +929,7 @@ QUERIES = {
     "doc_content_filter": doc_content_filter,
     "doc_decontaminate_overlap": doc_decontaminate_overlap,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_bigram_logprob": doc_bigram_logprob,
     "doc_gopher_repetition": doc_gopher_repetition,
     "doc_pii_redact": doc_pii_redact,
 }
@@ -846,6 +947,7 @@ ORACLES = {
     "doc_content_filter": DOC_CONTENT_FILTER_SQL,
     "doc_decontaminate_overlap": DOC_DECONTAM_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_SQL,
+    "doc_bigram_logprob": DOC_BIGRAM_SQL,
     "doc_gopher_repetition": DOC_GOPHER_SQL,
     "doc_pii_redact": DOC_PII_REDACT_SQL,
 }

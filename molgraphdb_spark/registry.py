@@ -75,6 +75,7 @@ _PRIORITY = [
     "doc_repetition_suite",  # round-5 debut (full Gopher repetition filters)
     "approx_quantiles_price",  # round-5 debut (GK-sketch band twin)
     "vocab_bpe_merge_pairs",  # round-5 debut (BPE merge-step pair counts)
+    "doc_bigram_logprob",  # round-5 debut (order-2 LM scoring twin)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -110,7 +111,9 @@ _PRIORITY = [
     # driver check is rows-only anyway (the weakest evidence class —
     # the exact-GED values are pinned by pytest goldens instead), and
     # a never-checked oracle query outranks re-running it; re-enters r6.
-    "mm_metadata_summary",
+    # mm_metadata_summary yields its slot to the bigram-logprob debut:
+    # metadata-only projection, plan-asserted payload pruning in
+    # pytest, r3-green, untouched; re-enters r6.
     # dedup_minhash_signatures and similarity_ivf_recall yield their
     # slots to the span/repetition debuts: both are benched every round
     # (cold-cache medians + this session's local parity at sf0.01) and

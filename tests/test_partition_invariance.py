@@ -32,6 +32,7 @@ AT_RISK = [
     "dedup_semantic_clusters",   # iterative CC over the cosine graph
     "similarity_knn_graph",      # bucket-join + rank — tie-break determinism
     "doc_dup_span_stats",        # groupBy+semi-join+lag coverage — join/window case
+    "doc_bigram_logprob",        # integer milli-nat sums, two model joins
 ]
 
 
