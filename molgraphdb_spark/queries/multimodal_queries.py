@@ -249,15 +249,148 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+#: Perceptual hash geometry: 64 dHash bits, 4 pigeonhole bands of 16.
+PHASH_BITS = 64
+_PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3  #: d ≤ 3 ⇒ ≥1 of 4 bands matches exactly
+
+
+def _phash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """dHash over payload bytes: 64 chunk sums (boundaries ⌊j·n/64⌋),
+    bit j = chunk[j] > chunk[(j+1) mod 64]. Gradient comparison — no
+    division, integer-exact, so DuckDB recomputes it bit-for-bit."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            sums = [
+                sum(b[(j * n) // PHASH_BITS : ((j + 1) * n) // PHASH_BITS])
+                for j in range(PHASH_BITS)
+            ]
+            bits = "".join(
+                "1" if sums[j] > sums[(j + 1) % PHASH_BITS] else "0"
+                for j in range(PHASH_BITS)
+            )
+            out.append((doc_id, bits))
+        yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over BINARY payloads — the
+    multimodal leg of the dedup family (image dedup by aHash/dHash in a
+    real pipeline; here the dHash runs on the deterministic byte
+    payloads since the container ships no codecs — same plumbing, same
+    plan shape).
+
+    Candidate→verify WITHOUT n²: the 64-bit signature splits into 4
+    bands of 16 — by pigeonhole any pair within Hamming distance
+    PHASH_MAX_HAMMING agrees on ≥1 band — equi-join on (band, content),
+    exact Hamming verify on candidates only (the dedup_simhash_pairs
+    shape, one modality over). Signature computation is one
+    mapInPandas pass (the module's justified Python boundary: byte
+    featurization)."""
+    m = multimodal_manifest(spark, sf_dir)
+    sig = m.select("doc_id", "payload").mapInPandas(
+        _phash_rows, schema="doc_id long, phash string"
+    )
+    width = PHASH_BITS // _PHASH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.substring("phash", bnd * width + 1, width).alias("content"),
+            )
+            for bnd in range(_PHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", "phash", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        "phash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.content").alias("content"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.content") == F.col("b.content"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.phash").alias("sig_a"),
+            F.col("b.phash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1)).cast("int")
+        for i in range(PHASH_BITS)
+    )
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_PHASH_WIDTH = PHASH_BITS // _PHASH_BANDS
+_PHASH_SIG_SQL = f"""
+  SELECT doc_id,
+         list_transform(range(0, {PHASH_BITS}),
+             j -> COALESCE(list_sum(codes[(j * n) // {PHASH_BITS} + 1 : ((j + 1) * n) // {PHASH_BITS}]), 0)
+         ) AS sums
+  FROM (SELECT doc_id, length(text) AS n,
+               list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+        FROM documents)
+"""
+_PHASH_BITS_SQL = " || ".join(
+    f"CAST(CAST(sums[{j + 1}] > sums[{(j + 1) % PHASH_BITS + 1}] AS INT) AS VARCHAR)"
+    for j in range(PHASH_BITS)
+)
+_PHASH_BAND_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, phash, {bnd} AS band, substr(phash, {bnd * _PHASH_WIDTH + 1}, {_PHASH_WIDTH}) AS content FROM sig"
+    for bnd in range(_PHASH_BANDS)
+)
+_PHASH_HAMMING_SQL = " + ".join(
+    f"CASE WHEN substr(a.phash, {i + 1}, 1) <> substr(b.phash, {i + 1}, 1) THEN 1 ELSE 0 END"
+    for i in range(PHASH_BITS)
+)
+
+MM_PHASH_SQL = f"""
+WITH sums AS (
+{_PHASH_SIG_SQL}
+), sig AS (
+  SELECT doc_id, {_PHASH_BITS_SQL} AS phash FROM sums
+), banded AS (
+{_PHASH_BAND_SQL}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS pa, b.phash AS pb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.content = b.content AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(({_PHASH_HAMMING_SQL.replace("a.phash", "pa").replace("b.phash", "pb")}) AS INT) AS hamming
+FROM cands
+WHERE ({_PHASH_HAMMING_SQL.replace("a.phash", "pa").replace("b.phash", "pb")}) <= {PHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "mm_metadata_summary": mm_metadata_summary,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_chunk_windows": mm_chunk_windows,
+    "mm_phash_neardup": mm_phash_neardup,
 }
 
 ORACLES = {
     "mm_metadata_summary": MM_METADATA_SQL,
+    "mm_phash_neardup": MM_PHASH_SQL,
     "mm_feature_extract": MM_FEATURES_SQL,
     "mm_frame_sample": MM_FRAMES_SQL,
     "mm_chunk_windows": MM_CHUNKS_SQL,

@@ -76,6 +76,7 @@ _PRIORITY = [
     "approx_quantiles_price",  # round-5 debut (GK-sketch band twin)
     "vocab_bpe_merge_pairs",  # round-5 debut (BPE merge-step pair counts)
     "doc_bigram_logprob",  # round-5 debut (order-2 LM scoring twin)
+    "mm_phash_neardup",  # round-5 debut (perceptual-hash multimodal dedup)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -124,7 +125,9 @@ _PRIORITY = [
     # in-window sibling (dedup_lsh_verified re-runs the banding join;
     # dedup_simhash_pairs re-computes the signatures), r3-green and
     # untouched; they re-enter in r6.
-    "dedup_simhash_pairs",
+    # dedup_simhash_pairs yields its slot to the phash debut, which
+    # exercises the identical pigeonhole banding+verify machinery on a
+    # never-checked signature path; r3-green, untouched, re-enters r6.
     # doc_line_dedup_ratio yields its slot to the pii-redact debut:
     # trivial map-only ratio, green in this session's full local
     # sf0.01 sweep (the identical driver comparison); re-enters r6.

@@ -156,3 +156,29 @@ def test_removal_matches_stats_coverage(spark, span_sf_dir):
         for r in doc_dup_span_removal(spark, span_sf_dir).collect()
     }
     assert stats == removed
+
+
+def test_phash_pairs_identical_payloads(spark, sf_dir, tmp_path_factory):
+    # multimodal perceptual-hash dedup: identical payloads must pair at
+    # hamming 0; an unrelated payload must not pair with them
+    from molgraphdb_spark.queries.multimodal_queries import mm_phash_neardup
+    import os
+
+    d = tmp_path_factory.mktemp("phash_sf")
+    base = " ".join(f"tok{i % 7}" for i in range(40))
+    other = " ".join(f"zz{i * 13 % 23}" for i in range(40))
+    rows = [
+        (0, base, "en", "src0", len(base)),
+        (1, base, "en", "src0", len(base)),       # exact duplicate payload
+        (2, other, "en", "src0", len(other)),     # unrelated
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings".split()
+    ):
+        os.symlink(os.path.join(sf_dir, f"{t}.parquet"), str(d / f"{t}.parquet"))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in mm_phash_neardup(spark, str(d)).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
