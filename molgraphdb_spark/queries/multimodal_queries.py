@@ -304,11 +304,19 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bnd in range(_PHASH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", "phash", F.explode(band_structs).alias("bb")).select(
-        "doc_id",
-        "phash",
-        F.col("bb.band").alias("band"),
-        F.col("bb.content").alias("content"),
+    banded = (
+        sig.select("doc_id", "phash", F.explode(band_structs).alias("bb"))
+        .select(
+            "doc_id",
+            "phash",
+            F.col("bb.band").alias("band"),
+            F.col("bb.content").alias("content"),
+        )
+        # cache(): both sides of the self-join read this relation — the
+        # repo rule (verify skill, r2): Spark does not reuse subplans
+        # across references, so without the cache the mapInPandas
+        # signature pass would execute twice. 4 small rows per doc.
+        .cache()
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (

@@ -275,3 +275,37 @@ def test_dup_span_stats_linear_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in s["plan"]
     assert not s["has_python_worker"]
     assert s["n_exchanges"] <= 6
+
+
+def test_bpe_pairs_dictionary_resolve(spark, sf_dir):
+    # corpus tokens must cross exactly ONE shuffle (into the word
+    # dictionary); pair expansion runs on the dictionary, the pair
+    # groupBy key space is <= alphabet^2, and the top-k is a
+    # TakeOrdered — no python worker anywhere
+    from molgraphdb_spark.queries.text import vocab_bpe_merge_pairs
+
+    s = plan_summary(vocab_bpe_merge_pairs(spark, sf_dir))
+    assert not s["has_python_worker"]
+    # word-dict exchange + pair exchange; TakeOrderedAndProject adds none
+    assert s["n_exchanges"] <= 2
+
+
+def test_phash_neardup_no_cartesian(spark, sf_dir):
+    # candidates come from the band equi-join — an n^2 CartesianProduct
+    # anywhere defeats the pigeonhole design. The python worker IS
+    # expected (the byte-featurization boundary), but both self-join
+    # sides must read the CACHED banded relation so the mapInPandas
+    # signature pass executes once, not per reference.
+    from molgraphdb_spark.queries.multimodal_queries import mm_phash_neardup
+
+    s = plan_summary(mm_phash_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in s["plan"]
+    assert s["plan"].count("InMemoryTableScan") >= 2
+
+
+def test_bigram_logprob_no_python_worker(spark, sf_dir):
+    from molgraphdb_spark.queries.text import doc_bigram_logprob
+
+    s = plan_summary(doc_bigram_logprob(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
