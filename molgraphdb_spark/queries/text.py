@@ -762,6 +762,81 @@ ORDER BY d.doc_id
 """
 
 
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source ‖ corpus) over the
+    token distributions — the monitoring number a mixing pipeline
+    watches to catch a domain whose content shifted away from the
+    blend (or a scrape gone bad). KL is computed term-by-term as
+    (c_st/N_s)·ln(c_st·N_g / (N_s·c_gt)), each term floored to INTEGER
+    micro-nats and summed as integers — the doc_unigram_logprob
+    determinism rule (partition-order-free; ln on identical rationals
+    is bit-identical across engines).
+
+    Scale: one groupBy(source, token) over the corpus (map-side
+    partials), then dictionary-sized aggregations and joins — the
+    (source, token) dictionary is ≪ the token stream; nothing
+    corpus-sized crosses a second shuffle."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(_tokens()).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st")).cache()
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    gt = st.groupBy("tok").agg(F.sum("c_st").alias("c_gt"))
+    ng = st.agg(F.sum("c_st").alias("n_g"))
+    term = (
+        st.join(F.broadcast(ns), "source")
+        .join(gt, "tok")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.floor(
+                (F.col("c_st") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st") * F.col("n_g"))
+                    / (F.col("n_s") * F.col("c_gt"))
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        term.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("term_micro").alias("kl_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), st AS (
+  SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2
+), ns AS (
+  SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1
+), gt AS (
+  SELECT tok, SUM(c_st) AS c_gt FROM st GROUP BY 1
+), ng AS (
+  SELECT SUM(c_st) AS n_g FROM st
+), term AS (
+  SELECT s.source,
+         CAST(floor((s.c_st * 1.0 / ns.n_s)
+              * ln((s.c_st * ng.n_g * 1.0) / (ns.n_s * 1.0 * gt.c_gt))
+              * 1e6 + 0.5) AS BIGINT) AS term_micro
+  FROM st s JOIN ns USING (source) JOIN gt USING (tok) CROSS JOIN ng
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(term_micro) AS BIGINT) AS kl_micro
+FROM term GROUP BY source ORDER BY source
+"""
+
+
 #: Gopher-style top-2-gram repetition cap (basis points of bigram
 #: occurrences owned by the single most frequent bigram).
 GOPHER_TOP2_MAX_BP = 2000
@@ -930,6 +1005,7 @@ QUERIES = {
     "doc_decontaminate_overlap": doc_decontaminate_overlap,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_bigram_logprob": doc_bigram_logprob,
+    "source_token_divergence": source_token_divergence,
     "doc_gopher_repetition": doc_gopher_repetition,
     "doc_pii_redact": doc_pii_redact,
 }
@@ -948,6 +1024,7 @@ ORACLES = {
     "doc_decontaminate_overlap": DOC_DECONTAM_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_SQL,
     "doc_bigram_logprob": DOC_BIGRAM_SQL,
+    "source_token_divergence": SOURCE_DIVERGENCE_SQL,
     "doc_gopher_repetition": DOC_GOPHER_SQL,
     "doc_pii_redact": DOC_PII_REDACT_SQL,
 }

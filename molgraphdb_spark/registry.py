@@ -77,6 +77,7 @@ _PRIORITY = [
     "vocab_bpe_merge_pairs",  # round-5 debut (BPE merge-step pair counts)
     "doc_bigram_logprob",  # round-5 debut (order-2 LM scoring twin)
     "mm_phash_neardup",  # round-5 debut (perceptual-hash multimodal dedup)
+    "source_token_divergence",  # round-5 debut (per-source KL drift monitor)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -99,7 +100,9 @@ _PRIORITY = [
     # to the knn-graph and semantic-cluster debuts: benched every
     # round (medians + local parity), untouched — the same lowest-risk
     # grounds as the q1/q3/q5 rotation below.
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine yields its slot to the KL-drift debut:
+    # its scale-path twin dedup_embedding_lsh is in-window, the exact
+    # variant is r3-green and untouched; re-enters r6.
     "graph_pagerank_top",
     # approx_distinct_parts and doc_rare_token_ratio yield their slots
     # to the abc-analysis and salted-agg debuts: both r3-green,

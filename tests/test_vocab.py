@@ -43,3 +43,35 @@ def test_bpe_pair_counts(spark, bpe_sf_dir):
     }
     # deterministic ordering: count desc, then pair asc
     assert [r["pair"] for r in rows[:5]] == ["lo", "ow", "we", "es", "st"]
+
+
+def test_source_divergence_orders_skew(spark, sf_dir, tmp_path_factory):
+    """A source whose token distribution matches the corpus blend shows
+    near-zero KL; a skewed source shows strictly higher KL."""
+    import os
+
+    from molgraphdb_spark.queries.text import source_token_divergence
+
+    d = tmp_path_factory.mktemp("kl_sf")
+    balanced = "alpha beta gamma delta " * 10
+    rows = (
+        [(i, balanced, "en", "srcA", 80) for i in range(5)]
+        + [(10 + i, balanced, "en", "srcB", 80) for i in range(5)]
+        + [(20, "alpha alpha alpha alpha " * 10, "en", "srcC", 80)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings".split()
+    ):
+        os.symlink(os.path.join(sf_dir, f"{t}.parquet"), str(d / f"{t}.parquet"))
+    kl = {r["source"]: r["kl_micro"] for r in source_token_divergence(spark, str(d)).collect()}
+    # the two identical sources diverge from the blend only by what
+    # srcC's skew pulls into the GLOBAL distribution (~0.012 nats here)
+    assert kl["srcA"] == kl["srcB"]
+    assert abs(kl["srcA"]) <= 50_000
+    # the all-alpha source diverges by two orders of magnitude more
+    # (ln(1/p_g(alpha)) ≈ 1.14 nats ≈ 1.14M micro-nats)
+    assert kl["srcC"] > 20 * abs(kl["srcA"])
+    assert kl["srcC"] > 1_000_000
