@@ -778,7 +778,15 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized crosses a second shuffle."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("source", F.explode(_tokens()).alias("tok"))
-    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st")).cache()
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    return kl_from_counts(st)
+
+
+def kl_from_counts(st: DataFrame) -> DataFrame:
+    """KL(source ‖ corpus) from a ``(source, tok, c_st)`` counts frame —
+    split out so the streaming twin (running counts via a streaming
+    aggregation) feeds the identical derivation from its final state."""
+    st = st.cache()
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     gt = st.groupBy("tok").agg(F.sum("c_st").alias("c_gt"))
     ng = st.agg(F.sum("c_st").alias("n_g"))

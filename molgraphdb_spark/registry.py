@@ -46,8 +46,12 @@ _QUERY_MODULES = [
 # then the 11 TPC-H completion debuts, then the oldest-stale families
 # rotated out of r4. Entries left outside (trivial relational/reshape
 # ops, r2/r3-green, untouched, plan-smoke-guarded) LEAD the r6 window.
-# All 125 registry queries pass tools/parity.py at sf0.01 locally this
-# session — the window ranks driver-recorded evidence, not coverage.
+# Session 3 adds 8 more debuts (span stats/removal, repetition suite,
+# approx-quantiles, BPE pairs, bigram log-prob, phash near-dup, KL
+# drift), each displacing a named lowest-risk entry (see inline
+# comments). All 137 registry queries pass tools/parity.py at sf0.01
+# locally across this round's sessions — the window ranks
+# driver-recorded evidence, not coverage.
 _PRIORITY = [
     # r4 reds — oracle-side HUGEINT casts fixed this round
     "dedup_keep_best",

@@ -510,3 +510,31 @@ try:  # transformWithState landed in Spark 4.0; guard for older runtimes.
 
 except ImportError:  # pragma: no cover — pre-4.0 runtime
     running_user_totals_tws = None
+
+
+def read_documents_stream(
+    spark: SparkSession, docs_dir: str, max_files: int = 1
+) -> DataFrame:
+    """File-source stream over a documents parquet directory — the
+    landing-zone shape for a continuously-ingested corpus (each dropped
+    file is one micro-batch at ``maxFilesPerTrigger=1``)."""
+    schema = spark.read.parquet(docs_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(docs_dir)
+    )
+
+
+def source_token_counts_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of source_token_divergence's corpus pass: running
+    (source, token) counts via a streaming aggregation (update/complete
+    mode; the dictionary-sized state is exactly the batch groupBy's
+    output). The KL derivation itself is NOT streamed — it runs over
+    the materialized counts with queries.text.kl_from_counts, so
+    stream and batch share one code path for the math."""
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    return tok.groupBy("source", "tok").count().withColumnRenamed("count", "c_st")

@@ -470,3 +470,36 @@ def test_moments_stream_matches_batch_anomalies(spark, sf_dir, events_stream_dir
         assert flagged == want
     finally:
         q.stop()
+
+
+def test_source_kl_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Running (source, token) counts accumulated across micro-batches,
+    then the SHARED kl_from_counts derivation — output must equal the
+    batch source_token_divergence exactly (the counts state is integer,
+    so there is no drift to tolerate)."""
+    from pyspark.sql import functions as F
+
+    from molgraphdb_spark.queries.text import kl_from_counts, source_token_divergence
+    from molgraphdb_spark.streaming.windows import (
+        read_documents_stream,
+        source_token_counts_stream,
+    )
+
+    # split documents into 3 files so the stream runs multiple batches
+    d = tmp_path_factory.mktemp("docs_stream")
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        3
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    docs = read_documents_stream(spark, str(d / "documents.parquet"))
+    q = run_to_memory(source_token_counts_stream(docs), "t_kl_counts")
+    try:
+        # localCheckpoint: the memory-sink view keeps fixed attribute
+        # ids, so self-referencing joins inside kl_from_counts hit
+        # Spark's conflicting-reference resolution — snapshotting first
+        # gives the derivation an ordinary plan
+        counts = spark.table("t_kl_counts").localCheckpoint()
+        got = [tuple(r) for r in kl_from_counts(counts).collect()]
+        want = [tuple(r) for r in source_token_divergence(spark, sf_dir).collect()]
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
