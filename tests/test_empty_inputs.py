@@ -35,6 +35,14 @@ REPRESENTATIVE = [
     "embedding_quantize_stats",  # broadcast scale derivation
     "q15_top_supplier",          # max-over-aggregated-view
     "q21_waiting_suppliers",     # exists/not-exists chain
+    "doc_dup_span_stats",        # window index + semi join + lag coverage
+    "doc_dup_span_removal",      # interval folds over empty starts
+    "doc_repetition_suite",      # per-row sorted-run folds
+    "vocab_bpe_merge_pairs",     # dictionary-resolve + top-k
+    "doc_bigram_logprob",        # two model joins + broadcast vocab
+    "source_token_divergence",   # dictionary KL joins
+    "mm_phash_neardup",          # mapInPandas signatures + band self-join
+    "approx_quantiles_price",    # GK sketch over empty groups
 ]
 
 
