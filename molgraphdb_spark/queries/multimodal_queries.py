@@ -388,17 +388,96 @@ ORDER BY id_a, id_b
 """
 
 
+
+
+#: Resize target: RESIZE_DIM x RESIZE_DIM nearest-neighbor grid.
+RESIZE_DIM = 8
+
+
+def _resize_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor resample of the (width x height) byte image to
+    a RESIZE_DIM^2 grid: out[r][c] = payload[(floor(r*h/D)*w +
+    floor(c*w/D)) mod n] - integer index math only, so DuckDB
+    recomputes the digest bit-for-bit."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload, w, h in zip(
+            pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+        ):
+            b = bytes(payload)
+            n = len(b)
+            grid = bytes(
+                b[((r * h // RESIZE_DIM) * w + (c * w // RESIZE_DIM)) % n]
+                for r in range(RESIZE_DIM)
+                for c in range(RESIZE_DIM)
+            )
+            import hashlib
+
+            out.append((doc_id, int(w), int(h), hashlib.md5(grid).hexdigest()))
+        yield pd.DataFrame(out, columns=["doc_id", "src_w", "src_h", "grid_md5"])
+
+
+def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE slot of the multimodal pipeline (decode -> resize ->
+    featurize): nearest-neighbor downsample of each image-modality
+    payload to an 8x8 grid, emitted as the grid digest (downstream
+    dedup/embedding jobs key on it). One mapInPandas pass over the
+    image rows only - metadata pruning keeps other modalities' bytes
+    out of the scan; a real decoder would slot in where the byte-image
+    fake sits (decode_image_stub marks that boundary)."""
+    m = multimodal_manifest(spark, sf_dir).filter(
+        F.col("metadata.format") == "image"
+    )
+    return (
+        m.select(
+            "doc_id",
+            "payload",
+            F.col("metadata.width").alias("width"),
+            F.col("metadata.height").alias("height"),
+        )
+        .mapInPandas(
+            _resize_rows,
+            schema="doc_id long, src_w int, src_h int, grid_md5 string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RESIZE_IDX = ", ".join(
+    f"codes[(({r} * h // {RESIZE_DIM}) * w + ({c} * w // {RESIZE_DIM})) % n + 1]"
+    for r in range(RESIZE_DIM)
+    for c in range(RESIZE_DIM)
+)
+
+MM_RESIZE_SQL = f"""
+WITH img AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) % 64 + 1 AS w,
+         length(text) % 48 + 1 AS h,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       md5(array_to_string(list_transform([{_RESIZE_IDX}], c -> chr(c)), '')) AS grid_md5
+FROM img
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_metadata_summary": mm_metadata_summary,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_chunk_windows": mm_chunk_windows,
     "mm_phash_neardup": mm_phash_neardup,
+    "mm_resize_grid": mm_resize_grid,
 }
 
 ORACLES = {
     "mm_metadata_summary": MM_METADATA_SQL,
     "mm_phash_neardup": MM_PHASH_SQL,
+    "mm_resize_grid": MM_RESIZE_SQL,
     "mm_feature_extract": MM_FEATURES_SQL,
     "mm_frame_sample": MM_FRAMES_SQL,
     "mm_chunk_windows": MM_CHUNKS_SQL,

@@ -82,6 +82,7 @@ _PRIORITY = [
     "doc_bigram_logprob",  # round-5 debut (order-2 LM scoring twin)
     "mm_phash_neardup",  # round-5 debut (perceptual-hash multimodal dedup)
     "source_token_divergence",  # round-5 debut (per-source KL drift monitor)
+    "mm_resize_grid",  # round-5 debut (multimodal resize slot)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -114,7 +115,10 @@ _PRIORITY = [
     # local sf0.01 sweep (the identical driver comparison); they
     # re-enter in r6.
     "graph_connected_components_summary",
-    "chem_edit_expansion",
+    # chem_edit_expansion yields its slot to the resize debut: its
+    # driver check is rows-only (weakest class; the fixed-point
+    # semantics are pytest-golden-pinned), r3-green, untouched;
+    # re-enters r6.
     # chem_exact_ged_pairs yields its slot to the bpe-merge debut: its
     # driver check is rows-only anyway (the weakest evidence class —
     # the exact-GED values are pinned by pytest goldens instead), and
