@@ -33,6 +33,8 @@ AT_RISK = [
     "similarity_knn_graph",      # bucket-join + rank — tie-break determinism
     "doc_dup_span_stats",        # groupBy+semi-join+lag coverage — join/window case
     "doc_bigram_logprob",        # integer milli-nat sums, two model joins
+    "source_token_divergence",   # integer micro-nat KL terms
+    "mm_phash_neardup",          # mapInPandas signatures + band self-join
 ]
 
 
