@@ -1,0 +1,214 @@
+"""Product quantization (PQ) — the ANN memory path at 100 TB.
+
+IVF (queries/similarity.py + operators/kmeans.py) bounds how many
+vectors a query TOUCHES; PQ bounds how many bytes each touched vector
+COSTS: a d-float vector compresses to M small codes (here 8 codes of
+4 bits' worth — 16 centroids per subspace), and query-time distances
+come from a per-query lookup table instead of float vector math. The
+composition (IVF-PQ) is the standard billion-scale ANN index; this
+module supplies the PQ half Spark-first:
+
+- **Training** (``pq_train``): M independent Lloyd's fits — one per
+  subspace — reusing ``operators/kmeans.py`` (map-only assignment via
+  centroid-literal argmin folds; k×(d_sub+1) partial-aggregate
+  shuffles per round). Codebooks are M×K×d_sub floats: driver-sized at
+  any corpus scale.
+- **Encoding** (``pq_encode``): MAP-ONLY — all M argmin folds run in
+  one projection inside whole-stage codegen; the corpus never
+  shuffles, and the output adds one ``array<int>`` column of length M
+  (the 100 TB corpus's resident index is N×M small ints).
+- **Query** (``pq_adc_topk``): asymmetric distance computation — the
+  per-query LUT (M×K squared distances, computed driver-side from Q
+  tiny query vectors) broadcasts against the code table; per-row
+  distance is a ``zip_with`` + fold over the M codes (pure table
+  lookups, no d-dimensional math on the scan side); top-k via the
+  usual per-query window. O(N·M) lookups instead of O(N·d) multiplies,
+  over ~d/M× less data.
+
+Determinism: training inherits kmeans_fit's rules (first-k init, ties
+to lowest cid); encoding given FIXED codebooks is bit-deterministic at
+any partitioning (tests pin this); training itself sums float partials
+and is therefore partitioning-sensitive in the last ulp — the same
+documented trade as operators/kmeans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from molgraphdb_spark.operators.kmeans import (
+    _centroid_literal,
+    _dot,
+    kmeans_fit,
+)
+
+#: Default geometry: 8 subspaces × 16 centroids (codes fit in 4 bits).
+PQ_M = 8
+PQ_K = 16
+
+Codebooks = "list[list[tuple[int, list[float]]]]"
+
+
+def _subspace_argmin(v: Column, cb: list[tuple[int, list[float]]], lo: int, dsub: int) -> Column:
+    """cid of the nearest codebook centroid to v[lo:lo+dsub] (squared
+    L2; ties to the lowest cid — the kmeans assign rule)."""
+    sv = F.slice(v, lo + 1, dsub)
+    cent_arr = _centroid_literal(cb)
+
+    def d2(c: Column) -> Column:
+        diff = F.zip_with(sv, c["cv"], lambda x, y: x - y)
+        return _dot(diff, diff)
+
+    init = F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cid"))
+    best = F.aggregate(
+        cent_arr,
+        init,
+        lambda acc, c: F.when(
+            d2(c) < acc["d2"], F.struct(d2(c).alias("d2"), c["cid"].alias("cid"))
+        ).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = 4,
+) -> list:
+    """Train M per-subspace codebooks by Lloyd's. Returns
+    ``codebooks[s] = [(cid, centroid), ...]`` with cid = 0..k-1.
+    Requires the vector dimension to be divisible by ``m``."""
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError("cannot train PQ on empty input (no rows with a vector)")
+    d = len(probe[0])
+    if d % m != 0:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            id_col, F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("_sv")
+        )
+        books.append(kmeans_fit(sub, "_sv", id_col, k=k, n_iter=n_iter))
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
+    """Add ``pq_code: array<int>`` (length M) — one map-only projection
+    holding all M argmin folds; zero shuffles."""
+    dsub = len(codebooks[0][0][1])
+    v = F.col(vec_col)
+    codes = [
+        _subspace_argmin(v, cb, s * dsub, dsub) for s, cb in enumerate(codebooks)
+    ]
+    return df.withColumn("pq_code", F.array(*codes))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    queries: list,
+    codebooks: list,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: ``queries`` is a small
+    ``[(query_id, vector), ...]`` list (the driver-sized query batch);
+    per query the M×K LUT of subvector→centroid squared distances is
+    computed driver-side and broadcast; each code row folds its M
+    lookups into the distance. Returns (query_id, {id_col}, adc_d2_ubp,
+    rk ≤ k), ties broken by ascending id."""
+    dsub = len(codebooks[0][0][1])
+    m = len(codebooks)
+    lut_rows = []
+    for qid, qv in queries:
+        q = [float(x) for x in qv]
+        lut = [
+            [
+                sum(
+                    (q[s * dsub + j] - cb[c][1][j]) ** 2 for j in range(dsub)
+                )
+                for c in range(len(cb))
+            ]
+            for s, cb in enumerate(codebooks)
+        ]
+        lut_rows.append((int(qid), lut))
+    spark = codes_df.sparkSession
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>"
+    )
+    joined = F.broadcast(lut_df).crossJoin(
+        codes_df.select(id_col, "pq_code")
+    ).filter(F.col(id_col) != F.col("query_id"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.col("lut"),
+            lambda c, l: F.element_at(l, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = joined.select(
+        "query_id",
+        id_col,
+        F.floor(dist * 1_000_000 + 0.5).cast("long").alias("adc_d2_ubp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2_ubp"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )
+
+
+def pq_search(
+    emb_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list,
+    codebooks: list,
+    k: int = 3,
+    shortlist: int = 30,
+) -> DataFrame:
+    """The standard PQ deployment shape: ADC SHORTLIST (cheap O(N·M)
+    lookups over compressed codes) then EXACT rerank of only
+    Q×shortlist survivors with full vectors. Raw ADC ranking is noisy
+    where true distances concentrate (measured on the sf0.001
+    synthetic embeddings: recall@3 0.17 at shortlist=k, 0.67 with
+    shortlist=30 + rerank at M=8, K=16) — reranking is what makes PQ
+    deployable, and its cost is independent of corpus size."""
+    codes = pq_encode(emb_df, vec_col, codebooks)
+    cand = pq_adc_topk(codes, id_col, queries, codebooks, k=shortlist).select(
+        "query_id", id_col
+    )
+    spark = emb_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qv array<double>",
+    )
+    joined = cand.join(emb_df.select(id_col, vec_col), id_col).join(
+        F.broadcast(qdf), "query_id"
+    )
+    diff = F.zip_with(F.col(vec_col), F.col("qv"), lambda x, y: x - y)
+    d2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = joined.select(
+        "query_id",
+        id_col,
+        F.floor(d2 * 1_000_000 + 0.5).cast("long").alias("d2_ubp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_ubp"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

@@ -1,0 +1,110 @@
+"""Product-quantization operator tests: geometry, encode determinism
+under repartitioning, ADC distance fidelity, and recall@3 against the
+exact scan — the same evidence pattern as operators/kmeans.py and the
+sketches (no DuckDB oracle: Lloyd's training is not SQL-expressible)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+M, K, TOPK = 8, 16, 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, "v", "vec_id", m=M, k=K, n_iter=3)
+
+
+def test_codebook_geometry(books):
+    assert len(books) == M
+    for cb in books:
+        assert len(cb) == K
+        assert [cid for cid, _ in cb] == list(range(K))
+        assert all(len(c) == 64 // M for _, c in cb)
+
+
+def test_encode_shape_and_partition_invariance(emb, books):
+    codes = pq_encode(emb, "v", books)
+    rows = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(c) == M and all(0 <= x < K for x in c) for c in rows.values())
+    # fixed codebooks -> bit-deterministic codes at any partitioning
+    rows17 = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(emb.repartition(17), "v", books).collect()
+    }
+    assert rows == rows17
+
+
+def test_adc_approximates_true_distance(emb, books):
+    """ADC distance == exact distance to the RECONSTRUCTED vector —
+    verify the fold against a python recomputation on a sample."""
+    dsub = 64 // M
+    sample = {r["vec_id"]: list(r["v"]) for r in emb.limit(20).collect()}
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(emb.limit(20), "v", books).collect()
+    }
+    q_id, q_vec = next(iter(sample.items()))
+    out = {
+        r["vec_id"]: r["adc_d2_ubp"]
+        for r in pq_adc_topk(
+            pq_encode(emb, "v", books), "vec_id", [(q_id, q_vec)], books, k=10**6
+        ).collect()
+        if r["vec_id"] in sample
+    }
+    for vid, code in codes.items():
+        if vid == q_id:
+            continue
+        want = sum(
+            sum(
+                (q_vec[s * dsub + j] - books[s][code[s]][1][j]) ** 2
+                for j in range(dsub)
+            )
+            for s in range(M)
+        )
+        assert out[vid] == math.floor(want * 1_000_000 + 0.5), vid
+
+
+def test_pq_search_recall_vs_exact(emb, books):
+    """Recall@3 of the deployable path (ADC shortlist=30 + exact
+    rerank) against the exact L2 scan over 10 queries. Measured 0.67
+    at M=8/K=16 on this data (0.80 at K=64); ≥0.5 pins the behavior
+    with margin for training-float drift. Raw ADC-only top-3 measured
+    0.17 — reranking is load-bearing and this test would catch its
+    loss."""
+    from molgraphdb_spark.operators.pq import pq_search
+
+    vecs = {r["vec_id"]: list(r["v"]) for r in emb.collect()}
+    queries = [(vid, vecs[vid]) for vid in sorted(vecs)[:10]]
+    got = {}
+    for r in pq_search(emb, "v", "vec_id", queries, books, k=TOPK, shortlist=30).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid, qv in queries:
+        exact = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(qv, v)), vid)
+                for vid, v in vecs.items()
+                if vid != qid
+            )
+        )[:TOPK]
+        for _, vid in exact:
+            total += 1
+            hits += vid in got[qid]
+    recall = hits / total
+    assert recall >= 0.5, recall
