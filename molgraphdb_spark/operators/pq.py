@@ -212,3 +212,103 @@ def pq_search(
         .filter(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+def ivfpq_search(
+    emb_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list,
+    coarse_cents: list,
+    codebooks: list,
+    k: int = 3,
+    nprobe: int = 4,
+    shortlist: int = 30,
+) -> DataFrame:
+    """The full IVF-PQ composition — coarse cells bound how many
+    vectors a query TOUCHES, PQ codes bound what each touched vector
+    COSTS:
+
+    1. corpus rows get their coarse cell (map-only argmin over the
+       kmeans centroids — operators/kmeans.assign_cells) and their PQ
+       code (map-only, pq_encode) in ONE projection pass;
+    2. each query keeps its ``nprobe`` nearest coarse cells (computed
+       driver-side from Q×K_coarse distances — tiny);
+    3. ADC runs only on rows whose cell is probed (a broadcast
+       semi-filter, not a corpus shuffle), shortlists, and the exact
+       rerank touches Q×shortlist full vectors.
+
+    At 100 TB: stage 3's scan cost is corpus/cells·nprobe rows × M
+    byte-lookups — both knobs (nprobe, shortlist) trade recall for
+    cost at query time without touching the index."""
+    from molgraphdb_spark.operators.kmeans import assign_cells
+
+    coarse = {cid: vec for cid, vec in coarse_cents}
+    probe_rows = []
+    for qid, qv in queries:
+        q = [float(x) for x in qv]
+        by_d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(q, cv)), cid)
+            for cid, cv in coarse.items()
+        )
+        for _, cid in by_d[:nprobe]:
+            probe_rows.append((int(qid), int(cid)))
+    spark = emb_df.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cid int")
+
+    indexed = pq_encode(assign_cells(emb_df, vec_col, coarse_cents), vec_col, codebooks)
+    dsub = len(codebooks[0][0][1])
+    lut_rows = []
+    for qid, qv in queries:
+        q = [float(x) for x in qv]
+        lut = [
+            [
+                sum((q[s * dsub + j] - cb[c][1][j]) ** 2 for j in range(dsub))
+                for c in range(len(cb))
+            ]
+            for s, cb in enumerate(codebooks)
+        ]
+        lut_rows.append((int(qid), lut))
+    lut_df = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
+
+    cand = (
+        indexed.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(lut_df), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"), F.col("lut"), lambda c, l: F.element_at(l, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = cand.select(
+        "query_id", id_col, F.floor(dist * 1_000_000 + 0.5).cast("long").alias("adc_d2_ubp")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_ubp"), F.asc(id_col))
+    short = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist)
+        .select("query_id", id_col)
+    )
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qv array<double>",
+    )
+    rer = short.join(emb_df.select(id_col, vec_col), id_col).join(
+        F.broadcast(qdf), "query_id"
+    )
+    diff = F.zip_with(F.col(vec_col), F.col("qv"), lambda x, y: x - y)
+    d2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    rscored = rer.select(
+        "query_id", id_col, F.floor(d2 * 1_000_000 + 0.5).cast("long").alias("d2_ubp")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("d2_ubp"), F.asc(id_col))
+    return (
+        rscored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

@@ -108,3 +108,32 @@ def test_pq_search_recall_vs_exact(emb, books):
             hits += vid in got[qid]
     recall = hits / total
     assert recall >= 0.5, recall
+
+
+def test_ivfpq_recall_and_probe_bound(spark, emb, books):
+    """The composed index: coarse cells bound candidates, PQ bounds
+    bytes, rerank restores order. Recall trails plain pq_search only
+    by what nprobe excludes; with all cells probed results MATCH
+    pq_search exactly."""
+    from molgraphdb_spark.operators.kmeans import kmeans_fit
+    from molgraphdb_spark.operators.pq import ivfpq_search, pq_search
+
+    coarse = kmeans_fit(emb, "v", "vec_id", k=8, n_iter=3)
+    vecs = {r["vec_id"]: list(r["v"]) for r in emb.collect()}
+    queries = [(vid, vecs[vid]) for vid in sorted(vecs)[:5]]
+    full = {
+        (r["query_id"], r["rk"]): r["vec_id"]
+        for r in pq_search(emb, "v", "vec_id", queries, books, k=3, shortlist=30).collect()
+    }
+    allprobe = {
+        (r["query_id"], r["rk"]): r["vec_id"]
+        for r in ivfpq_search(
+            emb, "v", "vec_id", queries, coarse, books, k=3, nprobe=8, shortlist=30
+        ).collect()
+    }
+    assert allprobe == full  # all cells probed == un-partitioned PQ
+    some = ivfpq_search(
+        emb, "v", "vec_id", queries, coarse, books, k=3, nprobe=2, shortlist=30
+    ).collect()
+    # bounded probing still returns k results per query
+    assert {r["query_id"] for r in some} == {q for q, _ in queries}
