@@ -291,6 +291,76 @@ def probe_ann(spark, k: int) -> dict:
     }
 
 
+def probe_pq(spark, k: int, n_queries: int = 5) -> dict:
+    """IVF-PQ at k× vectors: train coarse (k=8) + PQ (8×16) on the
+    BASE vectors only (replica-0 rows — training never needs the full
+    corpus), index everything, then measure shortlist+rerank recall@3
+    vs the exact L2 scan for ``n_queries`` base queries."""
+    from molgraphdb_spark.operators.kmeans import kmeans_fit
+    from molgraphdb_spark.operators.pq import ivfpq_search, pq_train
+
+    emb_dir = f"{BASE}/emb_k{k}"
+    if not os.path.exists(emb_dir):
+        emb_dir = build_embeddings(spark, k)
+    emb = (
+        spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    n_vecs = emb.count()
+    base = emb.filter(F.col("vec_id") < 1_000_000)
+
+    t0 = time.time()
+    coarse = kmeans_fit(base, "v", "vec_id", k=8, n_iter=3)
+    books = pq_train(base, "v", "vec_id", m=8, k=16, n_iter=3)
+    t_train = time.time() - t0
+
+    qrows = base.filter(F.col("vec_id") < n_queries).collect()
+    queries = [(r["vec_id"], list(r["v"])) for r in qrows]
+    t0 = time.time()
+    got = {}
+    res = ivfpq_search(
+        emb, "v", "vec_id", queries, coarse, books, k=3, nprobe=4, shortlist=50
+    )
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    t_search = time.time() - t0
+
+    # exact top-3 via one broadcast scan (the correctness baseline)
+    qdf = spark.createDataFrame(
+        [(int(q), v) for q, v in queries], "query_id long, qv array<double>"
+    )
+    diff = F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x - y)
+    d2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    t0 = time.time()
+    exact = (
+        F.broadcast(qdf)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    )
+    t_exact = time.time() - t0
+    hits = sum(1 for r in exact if r["vec_id"] in got.get(r["query_id"], set()))
+    spark.catalog.clearCache()
+    return {
+        "probe": "pq",
+        "k": k,
+        "vectors": n_vecs,
+        "t_train_s": round(t_train, 1),
+        "t_ivfpq_search_s": round(t_search, 1),
+        "t_exact_s": round(t_exact, 1),
+        "recall_at3": round(hits / max(len(exact), 1), 4),
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe")
@@ -309,6 +379,7 @@ def main() -> None:
     print(json.dumps(probe_cc(spark, k=25, n_orig=5000)))       # 1.5M edges
     # ANN at k× vectors: exact brute force vs IVF, with recall.
     print(json.dumps(probe_ann(spark, k)))
+    print(json.dumps(probe_pq(spark, k)))
 
 
 if __name__ == "__main__":
