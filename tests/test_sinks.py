@@ -218,3 +218,54 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_zordered_write_narrows_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: every output file must cover a narrow range of
+    BOTH cluster columns (footer min/max verified with pyarrow), so
+    predicates on either column prune files — vs a naive write where
+    the second column spans ~the full range in every file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from molgraphdb_spark.sources.writers import write_zordered
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def avg_width(path, col):
+        lo = hi = None
+        widths, bounds = [], []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq_.ParquetFile(f).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            bounds.append((fmin, fmax))
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        span = max(hi - lo, 1)
+        return sum((b - a) / span for a, b in bounds) / len(bounds)
+
+    zpath = str(tmp_path / "z")
+    write_zordered(orders, zpath, "o_custkey", "o_totalprice", n_files=8)
+    # naive comparison layout: sorted by custkey only
+    npath = str(tmp_path / "naive")
+    orders.repartitionByRange(8, "o_custkey").write.parquet(npath)
+
+    # both columns narrow under Z-order...
+    zc, zp = avg_width(zpath, "o_custkey"), avg_width(zpath, "o_totalprice")
+    assert zc < 0.6 and zp < 0.6, (zc, zp)
+    # ...while the single-key layout leaves the second column unpruned
+    nc, np_ = avg_width(npath, "o_custkey"), avg_width(npath, "o_totalprice")
+    assert nc < 0.3 and np_ > 0.9, (nc, np_)
+    # layout changes row order only — content identical
+    assert spark.read.parquet(zpath).count() == orders.count()
