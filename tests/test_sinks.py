@@ -269,3 +269,20 @@ def test_zordered_write_narrows_both_columns(spark, sf_dir, tmp_path):
     assert nc < 0.3 and np_ > 0.9, (nc, np_)
     # layout changes row order only — content identical
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_orc_interchange_roundtrip(spark, sf_dir, tmp_path):
+    # ORC is the other columnar interchange format Spark ships a native
+    # (vectorized, predicate-pushing) reader for — pin that our tables
+    # survive a parquet -> ORC -> DataFrame roundtrip bit-for-bit
+    import os
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    p = str(tmp_path / "nation.orc")
+    nation.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    # pushdown reaches the ORC scan too
+    plan = back.filter(F.col("n_nationkey") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
