@@ -59,6 +59,10 @@ HEADLINE = [
     "doc_dup_span_stats",
     "doc_dup_span_removal",
     "doc_repetition_suite",
+    # added round 5 session 3b (monitoring/tokenizer/modality-dedup shapes)
+    "source_token_divergence",
+    "vocab_bpe_merge_pairs",
+    "mm_phash_neardup",
 ]
 
 

@@ -253,25 +253,37 @@ ORDER BY doc_id, chunk_idx
 PHASH_BITS = 64
 _PHASH_BANDS = 4
 PHASH_MAX_HAMMING = 3  #: d ≤ 3 ⇒ ≥1 of 4 bands matches exactly
+MAX_BAND_BUCKET = 1024  #: skew guard: band buckets above this leave the join
 
 
 def _phash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """dHash over payload bytes: 64 chunk sums (boundaries ⌊j·n/64⌋),
     bit j = chunk[j] > chunk[(j+1) mod 64]. Gradient comparison — no
     division, integer-exact, so DuckDB recomputes it bit-for-bit."""
+    import numpy as np
+
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
             n = len(b)
-            sums = [
-                sum(b[(j * n) // PHASH_BITS : ((j + 1) * n) // PHASH_BITS])
-                for j in range(PHASH_BITS)
-            ]
-            bits = "".join(
-                "1" if sums[j] > sums[(j + 1) % PHASH_BITS] else "0"
-                for j in range(PHASH_BITS)
-            )
+            if n >= PHASH_BITS:
+                # chunk boundaries are strictly increasing for n >= 64,
+                # so reduceat segments match the python slices exactly
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                idx = [(j * n) // PHASH_BITS for j in range(PHASH_BITS)]
+                sums = np.add.reduceat(arr, idx)
+                nxt = np.roll(sums, -1)
+                bits = "".join("1" if x else "0" for x in (sums > nxt))
+            else:
+                ssum = [
+                    sum(b[(j * n) // PHASH_BITS : ((j + 1) * n) // PHASH_BITS])
+                    for j in range(PHASH_BITS)
+                ]
+                bits = "".join(
+                    "1" if ssum[j] > ssum[(j + 1) % PHASH_BITS] else "0"
+                    for j in range(PHASH_BITS)
+                )
             out.append((doc_id, bits))
         yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
@@ -289,7 +301,16 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Hamming verify on candidates only (the dedup_simhash_pairs
     shape, one modality over). Signature computation is one
     mapInPandas pass (the module's justified Python boundary: byte
-    featurization)."""
+    featurization).
+
+    Skew guard: a degenerate band value (uniform payloads all hashing
+    to e.g. the zero band) would make that one bucket quadratic at
+    corpus scale — band buckets over ``MAX_BAND_BUCKET`` rows are
+    excluded from the join (broadcast anti-join of the tiny hot set;
+    the MAX_SHINGLE_DF pattern from queries/dedup.py). The bounded
+    recall trade: a pair matching ONLY in a skipped band is missed —
+    both engines apply the identical deterministic cap (no effect at
+    test scales: sf0.1's largest bucket is 161)."""
     m = multimodal_manifest(spark, sf_dir)
     sig = m.select("doc_id", "payload").mapInPandas(
         _phash_rows, schema="doc_id long, phash string"
@@ -318,6 +339,13 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # signature pass would execute twice. 4 small rows per doc.
         .cache()
     )
+    hot = (
+        banded.groupBy("band", "content")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > MAX_BAND_BUCKET)
+        .select("band", "content")
+    )
+    banded = banded.join(F.broadcast(hot), ["band", "content"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -373,8 +401,14 @@ WITH sums AS (
 {_PHASH_SIG_SQL}
 ), sig AS (
   SELECT doc_id, {_PHASH_BITS_SQL} AS phash FROM sums
-), banded AS (
+), banded0 AS (
 {_PHASH_BAND_SQL}
+), hot AS (
+  SELECT band, content FROM banded0 GROUP BY band, content
+  HAVING COUNT(*) > {MAX_BAND_BUCKET}
+), banded AS (
+  SELECT b.* FROM banded0 b ANTI JOIN hot h
+    ON b.band = h.band AND b.content = h.content
 ), cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS pa, b.phash AS pb
   FROM banded a JOIN banded b
