@@ -379,3 +379,59 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
         verts.join(e.groupBy("src").agg(F.min("dst").alias("c")), verts.id == F.col("src"), "left")
         .select("id", F.coalesce("c", "id").alias("component"))
     )
+
+
+def core_numbers(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """K-core decomposition: (id, core) where ``core`` is the largest k
+    such that the vertex survives in the k-core (the maximal subgraph
+    of minimum degree k) — the standard graph-mining density measure
+    (community cores, nucleus detection, influence pruning).
+
+    Algorithm: the distributed H-operator iteration (Montresor et al.,
+    "Distributed k-core decomposition"): start every vertex at its
+    degree; each round set c(v) ← min(c(v), H-index of its neighbors'
+    current values); the fixed point is exactly the core number. Each
+    round is ONE join + ONE groupBy (neighbor values fold into the
+    H-index via a sorted-array count — per-vertex work O(deg·log deg))
+    with the convergence signal an Observation on the same aggregation
+    (the connected_components job-count rule); state localCheckpoints
+    per wave. Rounds needed ≈ how far degrees overestimate coreness —
+    small for real graphs; each round shuffles only (vertex, value)
+    pairs, never the edge payload."""
+    # dropDuplicates: a neighbor listed twice (caller passed both
+    # orientations of an already-bidirectional list) would inflate the
+    # degree init AND the H-index counts
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("core")
+    ).localCheckpoint()
+    core_numbers.last_converged = False
+    core_numbers.last_rounds = 0
+    for _ in range(max_iter):
+        core_numbers.last_rounds += 1
+        obs = Observation()
+        nbr = (
+            deg.join(e, deg.id == e.src)
+            .select(F.col("dst").alias("id"), F.col("core").alias("nc"))
+        )
+        # H-index of the sorted-desc neighbor values: count of i with
+        # arr[i] >= i+1 (prefix-monotone once sorted)
+        h = F.size(
+            F.filter(
+                F.reverse(F.array_sort(F.collect_list("nc"))),
+                lambda x, i: x >= i + 1,
+            )
+        )
+        nxt = (
+            nbr.groupBy("id")
+            .agg(h.alias("h"))
+            .join(deg, "id")
+            .select("id", F.least(F.col("core"), F.col("h")).alias("core"), F.col("core").alias("old"))
+            .observe(obs, F.sum((F.col("core") < F.col("old")).cast("long")).alias("changed"))
+            .localCheckpoint()
+        )
+        deg = nxt.select("id", "core")
+        if not obs.get.get("changed"):
+            core_numbers.last_converged = True
+            break
+    return deg

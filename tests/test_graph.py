@@ -231,3 +231,47 @@ def test_approx_quantiles_within_band(spark, sf_dir):
         assert r["p50_within_band"] and r["p95_within_band"], r["l_returnflag"]
         assert r["p50_cents"] == exact[r["l_returnflag"]]["p50"]
         assert r["p95_cents"] == exact[r["l_returnflag"]]["p95"]
+
+
+def _nx_cores(edge_list):
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edges_from(edge_list)
+    return dict(nx.core_number(g))
+
+
+def _sym(spark, edge_list):
+    sym = edge_list + [(b, a) for a, b in edge_list]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_core_numbers_golden(spark):
+    from molgraphdb_spark.operators.graph import core_numbers
+
+    # K4 clique (core 3) with a pendant path (cores 1)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    got = {r.id: r.core for r in core_numbers(_sym(spark, edges)).collect()}
+    assert got == _nx_cores(edges)
+    assert got[0] == 3 and got[4] == 1
+    assert core_numbers.last_converged
+
+
+def test_core_numbers_random_agreement(spark):
+    import random
+
+    from molgraphdb_spark.operators.graph import core_numbers
+
+    rnd = random.Random(7)
+    for _ in range(3):
+        edges = list(
+            {
+                (a, b)
+                for a, b in (
+                    (rnd.randrange(30), rnd.randrange(30)) for _ in range(120)
+                )
+                if a != b
+            }
+        )
+        got = {r.id: r.core for r in core_numbers(_sym(spark, edges)).collect()}
+        assert got == _nx_cores(edges)

@@ -28,6 +28,9 @@ TEXT_FAMILY = [
     "doc_dup_span_stats",
     "doc_dup_span_removal",
     "doc_repetition_suite",
+    "doc_bigram_logprob",
+    "vocab_bpe_merge_pairs",
+    "source_token_divergence",
 ]
 
 

@@ -35,6 +35,7 @@ AT_RISK = [
     "doc_bigram_logprob",        # integer milli-nat sums, two model joins
     "source_token_divergence",   # integer micro-nat KL terms
     "mm_phash_neardup",          # mapInPandas signatures + band self-join
+    "vocab_bpe_merge_pairs",     # global top-k — tie-break determinism
 ]
 
 
