@@ -304,10 +304,44 @@ SELECT
 """
 
 
+def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-number histogram of the supplier co-purchase projection —
+    the density profile a graph-mining pass reads before picking
+    community/nucleus thresholds. Uses operators/graph.core_numbers
+    (distributed H-operator fixpoint; golden-tested against networkx),
+    so the driver check is rows-only by design: the iterative fixpoint
+    is not single-statement-SQL-expressible (same class as
+    chem_edit_expansion)."""
+    from molgraphdb_spark.operators.graph import core_numbers
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("x"))
+    b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("y"))
+    proj = (
+        a.join(b, "cust").filter(F.col("x") != F.col("y"))
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .distinct()
+    )
+    cores = core_numbers(proj)
+    return (
+        cores.groupBy("core")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("core")
+    )
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank_top": graph_pagerank_top,
     "approx_distinct_parts": approx_distinct_parts,
+    "graph_kcore_summary": graph_kcore_summary,
     "graph_bfs_path_lengths": graph_bfs_path_lengths,
     "graph_degree_histogram": graph_degree_histogram,
     "graph_common_suppliers": graph_common_suppliers,
