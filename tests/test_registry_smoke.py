@@ -42,9 +42,18 @@ def test_priority_window_names_are_real():
     assert len(_PRIORITY) <= 50, "window overflow: driver verifies only first 50"
 
 
+#: Queries that are rows-only ON PURPOSE (iterative fixpoints with no
+#: single-statement SQL twin; correctness pinned by golden suites).
+#: Anything else missing an oracle is a silent downgrade — still fails.
+ROWS_ONLY_BY_DESIGN = {
+    "graph_kcore_summary",  # H-operator fixpoint; networkx goldens
+}
+
+
 def test_every_query_has_oracle():
     """The driver's strong (value-hash) gate needs an oracle per query;
     a registry entry silently missing its oracle downgrades to the weak
     rows-only check without anyone noticing."""
-    missing = sorted(set(QUERIES) - set(all_oracles()))
+    missing = sorted(set(QUERIES) - set(all_oracles()) - ROWS_ONLY_BY_DESIGN)
     assert missing == [], f"queries without oracle SQL: {missing}"
+    assert ROWS_ONLY_BY_DESIGN <= set(QUERIES)
