@@ -361,6 +361,65 @@ def probe_pq(spark, k: int, n_queries: int = 5) -> dict:
     }
 
 
+def probe_phash(spark, sf_dir: str) -> dict:
+    """Perceptual-hash dedup at 10× documents: replicas make payloads
+    near-identical, so band buckets blow past MAX_BAND_BUCKET — the
+    probe verifies the skew cap BITES (hot buckets excluded, candidate
+    pairs bounded) while the query still completes in linear time;
+    without the cap the hottest bucket alone would contribute
+    C(bucket,2) pairs."""
+    from molgraphdb_spark.queries.multimodal_queries import (
+        MAX_BAND_BUCKET,
+        _PHASH_BANDS,
+        PHASH_BITS,
+        _phash_rows,
+        mm_phash_neardup,
+        multimodal_manifest,
+    )
+
+    m = multimodal_manifest(spark, sf_dir)
+    sig = m.select("doc_id", "payload").mapInPandas(
+        _phash_rows, schema="doc_id long, phash string"
+    )
+    width = PHASH_BITS // _PHASH_BANDS
+    bs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("phash", b * width + 1, width).alias("content"),
+            )
+            for b in range(_PHASH_BANDS)
+        ]
+    )
+    counts = (
+        sig.select(F.explode(bs).alias("bb"))
+        .select(F.col("bb.band").alias("band"), F.col("bb.content").alias("content"))
+        .groupBy("band", "content")
+        .count()
+    )
+    stats = counts.agg(
+        F.max("count").alias("max_bucket"),
+        F.sum((F.col("count") > MAX_BAND_BUCKET).cast("long")).alias("hot_buckets"),
+        F.sum(
+            F.when(F.col("count") > MAX_BAND_BUCKET, F.lit(0)).otherwise(
+                F.col("count") * (F.col("count") - 1) / 2
+            )
+        ).alias("bounded_pairs"),
+    ).collect()[0]
+    t0 = time.time()
+    n_pairs = mm_phash_neardup(spark, sf_dir).count()
+    t = time.time() - t0
+    spark.catalog.clearCache()
+    return {
+        "probe": "phash",
+        "max_bucket": int(stats["max_bucket"]),
+        "hot_buckets_skipped": int(stats["hot_buckets"]),
+        "candidate_pairs_bounded": int(stats["bounded_pairs"]),
+        "verified_pairs": n_pairs,
+        "t_query_s": round(t, 1),
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe")
@@ -374,6 +433,7 @@ def main() -> None:
     print(json.dumps(probe_cap(spark, sf_dir, k, n_orig)))
     print(json.dumps(probe_lsh(spark, sf_dir)))
     print(json.dumps(probe_spans(spark, sf_dir)))
+    print(json.dumps(probe_phash(spark, sf_dir)))
     # CC at both sides of the 1M-edge dispatch threshold.
     print(json.dumps(probe_cc(spark, k=10, n_orig=5000)))       # 225k edges
     print(json.dumps(probe_cc(spark, k=25, n_orig=5000)))       # 1.5M edges
