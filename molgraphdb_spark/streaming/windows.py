@@ -538,3 +538,84 @@ def source_token_counts_stream(docs: DataFrame) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
     )
     return tok.groupBy("source", "tok").count().withColumnRenamed("count", "c_st")
+
+
+_MG_STATE = "items string, weights string, n long"
+_MG_OUT = "shard int, item string, weight long, n_shard long"
+
+#: Streaming Misra–Gries geometry: items hash-shard across this many
+#: state keys so no single state partition absorbs the whole stream.
+MG_STREAM_SHARDS = 8
+
+
+def _mg_state_fn(key, pdf_iter, state: GroupState):
+    """Per-shard Misra–Gries summary carried across micro-batches.
+    State is the ≤k counter dict (item list + weight list serialized as
+    tab-joined strings — items are event_type tokens, tab-free) plus
+    the shard's total row count. Each shard sees a disjoint hash-slice
+    of the item space, so its summary undercounts any of ITS items by
+    at most n_shard/(k+1) — the same MG algebra as the batch operator,
+    sharded by item instead of by partition."""
+    k = 8
+    (shard,) = key
+    if state.exists:
+        items_s, weights_s, n = state.get
+        counters = (
+            dict(zip(items_s.split("\t"), map(int, weights_s.split("\t"))))
+            if items_s
+            else {}
+        )
+    else:
+        counters, n = {}, 0
+    for pdf in pdf_iter:
+        for item in pdf["item"].dropna():
+            n += 1
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < k:
+                counters[item] = 1
+            else:
+                dead = []
+                for key_ in counters:
+                    counters[key_] -= 1
+                    if counters[key_] == 0:
+                        dead.append(key_)
+                for key_ in dead:
+                    del counters[key_]
+    state.update(
+        (
+            "\t".join(counters.keys()),
+            "\t".join(str(w) for w in counters.values()),
+            n,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "shard": [shard] * len(counters),
+            "item": list(counters.keys()),
+            "weight": list(counters.values()),
+            "n_shard": [n] * len(counters),
+        }
+    )
+
+
+def heavy_hitters_stream(events: DataFrame, col: str = "event_type") -> DataFrame:
+    """Streaming twin of operators/sketch.py::heavy_hitters: items
+    hash-shard across MG_STREAM_SHARDS state keys, each keeping a
+    constant-memory MG(k=8) summary across micro-batches (update mode
+    re-emits a shard's summary whenever it changes). Frequent-item
+    estimates derive from the LATEST summaries with the batch
+    operator's algebra — see the stream==batch bound test."""
+    items = events.select(
+        F.col(col).cast("string").alias("item"),
+        (F.abs(F.xxhash64(F.col(col).cast("string"))) % MG_STREAM_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    return items.groupBy("shard").applyInPandasWithState(
+        _mg_state_fn,
+        outputStructType=_MG_OUT,
+        stateStructType=_MG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

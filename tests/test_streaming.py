@@ -503,3 +503,102 @@ def test_source_kl_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_mg_stream_bounds_and_exactness(spark, sf_dir, tmp_path_factory):
+    """Streaming sharded Misra–Gries vs exact batch counts. Low-
+    cardinality column (event_type, <= k items per shard): estimates
+    are EXACT. High-cardinality column (json prop, ~100 values over 8
+    shards): eviction engages and the MG bound est <= true <= est +
+    n_shard/(k+1) must hold, with every over-threshold item present."""
+    from pyspark.sql import functions as F
+
+    from molgraphdb_spark.streaming.windows import (
+        MG_STREAM_SHARDS,
+        heavy_hitters_stream,
+        read_events_stream,
+    )
+
+    d = tmp_path_factory.mktemp("ev_stream_mg")
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
+        3
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    def final_summaries(col):
+        ev = read_events_stream(spark, str(d / "events.parquet"))
+        q = run_to_memory(
+            heavy_hitters_stream(ev, col=col), f"t_mg_{col}", output_mode="update"
+        )
+        try:
+            rows = spark.table(f"t_mg_{col}").collect()
+        finally:
+            q.stop()
+        last_n = {}
+        for r in rows:
+            last_n[r["shard"]] = max(last_n.get(r["shard"], -1), r["n_shard"])
+        return {
+            r["item"]: (r["weight"], r["n_shard"])
+            for r in rows
+            if r["n_shard"] == last_n[r["shard"]]
+        }
+
+    from molgraphdb_spark.queries.events import _events
+
+    ev_b = _events(spark, sf_dir)
+
+    # low-cardinality: exact
+    got = final_summaries("event_type")
+    want = {
+        r["event_type"]: r["c"]
+        for r in ev_b.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {i: w for i, (w, _) in got.items()} == want
+
+    # high-cardinality: MG bound + presence guarantee per shard
+    ev_prop = ev_b.select(
+        F.get_json_object("props", "$.k").cast("string").alias("item")
+    ).filter(F.col("item").isNotNull())
+    exact = {
+        r["item"]: r["c"]
+        for r in ev_prop.groupBy("item").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    shard_of = {
+        r["item"]: r["shard"]
+        for r in ev_prop.select(
+            "item",
+            (F.abs(F.xxhash64("item")) % MG_STREAM_SHARDS).cast("int").alias("shard"),
+        )
+        .distinct()
+        .collect()
+    }
+    spark.sql("DROP TABLE IF EXISTS t_mg_propk")
+    ev = read_events_stream(spark, str(d / "events.parquet"))
+    stream = (
+        ev.select(F.get_json_object("props", "$.k").cast("string").alias("pk"))
+    )
+    # reuse the operator on the derived column
+    from molgraphdb_spark.streaming.windows import heavy_hitters_stream as hhs
+
+    q = run_to_memory(hhs(stream, col="pk"), "t_mg_propk", output_mode="update")
+    try:
+        rows = spark.table("t_mg_propk").collect()
+    finally:
+        q.stop()
+    last_n = {}
+    for r in rows:
+        last_n[r["shard"]] = max(last_n.get(r["shard"], -1), r["n_shard"])
+    summ = {
+        r["item"]: (r["weight"], r["n_shard"])
+        for r in rows
+        if r["n_shard"] == last_n[r["shard"]]
+    }
+    k = 8
+    for item, (est, n_shard) in summ.items():
+        assert est <= exact[item] <= est + n_shard // (k + 1), item
+    for item, true in exact.items():
+        n_shard = max(
+            (ns for i, (_, ns) in summ.items() if shard_of[i] == shard_of[item]),
+            default=0,
+        )
+        if n_shard and true > n_shard // (k + 1):
+            assert item in summ, (item, true)
