@@ -44,3 +44,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every driver table as a temp view so ad-hoc users work
+    in plain ``spark.sql`` — the SQL-first entry point a user migrating
+    from any SQL engine expects (``spark.sql("SELECT ... FROM
+    lineitem ...")`` after one call). Views are lazy parquet scans;
+    pushdown/pruning behave exactly as the DataFrame API. Returns the
+    registered names."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLE_NAMES)

@@ -286,3 +286,22 @@ def test_orc_interchange_roundtrip(spark, sf_dir, tmp_path):
     # pushdown reaches the ORC scan too
     plan = back.filter(F.col("n_nationkey") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
+
+
+def test_register_views_sql_entry_point(spark, sf_dir):
+    from molgraphdb_spark.sources.tables import register_views
+
+    names = register_views(spark, sf_dir)
+    assert "lineitem" in names
+    row = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).first()
+    assert row.n > 0
+    # views are lazy scans: pushdown still reaches parquet
+    plan = (
+        spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "l_quantity" in plan
