@@ -407,6 +407,72 @@ ORDER BY event_id
 """.format(min_n=MIN_ANOMALY_N)
 
 
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized value statistics — the outlier-clipping
+    step a feature pipeline runs before aggregating heavy-tailed
+    metrics: values clamp to the type's exact [p05, p95] band, and the
+    emitted row carries the clipped mean (integer micro-units —
+    order-free sums), the band, and how many rows clipped on each side.
+
+    Scale: one groupBy for the per-type bounds (exact percentile —
+    the documented trade vs approx_percentile at extreme group
+    cardinality, see quantiles_price_by_flag), one broadcast join back
+    (the type dimension is tiny), one aggregation. The value stream
+    crosses exactly two shuffles."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    micro = F.floor(clipped * 1_000_000 + 0.5).cast("long")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.min("lo") * 1_000_000 + 0.5).cast("long").alias("lo_u"),
+            F.floor(F.min("hi") * 1_000_000 + 0.5).cast("long").alias("hi_u"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clip_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clip_high"),
+            F.sum(micro).alias("sum_clipped_u"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "lo_u",
+            "hi_u",
+            "n_clip_low",
+            "n_clip_high",
+            F.floor(F.col("sum_clipped_u") / F.col("n")).cast("long").alias("mean_clipped_u"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_WINSOR_SQL = """
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM ev GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       CAST(floor(MIN(b.lo) * 1000000 + 0.5) AS BIGINT) AS lo_u,
+       CAST(floor(MIN(b.hi) * 1000000 + 0.5) AS BIGINT) AS hi_u,
+       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+       CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+       CAST(floor(CAST(SUM(CAST(floor(LEAST(GREATEST(e.value, b.lo), b.hi) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+            / COUNT(*)) AS BIGINT) AS mean_clipped_u
+FROM ev e JOIN b USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "events_ohlc_resample": events_ohlc_resample,
     "events_asof_join": events_asof_join,
@@ -416,6 +482,7 @@ QUERIES = {
     "events_rolling_hour_avg": events_rolling_hour_avg,
     "events_twap": events_twap,
     "events_anomaly_outliers": events_anomaly_outliers,
+    "events_winsorized_stats": events_winsorized_stats,
 }
 
 ORACLES = {
@@ -427,4 +494,5 @@ ORACLES = {
     "events_rolling_hour_avg": EVENTS_ROLLING_SQL,
     "events_twap": EVENTS_TWAP_SQL,
     "events_anomaly_outliers": EVENTS_ANOMALY_SQL,
+    "events_winsorized_stats": EVENTS_WINSOR_SQL,
 }

@@ -85,6 +85,7 @@ _PRIORITY = [
     "mm_phash_neardup",  # round-5 debut (perceptual-hash multimodal dedup)
     "source_token_divergence",  # round-5 debut (per-source KL drift monitor)
     "mm_resize_grid",  # round-5 debut (multimodal resize slot)
+    "events_winsorized_stats",  # round-5 debut (outlier-clipping stats)
     "dedup_exact",
     "neardup_jaccard_pairs",
     "neardup_containment_pairs",
@@ -116,7 +117,11 @@ _PRIORITY = [
     # untouched, trivial agg shapes, green in this session's full
     # local sf0.01 sweep (the identical driver comparison); they
     # re-enter in r6.
-    "graph_connected_components_summary",
+    # graph_connected_components_summary yields its slot to the
+    # winsorized-stats debut: its CC machinery is exercised in-window
+    # by dedup_clusters, fuzzy_name_clusters, and
+    # dedup_semantic_clusters (all run connected_components_auto);
+    # r3-green, untouched; re-enters r6.
     # chem_edit_expansion yields its slot to the resize debut: its
     # driver check is rows-only (weakest class; the fixed-point
     # semantics are pytest-golden-pinned), r3-green, untouched;
