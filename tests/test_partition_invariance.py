@@ -36,6 +36,7 @@ AT_RISK = [
     "source_token_divergence",   # integer micro-nat KL terms
     "mm_phash_neardup",          # mapInPandas signatures + band self-join
     "vocab_bpe_merge_pairs",     # global top-k — tie-break determinism
+    "events_winsorized_stats",   # exact-percentile clamp + micro-int sums
 ]
 
 
