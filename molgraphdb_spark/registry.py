@@ -46,14 +46,15 @@ _QUERY_MODULES = [
 # then the 11 TPC-H completion debuts, then the oldest-stale families
 # rotated out of r4. Entries left outside (trivial relational/reshape
 # ops, r2/r3-green, untouched, plan-smoke-guarded) LEAD the r6 window.
-# Session 3 adds 10 more debuts (span stats/removal, repetition
-# suite, approx-quantiles, BPE pairs, bigram log-prob, phash near-dup,
-# KL drift, resize grid), each displacing a named lowest-risk entry
-# (see inline comments), plus graph_kcore_summary OUTSIDE the window
-# (rows-only by design — iterative fixpoint, networkx-golden-backed).
-# All 138 oracle-checked registry queries pass tools/parity.py at
-# sf0.01 locally across this round's sessions — the window ranks
-# driver-recorded evidence, not coverage.
+# Session 3 adds 11 debuts (span stats/removal, repetition suite,
+# approx-quantiles, BPE pairs, bigram log-prob, phash near-dup, KL
+# drift, resize grid, winsorized stats), each displacing a named
+# lowest-risk entry (see inline comments), plus graph_kcore_summary
+# OUTSIDE the window (rows-only by design — iterative fixpoint,
+# networkx-golden-backed). All 139 oracle-checked registry queries
+# pass tools/parity.py at sf0.01 on the final session-3 tree (full
+# sweep, 0 failures) — the window ranks driver-recorded evidence, not
+# coverage.
 _PRIORITY = [
     # r4 reds — oracle-side HUGEINT casts fixed this round
     "dedup_keep_best",
