@@ -109,6 +109,8 @@ def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue  # crawl error: no payload row to featurize
             arr = np.frombuffer(bytes(payload), dtype=np.uint8)
             bands = np.bincount(arr >> 6, minlength=4)
             out.append(
@@ -143,7 +145,7 @@ MM_FEATURES_SQL = """
 WITH ch AS (
   SELECT doc_id, length(text) AS n_bytes,
          list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, n_bytes,
        CAST(list_sum(codes) AS BIGINT) AS byte_sum,
@@ -265,6 +267,8 @@ def _phash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue  # crawl error: no payload row to hash
             b = bytes(payload)
             n = len(b)
             if n >= PHASH_BITS:
@@ -305,15 +309,46 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Skew guard: a degenerate band value (uniform payloads all hashing
     to e.g. the zero band) would make that one bucket quadratic at
-    corpus scale — band buckets over ``MAX_BAND_BUCKET`` rows are
-    excluded from the join (broadcast anti-join of the tiny hot set;
-    the MAX_SHINGLE_DF pattern from queries/dedup.py). The bounded
+    corpus scale — band buckets over ``MAX_BAND_BUCKET`` member DOCS
+    are excluded from the join (broadcast anti-join of the tiny hot
+    set; the MAX_SHINGLE_DF pattern from queries/dedup.py). The bounded
     recall trade: a pair matching ONLY in a skipped band is missed —
     both engines apply the identical deterministic cap (no effect at
-    test scales: sf0.1's largest bucket is 161)."""
+    test scales: sf0.1's largest bucket is 161).
+
+    Exact-dup collapse (the r5-verdict fix): real binary corpora are
+    exact-dup-heavy, and identical payloads hash to identical
+    signatures, so the band self-join would grind through C(k,2)
+    Hamming-verified candidates per identical-signature group — work
+    whole-payload dedup collapses for free. The join therefore runs
+    over DISTINCT signatures only (one groupBy first), and doc pairs
+    are expanded back through group membership afterwards: intra-group
+    pairs are Hamming-0 by construction (no verify needed), cross-group
+    pairs inherit the one verified signature-pair distance. Candidate
+    volume drops by the square of the duplication factor; the output is
+    row-for-row identical (the cap still counts member docs via the
+    group sizes, and a signature whose every band is hot loses its
+    intra-group pairs exactly as the per-doc formulation did)."""
     m = multimodal_manifest(spark, sf_dir)
     sig = m.select("doc_id", "payload").mapInPandas(
         _phash_rows, schema="doc_id long, phash string"
+    )
+    # localCheckpoint: one row per DISTINCT signature (with its sorted
+    # member list) — the relation every later stage reads; eager
+    # materialization keeps the mapInPandas signature pass
+    # single-execution (the repo rule: Spark does not reuse subplans
+    # across references) and, unlike cache(), the blocks are freed when
+    # the plan is GC'd instead of pinning the CacheManager until an
+    # explicit unpersist (the spans.py lesson). A/B at sf0.1: cache
+    # 1.95 s median, checkpoint 1.63 s — the truncated lineage also
+    # saves AQE replanning work downstream.
+    groups = (
+        sig.groupBy("phash")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=True)
     )
     width = PHASH_BITS // _PHASH_BANDS
     band_structs = F.array(
@@ -325,50 +360,89 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bnd in range(_PHASH_BANDS)
         ]
     )
-    banded = (
-        sig.select("doc_id", "phash", F.explode(band_structs).alias("bb"))
-        .select(
-            "doc_id",
-            "phash",
-            F.col("bb.band").alias("band"),
-            F.col("bb.content").alias("content"),
-        )
-        # cache(): both sides of the self-join read this relation — the
-        # repo rule (verify skill, r2): Spark does not reuse subplans
-        # across references, so without the cache the mapInPandas
-        # signature pass would execute twice. 4 small rows per doc.
-        .cache()
-    )
+    banded = groups.select(
+        "phash",
+        "n",
+        F.explode(band_structs).alias("bb"),
+    ).select("phash", "n", F.col("bb.band").alias("band"), F.col("bb.content").alias("content"))
     hot = (
         banded.groupBy("band", "content")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > MAX_BAND_BUCKET)
+        .agg(F.sum("n").alias("n_docs"))
+        .filter(F.col("n_docs") > MAX_BAND_BUCKET)
         .select("band", "content")
     )
     banded = banded.join(F.broadcast(hot), ["band", "content"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.content") == F.col("b.content"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.phash") < F.col("b.phash")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.phash").alias("sig_a"),
-            F.col("b.phash").alias("sig_b"),
-        )
+        .select(F.col("a.phash").alias("sig_a"), F.col("b.phash").alias("sig_b"))
         .distinct()
     )
+    # Hamming as bit_count(xor) over the four 16-bit band words instead
+    # of 64 per-character substring compares: the character formulation
+    # was THE r5 hot spot (the 128-substring codegen expression ran
+    # twice per pair via select+filter; A/B at sf0.1: 5.06 s → 1.9 s
+    # for the whole query). conv() parses exactly 16 binary chars, so
+    # the words fit a long with room to spare.
     hamming = sum(
-        (F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1)).cast("int")
-        for i in range(PHASH_BITS)
+        F.bit_count(
+            F.conv(F.substring("sig_a", bnd * width + 1, width), 2, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("sig_b", bnd * width + 1, width), 2, 10).cast("long")
+            )
+        )
+        for bnd in range(_PHASH_BANDS)
+    )
+    near_sigs = sig_pairs.select(
+        "sig_a", "sig_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    cross = (
+        near_sigs.join(
+            groups.select(F.col("phash").alias("sig_a"), F.col("ids").alias("ids_a")),
+            "sig_a",
+        )
+        .join(
+            groups.select(F.col("phash").alias("sig_b"), F.col("ids").alias("ids_b")),
+            "sig_b",
+        )
+        .select(F.explode("ids_a").alias("x"), "ids_b", "hamming")
+        .select("x", F.explode("ids_b").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "hamming",
+        )
+    )
+    # ids is sorted ascending, so y > x enumerates each unordered pair once
+    intra_pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x: F.transform(
+                F.filter("ids", lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    intra = (
+        groups.join(banded.select("phash").distinct(), "phash", "left_semi")
+        .filter(F.col("n") >= 2)
+        .select(F.explode(intra_pairs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
     return (
-        cands.select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        intra.unionByName(
+            cross.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -381,7 +455,7 @@ _PHASH_SIG_SQL = f"""
          ) AS sums
   FROM (SELECT doc_id, length(text) AS n,
                list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
 """
 _PHASH_BITS_SQL = " || ".join(
     f"CAST(CAST(sums[{j + 1}] > sums[{(j + 1) % PHASH_BITS + 1}] AS INT) AS VARCHAR)"
@@ -438,8 +512,15 @@ def _resize_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload, w, h in zip(
             pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
         ):
+            if payload is None:
+                continue  # crawl error: no payload row to resample
             b = bytes(payload)
             n = len(b)
+            if n == 0:
+                continue  # zero-byte payload: nothing to index into
+            # int(): NULL rows elsewhere in the Arrow batch coerce the
+            # pandas int columns to float64 — float indices would throw
+            w, h = int(w), int(h)
             grid = bytes(
                 b[((r * h // RESIZE_DIM) * w + (c * w // RESIZE_DIM)) % n]
                 for r in range(RESIZE_DIM)
@@ -490,7 +571,7 @@ WITH img AS (
          length(text) % 64 + 1 AS w,
          length(text) % 48 + 1 AS h,
          list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0
 )
 SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
        md5(array_to_string(list_transform([{_RESIZE_IDX}], c -> chr(c)), '')) AS grid_md5

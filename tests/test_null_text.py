@@ -33,6 +33,20 @@ TEXT_FAMILY = [
     "source_token_divergence",
 ]
 
+#: Multimodal family — payload = encode(text), so a NULL text reaches the
+#: mapInPandas UDFs as a NULL payload (the r5-verdict latent crash:
+#: bytes(None) raised TypeError in _byte_features/_phash_rows/_resize_rows;
+#: all three now skip payload-less rows, matching the oracles' NOT NULL
+#: filters).
+MM_FAMILY = [
+    "mm_metadata_summary",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_chunk_windows",
+    "mm_phash_neardup",
+    "mm_resize_grid",
+]
+
 
 @pytest.fixture(scope="module")
 def nulled_sf_dir(spark, sf_dir, tmp_path_factory):
@@ -51,6 +65,34 @@ def nulled_sf_dir(spark, sf_dir, tmp_path_factory):
 @pytest.mark.parametrize("name", TEXT_FAMILY)
 def test_text_family_survives_null_text(name, spark, nulled_sf_dir):
     QUERIES[name](spark, nulled_sf_dir).collect()  # must not throw
+
+
+@pytest.mark.parametrize("name", MM_FAMILY)
+def test_mm_family_survives_null_text(name, spark, nulled_sf_dir):
+    QUERIES[name](spark, nulled_sf_dir).collect()  # must not throw
+
+
+def test_mm_feature_extract_skips_null_payloads(spark, nulled_sf_dir):
+    rows = QUERIES["mm_feature_extract"](spark, nulled_sf_dir).collect()
+    assert rows, "non-null payloads must still be featurized"
+    assert all(r.doc_id % 7 != 0 for r in rows)  # planted-null docs skipped
+
+
+def test_mm_resize_skips_empty_payloads(spark, sf_dir, tmp_path_factory):
+    # zero-length text → zero-byte payload: the resample has nothing to
+    # index into (the ADVICE ZeroDivisionError site) — row is skipped
+    d = tmp_path_factory.mktemp("empty_text_sf")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.withColumn(
+        "text", F.when(F.col("doc_id") % 6 == 0, F.lit("")).otherwise(F.col("text"))
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings".split()
+    ):
+        os.symlink(os.path.join(sf_dir, f"{t}.parquet"), str(d / f"{t}.parquet"))
+    rows = QUERIES["mm_resize_grid"](spark, str(d)).collect()
+    assert rows
+    assert all(r.doc_id % 6 != 0 for r in rows)
 
 
 def test_exact_dedup_never_groups_null_text(spark, nulled_sf_dir):

@@ -292,15 +292,19 @@ def test_bpe_pairs_dictionary_resolve(spark, sf_dir):
 
 def test_phash_neardup_no_cartesian(spark, sf_dir):
     # candidates come from the band equi-join — an n^2 CartesianProduct
-    # anywhere defeats the pigeonhole design. The python worker IS
-    # expected (the byte-featurization boundary), but both self-join
-    # sides must read the CACHED banded relation so the mapInPandas
-    # signature pass executes once, not per reference.
+    # anywhere defeats the pigeonhole design. The distinct-signature
+    # groups relation is eagerly localCheckpoint-ed (the r6 exact-dup
+    # collapse), so every downstream reference must read the
+    # materialized RDD — and the mapInPandas signature pass must NOT
+    # appear in the final plan at all (it ran exactly once, at
+    # checkpoint time; a MapInPandas node here would mean the byte
+    # featurization re-executes per reference).
     from molgraphdb_spark.queries.multimodal_queries import mm_phash_neardup
 
     s = plan_summary(mm_phash_neardup(spark, sf_dir))
     assert "CartesianProduct" not in s["plan"]
-    assert s["plan"].count("InMemoryTableScan") >= 2
+    assert s["plan"].count("Scan ExistingRDD") >= 2
+    assert "MapInPandas" not in s["plan"]
 
 
 def test_bigram_logprob_no_python_worker(spark, sf_dir):
