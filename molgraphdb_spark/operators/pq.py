@@ -83,8 +83,10 @@ def pq_train(
     """Train M per-subspace codebooks by Lloyd's. Returns
     ``codebooks[s] = [(cid, centroid), ...]`` with cid = 0..k-1.
     Requires the vector dimension to be divisible by ``m``."""
-    probe = df.select(vec_col).first()
-    if probe is None or probe[0] is None:
+    # probe past NULL vectors: a NULL in row 1 must not misreport
+    # "empty input" when later rows carry vectors (ADVICE r5)
+    probe = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if probe is None:
         raise ValueError("cannot train PQ on empty input (no rows with a vector)")
     d = len(probe[0])
     if d % m != 0:
@@ -101,7 +103,10 @@ def pq_train(
 
 def pq_encode(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
     """Add ``pq_code: array<int>`` (length M) — one map-only projection
-    holding all M argmin folds; zero shuffles."""
+    holding all M argmin folds; zero shuffles. Rows with a NULL vector
+    are dropped explicitly (they would otherwise encode to NULL codes
+    silently and poison downstream ADC distance folds)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     dsub = len(codebooks[0][0][1])
     v = F.col(vec_col)
     codes = [

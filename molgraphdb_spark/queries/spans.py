@@ -149,14 +149,22 @@ def dup_span_stats(docs: DataFrame) -> DataFrame:
     toks = _tokens()
     n = F.size(toks)
     wins = _ngram_array(toks, n, SPAN_W)
-    # pos is 0-based window start. cache(): occ feeds BOTH the
-    # dup-window aggregation and the semi-join probe side — uncached,
-    # the window-array construction (zip_with chain over the token
-    # split) executes once per reference (A/B at sf0.1: 4.89 s
-    # uncached, 3.18 s cached; the tfidf tf-cache precedent).
+    # pos is 0-based window start. occ feeds BOTH the dup-window
+    # aggregation and the semi-join probe side — unmaterialized, the
+    # window-array construction (zip_with chain over the token split)
+    # executes once per reference (A/B at sf0.1: 4.89 s uncached,
+    # 3.18 s cached; the tfidf tf-cache precedent). localCheckpoint
+    # instead of cache(): this relation is corpus×SPAN_W-sized and a
+    # cache() here is never unpersisted (the returned frame is lazy, so
+    # there is no post-collect hook) — repeated registry invocations
+    # would accumulate corpus-sized pinned blocks (ADVICE r5, the
+    # module's dominant memory hazard). Checkpoint blocks are freed by
+    # the ContextCleaner once the plan is GC'd; wall unchanged (A/B at
+    # sf0.1: stats 2.78 s cache vs 2.34 s checkpoint, removal 2.63
+    # vs 2.71 — noise-level).
     occ = docs.select(
         "doc_id", F.posexplode(wins).alias("pos", "win")
-    ).cache()
+    ).localCheckpoint(eager=True)
     dup_wins = (
         occ.groupBy("win")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -255,10 +263,11 @@ def _dup_start_arrays(docs: DataFrame) -> DataFrame:
     start positions (empty array when the doc has none)."""
     toks = _tokens()
     n = F.size(toks)
-    # cache(): same double-reference as dup_span_stats (see there)
+    # localCheckpoint: same double-reference and same cache-leak
+    # rationale as dup_span_stats (see there)
     occ = docs.select(
         "doc_id", F.posexplode(_ngram_array(toks, n, SPAN_W)).alias("pos", "win")
-    ).cache()
+    ).localCheckpoint(eager=True)
     dup_wins = (
         occ.groupBy("win")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 import sqlite3
 import tempfile
+from contextlib import closing
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -199,7 +200,9 @@ def export_sqlite(
     }
     casts = [norm.get(dtypes[c]) for c in cols]
     n = 0
-    with sqlite3.connect(db_path) as conn:
+    # contextlib.closing: sqlite3's own context manager only commits /
+    # rolls back — it leaves the file handle open after return
+    with closing(sqlite3.connect(db_path)) as conn:
         exists = conn.execute(
             "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (table,)
         ).fetchone()

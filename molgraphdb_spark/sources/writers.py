@@ -305,6 +305,11 @@ def write_zordered(
     b = df.agg(
         F.min(col1), F.max(col1), F.min(col2), F.max(col2)
     ).first()
+    if b[0] is None or b[2] is None:
+        # empty frame or all-NULL cluster column: no bounds to
+        # normalize against — there is no meaningful order; plain write
+        df.write.mode("overwrite").parquet(path)
+        return
     z = _zvalue(col1, col2, b[0], b[1], b[2], b[3])
     (
         df.withColumn("_z", z)
