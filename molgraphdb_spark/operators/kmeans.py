@@ -87,9 +87,14 @@ def kmeans_fit(
     ``[(cid, centroid_vector), ...]`` ordered by cid.
 
     Empty-cluster rule: a cell that captures no points keeps its
-    previous centroid (the standard practical fallback)."""
+    previous centroid (the standard practical fallback).
+
+    NULL-vector rows are dropped up front: they cannot seed, assign, or
+    contribute to a mean, and a NULL in row 1 must not misreport
+    'empty input' when later rows carry vectors (ADVICE r5)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     probe = df.select(vec_col).first()
-    if probe is None or probe[0] is None:
+    if probe is None:
         raise ValueError("cannot fit k-means on empty input (no rows with a vector)")
     d = len(probe[0])
     first_k = (

@@ -101,6 +101,38 @@ def pq_train(
     return books
 
 
+def pq_encode_ubp(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
+    """Encode with integer-quantized distances: adds ``pq_cells:
+    array<struct<d2_upm long, cid int>>`` — per subspace the chosen
+    code AND its squared distance, both derived from distances floored
+    to micro-units BEFORE the argmin so the comparison is
+    cross-engine-exact (the ``_ubp`` rule from queries/similarity.py;
+    raw-double argmin can flip on the last ulp between engines).
+
+    Per subspace the fold is ``array_min`` over (d2_upm, cid) structs —
+    lexicographic struct ordering IS the (distance ASC, cid ASC) tie
+    rule, and each centroid's distance is evaluated exactly once (the
+    single-consumer rule: a when()-based fold would evaluate d2 twice
+    per centroid). Map-only, zero shuffles, like :func:`pq_encode`."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    dsub = len(codebooks[0][0][1])
+    v = F.col(vec_col)
+
+    def best(cb: list, lo: int) -> Column:
+        sv = F.slice(v, lo + 1, dsub)
+
+        def cell(c: Column) -> Column:
+            diff = F.zip_with(sv, c["cv"], lambda x, y: x - y)
+            d2_upm = F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
+            return F.struct(d2_upm.alias("d2_upm"), c["cid"].cast("int").alias("cid"))
+
+        return F.array_min(F.transform(_centroid_literal(cb), cell))
+
+    return df.withColumn(
+        "pq_cells", F.array(*[best(cb, s * dsub) for s, cb in enumerate(codebooks)])
+    )
+
+
 def pq_encode(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
     """Add ``pq_code: array<int>`` (length M) — one map-only projection
     holding all M argmin folds; zero shuffles. Rows with a NULL vector

@@ -739,6 +739,99 @@ ORDER BY canonical_vec
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization through the driver contract (r5 verdict item 4).
+# --------------------------------------------------------------------------
+PQ_STATS_M = 8  #: subspaces over the 64-dim embeddings (dsub = 8)
+PQ_STATS_K = 16  #: codebook size per subspace (codes fit 4 bits)
+
+
+def pq_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook occupancy + reconstruction-error stats — the
+    oracle-checked registry leg of operators/pq.py (the golden-tested
+    trainer keeps float-summed Lloyd's iterations; THIS query fixes the
+    codebooks deterministically so DuckDB recomputes every code).
+
+    Codebooks follow the IVF-centroid precedent (similarity_ivf_topk):
+    subspace ``s``'s centroids are the corresponding slices of the
+    vectors with ``vec_id < PQ_STATS_K`` — collected to the driver
+    (tiny dimension) and inlined as literals, so encoding is a MAP-ONLY
+    argmin fold per subspace inside whole-stage codegen; the corpus
+    never shuffles until the ≤M·K-key histogram aggregation. Distances
+    are floored to integer micro-units BEFORE the argmin (the _ubp
+    rule) so code assignment is bit-portable across engines.
+
+    Output: (subspace, code, n_vecs, err_upm_sum) — the per-cell
+    histogram says whether codes are balanced (a collapsed codebook
+    shows empty cells), the error sum is the corpus quantization
+    distortion a deployment monitors."""
+    from molgraphdb_spark.operators.pq import pq_encode_ubp
+
+    emb = _emb(spark, sf_dir)
+    cents = sorted(
+        emb.filter(F.col("vec_id") < PQ_STATS_K).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    out_schema = "subspace int, code int, n_vecs long, err_upm_sum long"
+    if not cents:
+        return spark.createDataFrame([], out_schema)
+    d = len(cents[0].v)
+    dsub = d // PQ_STATS_M
+    codebooks = [
+        [
+            (int(r.vec_id), [float(x) for x in r.v[s * dsub : (s + 1) * dsub]])
+            for r in cents
+        ]
+        for s in range(PQ_STATS_M)
+    ]
+    cells = pq_encode_ubp(emb, "v", codebooks)
+    return (
+        cells.select(F.posexplode("pq_cells").alias("subspace", "cell"))
+        .groupBy(
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("cell.cid").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("cell.d2_upm").cast("long").alias("err_upm_sum"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+#: The difference is written out twice instead of ``^2`` — DuckDB's pow()
+#: need not equal x*x in the last ulp, and Spark computes diff*diff.
+_PQ_DIFF = (
+    f"(e.v[CAST(cb.s * {64 // PQ_STATS_M} + j AS INT)] - cb.cv[CAST(j AS INT)])"
+)
+
+PQ_CODE_STATS_SQL = f"""
+WITH {_EMB_CTE},
+cb AS (
+  SELECT s.s AS s, c.vec_id AS cid,
+         c.v[CAST(s.s * {64 // PQ_STATS_M} + 1 AS INT) : CAST(s.s * {64 // PQ_STATS_M} + {64 // PQ_STATS_M} AS INT)] AS cv
+  FROM (SELECT unnest(range(0, {PQ_STATS_M})) AS s) s, e c
+  WHERE c.vec_id < {PQ_STATS_K}
+),
+dist AS (
+  SELECT e.vec_id, cb.s, cb.cid,
+         CAST(floor(list_sum(list_transform(range(1, {64 // PQ_STATS_M} + 1),
+             j -> {_PQ_DIFF} * {_PQ_DIFF})) * 1000000 + 0.5) AS BIGINT) AS d2_upm
+  FROM e, cb
+),
+best AS (
+  SELECT vec_id, s, cid, d2_upm,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2_upm ASC, cid ASC) AS rk
+  FROM dist
+)
+SELECT CAST(s AS INT) AS subspace, CAST(cid AS INT) AS code,
+       COUNT(*) AS n_vecs, CAST(SUM(d2_upm) AS BIGINT) AS err_upm_sum
+FROM best WHERE rk = 1
+GROUP BY 1, 2
+ORDER BY subspace, code
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -751,6 +844,7 @@ QUERIES = {
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_quantize_stats": embedding_quantize_stats,
+    "pq_code_stats": pq_code_stats,
 }
 
 ORACLES = {
@@ -765,4 +859,5 @@ ORACLES = {
     "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
     "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
     "embedding_norm_stats": EMB_NORM_SQL,
+    "pq_code_stats": PQ_CODE_STATS_SQL,
 }

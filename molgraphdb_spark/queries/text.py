@@ -983,6 +983,83 @@ def vocab_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge steps for the full BPE induction loop (vocab_bpe_merge_table).
+BPE_MERGE_STEPS = 8
+
+
+def vocab_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE induction loop (operators/bpe.py): run
+    ``BPE_MERGE_STEPS`` merge iterations over the corpus word
+    dictionary and emit the ordered merge table — the artifact a
+    tokenizer trainer ships (``vocab_bpe_merge_pairs`` is exactly this
+    query's step 1). Iterative and driver-loop-paced, but every
+    iteration is dictionary-local: the corpus crosses ONE shuffle into
+    the word dictionary, each merge is a map-only array fold plus a
+    ≤alphabet²-key aggregation, and the state is re-checkpointed per
+    step so plan depth stays constant (see operators/bpe.py for the
+    100 TB scale argument). The result is a driver-sized merge table,
+    re-lifted into a DataFrame for the contract."""
+    from molgraphdb_spark.operators.bpe import bpe_train
+
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merges = bpe_train(wc, BPE_MERGE_STEPS)
+    rows = [(i + 1, lhs, rhs, cnt) for i, (lhs, rhs, cnt) in enumerate(merges)]
+    return spark.createDataFrame(rows, "step int, lhs string, rhs string, cnt long")
+
+
+def _bpe_table_sql(n_steps: int) -> str:
+    """Fixed-N chained-CTE oracle for the merge loop: step ``i`` takes
+    state ``s{i-1}`` (words as chr(31)-joined symbol strings), picks
+    the argmax adjacent pair (cnt DESC, lhs ASC, rhs ASC — the Spark
+    tie rule), and applies it with a greedy left-to-right
+    ``list_reduce`` fold (merge = append WITHOUT the separator; the
+    sentinel-suffix test ``ends_with(acc, sep || lhs)`` can only match
+    a whole trailing symbol because symbols never contain chr(31) —
+    corpus text is whitespace-split ASCII)."""
+    sep = "chr(31)"
+    cte = [
+        r"""w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM w WHERE length(w) >= 2 GROUP BY 1
+), s0 AS (
+  SELECT array_to_string(string_split(w, ''), chr(31)) AS st, c FROM wc
+)"""
+    ]
+    for i in range(1, n_steps + 1):
+        cte.append(
+            f"""p{i} AS (
+  SELECT syms[j] AS lhs, syms[j+1] AS rhs, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT list_filter(string_split(st, {sep}), s -> s <> '') AS syms, c FROM s{i - 1}) t,
+       UNNEST(range(1, len(syms))) AS u(j)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+), s{i} AS (
+  SELECT list_reduce(
+           list_prepend('', list_filter(string_split(st, {sep}), s -> s <> '')),
+           (acc, cur) -> CASE WHEN acc <> '' AND ends_with(acc, {sep} || b.lhs) AND cur = b.rhs
+                              THEN acc || cur
+                              ELSE acc || {sep} || cur END
+         ) AS st, c
+  FROM s{i - 1}, b{i} AS b
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, cnt FROM b{i}" for i in range(1, n_steps + 1)
+    )
+    return "WITH " + ",\n".join(cte) + "\nSELECT * FROM (\n" + union + "\n) ORDER BY step"
+
+
+VOCAB_BPE_TABLE_SQL = _bpe_table_sql(BPE_MERGE_STEPS)
+
+
 VOCAB_BPE_SQL = """
 WITH w AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
@@ -1002,6 +1079,7 @@ LIMIT 20
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "vocab_bpe_merge_pairs": vocab_bpe_merge_pairs,
+    "vocab_bpe_merge_table": vocab_bpe_merge_table,
     "doc_quality_scores": doc_quality_scores,
     "doc_language_id": doc_language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -1021,6 +1099,7 @@ QUERIES = {
 ORACLES = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "vocab_bpe_merge_pairs": VOCAB_BPE_SQL,
+    "vocab_bpe_merge_table": VOCAB_BPE_TABLE_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "doc_language_id": DOC_LANGUAGE_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

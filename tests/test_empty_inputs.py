@@ -43,6 +43,8 @@ REPRESENTATIVE = [
     "source_token_divergence",   # dictionary KL joins
     "mm_phash_neardup",          # mapInPandas signatures + band self-join
     "approx_quantiles_price",    # GK sketch over empty groups
+    "pq_code_stats",             # driver-collected codebook literal
+    "vocab_bpe_merge_table",     # iterative merge loop over empty dict
 ]
 
 

@@ -137,3 +137,56 @@ def test_ivfpq_recall_and_probe_bound(spark, emb, books):
     ).collect()
     # bounded probing still returns k results per query
     assert {r["query_id"] for r in some} == {q for q, _ in queries}
+
+
+def test_pq_encode_ubp_self_centroids_zero_error(spark):
+    """Vectors that ARE codebook centroids must encode to their own cid
+    with zero distortion in every subspace — pins both the argmin and
+    the micro-unit flooring."""
+    from molgraphdb_spark.operators.pq import pq_encode_ubp
+
+    vecs = [
+        (0, [0.0, 0.0, 1.0, 2.0]),
+        (1, [5.0, 5.0, -1.0, 0.5]),
+        (2, [0.1, 0.1, 0.9, 2.1]),  # near centroid 0 in both subspaces
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    codebooks = [
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0])],
+        [(0, [1.0, 2.0]), (1, [-1.0, 0.5])],
+    ]
+    rows = {r.vec_id: r.pq_cells for r in pq_encode_ubp(df, "v", codebooks).collect()}
+    assert [(c.cid, c.d2_upm) for c in rows[0]] == [(0, 0), (0, 0)]
+    assert [(c.cid, c.d2_upm) for c in rows[1]] == [(1, 0), (1, 0)]
+    # 0.1^2+0.1^2 = 0.02 -> 20_000 upm; (0.9-1)^2+(2.1-2)^2 = 0.02
+    assert [(c.cid, c.d2_upm) for c in rows[2]] == [(0, 20_000), (0, 20_000)]
+
+
+def test_pq_encode_ubp_tie_breaks_to_lowest_cid(spark):
+    from molgraphdb_spark.operators.pq import pq_encode_ubp
+
+    df = spark.createDataFrame([(0, [0.5, 0.5])], "vec_id long, v array<double>")
+    codebooks = [[(0, [0.0]), (1, [1.0])], [(0, [1.0]), (1, [0.0])]]
+    [row] = pq_encode_ubp(df, "v", codebooks).collect()
+    assert [c.cid for c in row.pq_cells] == [0, 0]
+
+
+def test_pq_encode_drops_null_vectors(spark):
+    from molgraphdb_spark.operators.pq import pq_encode
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, None)], "vec_id long, v array<double>"
+    )
+    out = pq_encode(df, "v", [[(0, [0.0]), (1, [1.0])], [(0, [0.0]), (1, [1.0])]])
+    assert [r.vec_id for r in out.collect()] == [0]
+
+
+def test_pq_train_probes_past_null_vectors(spark):
+    from molgraphdb_spark.operators.pq import pq_train
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, v array<double>",
+    )
+    books = pq_train(df, "v", "vec_id", m=2, k=2, n_iter=2)
+    assert len(books) == 2 and all(len(cb) == 2 for cb in books)

@@ -75,3 +75,93 @@ def test_source_divergence_orders_skew(spark, sf_dir, tmp_path_factory):
     # (ln(1/p_g(alpha)) ≈ 1.14 nats ≈ 1.14M micro-nats)
     assert kl["srcC"] > 20 * abs(kl["srcA"])
     assert kl["srcC"] > 1_000_000
+
+
+def _pure_python_bpe(word_counts: dict[str, int], n_merges: int):
+    """Classic reference BPE trainer (Sennrich et al.): greedy
+    left-to-right merge application, ties to (lhs, rhs) ascending."""
+    state: dict[tuple, int] = {}
+    for w, c in word_counts.items():
+        k = tuple(w)
+        state[k] = state.get(k, 0) + c
+    merges = []
+    for _ in range(n_merges):
+        pc: dict[tuple, int] = {}
+        for syms, c in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (x, y), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((x, y, cnt))
+        new: dict[tuple, int] = {}
+        for syms, c in state.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == x and s == y:
+                    out[-1] = x + y
+                else:
+                    out.append(s)
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        state = new
+    return merges
+
+
+def test_bpe_train_matches_reference_on_classic_corpus(spark):
+    """Full induction loop on the classic low/lower/newest/widest
+    corpus — merge-for-merge identical to the pure-Python trainer,
+    including a multi-character merge ('es'+'t') past step 1."""
+    from molgraphdb_spark.operators.bpe import bpe_train
+
+    wc_dict = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    wc = spark.createDataFrame(list(wc_dict.items()), "w string, c long")
+    got = bpe_train(wc, 6)
+    want = _pure_python_bpe(wc_dict, 6)
+    assert got == want
+    # spot-pin the head so the reference impl itself is sanity-checked:
+    # es rides newest(6)+widest(3)=9, then est merges es(9)+t(9)
+    assert got[0] == ("e", "s", 9)
+    assert got[1] == ("es", "t", 9)
+
+
+def test_bpe_train_exhausts_gracefully(spark):
+    """More requested merges than pairs exist: loop stops when the
+    dictionary is fully merged instead of erroring."""
+    from molgraphdb_spark.operators.bpe import bpe_train
+
+    wc = spark.createDataFrame([("ab", 3)], "w string, c long")
+    got = bpe_train(wc, 5)
+    assert got == [("a", "b", 3)]
+
+
+def test_bpe_segment_applies_merge_table(spark):
+    from molgraphdb_spark.operators.bpe import bpe_segment, bpe_train
+
+    wc = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], "w string, c long"
+    )
+    merges = bpe_train(wc, 4)
+    df = spark.createDataFrame([(0, "lowest")], "id long, text string")
+    [row] = bpe_segment(df, "text", merges).collect()
+    ref = list("lowest")
+    for x, y, _ in merges:
+        out = []
+        for s in ref:
+            if out and out[-1] == x and s == y:
+                out[-1] = x + y
+            else:
+                out.append(s)
+        ref = out
+    assert row.bpe_tokens == ref
+
+
+def test_bpe_merge_table_query_head_matches_pairs_top1(spark, bpe_sf_dir):
+    """The loop's step 1 IS vocab_bpe_merge_pairs' argmax — except the
+    table tie-breaks on (lhs, rhs) while the pair histogram tie-breaks
+    on the concatenated string, so compare count only."""
+    from molgraphdb_spark.queries.text import vocab_bpe_merge_table
+
+    rows = vocab_bpe_merge_table(spark, bpe_sf_dir).collect()
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    top_pairs = vocab_bpe_merge_pairs(spark, bpe_sf_dir).collect()
+    assert rows[0].cnt == top_pairs[0].cnt
