@@ -37,6 +37,8 @@ AT_RISK = [
     "mm_phash_neardup",          # mapInPandas signatures + band self-join
     "vocab_bpe_merge_pairs",     # global top-k — tie-break determinism
     "events_winsorized_stats",   # exact-percentile clamp + micro-int sums
+    "vocab_bpe_merge_table",     # iterative argmax loop — per-step tie determinism
+    "pq_code_stats",             # micro-unit-floored argmin — code assignment stability
 ]
 
 

@@ -420,6 +420,122 @@ def probe_phash(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_bfs(spark, m: int = 40, depth: int = 4) -> dict:
+    """BFS on a planted m-ary broom tree (layer d has m^d vertices,
+    edges point down): dist(v) == its layer EXACTLY, the frontier loop
+    runs exactly ``depth`` productive waves + 1 empty wave, and the
+    per-dist histogram must be [1, m, m², …]. At m=40, depth=4 the
+    edge table is ~2.6M rows — ~10× the sf0.1 graph family."""
+    from molgraphdb_spark.operators.graph import bfs_distances
+
+    offs = [0]
+    for d in range(depth + 1):
+        offs.append(offs[-1] + m**d)
+    parts = []
+    for d in range(depth):
+        parts.append(
+            spark.range(m**d)
+            .select("id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"))
+            .select(
+                (F.lit(offs[d]) + F.col("id")).alias("src"),
+                (F.lit(offs[d + 1]) + F.col("id") * m + F.col("j")).alias("dst"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    n_edges = edges.count()
+    t0 = time.time()
+    dist = bfs_distances(edges, source=0, max_depth=depth + 5)
+    hist = {int(r["dist"]): int(r["n"]) for r in
+            dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n")).collect()}
+    t = time.time() - t0
+    expected = {d: m**d for d in range(depth + 1)}
+    return {
+        "probe": "graph_bfs", "m": m, "depth": depth, "edges": n_edges,
+        "per_dist_counts_exact": bool(hist == expected),
+        "waves": depth + 1,  # depth productive + 1 empty (loop exit)
+        "t_total_s": round(t, 1),
+        "t_per_wave_s": round(t / (depth + 1), 2),
+    }
+
+
+def probe_pagerank(spark, n: int = 1_000_000, n_iter: int = 10) -> dict:
+    """PageRank on a planted directed ring (1-regular both ways): the
+    uniform distribution rank≡1.0 is the exact fixed point AND the
+    exact trajectory from the uniform init — after any number of
+    iterations every rank must still be 1.0 to float precision. 1M
+    edges, 10 power iterations; wall per iteration recorded."""
+    from molgraphdb_spark.operators.graph import pagerank
+
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    t0 = time.time()
+    ranks = pagerank(edges, n_iter=n_iter)
+    stats = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("rank") - 1.0)).alias("dev"),
+    ).first()
+    t = time.time() - t0
+    return {
+        "probe": "graph_pagerank", "vertices": n, "iters": n_iter,
+        "n_ranked": int(stats["n"]),
+        "max_abs_dev_from_uniform": float(stats["dev"]),
+        "uniform_exact": bool(stats["n"] == n and stats["dev"] < 1e-9),
+        "t_total_s": round(t, 1),
+        "t_per_iter_s": round(t / n_iter, 2),
+    }
+
+
+def probe_kcore(spark, n_cliq: int = 10_000, cliq: int = 9, tendril: int = 12) -> dict:
+    """K-core on planted clique+tendril components: each component is a
+    ``cliq``-clique (every member has core cliq-1 — including the
+    attachment vertex, whose extra tendril edge must NOT raise it) with
+    a ``tendril``-vertex path hanging off (core 1 for every path
+    vertex). The per-core histogram is exact: cliq·n_cliq vertices at
+    core cliq-1, tendril·n_cliq at core 1, nothing else. The tendril is
+    the convergence driver: the H-operator's 2→1 correction propagates
+    one hop per round from the free end, so rounds ≈ tendril —
+    measuring exactly the wall-per-wave the verdict asked for."""
+    from molgraphdb_spark.operators.graph import core_numbers
+
+    root = (F.col("id") * 100).alias("root")
+    base = spark.range(n_cliq).select(root)
+    ii = F.explode(F.sequence(F.lit(0), F.lit(cliq - 1))).alias("i")
+    jj = F.explode(F.sequence(F.lit(0), F.lit(cliq - 1))).alias("j")
+    clique = (
+        base.select("root", ii)
+        .select("root", "i", jj)
+        .filter(F.col("i") < F.col("j"))
+        .select((F.col("root") + F.col("i")).alias("src"), (F.col("root") + F.col("j")).alias("dst"))
+    )
+    pp = F.explode(F.sequence(F.lit(0), F.lit(tendril - 1))).alias("p")
+    chain = base.select("root", pp).select(
+        # p=0 attaches the tendril to clique vertex root+0
+        F.when(F.col("p") == 0, F.col("root")).otherwise(F.col("root") + 49 + F.col("p")).alias("src"),
+        (F.col("root") + 50 + F.col("p")).alias("dst"),
+    )
+    fwd = clique.unionByName(chain)
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    n_edges = edges.count()
+    t0 = time.time()
+    cores = core_numbers(edges)
+    hist = {int(r["core"]): int(r["n"]) for r in
+            cores.groupBy("core").agg(F.count(F.lit(1)).alias("n")).collect()}
+    t = time.time() - t0
+    expected = {cliq - 1: cliq * n_cliq, 1: tendril * n_cliq}
+    rounds = core_numbers.last_rounds
+    return {
+        "probe": "graph_kcore", "components": n_cliq, "edges": n_edges,
+        "per_core_counts_exact": bool(hist == expected),
+        "rounds": rounds,
+        "converged": bool(core_numbers.last_converged),
+        "t_total_s": round(t, 1),
+        "t_per_round_s": round(t / max(rounds, 1), 2),
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe")
@@ -440,6 +556,11 @@ def main() -> None:
     # ANN at k× vectors: exact brute force vs IVF, with recall.
     print(json.dumps(probe_ann(spark, k)))
     print(json.dumps(probe_pq(spark, k)))
+    # Iterative graph operators (r5 verdict item 6): planted invariants
+    # at ~10× the sf0.1 graph family, rounds + wall-per-wave recorded.
+    print(json.dumps(probe_bfs(spark)))
+    print(json.dumps(probe_pagerank(spark)))
+    print(json.dumps(probe_kcore(spark)))
 
 
 if __name__ == "__main__":
