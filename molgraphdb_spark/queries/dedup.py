@@ -904,8 +904,48 @@ ORDER BY b.doc_id
 """
 
 
+def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the VERIFIED near-duplicate graph — the
+    shape diagnostic run before cluster resolution: a long degree tail
+    means template families (one boilerplate page near-duplicating
+    thousands), and its growth over ingests is the early warning that
+    CC cluster sizes are about to explode. Composes the production
+    pipeline's own verified pairs (``dedup_lsh_verified``, Jaccard ≥
+    0.8) into per-doc degrees, then the degree histogram.
+
+    Scale: pairs are already LSH-bounded (never n²); degrees are one
+    groupBy over 2×|pairs| ids; the histogram keyspace is ≤ max-degree
+    — both aggregations map-side combine."""
+    vp = dedup_lsh_verified(spark, sf_dir).filter(F.col("verified") == 1)
+    ids = vp.select(F.col("id_a").alias("doc_id")).unionAll(
+        vp.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+NEARDUP_DEGREE_HIST_SQL = f"""
+WITH vp AS (
+{DEDUP_LSH_VERIFIED_SQL}
+), ids AS (
+  SELECT id_a AS doc_id FROM vp WHERE verified = 1
+  UNION ALL
+  SELECT id_b FROM vp WHERE verified = 1
+), deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM ids GROUP BY 1
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY 1 ORDER BY degree
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "neardup_degree_hist": neardup_degree_hist,
     "dedup_incremental_flags": dedup_incremental_flags,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -920,6 +960,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "neardup_degree_hist": NEARDUP_DEGREE_HIST_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

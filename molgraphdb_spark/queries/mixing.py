@@ -257,8 +257,63 @@ ORDER BY split, lang
 """
 
 
+# --------------------------------------------------------------------------
+# Mixture diagnostics: per-source language-mix entropy.
+# --------------------------------------------------------------------------
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the language mix — the diversity
+    diagnostic a curation dashboard tracks next to the KL drift monitor
+    (``source_token_divergence``): a source whose entropy collapses has
+    become monolingual; one whose entropy jumps is mixing in new
+    languages (often a crawl-routing bug).
+
+    Cross-engine exactness (the KL precedent): each language's
+    ``-p·ln(p)`` term is floored to integer MICRO-nats before the
+    per-source summation, so the result is order-free and
+    partition-invariant.
+
+    Scale: one (source, lang) aggregation with map-side combine (the
+    keyspace is |sources|×|langs| — tiny at any corpus size), a
+    broadcast join of the per-source totals, and a final tiny groupBy.
+    The corpus crosses exactly one shuffle."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    term = F.floor(-p * F.log(p) * 1_000_000 + 0.5).cast("long")
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .select("source", "n", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum("term").cast("long").alias("entropy_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_LANG_ENTROPY_SQL = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, SUM(n) AS tot FROM c GROUP BY 1
+)
+SELECT c.source,
+       CAST(SUM(c.n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(SUM(CAST(floor(-(c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+FROM c JOIN t USING (source)
+GROUP BY 1
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
+    "source_lang_entropy": source_lang_entropy,
     "doc_pack_offsets": doc_pack_offsets,
     "orders_retention_cohorts": orders_retention_cohorts,
     "doc_split_assign": doc_split_assign,
@@ -266,6 +321,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_mixture_sample": DOC_MIXTURE_SQL,
+    "source_lang_entropy": SOURCE_LANG_ENTROPY_SQL,
     "doc_pack_offsets": DOC_PACK_SQL,
     "orders_retention_cohorts": ORDERS_RETENTION_SQL,
     "doc_split_assign": DOC_SPLIT_SQL,

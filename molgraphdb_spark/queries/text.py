@@ -1060,6 +1060,67 @@ def _bpe_table_sql(n_steps: int) -> str:
 VOCAB_BPE_TABLE_SQL = _bpe_table_sql(BPE_MERGE_STEPS)
 
 
+def vocab_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted compression achieved by the trained BPE table —
+    the metric a tokenizer team actually tracks per merge budget: after
+    ``BPE_MERGE_STEPS`` merges, how many symbols per character does the
+    dictionary need? Trains via operators/bpe.py (same loop as
+    ``vocab_bpe_merge_table``), applies the table with ``bpe_segment``
+    over the word dictionary, and emits one accounting row: word/char/
+    symbol totals (count-weighted, exact integers) plus the symbols-
+    per-char ratio floored to basis points.
+
+    Scale: everything after the one corpus→dictionary shuffle is
+    dictionary-local (the training loop's own argmax aggregations plus
+    one map-only segmentation fold); the final agg is a single row."""
+    from molgraphdb_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merges = bpe_train(wc, BPE_MERGE_STEPS)
+    seg = bpe_segment(wc, "w", merges)
+    return seg.agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.length("w") * F.col("c")).cast("long").alias("n_chars"),
+        F.sum(F.size("bpe_tokens") * F.col("c")).cast("long").alias("n_symbols"),
+        F.floor(
+            F.sum(F.size("bpe_tokens") * F.col("c"))
+            * 10000.0
+            / F.sum(F.length("w") * F.col("c"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("symbols_per_char_bp"),
+    )
+
+
+def _bpe_compression_sql(n_steps: int) -> str:
+    """Same chained-CTE merge loop as :func:`_bpe_table_sql`, but the
+    final select aggregates the POST-merge dictionary state ``s{N}``
+    into the compression accounting row."""
+    table = _bpe_table_sql(n_steps)
+    ctes = table[: table.rindex("\nSELECT * FROM (")]
+    return (
+        ctes
+        + f"""
+SELECT CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(len(replace(st, chr(31), '')) * c) AS BIGINT) AS n_chars,
+       CAST(SUM(len(list_filter(string_split(st, chr(31)), s -> s <> '')) * c) AS BIGINT) AS n_symbols,
+       CAST(floor(SUM(len(list_filter(string_split(st, chr(31)), s -> s <> '')) * c) * 10000.0
+                  / SUM(len(replace(st, chr(31), '')) * c) + 0.5) AS BIGINT) AS symbols_per_char_bp
+FROM s{n_steps}
+"""
+    )
+
+
+VOCAB_BPE_COMPRESSION_SQL = _bpe_compression_sql(BPE_MERGE_STEPS)
+
+
 VOCAB_BPE_SQL = """
 WITH w AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
@@ -1080,6 +1141,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "vocab_bpe_merge_pairs": vocab_bpe_merge_pairs,
     "vocab_bpe_merge_table": vocab_bpe_merge_table,
+    "vocab_bpe_compression": vocab_bpe_compression,
     "doc_quality_scores": doc_quality_scores,
     "doc_language_id": doc_language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -1100,6 +1162,7 @@ ORACLES = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "vocab_bpe_merge_pairs": VOCAB_BPE_SQL,
     "vocab_bpe_merge_table": VOCAB_BPE_TABLE_SQL,
+    "vocab_bpe_compression": VOCAB_BPE_COMPRESSION_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "doc_language_id": DOC_LANGUAGE_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

@@ -30,7 +30,10 @@ TEXT_FAMILY = [
     "doc_repetition_suite",
     "doc_bigram_logprob",
     "vocab_bpe_merge_pairs",
+    "vocab_bpe_merge_table",
+    "vocab_bpe_compression",
     "source_token_divergence",
+    "source_lang_entropy",
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the
