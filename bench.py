@@ -63,6 +63,12 @@ HEADLINE = [
     "source_token_divergence",
     "vocab_bpe_merge_pairs",
     "mm_phash_neardup",
+    # added round 6 (iterative BPE loop, PQ contract leg, dedup-graph
+    # and mixture diagnostics; absent from prior baselines)
+    "vocab_bpe_merge_table",
+    "pq_code_stats",
+    "neardup_degree_hist",
+    "source_lang_entropy",
 ]
 
 

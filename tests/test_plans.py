@@ -313,3 +313,38 @@ def test_bigram_logprob_no_python_worker(spark, sf_dir):
     s = plan_summary(doc_bigram_logprob(spark, sf_dir))
     assert not s["has_python_worker"]
     assert "CartesianProduct" not in s["plan"]
+
+
+def test_pq_code_stats_map_only_encode(spark, sf_dir):
+    # codebooks are driver-side literals (IVF precedent): the encode is
+    # a map-only projection — the only exchanges are the tiny ≤M·K-key
+    # histogram aggregation and the presentation sort, and no Python
+    # worker anywhere (array_min folds run in the JVM)
+    from molgraphdb_spark.queries.similarity import pq_code_stats
+
+    s = plan_summary(pq_code_stats(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert s["n_exchanges"] <= 2
+
+
+def test_source_lang_entropy_single_corpus_shuffle(spark, sf_dir):
+    # (source, lang) partial agg, broadcast totals join, tiny final
+    # agg + sort: the corpus itself crosses exactly one exchange
+    from molgraphdb_spark.queries.mixing import source_lang_entropy
+
+    s = plan_summary(source_lang_entropy(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert s["n_broadcast_joins"] >= 1
+    assert "lang" in ";".join(s["read_columns"]) and len(s["read_columns"]) == 2
+
+
+def test_bpe_compression_stays_jvm_side(spark, sf_dir):
+    # training ran at plan-build time; the returned plan is the
+    # dictionary segmentation + one-row agg — no Python worker, no
+    # cartesian, and the scan reads only the text column
+    from molgraphdb_spark.queries.text import vocab_bpe_compression
+
+    s = plan_summary(vocab_bpe_compression(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
