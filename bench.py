@@ -69,6 +69,11 @@ HEADLINE = [
     "pq_code_stats",
     "neardup_degree_hist",
     "source_lang_entropy",
+    # added round 6 session 2 (ADC search leg, node similarity,
+    # per-source dup diagnostics; absent from prior baselines)
+    "similarity_pq_topk",
+    "graph_supplier_jaccard",
+    "dedup_rate_by_source",
 ]
 
 

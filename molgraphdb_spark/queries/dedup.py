@@ -943,8 +943,90 @@ FROM deg GROUP BY 1 ORDER BY degree
 """
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication profile — the curation dashboard's
+    first-look number: which ingestion sources are flooding the corpus
+    with copies (a crawl re-fetching the same pages, a dump ingested
+    twice) BEFORE any near-dup machinery runs.
+
+    Scale shape: one shuffle of (source, content_hash) partial counts
+    (map-side combine collapses exact copies early), then a per-source
+    rollup of the already-tiny hash-group relation. NULL-text docs
+    follow the dedup_exact rule — each is its own unique document,
+    counted on a map-only side branch, never a dup group.
+
+    Output per source: n_docs, n_unique, dup_docs (= docs that would
+    be REMOVED keeping one canonical per group), dup_rate_bp (floored
+    basis points — integer-exact in any engine)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    hashed = docs.select("source", F.md5(norm).alias("h"))
+    nn = (
+        hashed.filter(F.col("h").isNotNull())
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("nn_docs"),
+            F.count(F.lit(1)).alias("nn_unique"),
+        )
+    )
+    nulls = (
+        hashed.filter(F.col("h").isNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("null_docs"))
+    )
+    joined = nn.join(nulls, "source", "full_outer").select(
+        "source",
+        F.coalesce("nn_docs", F.lit(0)).alias("nn_docs"),
+        F.coalesce("nn_unique", F.lit(0)).alias("nn_unique"),
+        F.coalesce("null_docs", F.lit(0)).alias("null_docs"),
+    )
+    n_docs = F.col("nn_docs") + F.col("null_docs")
+    n_unique = F.col("nn_unique") + F.col("null_docs")
+    return joined.select(
+        "source",
+        n_docs.cast("long").alias("n_docs"),
+        n_unique.cast("long").alias("n_unique"),
+        (n_docs - n_unique).cast("long").alias("dup_docs"),
+        F.floor((n_docs - n_unique) * 10000 / n_docs).cast("long").alias("dup_rate_bp"),
+    ).orderBy("source")
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+WITH hashed AS (
+  SELECT source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+nn AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS nn_docs,
+         CAST(COUNT(*) AS BIGINT) AS nn_unique
+  FROM (SELECT source, h, COUNT(*) AS n FROM hashed WHERE h IS NOT NULL GROUP BY 1, 2)
+  GROUP BY source
+),
+nulls AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS null_docs
+  FROM hashed WHERE h IS NULL GROUP BY source
+),
+j AS (
+  SELECT COALESCE(nn.source, nulls.source) AS source,
+         COALESCE(nn_docs, 0) + COALESCE(null_docs, 0) AS n_docs,
+         COALESCE(nn_unique, 0) + COALESCE(null_docs, 0) AS n_unique
+  FROM nn FULL OUTER JOIN nulls ON nn.source = nulls.source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST(n_docs - n_unique AS BIGINT) AS dup_docs,
+       CAST(floor((n_docs - n_unique) * 10000 / n_docs) AS BIGINT) AS dup_rate_bp
+FROM j ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "neardup_degree_hist": neardup_degree_hist,
     "dedup_incremental_flags": dedup_incremental_flags,
     "neardup_jaccard_pairs": neardup_jaccard_pairs,
@@ -959,6 +1041,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "neardup_degree_hist": NEARDUP_DEGREE_HIST_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,

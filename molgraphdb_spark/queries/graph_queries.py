@@ -337,8 +337,96 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_supplier_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 supplier pairs by JACCARD similarity of their customer
+    sets — the bipartite-incidence node-similarity primitive behind
+    link prediction / "suppliers like this one" recommendation
+    (extends the J3 hash-set intersection of graph_common_suppliers
+    with the set-cardinality normalization of A4/A5,
+    /root/reference/src/mcs.py:310,318).
+
+    Scale shape: shared counts come from the customer-keyed
+    inverted-index self-join (pairs bounded by Σ per-customer degree²,
+    never |suppliers|²); per-supplier degrees are a TINY relation
+    (one row per supplier) broadcast into the pair stream; similarity
+    is floored basis points, so ranking is integer-exact. Final top-10
+    is TakeOrderedAndProject — no global sort materializes."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    deg = cs.groupBy(F.col("l_suppkey").alias("sup")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_a"))
+    b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_b"))
+    shared = (
+        a.join(b, "cust")
+        .filter(F.col("sup_a") < F.col("sup_b"))
+        .groupBy("sup_a", "sup_b")
+        .agg(F.count(F.lit(1)).alias("shared_customers"))
+    )
+    joined = (
+        shared.join(
+            F.broadcast(deg.select(F.col("sup").alias("sup_a"), F.col("deg").alias("deg_a"))),
+            "sup_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("sup").alias("sup_b"), F.col("deg").alias("deg_b"))),
+            "sup_b",
+        )
+    )
+    jac = F.floor(
+        F.col("shared_customers")
+        * 10000
+        / (F.col("deg_a") + F.col("deg_b") - F.col("shared_customers"))
+    ).cast("long")
+    return (
+        joined.select(
+            "sup_a",
+            "sup_b",
+            "shared_customers",
+            jac.alias("jaccard_bp"),
+        )
+        .orderBy(
+            F.desc("jaccard_bp"),
+            F.desc("shared_customers"),
+            F.asc("sup_a"),
+            F.asc("sup_b"),
+        )
+        .limit(10)
+    )
+
+
+GRAPH_SUPPLIER_JACCARD_SQL = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT sup, COUNT(*) AS deg FROM cs GROUP BY sup),
+shared AS (
+  SELECT a.sup AS sup_a, b.sup AS sup_b, COUNT(*) AS shared_customers
+  FROM cs a JOIN cs b ON a.cust = b.cust AND a.sup < b.sup
+  GROUP BY 1, 2
+)
+SELECT s.sup_a, s.sup_b, CAST(s.shared_customers AS BIGINT) AS shared_customers,
+       CAST(floor(s.shared_customers * 10000
+            / (da.deg + db.deg - s.shared_customers)) AS BIGINT) AS jaccard_bp
+FROM shared s
+JOIN deg da ON da.sup = s.sup_a
+JOIN deg db ON db.sup = s.sup_b
+ORDER BY jaccard_bp DESC, shared_customers DESC, sup_a ASC, sup_b ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
+    "graph_supplier_jaccard": graph_supplier_jaccard,
     "graph_pagerank_top": graph_pagerank_top,
     "approx_distinct_parts": approx_distinct_parts,
     "graph_kcore_summary": graph_kcore_summary,
@@ -370,6 +458,7 @@ ORDER BY rank_ubp DESC, id ASC
 
 ORACLES = {
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
+    "graph_supplier_jaccard": GRAPH_SUPPLIER_JACCARD_SQL,
     "graph_pagerank_top": GRAPH_PAGERANK_SQL,
     "approx_distinct_parts": APPROX_DISTINCT_SQL,
     "graph_bfs_path_lengths": GRAPH_BFS_SQL,

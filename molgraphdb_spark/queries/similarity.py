@@ -832,6 +832,135 @@ ORDER BY subspace, code
 """
 
 
+#: Fixed ADC query vectors (exist at every SF: 500 rows at sf0.001).
+PQ_TOPK_QIDS = [100, 101, 102, 103]
+PQ_TOPK_K = 5
+
+
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k — the SEARCH leg of operators/pq.py
+    through the driver contract (pq_code_stats covers the encode leg).
+
+    The deployment shape at 100 TB: the corpus is resident only as
+    N×M small codes (map-only ``pq_encode_ubp``, zero shuffles); each
+    query's M×K lookup table of subvector→centroid distances is a tiny
+    relation BROADCAST against the code table; per-row distance is a
+    ``zip_with`` of the M codes against the LUT — pure table lookups,
+    no d-dimensional math ever touches the scan side. O(N·M) integer
+    adds replace O(N·d) float multiplies over ~d/M× less resident data.
+
+    Determinism: codebooks are the fixed vec_id < PQ_STATS_K slices
+    (the pq_code_stats precedent); every LUT entry is floored to
+    micro-units at the 8-term subspace sum (the proven-portable d2_upm
+    rule), so the ADC total is an INTEGER sum of integers — exact in
+    any engine at any partitioning. Ties break by ascending vec_id."""
+    from molgraphdb_spark.operators.kmeans import _centroid_literal
+    from molgraphdb_spark.operators.pq import pq_encode_ubp
+
+    emb = _emb(spark, sf_dir)
+    cents = sorted(
+        emb.filter(F.col("vec_id") < PQ_STATS_K).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    out_schema = "query_id long, vec_id long, adc_d2_upm long, rk int"
+    if not cents:
+        return spark.createDataFrame([], out_schema)
+    d = len(cents[0].v)
+    dsub = d // PQ_STATS_M
+    codebooks = [
+        [
+            (int(r.vec_id), [float(x) for x in r.v[s * dsub : (s + 1) * dsub]])
+            for r in cents
+        ]
+        for s in range(PQ_STATS_M)
+    ]
+    enc = pq_encode_ubp(emb, "v", codebooks).select(
+        "vec_id", F.transform("pq_cells", lambda c: c["cid"]).alias("codes")
+    )
+
+    def lut_for(cb: list, lo: int) -> Column:
+        sq = F.slice(F.col("qv"), lo + 1, dsub)
+
+        def ent(c: Column) -> Column:
+            diff = F.zip_with(sq, c["cv"], lambda x, y: x - y)
+            return F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
+
+        return F.transform(_centroid_literal(cb), ent)
+
+    qlut = (
+        emb.filter(F.col("vec_id").isin(PQ_TOPK_QIDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .select(
+            "query_id",
+            F.array(*[lut_for(cb, s * dsub) for s, cb in enumerate(codebooks)]).alias(
+                "lut"
+            ),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, l: F.element_at(l, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        F.broadcast(qlut)
+        .crossJoin(enc)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc_d2_upm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_upm"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= PQ_TOPK_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+PQ_TOPK_SQL = f"""
+WITH {_EMB_CTE},
+cb AS (
+  SELECT s.s AS s, c.vec_id AS cid,
+         c.v[CAST(s.s * {64 // PQ_STATS_M} + 1 AS INT) : CAST(s.s * {64 // PQ_STATS_M} + {64 // PQ_STATS_M} AS INT)] AS cv
+  FROM (SELECT unnest(range(0, {PQ_STATS_M})) AS s) s, e c
+  WHERE c.vec_id < {PQ_STATS_K}
+),
+dist AS (
+  SELECT e.vec_id, cb.s, cb.cid,
+         CAST(floor(list_sum(list_transform(range(1, {64 // PQ_STATS_M} + 1),
+             j -> {_PQ_DIFF} * {_PQ_DIFF})) * 1000000 + 0.5) AS BIGINT) AS d2_upm
+  FROM e, cb
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2_upm ASC, cid ASC) AS rk
+    FROM dist
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, s, cid, d2_upm FROM dist
+  WHERE vec_id IN ({", ".join(str(q) for q in PQ_TOPK_QIDS)})
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.d2_upm) AS BIGINT) AS adc_d2_upm
+  FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_d2_upm, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2_upm ASC, vec_id ASC) AS rk
+  FROM adc
+) t
+WHERE rk <= {PQ_TOPK_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -845,6 +974,7 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_quantize_stats": embedding_quantize_stats,
     "pq_code_stats": pq_code_stats,
+    "similarity_pq_topk": similarity_pq_topk,
 }
 
 ORACLES = {
@@ -860,4 +990,5 @@ ORACLES = {
     "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
     "embedding_norm_stats": EMB_NORM_SQL,
     "pq_code_stats": PQ_CODE_STATS_SQL,
+    "similarity_pq_topk": PQ_TOPK_SQL,
 }

@@ -24,6 +24,7 @@ TEXT_FAMILY = [
     "doc_tfidf_top_terms",
     "doc_unigram_logprob",
     "dedup_exact",
+    "dedup_rate_by_source",
     "dedup_minhash_signatures",
     "doc_dup_span_stats",
     "doc_dup_span_removal",

@@ -39,6 +39,9 @@ AT_RISK = [
     "events_winsorized_stats",   # exact-percentile clamp + micro-int sums
     "vocab_bpe_merge_table",     # iterative argmax loop — per-step tie determinism
     "pq_code_stats",             # micro-unit-floored argmin — code assignment stability
+    "similarity_pq_topk",        # integer ADC sums + top-k tie determinism
+    "graph_supplier_jaccard",    # inverted-index pair counts + bp-ranked top-k
+    "dedup_rate_by_source",      # hash-group rollup incl. null-side union
 ]
 
 

@@ -348,3 +348,44 @@ def test_bpe_compression_stays_jvm_side(spark, sf_dir):
     s = plan_summary(vocab_bpe_compression(spark, sf_dir))
     assert not s["has_python_worker"]
     assert "CartesianProduct" not in s["plan"]
+
+
+def test_pq_topk_adc_broadcast_no_python(spark, sf_dir):
+    # codes are a map-only projection; the per-query LUT relation is
+    # BROADCAST against the code table (never the reverse); ADC is a
+    # JVM-side zip_with fold — no Python worker, and no unbroadcast
+    # CartesianProduct over the corpus
+    from molgraphdb_spark.queries.similarity import similarity_pq_topk
+
+    s = plan_summary(similarity_pq_topk(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    # 4-row LUT × corpus arrives as a broadcast nested-loop (no equi
+    # key), which is the broadcast we want — the corpus side never moves
+    assert "BroadcastNestedLoopJoin" in s["plan"]
+
+
+def test_supplier_jaccard_broadcast_degrees(spark, sf_dir):
+    # shared counts ride the customer-keyed inverted-index join; the
+    # per-supplier degree relation (one row per supplier) must come in
+    # as broadcast joins, not shuffle the pair stream
+    from molgraphdb_spark.queries.graph_queries import graph_supplier_jaccard
+
+    s = plan_summary(graph_supplier_jaccard(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert s["n_broadcast_joins"] >= 2
+    assert "TakeOrderedAndProject" in s["plan"]
+
+
+def test_dedup_rate_by_source_pruned_scan(spark, sf_dir):
+    # the corpus crosses one (source, hash) aggregation; the scan must
+    # read only (source, text) — payload-width pruning is what keeps
+    # this cheap on a 100 TB documents table
+    from molgraphdb_spark.queries.dedup import dedup_rate_by_source
+
+    s = plan_summary(dedup_rate_by_source(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    cols = ";".join(s["read_columns"])
+    assert "source" in cols and "text" in cols and len(s["read_columns"]) <= 2
