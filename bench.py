@@ -74,6 +74,8 @@ HEADLINE = [
     "similarity_pq_topk",
     "graph_supplier_jaccard",
     "dedup_rate_by_source",
+    "similarity_pq_recall",
+    "events_ewma",
 ]
 
 

@@ -917,9 +917,11 @@ def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over 2×|pairs| ids; the histogram keyspace is ≤ max-degree
     — both aggregations map-side combine."""
     vp = dedup_lsh_verified(spark, sf_dir).filter(F.col("verified") == 1)
-    ids = vp.select(F.col("id_a").alias("doc_id")).unionAll(
-        vp.select(F.col("id_b").alias("doc_id"))
-    )
+    # explode, not unionAll: a union of two projections would reference
+    # vp twice and EXECUTE the whole LSH+verify pipeline once per
+    # branch (measured: 5.1 s -> 3.7 s at sf0.1). One exploded
+    # 2-element array keeps the pipeline single-consumer.
+    ids = vp.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
     deg = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     return (
         deg.groupBy("degree")

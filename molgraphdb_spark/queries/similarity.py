@@ -837,23 +837,19 @@ PQ_TOPK_QIDS = [100, 101, 102, 103]
 PQ_TOPK_K = 5
 
 
-def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance top-k — the SEARCH leg of operators/pq.py
-    through the driver contract (pq_code_stats covers the encode leg).
+def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """(query_id, vec_id, adc_d2_upm) for the fixed PQ_TOPK_QIDS query
+    batch — the shared ADC pipeline behind similarity_pq_topk and
+    similarity_pq_recall. None when the corpus slice is empty.
 
-    The deployment shape at 100 TB: the corpus is resident only as
-    N×M small codes (map-only ``pq_encode_ubp``, zero shuffles); each
-    query's M×K lookup table of subvector→centroid distances is a tiny
-    relation BROADCAST against the code table; per-row distance is a
-    ``zip_with`` of the M codes against the LUT — pure table lookups,
-    no d-dimensional math ever touches the scan side. O(N·M) integer
-    adds replace O(N·d) float multiplies over ~d/M× less resident data.
-
-    Determinism: codebooks are the fixed vec_id < PQ_STATS_K slices
-    (the pq_code_stats precedent); every LUT entry is floored to
-    micro-units at the 8-term subspace sum (the proven-portable d2_upm
-    rule), so the ADC total is an INTEGER sum of integers — exact in
-    any engine at any partitioning. Ties break by ascending vec_id."""
+    Codes are a map-only ``pq_encode_ubp`` projection (zero shuffles);
+    each query's M×K integer LUT is a tiny relation BROADCAST against
+    the code table; per-row distance is a ``zip_with`` of the M codes
+    against the LUT — pure table lookups, no d-dimensional math on the
+    scan side. Every LUT entry is floored to micro-units at the 8-term
+    subspace sum (the proven-portable d2_upm rule), so the ADC total
+    is an INTEGER sum of integers — exact in any engine at any
+    partitioning."""
     from molgraphdb_spark.operators.kmeans import _centroid_literal
     from molgraphdb_spark.operators.pq import pq_encode_ubp
 
@@ -862,9 +858,8 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < PQ_STATS_K).select("vec_id", "v").collect(),
         key=lambda r: r.vec_id,
     )
-    out_schema = "query_id long, vec_id long, adc_d2_upm long, rk int"
     if not cents:
-        return spark.createDataFrame([], out_schema)
+        return None
     d = len(cents[0].v)
     dsub = d // PQ_STATS_M
     codebooks = [
@@ -906,12 +901,29 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    scored = (
+    return (
         F.broadcast(qlut)
         .crossJoin(enc)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", adc.alias("adc_d2_upm"))
     )
+
+
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k — the SEARCH leg of operators/pq.py
+    through the driver contract (pq_code_stats covers the encode leg).
+
+    The deployment shape at 100 TB: the corpus is resident only as
+    N×M small codes, queried via broadcast integer LUTs — O(N·M)
+    integer adds replace O(N·d) float multiplies over ~d/M× less
+    resident data (see _pq_adc_scored). Codebooks are the fixed
+    vec_id < PQ_STATS_K slices (the pq_code_stats precedent); ties
+    break by ascending vec_id."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_d2_upm long, rk int"
+        )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_upm"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -920,9 +932,10 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_TOPK_SQL = f"""
-WITH {_EMB_CTE},
-cb AS (
+#: The ADC CTE stack shared by PQ_TOPK_SQL and PQ_RECALL_SQL: fixed
+#: codebooks → per-(vector, subspace, centroid) floored distances →
+#: argmin codes → per-query LUT → integer ADC sums.
+_PQ_ADC_CTES = f"""cb AS (
   SELECT s.s AS s, c.vec_id AS cid,
          c.v[CAST(s.s * {64 // PQ_STATS_M} + 1 AS INT) : CAST(s.s * {64 // PQ_STATS_M} + {64 // PQ_STATS_M} AS INT)] AS cv
   FROM (SELECT unnest(range(0, {PQ_STATS_M})) AS s) s, e c
@@ -950,7 +963,11 @@ adc AS (
   FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
   WHERE c.vec_id <> l.query_id
   GROUP BY 1, 2
-)
+)"""
+
+PQ_TOPK_SQL = f"""
+WITH {_EMB_CTE},
+{_PQ_ADC_CTES}
 SELECT query_id, vec_id, adc_d2_upm, CAST(rk AS INT) AS rk
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2_upm ASC, vec_id ASC) AS rk
@@ -958,6 +975,128 @@ FROM (
 ) t
 WHERE rk <= {PQ_TOPK_K}
 ORDER BY query_id, rk
+"""
+
+
+#: ADC shortlist width for the shortlist+rerank deployment shape.
+PQ_RECALL_SHORTLIST = 30
+
+
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the PQ shortlist+rerank deployment shape against
+    the exact L2 top-{k} — the measurement every compressed-index
+    deployment runs before trusting ADC ranking (the similarity_ivf_
+    recall precedent applied to the PQ path; raw ADC order is noisy
+    where true distances concentrate, so production reranks a
+    shortlist with full vectors — operators/pq.py::pq_search).
+
+    Plan shape: the ADC side reuses _pq_adc_scored (broadcast integer
+    LUTs over map-only codes); the rerank touches only Q×shortlist
+    full vectors (corpus-size-independent); the exact baseline is the
+    broadcast-queries corpus scan. All distances are micro-unit-floored
+    integers, ties to ascending vec_id — bit-portable."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    out_schema = "query_id long, n_exact long, n_hit long"
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_upm"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= PQ_RECALL_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(PQ_TOPK_QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def d2_upm() -> Column:
+        diff = F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x - y)
+        return F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
+
+    rerank = (
+        shortlist.join(emb.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", d2_upm().alias("d2_upm"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("d2_upm"), F.asc("vec_id"))
+    approx = (
+        rerank.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= PQ_TOPK_K)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    exact_scored = (
+        F.broadcast(queries)
+        .crossJoin(emb.select("vec_id", "v"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2_upm().alias("d2_upm"))
+    )
+    exact = (
+        exact_scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= PQ_TOPK_K)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _l2_upm_sql(q: str, b: str) -> str:
+    """Floored micro-unit squared L2 between ``q.v`` and ``b.v`` — the
+    diff list is written out twice because list_dot_product(dl, dl) of
+    one shared lateral alias is value-identical and DuckDB's
+    list_dot_product is the accumulation-order twin of Spark's _dot
+    fold (the _COS_SQL precedent)."""
+    dl = (
+        f"list_transform(range(1, 65), j -> {q}.v[CAST(j AS INT)] - {b}.v[CAST(j AS INT)])"
+    )
+    return f"CAST(floor(list_dot_product({dl}, {dl}) * 1000000 + 0.5) AS BIGINT)"
+
+
+PQ_RECALL_SQL = f"""
+WITH {_EMB_CTE},
+{_PQ_ADC_CTES},
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2_upm ASC, vec_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {PQ_RECALL_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.vec_id, {_l2_upm_sql("q", "b")} AS d2_upm
+  FROM shortlist s
+  JOIN e b ON b.vec_id = s.vec_id
+  JOIN e q ON q.vec_id = s.query_id
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2_upm ASC, vec_id ASC) AS rk
+    FROM rerank
+  ) WHERE rk <= {PQ_TOPK_K}
+),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, {_l2_upm_sql("q", "b")} AS d2_upm
+  FROM e q JOIN e b ON b.vec_id != q.vec_id
+  WHERE q.vec_id IN ({", ".join(str(q) for q in PQ_TOPK_QIDS)})
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2_upm ASC, vec_id ASC) AS rk
+    FROM exact_scored
+  ) WHERE rk <= {PQ_TOPK_K}
+)
+SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+FROM exact x LEFT JOIN approx a
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id
+ORDER BY x.query_id
 """
 
 
@@ -975,6 +1114,7 @@ QUERIES = {
     "embedding_quantize_stats": embedding_quantize_stats,
     "pq_code_stats": pq_code_stats,
     "similarity_pq_topk": similarity_pq_topk,
+    "similarity_pq_recall": similarity_pq_recall,
 }
 
 ORACLES = {
@@ -991,4 +1131,5 @@ ORACLES = {
     "embedding_norm_stats": EMB_NORM_SQL,
     "pq_code_stats": PQ_CODE_STATS_SQL,
     "similarity_pq_topk": PQ_TOPK_SQL,
+    "similarity_pq_recall": PQ_RECALL_SQL,
 }

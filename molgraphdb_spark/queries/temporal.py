@@ -473,8 +473,88 @@ ORDER BY e.event_type
 """
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of each event
+    type's value stream over a 16-row horizon — the smoothing pass a
+    monitoring pipeline applies before thresholding noisy telemetry
+    (the decay-weighted twin of events_rolling_hour_avg's flat mean).
+
+    Integer-exact formulation: per-event values floor to micro-units
+    FIRST; with α = 1/2 the lag-ℓ weight is exactly 2^(H-1-ℓ), so the
+    weighted numerator is a sum of longs (≤ 2^53, double-exact) and
+    the denominator is 2^n − 1 — both engines divide the same two
+    integers, so the floored quotient is bit-portable. The frame is
+    ROWS (15 PRECEDING, CURRENT) ordered by (ts, event_id): the
+    event_id tiebreak makes frame membership deterministic.
+
+    Scale shape: one shuffle on event_type; the fold is per-row over a
+    ≤16-element frame array — no self-join, no explode, map-side after
+    the single window exchange."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    vu = F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-15, 0)
+    )
+    arr = F.collect_list(vu).over(w)
+    stepped = ev.select("event_id", "event_type", arr.alias("arr"))
+    num = F.aggregate(
+        F.zip_with(
+            F.col("arr"),
+            F.sequence(F.lit(1), F.size("arr")),
+            lambda v, j: (v * F.pow(F.lit(2.0), j.cast("double") - 1)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    den = F.pow(F.lit(2.0), F.size("arr").cast("double")).cast("long") - 1
+    return (
+        stepped.select(
+            "event_id",
+            "event_type",
+            num.alias("ewma_num"),
+            den.alias("ewma_den"),
+        )
+        .withColumn(
+            "ewma_u",
+            F.floor(F.col("ewma_num") / F.col("ewma_den")).cast("long"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_EWMA_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, ts,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_u
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+win AS (
+  SELECT event_id, event_type, list(value_u) OVER w AS arr
+  FROM ev
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+),
+folded AS (
+  SELECT event_id, event_type,
+         CAST(list_sum(list_transform(range(1, len(arr) + 1),
+              j -> arr[CAST(j AS INT)] * CAST(pow(2, j - 1) AS BIGINT))) AS BIGINT) AS ewma_num,
+         CAST(pow(2, len(arr)) AS BIGINT) - 1 AS ewma_den
+  FROM win
+)
+SELECT event_id, event_type, ewma_num, ewma_den,
+       CAST(floor(ewma_num / ewma_den) AS BIGINT) AS ewma_u
+FROM folded
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "events_ohlc_resample": events_ohlc_resample,
+    "events_ewma": events_ewma,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_gap_fill": events_gap_fill,
@@ -487,6 +567,7 @@ QUERIES = {
 
 ORACLES = {
     "events_ohlc_resample": EVENTS_OHLC_SQL,
+    "events_ewma": EVENTS_EWMA_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_range_join": EVENTS_RANGE_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,

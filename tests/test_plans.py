@@ -389,3 +389,26 @@ def test_dedup_rate_by_source_pruned_scan(spark, sf_dir):
     assert "CartesianProduct" not in s["plan"]
     cols = ";".join(s["read_columns"])
     assert "source" in cols and "text" in cols and len(s["read_columns"]) <= 2
+
+
+def test_events_ewma_single_window_exchange(spark, sf_dir):
+    # one shuffle on event_type; the per-row fold runs over the ≤16-
+    # element frame array JVM-side — no self-join, no Python worker
+    from molgraphdb_spark.queries.temporal import events_ewma
+
+    s = plan_summary(events_ewma(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert s["n_sortmerge_joins"] == 0
+
+
+def test_pq_recall_rerank_bounded(spark, sf_dir):
+    # both the ADC side and the exact baseline broadcast the tiny
+    # query relation; the rerank join touches only Q×shortlist rows —
+    # no Python worker, no unbroadcast cartesian over the corpus
+    from molgraphdb_spark.queries.similarity import similarity_pq_recall
+
+    s = plan_summary(similarity_pq_recall(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" in s["plan"]
