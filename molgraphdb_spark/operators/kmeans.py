@@ -40,15 +40,30 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in cents
-        ]
+    """Literal ``array<struct<cid int, cv array<double>>>`` of centroids.
+
+    Built as ONE SQL string parsed JVM-side (a single py4j call) rather
+    than nested F.array/F.struct/F.lit Column constructions — a k=16,
+    d=8 codebook is ~160 literal nodes, and the PQ queries instantiate
+    16 codebooks per plan, so per-node py4j round-trips dominated plan
+    BUILD time (~2 s/query at sf0.1). ``repr(float)`` is the shortest
+    round-trip decimal and Spark's double parser recovers the exact
+    bits, so the parsed tree is identical to the old construction."""
+    def flit(x: float) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x in (float("inf"), float("-inf")):
+            return "CAST('Infinity' AS DOUBLE)" if x > 0 else "CAST('-Infinity' AS DOUBLE)"
+        return f"{x!r}D"
+
+    parts = ", ".join(
+        "struct({} as cid, array({}) as cv)".format(
+            int(cid), ", ".join(flit(x) for x in vec)
+        )
+        for cid, vec in cents
     )
+    return F.expr(f"array({parts})")
 
 
 def assign_cells(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:

@@ -52,3 +52,23 @@ def test_assignment_is_map_only(spark, sf_dir):
     plan = assign_cells(df, "v", cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_literal_roundtrips_exact_bits(spark):
+    # _centroid_literal builds ONE SQL string parsed JVM-side (plan-build
+    # perf: per-node py4j construction cost dominated the PQ queries).
+    # repr(float) is the shortest round-trip decimal and Spark's parser
+    # recovers the exact bits; non-finite components need the CAST form
+    # (bare 'nan'/'inf' are not SQL double literals).
+    import math
+
+    from molgraphdb_spark.operators.kmeans import _centroid_literal
+
+    vals = [0.1234567890123456789, -1e-305, 3.0000000000000004, 1e308]
+    col = _centroid_literal(
+        [(0, vals), (1, [float("nan"), float("inf"), float("-inf"), 0.0])]
+    )
+    got = spark.range(1).select(col.alias("c")).first().c
+    assert got[0].cv == vals  # exact bit round-trip
+    assert math.isnan(got[1].cv[0])
+    assert got[1].cv[1] == float("inf") and got[1].cv[2] == float("-inf")
