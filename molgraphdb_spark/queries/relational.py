@@ -1084,6 +1084,121 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier) via ONE window pass — the O(n log n)
+# formulation of a query whose textbook form is a quadratic self-join.
+# --------------------------------------------------------------------------
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (price low, size high) Pareto frontier: no other
+    part is cheaper-or-equal AND bigger-or-equal with at least one
+    strict. The naive formulation is NOT EXISTS over a self-join —
+    O(n²) and a scale-killer; this plan is a SINGLE sort (one range
+    shuffle): ordered by price, a part is dominated iff the running
+    max size over STRICTLY cheaper parts reaches its size, or an
+    equal-price part is strictly bigger. Two frames over one sort
+    order — Spark evaluates both in the same Window exec, so at 100 TB
+    the cost is one global sort, not n² comparisons. The oracle
+    deliberately runs the quadratic NOT EXISTS form: two different
+    algorithms agreeing on the frontier is the correctness point.
+    Price is floored to cents so the range frame's -1 step means
+    'strictly cheaper' exactly.
+
+    Scale shape: frontier members must carry their price's MAX size
+    (equal-price smaller parts are dominated; equal price AND size are
+    mutually non-dominating, so all per-price maxima survive), so
+    stage 1 is an ordinary skew-free hash aggregation + broadcast
+    semi-reduction to ≤|distinct prices| candidates; only THAT reduced
+    set pays the unpartitioned global-sort window (the classic
+    single-partition window hazard, here bounded by price cardinality
+    rather than row count)."""
+    part = _t(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+    sized = part.select(
+        "p_partkey", cents.alias("price_c"), F.col("p_size").cast("int").alias("p_size")
+    )
+    per_price = sized.groupBy("price_c").agg(F.max("p_size").alias("_mx"))
+    cand = sized.join(F.broadcast(per_price), "price_c").filter(
+        F.col("p_size") == F.col("_mx")
+    )
+    w_cheaper = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    flagged = cand.select(
+        "p_partkey",
+        "price_c",
+        "p_size",
+        F.max("p_size").over(w_cheaper).alias("_mx_cheaper"),
+    )
+    return (
+        flagged.filter(
+            F.col("_mx_cheaper").isNull() | (F.col("_mx_cheaper") < F.col("p_size"))
+        )
+        .select("p_partkey", "price_c", "p_size")
+        .orderBy("price_c", F.desc("p_size"), "p_partkey")
+    )
+
+
+PARTS_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(p_size AS INT) AS p_size
+  FROM part
+)
+SELECT p_partkey, price_c, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+)
+ORDER BY price_c, p_size DESC, p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime join pruning (operators/bloom.py) through the
+# oracle gate: the bloom prefilter must be invisible in the RESULT.
+# --------------------------------------------------------------------------
+def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of orders from BUILDING-segment customers, with the
+    probe side pre-pruned by a bloom digest of the build keys
+    (operators/bloom.py) BEFORE the exact broadcast join removes the
+    false positives. The oracle is the plain semi-join aggregate: the
+    bloom stage prunes, never decides, so the result is bit-identical
+    with the filter on or off — which is exactly what makes the
+    pattern safe to deploy at 100 TB, where it kills non-matching
+    fact rows at the scan instead of after the shuffle."""
+    from molgraphdb_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    words = bloom_build(cust, "c_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    pruned = orders.filter(bloom_might_contain(F.col("o_custkey"), words))
+    return (
+        pruned.join(F.broadcast(cust), pruned.o_custkey == cust.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # floor to cents per ROW, then sum longs: exact in any
+            # partition order (a float sum would drift in the last ulp)
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_c"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDERS_BLOOM_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1118,6 +1233,8 @@ QUERIES = {
     "null_handling_discounts": null_handling_discounts,
     "parts_abc_analysis": parts_abc_analysis,
     "skew_salted_status_counts": skew_salted_status_counts,
+    "parts_skyline": parts_skyline,
+    "orders_bloom_prefilter": orders_bloom_prefilter,
 }
 
 ORACLES = {
@@ -1154,4 +1271,6 @@ ORACLES = {
     "null_handling_discounts": NULL_HANDLING_SQL,
     "parts_abc_analysis": PARTS_ABC_SQL,
     "skew_salted_status_counts": SKEW_SALTED_SQL,
+    "parts_skyline": PARTS_SKYLINE_SQL,
+    "orders_bloom_prefilter": ORDERS_BLOOM_SQL,
 }

@@ -1100,6 +1100,97 @@ ORDER BY x.query_id
 """
 
 
+# --------------------------------------------------------------------------
+# Per-class centroid outliers — the embedding-space quality filter.
+# --------------------------------------------------------------------------
+EMB_DIM = 64
+OUTLIER_TOPK = 5
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5 vectors LEAST cosine-similar to their own label's centroid
+    — the embedding-space quality filter a curation pipeline runs to
+    surface mislabeled / off-distribution items (the CLIP-score-filter
+    shape: score every item against its class prototype, review or
+    drop the tail).
+
+    Scale shape: the centroid pass is ONE skew-free hash aggregation
+    emitting d parallel sums per label (the kmeans-update shape — the
+    shuffle moves |labels|×(d+1) partials per task, independent of row
+    count); the tiny centroid relation broadcasts back and scoring is
+    map-only; the per-label top-k window shuffles once on label.
+
+    Exactness: components are floored to micro-units BEFORE summation
+    (long sums are order-free), the mean divides in one fixed order
+    (S / n / 1e6 — IEEE754-identical in any engine), and the cosine is
+    the sequential left-fold that matches DuckDB's list_dot_product
+    bit-for-bit (the _COS_SQL precedent)."""
+    emb = _emb(spark, sf_dir).filter(F.col("v").isNotNull())
+    xi = F.transform(F.col("v"), lambda x: F.floor(x * 1_000_000 + 0.5).cast("long"))
+    with_x = emb.select("vec_id", "label", "v", xi.alias("x"))
+    sums = with_x.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("x", j + 1)).alias(f"s{j}")
+            for j in range(EMB_DIM)
+        ],
+    )
+    n_d = F.col("n").cast("double")
+    cent = sums.select(
+        "label",
+        F.array(
+            *[
+                (F.col(f"s{j}").cast("double") / n_d / F.lit(1_000_000.0))
+                for j in range(EMB_DIM)
+            ]
+        ).alias("m"),
+    )
+    scored = with_x.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.floor(_cosine(F.col("v"), F.col("m")) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("cos_ubp"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_ubp"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= OUTLIER_TOPK)
+        .orderBy("label", "rk")
+    )
+
+
+EMB_OUTLIERS_SQL = f"""
+WITH {_EMB_CTE},
+sums AS (
+  SELECT label, t.j AS j,
+         CAST(SUM(CAST(floor(v[CAST(t.j AS INT)] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM e, range(1, {EMB_DIM} + 1) t(j)
+  GROUP BY label, t.j
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY j) AS m
+  FROM sums GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         CAST(floor(
+           list_dot_product(e.v, c.m)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.m, c.m)))
+           * 1000000 + 0.5) AS BIGINT) AS cos_ubp
+  FROM e JOIN cent c ON c.label = e.label
+)
+SELECT label, vec_id, cos_ubp, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_ubp ASC, vec_id ASC) AS rk
+  FROM scored
+) t
+WHERE rk <= {OUTLIER_TOPK}
+ORDER BY label, rk
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -1115,6 +1206,7 @@ QUERIES = {
     "pq_code_stats": pq_code_stats,
     "similarity_pq_topk": similarity_pq_topk,
     "similarity_pq_recall": similarity_pq_recall,
+    "embedding_label_outliers": embedding_label_outliers,
 }
 
 ORACLES = {
@@ -1132,4 +1224,5 @@ ORACLES = {
     "pq_code_stats": PQ_CODE_STATS_SQL,
     "similarity_pq_topk": PQ_TOPK_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
+    "embedding_label_outliers": EMB_OUTLIERS_SQL,
 }

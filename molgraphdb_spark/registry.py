@@ -50,16 +50,19 @@ _QUERY_MODULES = [
 # doc_dup_span_stats/doc_dup_span_removal whose occ materialization
 # switched cache()→localCheckpoint (plan-shape-only change, r5-green,
 # re-verified by local parity this session — see BASELINE.md r6 note).
-# Eight r6 extension debuts sit OUTSIDE the window (the kcore
+# Eleven r6 extension debuts sit OUTSIDE the window (the kcore
 # precedent: staleness-clearing outranks debut slots this round) and
 # lead the r7 window: source_lang_entropy, neardup_degree_hist,
 # vocab_bpe_compression, similarity_pq_topk (the PQ SEARCH leg — ADC
 # over broadcast integer LUTs), graph_supplier_jaccard (bipartite-set
 # node similarity), dedup_rate_by_source (per-source exact-dup
 # profile), similarity_pq_recall (shortlist+rerank recall vs the
-# exact L2 baseline), events_ewma (integer-exact α=1/2 decay mean) —
-# all parity-green at sf0.01 on this tree (the identical driver
-# comparison, run locally).
+# exact L2 baseline), events_ewma (integer-exact α=1/2 decay mean),
+# parts_skyline (Pareto frontier: window formulation vs the oracle's
+# quadratic NOT EXISTS), orders_bloom_prefilter (bloom runtime join
+# pruning — operators/bloom.py), embedding_label_outliers (per-class
+# centroid quality filter) — all parity-green at sf0.01 on this tree
+# (the identical driver comparison, run locally).
 _PRIORITY = [
     # ---- the 44 r3-stale entries (events/temporal + chem + original
     # text + graph + similarity + dedup-signature + relational/reshape
