@@ -158,6 +158,51 @@ def bfs_distances(
     return visited
 
 
+def multi_bfs_distances(
+    edges: DataFrame, seeds: list[int], max_depth: int = 100
+) -> DataFrame:
+    """BFS from ALL ``seeds`` in one wave loop; returns
+    (seed, id, dist) for every (seed → vertex) pair reached within
+    ``max_depth`` edges.
+
+    The scale point vs running :func:`bfs_distances` per seed: K
+    single-source runs pay K× the wave-loop job overhead and scan the
+    edge table K× per depth level; here the frontier is keyed by
+    (seed, id), so ONE join per wave advances every seed's wavefront
+    simultaneously — the standard multi-source BFS batching (the same
+    frontier⋈edges / anti-join-visited shape as the single-source
+    loop, reference main.py:283–303, just with the seed column carried
+    through)."""
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").localCheckpoint()
+    seed_arr = F.array(*[F.lit(int(s)).cast("long") for s in seeds])
+    visited = (
+        spark.range(1)
+        .select(F.explode(seed_arr).alias("seed"))
+        .select("seed", F.col("seed").alias("id"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        candidates = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select("seed", F.col("dst").alias("id"))
+            .distinct()
+        )
+        obs = Observation()
+        new_frontier = (
+            candidates.join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        if not obs.get.get("n"):
+            break
+        visited = visited.unionByName(new_frontier)
+        frontier = new_frontier
+    return visited
+
+
 def bfs_query(edges: DataFrame, mol_from: str, mol_to: str, max_depth: int = 100) -> int:
     """Shortest-path query with the reference's return convention
     (verified in SURVEY.md §3.1): number of NODES on the path —

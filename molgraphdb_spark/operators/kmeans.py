@@ -49,21 +49,25 @@ def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
     BUILD time (~2 s/query at sf0.1). ``repr(float)`` is the shortest
     round-trip decimal and Spark's double parser recovers the exact
     bits, so the parsed tree is identical to the old construction."""
-    def flit(x: float) -> str:
-        x = float(x)
-        if x != x:
-            return "CAST('NaN' AS DOUBLE)"
-        if x in (float("inf"), float("-inf")):
-            return "CAST('Infinity' AS DOUBLE)" if x > 0 else "CAST('-Infinity' AS DOUBLE)"
-        return f"{x!r}D"
-
     parts = ", ".join(
         "struct({} as cid, array({}) as cv)".format(
-            int(cid), ", ".join(flit(x) for x in vec)
+            int(cid), ", ".join(_dlit(x) for x in vec)
         )
         for cid, vec in cents
     )
     return F.expr(f"array({parts})")
+
+
+def _dlit(x: float) -> str:
+    """Exact SQL double literal for ``x``: repr() is the shortest
+    round-trip decimal and Spark's parser recovers the same bits;
+    non-finite values need the CAST form (not SQL literals)."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x in (float("inf"), float("-inf")):
+        return "CAST('Infinity' AS DOUBLE)" if x > 0 else "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
 
 
 def assign_cells(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:

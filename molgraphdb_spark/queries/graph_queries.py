@@ -424,6 +424,93 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# Closeness centrality of sampled seeds via ONE multi-source BFS.
+# --------------------------------------------------------------------------
+CLOSENESS_SEEDS = 3
+
+
+def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality of the 3 lowest-keyed customers within
+    BFS_DEPTH waves: (reached − 1)·10⁶ ÷ Σdist, integer division so
+    both engines agree exactly. The interesting part is the PLAN: all
+    seeds advance through ONE wave loop (operators/graph.py::
+    multi_bfs_distances — frontier keyed by (seed, id)), so the edge
+    table is scanned once per depth level, not once per seed per
+    level; at 100 TB that batching is the difference between sampled
+    centrality being routine and being K full BFS jobs. Exact
+    closeness needs all-pairs distances; sampled-seed closeness is
+    the standard practical estimator (Eppstein–Wang style, with
+    deterministic lowest-key seeds instead of random ones so the
+    oracle can recompute)."""
+    from molgraphdb_spark.operators.graph import multi_bfs_distances
+
+    edges = purchase_edges(spark, sf_dir)
+    seed_rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").cast("long").alias("k"))
+        .distinct()
+        .orderBy("k")
+        .limit(CLOSENESS_SEEDS)
+        .collect()
+    )
+    seeds = [2 * int(r.k) for r in seed_rows]
+    out_schema = "seed string, n_reached long, dist_sum long, closeness_ubp long"
+    if not seeds:
+        return spark.createDataFrame([], out_schema)
+    dists = multi_bfs_distances(edges, seeds, max_depth=BFS_DEPTH)
+    return (
+        dists.groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").alias("dist_sum"),
+        )
+        .select(
+            _fmt_id(F.col("seed")).alias("seed"),
+            "n_reached",
+            "dist_sum",
+            F.when(F.col("dist_sum") == 0, F.lit(0))
+            .otherwise(
+                F.expr("(n_reached - 1) * 1000000 DIV dist_sum")
+            )
+            .cast("long")
+            .alias("closeness_ubp"),
+        )
+        .orderBy("seed")
+    )
+
+
+GRAPH_CLOSENESS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+seeds AS (
+  SELECT 2 * k AS v FROM (
+    SELECT DISTINCT o_custkey AS k FROM orders ORDER BY k LIMIT {CLOSENESS_SEEDS}
+  )
+),
+reach(seed, id, dist) AS (
+  SELECT v, v, 0 FROM seeds
+  UNION
+  SELECT r.seed, e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.dist < {BFS_DEPTH}
+),
+best AS (
+  SELECT seed, id, MIN(dist) AS dist FROM reach GROUP BY seed, id
+),
+agg AS (
+  SELECT seed, COUNT(*) AS n_reached, SUM(dist) AS dist_sum
+  FROM best GROUP BY seed
+)
+SELECT {_FMT_SQL.format(col="seed")} AS seed,
+       CAST(n_reached AS BIGINT) AS n_reached,
+       CAST(dist_sum AS BIGINT) AS dist_sum,
+       CAST(CASE WHEN dist_sum = 0 THEN 0
+            ELSE (n_reached - 1) * 1000000 // dist_sum END AS BIGINT) AS closeness_ubp
+FROM agg
+ORDER BY seed
+"""
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_supplier_jaccard": graph_supplier_jaccard,
@@ -434,6 +521,7 @@ QUERIES = {
     "graph_degree_histogram": graph_degree_histogram,
     "graph_common_suppliers": graph_common_suppliers,
     "graph_connected_components_summary": graph_connected_components_summary,
+    "graph_closeness_sample": graph_closeness_sample,
 }
 
 #: Oracles whose VALUES literals encode the result at the driver's gate
@@ -465,4 +553,5 @@ ORACLES = {
     "graph_degree_histogram": GRAPH_DEGREE_SQL,
     "graph_common_suppliers": GRAPH_COMMON_SQL,
     "graph_connected_components_summary": GRAPH_CC_SQL,
+    "graph_closeness_sample": GRAPH_CLOSENESS_SQL,
 }

@@ -311,12 +311,99 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Budget-constrained quality selection: greedy top-quality per source.
+# --------------------------------------------------------------------------
+#: Per-source token budget for the selection report.
+TOKEN_BUDGET = 5_000
+
+
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy budget allocation: each source contributes its
+    highest-quality documents until a fixed token budget is spent —
+    the selection step of a quality-weighted data mixture (rank by
+    quality, take while the budget lasts; a document is taken iff it
+    STARTS under budget, so every source contributes at least one).
+
+    Quality is the alpha-character ratio in basis points (deterministic,
+    JVM-side regexp); ties break by ascending doc_id. Output per
+    source: candidate/selected counts, selected token mass, and the
+    effective quality cutoff (min selected quality) — the knobs a
+    mixture designer actually reads.
+
+    Scale: one window shuffle on ``source`` (ranking + running sum ride
+    the same sort), then a map-side-combined aggregation; the corpus
+    crosses the wire once. Skew note: partitioning is by source, so a
+    single dominant source serializes its own sort — the same bound as
+    doc_pack_offsets, inherent to per-source sequential semantics."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        F.coalesce(
+            F.floor(
+                F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+                * 10000
+                / F.nullif(F.length("text"), F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("quality_bp"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality_bp"), F.asc("doc_id"))
+    ranked = docs.select(
+        "source",
+        "n_tok",
+        "quality_bp",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_before"),
+    )
+    sel = F.col("cum_before") < TOKEN_BUDGET
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(sel.cast("long")).cast("long").alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_tok")).otherwise(0)).cast("long").alias("tok_selected"),
+            F.min(F.when(sel, F.col("quality_bp"))).cast("long").alias("quality_cutoff_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         COALESCE(CAST(floor(
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000
+           / NULLIF(length(text), 0)) AS BIGINT), 0) AS quality_bp
+  FROM documents
+), ranked AS (
+  SELECT source, n_tok, quality_bp,
+         SUM(n_tok) OVER (PARTITION BY source
+                          ORDER BY quality_bp DESC, doc_id ASC) - n_tok AS cum_before
+  FROM t
+)
+SELECT source,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN cum_before < {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN cum_before < {TOKEN_BUDGET} THEN n_tok ELSE 0 END) AS BIGINT) AS tok_selected,
+       CAST(MIN(CASE WHEN cum_before < {TOKEN_BUDGET} THEN quality_bp END) AS BIGINT) AS quality_cutoff_bp
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "source_lang_entropy": source_lang_entropy,
     "doc_pack_offsets": doc_pack_offsets,
     "orders_retention_cohorts": orders_retention_cohorts,
     "doc_split_assign": doc_split_assign,
+    "source_token_budget": source_token_budget,
 }
 
 ORACLES = {
@@ -325,4 +412,5 @@ ORACLES = {
     "doc_pack_offsets": DOC_PACK_SQL,
     "orders_retention_cohorts": ORDERS_RETENTION_SQL,
     "doc_split_assign": DOC_SPLIT_SQL,
+    "source_token_budget": SOURCE_TOKEN_BUDGET_SQL,
 }

@@ -45,6 +45,11 @@ REPRESENTATIVE = [
     "approx_quantiles_price",    # GK sketch over empty groups
     "pq_code_stats",             # driver-collected codebook literal
     "vocab_bpe_merge_table",     # iterative merge loop over empty dict
+    "parts_skyline",             # windowed frontier over empty candidates
+    "orders_bloom_prefilter",    # bloom built from an EMPTY build side
+    "embedding_label_outliers",  # centroid sums over zero rows
+    "source_token_budget",       # budget window over empty corpus
+    "graph_closeness_sample",    # multi-source BFS with zero seeds
 ]
 
 

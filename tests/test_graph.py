@@ -275,3 +275,39 @@ def test_core_numbers_random_agreement(spark):
         )
         got = {r.id: r.core for r in core_numbers(_sym(spark, edges)).collect()}
         assert got == _nx_cores(edges)
+
+
+def test_multi_bfs_matches_per_seed_single_source(spark):
+    # multi-source BFS (one wave loop, frontier keyed by (seed, id))
+    # must agree exactly with K independent single-source runs
+    from molgraphdb_spark.operators.graph import bfs_distances, multi_bfs_distances
+
+    # path 0-1-2-3-4 plus a disjoint pair 10-11
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    e = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = [0, 2, 10]
+    multi = {
+        (r.seed, r.id): r.dist
+        for r in multi_bfs_distances(e, seeds, max_depth=10).collect()
+    }
+    single = {}
+    for s in seeds:
+        for r in bfs_distances(e, s, max_depth=10).collect():
+            single[(s, r.id)] = r.dist
+    assert multi == single
+    assert multi[(0, 4)] == 4 and multi[(2, 0)] == 2 and multi[(10, 11)] == 1
+    # seed 0 never reaches the disjoint component
+    assert (0, 10) not in multi
+
+
+def test_multi_bfs_depth_cap(spark):
+    from molgraphdb_spark.operators.graph import multi_bfs_distances
+
+    pairs = [(i, i + 1) for i in range(6)]
+    e = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    got = {r.id for r in multi_bfs_distances(e, [0], max_depth=2).collect()}
+    assert got == {0, 1, 2}
