@@ -76,6 +76,13 @@ HEADLINE = [
     "dedup_rate_by_source",
     "similarity_pq_recall",
     "events_ewma",
+    # added round 6 session 3 (runtime-filter join, windowed skyline,
+    # centroid outliers, budget selection, multi-source-BFS closeness)
+    "orders_bloom_prefilter",
+    "parts_skyline",
+    "embedding_label_outliers",
+    "source_token_budget",
+    "graph_closeness_sample",
 ]
 
 
