@@ -73,3 +73,19 @@ def test_dedup_clusters_uses_cheap_cc_at_test_scale(spark, sf_dir):
     assert connected_components_auto.last_strategy == "minlabel"
     assert connected_components.last_converged
     assert connected_components.last_rounds <= 8, connected_components.last_rounds
+
+
+def test_prefix_pairs_equals_inverted_index(spark, sf_dir):
+    # AllPairs prefix filtering must lose NO pair vs the plain
+    # inverted-index join — same rows, same scores (its registry oracle
+    # is literally neardup_jaccard_pairs' SQL; this pins the Spark
+    # sides against each other too)
+    from molgraphdb_spark.queries.dedup import (
+        neardup_jaccard_pairs,
+        neardup_prefix_pairs,
+    )
+
+    plain = sorted(tuple(r) for r in neardup_jaccard_pairs(spark, sf_dir).collect())
+    pref = sorted(tuple(r) for r in neardup_prefix_pairs(spark, sf_dir).collect())
+    assert pref == plain
+    assert plain  # the corpus plants near-dups; empty would be vacuous

@@ -44,6 +44,7 @@ AT_RISK = [
     "events_ewma",               # frame-ordered fold — sequencing case
     "graph_supplier_jaccard",    # inverted-index pair counts + bp-ranked top-k
     "dedup_rate_by_source",      # hash-group rollup incl. null-side union
+    "neardup_prefix_pairs",      # rank-window prefix index — order determinism
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
