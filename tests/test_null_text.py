@@ -35,6 +35,8 @@ TEXT_FAMILY = [
     "vocab_bpe_compression",
     "source_token_divergence",
     "source_lang_entropy",
+    "source_token_budget",
+    "neardup_prefix_pairs",
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the

@@ -177,6 +177,66 @@ def probe_lsh(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_prefix(spark, sf_dir: str) -> dict:
+    """Prefix filtering (neardup_prefix_pairs) vs the plain inverted-
+    index join at k× docs: candidate volumes ΣC(df,2) for the full vs
+    prefix index, both walls, and result-set equality (count + integer
+    checksum) — the crossover evidence for the AllPairs variant."""
+    from pyspark.sql.window import Window
+
+    from molgraphdb_spark.queries.dedup import (
+        _shingle_rows,
+        neardup_jaccard_pairs,
+        neardup_prefix_pairs,
+    )
+
+    def checksum(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("id_a") + F.col("id_b") * 7 + F.col("jaccard_bp")).alias("s"),
+        ).first()
+        return int(r.n), int(r.s or 0)
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    plain = checksum(neardup_jaccard_pairs(spark, sf_dir))
+    t_plain = time.time() - t0
+    spark.catalog.clearCache()
+    t0 = time.time()
+    pref = checksum(neardup_prefix_pairs(spark, sf_dir))
+    t_pref = time.time() - t0
+
+    spark.catalog.clearCache()
+    sh = _shingle_rows(spark, sf_dir)
+    vol_full = (
+        sh.groupBy("shingle").agg(F.count("*").alias("d"))
+        .agg(F.sum(F.expr("d*(d-1) DIV 2"))).first()[0]
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc_id", "shingle",
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("_n"),
+    )
+    p = F.col("_n") - F.floor((8 * F.col("_n") + 9) / 10) + 1
+    vol_pref = (
+        ranked.filter(F.col("_pos") <= p)
+        .groupBy("shingle").agg(F.count("*").alias("d"))
+        .agg(F.sum(F.expr("d*(d-1) DIV 2"))).first()[0]
+    )
+    return {
+        "probe": "prefix_filter",
+        "results_equal": plain == pref,
+        "n_pairs": plain[0],
+        "wall_plain_s": round(t_plain, 2),
+        "wall_prefix_s": round(t_pref, 2),
+        "cand_full": int(vol_full),
+        "cand_prefix": int(vol_pref),
+        "cand_ratio": round(vol_full / max(vol_pref, 1), 1),
+    }
+
+
 def probe_spans(spark, sf_dir: str) -> dict:
     """Span-dedup at 10×: every replica shares its original's full
     token prefix, so a replica-0 document WITHOUT the boilerplate
@@ -548,6 +608,7 @@ def main() -> None:
 
     print(json.dumps(probe_cap(spark, sf_dir, k, n_orig)))
     print(json.dumps(probe_lsh(spark, sf_dir)))
+    print(json.dumps(probe_prefix(spark, sf_dir)))
     print(json.dumps(probe_spans(spark, sf_dir)))
     print(json.dumps(probe_phash(spark, sf_dir)))
     # CC at both sides of the 1M-edge dispatch threshold.
