@@ -412,3 +412,51 @@ def test_pq_recall_rerank_bounded(spark, sf_dir):
     assert not s["has_python_worker"]
     assert "CartesianProduct" not in s["plan"]
     assert "BroadcastNestedLoopJoin" in s["plan"]
+
+
+def test_bloom_prefilter_prunes_before_join(spark, sf_dir):
+    # the bitmap predicate must sit on the probe side BELOW the exact
+    # join (xxhash64 filter in the plan), with the dim side broadcast
+    from molgraphdb_spark.queries.relational import orders_bloom_prefilter
+
+    s = plan_summary(orders_bloom_prefilter(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "xxhash64" in s["plan"]
+    assert s["n_broadcast_joins"] >= 1
+
+
+def test_skyline_no_quadratic_join(spark, sf_dir):
+    # the window formulation must NOT contain the oracle's NOT EXISTS
+    # self-join shape: one broadcast semi-reduction + one sort window
+    from molgraphdb_spark.queries.relational import parts_skyline
+
+    s = plan_summary(parts_skyline(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert s["n_sortmerge_joins"] == 0
+    assert "Window" in s["plan"]
+
+
+def test_label_outliers_broadcast_centroids(spark, sf_dir):
+    # the |labels|-row centroid relation joins back as a broadcast —
+    # the corpus never shuffles for the scoring pass
+    from molgraphdb_spark.queries.similarity import embedding_label_outliers
+
+    s = plan_summary(embedding_label_outliers(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert s["n_broadcast_joins"] >= 1
+
+
+def test_token_budget_single_sort(spark, sf_dir):
+    # ranking and the running token sum ride ONE window sort on source
+    from molgraphdb_spark.queries.mixing import source_token_budget
+
+    s = plan_summary(source_token_budget(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert s["n_sortmerge_joins"] == 0
+    # window shuffle + agg exchange + final sort (+AQE read) - no more
+    assert s["plan"].count("Exchange") <= 4
