@@ -397,6 +397,86 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted systematic sampling: exact integer threshold crossings.
+# --------------------------------------------------------------------------
+#: Target sample size for the weighted systematic sample.
+WSAMPLE_TARGET = 50
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sample of ~WSAMPLE_TARGET
+    documents (weight = n_chars): walk the corpus in doc_id order and
+    take a document whenever its weight interval crosses one of
+    ``target`` evenly-spaced marks on the cumulative-weight axis —
+    long docs can cross several marks (recorded in ``n_marks``), so
+    inclusion probability is proportional to weight, the property a
+    char-budget-aware downsampler needs.
+
+    Exactness: selection is ``floor(cum·target/W) > floor((cum−w)·
+    target/W)`` in 64-bit integers only (cum·target ≤ ~10¹⁰ at sf0.1)
+    — no RNG, no float division, bit-identical in any engine and at
+    any parallelism. The infamous alternative (exponential-race keys,
+    u^(1/w)) needs ln() whose last ulp differs between engines.
+
+    Scale: one window cumsum in doc_id order + a broadcast total.
+    The global window is the same single-partition bound as
+    doc_pack_offsets' per-source variant; a sharded deployment runs
+    it per shard with per-shard totals. Output: per-source counts of
+    selected docs + their weight share (the sample-composition report).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    total = docs.agg(F.sum("w").alias("tw"))
+    w_cum = Window.orderBy("doc_id")
+    cum = docs.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "source",
+        "w",
+        "tw",
+        F.sum("w").over(w_cum).alias("cum"),
+    )
+    # integer DIV, not float floor(/): the quotient must be the exact
+    # integer division DuckDB's // computes (a double division could
+    # land on the wrong side of a mark boundary in the last ulp)
+    marks = F.expr(
+        f"(cum * {WSAMPLE_TARGET}) DIV tw - ((cum - w) * {WSAMPLE_TARGET}) DIV tw"
+    )
+    return (
+        cum.select("doc_id", "source", "w", marks.cast("long").alias("n_marks"))
+        .filter(F.col("n_marks") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("w").cast("long").alias("w_selected"),
+            F.sum("n_marks").cast("long").alias("marks_hit"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_WSAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cum,
+         SUM(CAST(n_chars AS BIGINT)) OVER () AS tw
+  FROM documents
+), sel AS (
+  SELECT doc_id, source, w,
+         (cum * {WSAMPLE_TARGET}) // tw - ((cum - w) * {WSAMPLE_TARGET}) // tw AS n_marks
+  FROM t
+)
+SELECT source, COUNT(*) AS n_selected,
+       CAST(SUM(w) AS BIGINT) AS w_selected,
+       CAST(SUM(n_marks) AS BIGINT) AS marks_hit
+FROM sel WHERE n_marks > 0
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "source_lang_entropy": source_lang_entropy,
@@ -404,6 +484,7 @@ QUERIES = {
     "orders_retention_cohorts": orders_retention_cohorts,
     "doc_split_assign": doc_split_assign,
     "source_token_budget": source_token_budget,
+    "doc_weighted_sample": doc_weighted_sample,
 }
 
 ORACLES = {
@@ -413,4 +494,5 @@ ORACLES = {
     "orders_retention_cohorts": ORDERS_RETENTION_SQL,
     "doc_split_assign": DOC_SPLIT_SQL,
     "source_token_budget": SOURCE_TOKEN_BUDGET_SQL,
+    "doc_weighted_sample": DOC_WSAMPLE_SQL,
 }

@@ -552,6 +552,92 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Per-group OLS trend: exact integer/decimal moment sums.
+# --------------------------------------------------------------------------
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ``value`` against time per event_type —
+    the drift detector a metrics pipeline runs (is latency creeping
+    up? is a counter decaying?). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    from four moment sums — the classic single-pass distributed OLS:
+    one map-side-combined aggregation, no sort, no iteration.
+
+    Determinism engineering (the TWAP pattern): x = whole seconds
+    since each group's first event (a window min on the same
+    partitioning), y = micro-unit values; all four moments accumulate
+    exactly (long / DECIMAL(38,0) — order-free), and the single final
+    division is one IEEE double op on two exact aggregates. The time
+    rebase keeps nΣx² within decimal range at any realistic span
+    (epoch-microsecond moments would overflow even 38 digits).
+
+    Output: (event_type, n, slope_upm_per_s) — micro-value-units per
+    second, floored."""
+    ev = _events(spark, sf_dir)
+    w_min = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("y"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+    ).select(
+        "event_type",
+        "y",
+        ((F.col("t_us") - F.min("t_us").over(w_min)) / 1_000_000)
+        .cast("long")
+        .alias("x"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+    )
+    num = (dec(F.col("n")) * F.col("sxy") - dec(F.col("sx")) * F.col("sy")) * F.lit(
+        1_000_000
+    ).cast("decimal(38,0)")
+    den = dec(F.col("n")) * F.col("sxx") - dec(F.col("sx")) * F.col("sx")
+    return (
+        agg.withColumn("num", num)
+        .withColumn("den", den)
+        .select(
+            "event_type",
+            "n",
+            F.when(F.col("den") == 0, F.lit(0))
+            .otherwise(
+                F.floor(F.col("num").cast("double") / F.col("den").cast("double"))
+            )
+            .cast("long")
+            .alias("slope_upm_per_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_TREND_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+         (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY event_type)) // 1000000 AS x
+  FROM events
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+  FROM b GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN 0
+            ELSE floor(
+              CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000 AS DOUBLE)
+              / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+            END AS BIGINT) AS slope_upm_per_s
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_ohlc_resample": events_ohlc_resample,
     "events_ewma": events_ewma,
@@ -563,6 +649,7 @@ QUERIES = {
     "events_twap": events_twap,
     "events_anomaly_outliers": events_anomaly_outliers,
     "events_winsorized_stats": events_winsorized_stats,
+    "events_value_trend": events_value_trend,
 }
 
 ORACLES = {
@@ -576,4 +663,5 @@ ORACLES = {
     "events_twap": EVENTS_TWAP_SQL,
     "events_anomaly_outliers": EVENTS_ANOMALY_SQL,
     "events_winsorized_stats": EVENTS_WINSOR_SQL,
+    "events_value_trend": EVENTS_TREND_SQL,
 }

@@ -45,6 +45,8 @@ AT_RISK = [
     "graph_supplier_jaccard",    # inverted-index pair counts + bp-ranked top-k
     "dedup_rate_by_source",      # hash-group rollup incl. null-side union
     "neardup_prefix_pairs",      # rank-window prefix index — order determinism
+    "doc_weighted_sample",       # global cumsum mark crossings — integer exact
+    "events_value_trend",        # decimal moment sums — order-free OLS
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
