@@ -83,6 +83,9 @@ HEADLINE = [
     "embedding_label_outliers",
     "source_token_budget",
     "graph_closeness_sample",
+    "neardup_prefix_pairs",
+    "doc_weighted_sample",
+    "events_value_trend",
 ]
 
 

@@ -340,6 +340,70 @@ def user_moments_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_TREND_STATE = "n long, sx string, sy string, sxy string, sxx string"
+_TREND_OUT = "event_type string, n long, sx string, sy string, sxy string, sxx string"
+
+
+def _trend_state_fn(key, pdf_iter, state: GroupState):
+    """Streaming per-type OLS moment accumulator — the stateful core of
+    the value-trend drift detector (twin of queries/temporal.py::
+    events_value_trend). The slope needs only the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²); they accumulate here as
+    unbounded Python ints serialized as strings (order-free exact — no
+    overflow at any history length), with x = UNSHIFTED epoch seconds:
+    the OLS numerator and denominator are shift-invariant integer
+    identities, so the derived slope never depends on when the group's
+    first event was seen — the property that makes the accumulator
+    correct under out-of-order arrival, where a batch-style
+    rebase-to-first-seen would silently corrupt the moments."""
+    (event_type,) = key
+    if state.exists:
+        n, sx_s, sy_s, sxy_s, sxx_s = state.get
+        sx, sy, sxy, sxx = int(sx_s), int(sy_s), int(sxy_s), int(sxx_s)
+    else:
+        n, sx, sy, sxy, sxx = 0, 0, 0, 0, 0
+    for pdf in pdf_iter:
+        sub = pdf[["t_us", "value"]].dropna()
+        x = (sub["t_us"].to_numpy().astype("int64") // 1_000_000).astype(object)
+        y = np.floor(sub["value"].to_numpy() * 1_000_000 + 0.5).astype("int64").astype(object)
+        n += len(sub)
+        sx += int(x.sum()) if len(sub) else 0
+        sy += int(y.sum()) if len(sub) else 0
+        sxy += int((x * y).sum()) if len(sub) else 0
+        sxx += int((x * x).sum()) if len(sub) else 0
+    state.update((n, str(sx), str(sy), str(sxy), str(sxx)))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n": [n],
+            "sx": [str(sx)],
+            "sy": [str(sy)],
+            "sxy": [str(sxy)],
+            "sxx": [str(sxx)],
+        }
+    )
+
+
+def value_trend_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-event-type OLS moments via applyInPandasWithState;
+    update mode emits each type's latest exact statistics per batch.
+    Slope derivation (floor((n·Σxy − ΣxΣy)·10⁶ / (n·Σx² − (Σx)²)))
+    happens downstream from the emitted sufficient statistics."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select("event_type", F.unix_micros("ts").alias("t_us"), "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _trend_state_fn,
+            outputStructType=_TREND_OUT,
+            stateStructType=_TREND_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def click_purchase_join(
     events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

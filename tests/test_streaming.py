@@ -602,3 +602,53 @@ def test_mg_stream_bounds_and_exactness(spark, sf_dir, tmp_path_factory):
         )
         if n_shard and true > n_shard // (k + 1):
             assert item in summ, (item, true)
+
+
+def test_trend_stream_matches_batch_moments(spark, sf_dir, events_stream_dir):
+    """The streaming per-type OLS accumulator must carry exact
+    (n, Σx, Σy, Σxy, Σx²) across micro-batches — equal to a batch
+    aggregation over the same x = unshifted-epoch-seconds definition —
+    and the slope derived from the shift-invariant integer identities
+    must equal the slope from batch moments."""
+    from pyspark.sql import functions as F
+
+    from molgraphdb_spark.queries.events import _events
+    from molgraphdb_spark.streaming.windows import value_trend_stream
+
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(value_trend_stream(ev), "t_trend", output_mode="update")
+    try:
+        got = {
+            r.event_type: (r.n, int(r.sx), int(r.sy), int(r.sxy), int(r.sxx))
+            for r in spark.table("t_trend").collect()
+        }
+        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        base = _events(spark, sf_dir).select(
+            "event_type",
+            (F.unix_micros("ts") / 1_000_000).cast("long").alias("x"),
+            F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("y"),
+        ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        batch = base.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("x"))).alias("sx"),
+            F.sum(dec(F.col("y"))).alias("sy"),
+            F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+            F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        )
+        want = {
+            r.event_type: (r.n, int(r.sx), int(r.sy), int(r.sxy), int(r.sxx))
+            for r in batch.collect()
+        }
+        assert got == want and len(want) > 0
+        # derived slopes agree between stream state and batch moments
+        for t, (n, sx, sy, sxy, sxx) in got.items():
+            den = n * sxx - sx * sx
+            wn, wsx, wsy, wsxy, wsxx = want[t]
+            wden = wn * wsxx - wsx * wsx
+            assert den == wden
+            if den:
+                assert (n * sxy - sx * sy) * 1_000_000 // den == (
+                    wn * wsxy - wsx * wsy
+                ) * 1_000_000 // wden
+    finally:
+        q.stop()
