@@ -425,6 +425,105 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Pointwise mutual information over the co-purchase incidence.
+# --------------------------------------------------------------------------
+PMI_MIN_SHARED = 2  #: suppress singleton-co-occurrence noise
+
+
+def graph_supplier_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 supplier pairs by pointwise mutual information of their
+    customer sets: PMI = ln(shared·N / (deg_a·deg_b)) — the
+    information-theoretic co-occurrence score that, unlike Jaccard,
+    corrects for popularity (two ubiquitous suppliers sharing many
+    customers score LOW; two niche suppliers sharing even a few score
+    HIGH) — the association measure behind word2vec-era embeddings
+    and market-basket lift.
+
+    Same scale shape as graph_supplier_jaccard (customer-keyed
+    inverted-index pair join, broadcast degree relation) plus one
+    broadcast scalar (N = distinct customers). PMI is floored to
+    MILLI-NATS (the proven cross-engine ln pattern of the text-family
+    log-prob queries); ties break by shared desc, then pair id."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    n_cust = cs.select("o_custkey").distinct().agg(F.count(F.lit(1)).alias("n_cust"))
+    deg = cs.groupBy(F.col("l_suppkey").alias("sup")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_a"))
+    b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_b"))
+    shared = (
+        a.join(b, "cust")
+        .filter(F.col("sup_a") < F.col("sup_b"))
+        .groupBy("sup_a", "sup_b")
+        .agg(F.count(F.lit(1)).alias("shared_customers"))
+        .filter(F.col("shared_customers") >= PMI_MIN_SHARED)
+    )
+    joined = (
+        shared.join(
+            F.broadcast(deg.select(F.col("sup").alias("sup_a"), F.col("deg").alias("deg_a"))),
+            "sup_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("sup").alias("sup_b"), F.col("deg").alias("deg_b"))),
+            "sup_b",
+        )
+        .crossJoin(F.broadcast(n_cust))
+    )
+    pmi = F.floor(
+        F.log(
+            F.col("shared_customers")
+            * F.col("n_cust")
+            / (F.col("deg_a") * F.col("deg_b"))
+        )
+        * 1000
+        + 0.5
+    ).cast("long")
+    return (
+        joined.select(
+            "sup_a", "sup_b", "shared_customers", pmi.alias("pmi_milli")
+        )
+        .orderBy(
+            F.desc("pmi_milli"),
+            F.desc("shared_customers"),
+            F.asc("sup_a"),
+            F.asc("sup_b"),
+        )
+        .limit(10)
+    )
+
+
+GRAPH_SUPPLIER_PMI_SQL = f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+n AS (SELECT COUNT(DISTINCT cust) AS n_cust FROM cs),
+deg AS (SELECT sup, COUNT(*) AS deg FROM cs GROUP BY sup),
+shared AS (
+  SELECT a.sup AS sup_a, b.sup AS sup_b, COUNT(*) AS shared_customers
+  FROM cs a JOIN cs b ON a.cust = b.cust AND a.sup < b.sup
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_SHARED}
+)
+SELECT s.sup_a, s.sup_b, CAST(s.shared_customers AS BIGINT) AS shared_customers,
+       CAST(floor(ln(s.shared_customers * n.n_cust / (da.deg * db.deg)) * 1000 + 0.5) AS BIGINT) AS pmi_milli
+FROM shared s
+JOIN deg da ON da.sup = s.sup_a
+JOIN deg db ON db.sup = s.sup_b
+CROSS JOIN n
+ORDER BY pmi_milli DESC, shared_customers DESC, sup_a ASC, sup_b ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Closeness centrality of sampled seeds via ONE multi-source BFS.
 # --------------------------------------------------------------------------
 CLOSENESS_SEEDS = 3
@@ -522,6 +621,7 @@ QUERIES = {
     "graph_common_suppliers": graph_common_suppliers,
     "graph_connected_components_summary": graph_connected_components_summary,
     "graph_closeness_sample": graph_closeness_sample,
+    "graph_supplier_pmi": graph_supplier_pmi,
 }
 
 #: Oracles whose VALUES literals encode the result at the driver's gate
@@ -554,4 +654,5 @@ ORACLES = {
     "graph_common_suppliers": GRAPH_COMMON_SQL,
     "graph_connected_components_summary": GRAPH_CC_SQL,
     "graph_closeness_sample": GRAPH_CLOSENESS_SQL,
+    "graph_supplier_pmi": GRAPH_SUPPLIER_PMI_SQL,
 }

@@ -50,7 +50,7 @@ _QUERY_MODULES = [
 # doc_dup_span_stats/doc_dup_span_removal whose occ materialization
 # switched cache()→localCheckpoint (plan-shape-only change, r5-green,
 # re-verified by local parity this session — see BASELINE.md r6 note).
-# Sixteen r6 extension debuts sit OUTSIDE the window (the kcore
+# Seventeen r6 extension debuts sit OUTSIDE the window (the kcore
 # precedent: staleness-clearing outranks debut slots this round) and
 # lead the r7 window: source_lang_entropy, neardup_degree_hist,
 # vocab_bpe_compression, similarity_pq_topk (the PQ SEARCH leg — ADC
@@ -68,7 +68,9 @@ _QUERY_MODULES = [
 # neardup_jaccard_pairs' SQL — two published algorithms agreeing
 # hash-for-hash), doc_weighted_sample (weight-proportional systematic
 # sampling by integer mark crossings), events_value_trend (per-group
-# single-pass OLS slope from exact decimal moment sums) — all
+# single-pass OLS slope from exact decimal moment sums),
+# graph_supplier_pmi (milli-nat pointwise mutual information over the
+# co-purchase incidence) — all
 # parity-green at sf0.01 on this tree (the identical driver
 # comparison, run locally).
 _PRIORITY = [

@@ -520,6 +520,64 @@ def probe_bfs(spark, m: int = 40, depth: int = 4) -> dict:
     }
 
 
+def probe_multi_bfs(spark, m: int = 40, depth: int = 4, n_seeds: int = 8) -> dict:
+    """Multi-source BFS batching claim, measured: on the same m-ary
+    broom tree as probe_bfs, BFS from n_seeds first-layer vertices via
+    (a) ONE multi_bfs_distances wave loop vs (b) n_seeds independent
+    single-source loops. Results must agree pairwise exactly (each
+    seed sees its own m-ary subtree: dist histogram [1, m, m², …] one
+    layer shallower); the batched wall should grow FAR slower than
+    seeds× the single wall — the reason sampled closeness is routine
+    and not K BFS jobs."""
+    from molgraphdb_spark.operators.graph import bfs_distances, multi_bfs_distances
+
+    offs = [0]
+    for d in range(depth + 1):
+        offs.append(offs[-1] + m**d)
+    parts = []
+    for d in range(depth):
+        parts.append(
+            spark.range(m**d)
+            .select("id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"))
+            .select(
+                (F.lit(offs[d]) + F.col("id")).alias("src"),
+                (F.lit(offs[d + 1]) + F.col("id") * m + F.col("j")).alias("dst"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.localCheckpoint()
+    seeds = [offs[1] + i for i in range(n_seeds)]  # first-layer roots
+
+    t0 = time.time()
+    multi = multi_bfs_distances(edges, seeds, max_depth=depth + 5)
+    m_hist = {
+        (int(r["seed"]), int(r["dist"])): int(r["n"])
+        for r in multi.groupBy("seed", "dist").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    t_multi = time.time() - t0
+
+    t0 = time.time()
+    s_hist = {}
+    for s in seeds:
+        for r in (
+            bfs_distances(edges, s, max_depth=depth + 5)
+            .groupBy("dist").agg(F.count(F.lit(1)).alias("n")).collect()
+        ):
+            s_hist[(s, int(r["dist"]))] = int(r["n"])
+    t_single = time.time() - t0
+
+    expected = {(s, d): m**d for s in seeds for d in range(depth)}
+    return {
+        "probe": "graph_multi_bfs", "m": m, "depth": depth, "n_seeds": n_seeds,
+        "hist_exact": bool(m_hist == expected and s_hist == expected),
+        "t_multi_s": round(t_multi, 1),
+        "t_singles_total_s": round(t_single, 1),
+        "speedup": round(t_single / max(t_multi, 1e-9), 1),
+    }
+
+
 def probe_pagerank(spark, n: int = 1_000_000, n_iter: int = 10) -> dict:
     """PageRank on a planted directed ring (1-regular both ways): the
     uniform distribution rank≡1.0 is the exact fixed point AND the
@@ -620,6 +678,7 @@ def main() -> None:
     # Iterative graph operators (r5 verdict item 6): planted invariants
     # at ~10× the sf0.1 graph family, rounds + wall-per-wave recorded.
     print(json.dumps(probe_bfs(spark)))
+    print(json.dumps(probe_multi_bfs(spark)))
     print(json.dumps(probe_pagerank(spark)))
     print(json.dumps(probe_kcore(spark)))
 
