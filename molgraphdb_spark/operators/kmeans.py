@@ -95,6 +95,29 @@ def assign_cells(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]
     ).drop("_best")
 
 
+def assign_cells_ubp(
+    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Cross-engine-portable cell assignment: like :func:`assign_cells`
+    but the argmin compares squared distances floored to integer
+    MICRO-UNITS (the `_ubp` rule — raw-double argmin can flip on the
+    last ulp between engines), via ``array_min`` over (d2_upm, cid)
+    structs whose lexicographic order IS the (distance ASC, cid ASC)
+    tie rule. Adds ``cid`` and ``d2_upm``; map-only."""
+    cent_arr = _centroid_literal(cents)
+    v = F.col(vec_col)
+
+    def cell(c: Column) -> Column:
+        diff = F.zip_with(v, c["cv"], lambda x, y: x - y)
+        d2_upm = F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
+        return F.struct(d2_upm.alias("d2_upm"), c["cid"].cast("int").alias("cid"))
+
+    best = F.array_min(F.transform(cent_arr, cell))
+    return df.withColumn("_best", best).select(
+        "*", F.col("_best.cid").alias("cid"), F.col("_best.d2_upm").alias("d2_upm")
+    ).drop("_best")
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,

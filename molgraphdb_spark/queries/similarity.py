@@ -1101,6 +1101,175 @@ ORDER BY x.query_id
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ composed: coarse cells bound what a query TOUCHES, PQ codes
+# bound what each touched vector COSTS — through the oracle gate.
+# --------------------------------------------------------------------------
+IVFPQ_COARSE_K = 4
+IVFPQ_NPROBE = 2
+IVFPQ_SHORTLIST = 20
+
+
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ deployment composition (operators/pq.py::
+    ivfpq_search through the driver contract): corpus rows get a
+    coarse cell (map-only ubp argmin over IVFPQ_COARSE_K centroids)
+    AND an 8×16 PQ code in one projection pass; each query probes its
+    IVFPQ_NPROBE nearest cells; ADC (broadcast integer LUTs) runs only
+    on probed rows; the exact rerank touches Q×IVFPQ_SHORTLIST full
+    vectors; top-{k} by true distance. At 100 TB the scan cost per
+    query is corpus·(nprobe/cells) rows × M byte-lookups — the
+    billion-scale ANN shape, all stages here integer-exact and
+    oracle-recomputed (fixed deterministic centroids/codebooks: the
+    pq_code_stats / similarity_ivf_topk precedent)."""
+    from molgraphdb_spark.operators.kmeans import _centroid_literal, assign_cells_ubp
+    from molgraphdb_spark.operators.pq import pq_encode_ubp
+
+    emb = _emb(spark, sf_dir)
+    rows = sorted(
+        emb.filter(F.col("vec_id") < PQ_STATS_K).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    out_schema = "query_id long, vec_id long, d2_upm long, rk int"
+    if len(rows) < PQ_STATS_K:
+        return spark.createDataFrame([], out_schema)
+    d = len(rows[0].v)
+    dsub = d // PQ_STATS_M
+    coarse = [
+        (int(r.vec_id), [float(x) for x in r.v]) for r in rows[:IVFPQ_COARSE_K]
+    ]
+    codebooks = [
+        [
+            (int(r.vec_id), [float(x) for x in r.v[s * dsub : (s + 1) * dsub]])
+            for r in rows
+        ]
+        for s in range(PQ_STATS_M)
+    ]
+    indexed = pq_encode_ubp(
+        assign_cells_ubp(emb, "v", coarse), "v", codebooks
+    ).select(
+        "vec_id",
+        "cid",
+        F.transform("pq_cells", lambda c: c["cid"]).alias("codes"),
+    )
+
+    # per-query probe cells: sort the tiny (d2_upm, cid) struct array
+    # (lexicographic struct order IS the distance-then-cid rule), keep
+    # the first nprobe
+    cent_arr = _centroid_literal(coarse)
+    qv = F.col("qv")
+
+    def ccell(c: Column) -> Column:
+        diff = F.zip_with(qv, c["cv"], lambda x, y: x - y)
+        d2 = F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
+        return F.struct(d2.alias("d2_upm"), c["cid"].cast("int").alias("cid"))
+
+    queries = emb.filter(F.col("vec_id").isin(PQ_TOPK_QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = queries.select(
+        "query_id",
+        F.explode(
+            F.slice(F.array_sort(F.transform(cent_arr, ccell)), 1, IVFPQ_NPROBE)
+        ).alias("p"),
+    ).select("query_id", F.col("p.cid").alias("cid"))
+
+    def lut_for(cb: list, lo: int) -> Column:
+        sq = F.slice(qv, lo + 1, dsub)
+
+        def ent(c: Column) -> Column:
+            diff = F.zip_with(sq, c["cv"], lambda x, y: x - y)
+            return F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
+
+        return F.transform(_centroid_literal(cb), ent)
+
+    qlut = queries.select(
+        "query_id",
+        F.array(*[lut_for(cb, s * dsub) for s, cb in enumerate(codebooks)]).alias("lut"),
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c + F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(qlut), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc_d2_upm"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_upm"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    rerank = shortlist.join(emb.select("vec_id", "v"), "vec_id").join(
+        F.broadcast(queries), "query_id"
+    )
+    diff = F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x - y)
+    d2 = F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
+    wr = Window.partitionBy("query_id").orderBy(F.asc("d2_upm"), F.asc("vec_id"))
+    return (
+        rerank.select("query_id", "vec_id", d2.alias("d2_upm"))
+        .withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= PQ_TOPK_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+IVFPQ_TOPK_SQL = f"""
+WITH {_EMB_CTE},
+coarse AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < {IVFPQ_COARSE_K}),
+cdl AS (
+  SELECT e.vec_id, c.ccid,
+         CAST(floor(list_dot_product(
+           list_transform(range(1, 65), j -> e.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)]),
+           list_transform(range(1, 65), j -> e.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)])
+         ) * 1000000 + 0.5) AS BIGINT) AS d2
+  FROM e, coarse c
+),
+cells AS (
+  SELECT vec_id, ccid FROM (
+    SELECT vec_id, ccid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ccid ASC) AS rk
+    FROM cdl
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, ccid FROM (
+    SELECT vec_id, ccid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ccid ASC) AS rk
+    FROM cdl WHERE vec_id IN ({", ".join(str(q) for q in PQ_TOPK_QIDS)})
+  ) WHERE rk <= {IVFPQ_NPROBE}
+),
+{_PQ_ADC_CTES.replace("adc AS (", "adc_unprobed AS (")},
+adc AS (
+  SELECT a.query_id, a.vec_id, a.adc_d2_upm
+  FROM adc_unprobed a
+  JOIN cells ce ON ce.vec_id = a.vec_id
+  JOIN probes p ON p.query_id = a.query_id AND p.ccid = ce.ccid
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2_upm ASC, vec_id ASC) AS srk
+    FROM adc
+  ) WHERE srk <= {IVFPQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.vec_id, {_l2_upm_sql("q", "b")} AS d2_upm
+  FROM shortlist s
+  JOIN e b ON b.vec_id = s.vec_id
+  JOIN e q ON q.vec_id = s.query_id
+)
+SELECT query_id, vec_id, d2_upm, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2_upm ASC, vec_id ASC) AS rk
+  FROM rerank
+) t
+WHERE rk <= {PQ_TOPK_K}
+ORDER BY query_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-class centroid outliers — the embedding-space quality filter.
 # --------------------------------------------------------------------------
 EMB_DIM = 64
@@ -1206,6 +1375,7 @@ QUERIES = {
     "pq_code_stats": pq_code_stats,
     "similarity_pq_topk": similarity_pq_topk,
     "similarity_pq_recall": similarity_pq_recall,
+    "similarity_ivfpq_topk": similarity_ivfpq_topk,
     "embedding_label_outliers": embedding_label_outliers,
 }
 
@@ -1224,5 +1394,6 @@ ORACLES = {
     "pq_code_stats": PQ_CODE_STATS_SQL,
     "similarity_pq_topk": PQ_TOPK_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
+    "similarity_ivfpq_topk": IVFPQ_TOPK_SQL,
     "embedding_label_outliers": EMB_OUTLIERS_SQL,
 }

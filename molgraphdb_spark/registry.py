@@ -50,7 +50,7 @@ _QUERY_MODULES = [
 # doc_dup_span_stats/doc_dup_span_removal whose occ materialization
 # switched cache()→localCheckpoint (plan-shape-only change, r5-green,
 # re-verified by local parity this session — see BASELINE.md r6 note).
-# Seventeen r6 extension debuts sit OUTSIDE the window (the kcore
+# Eighteen r6 extension debuts sit OUTSIDE the window (the kcore
 # precedent: staleness-clearing outranks debut slots this round) and
 # lead the r7 window: source_lang_entropy, neardup_degree_hist,
 # vocab_bpe_compression, similarity_pq_topk (the PQ SEARCH leg — ADC
@@ -70,7 +70,9 @@ _QUERY_MODULES = [
 # sampling by integer mark crossings), events_value_trend (per-group
 # single-pass OLS slope from exact decimal moment sums),
 # graph_supplier_pmi (milli-nat pointwise mutual information over the
-# co-purchase incidence) — all
+# co-purchase incidence), similarity_ivfpq_topk (the FULL IVF-PQ
+# composition — coarse ubp cells + PQ codes in one pass, probed-cell
+# ADC, exact rerank — oracle-recomputed end to end) — all
 # parity-green at sf0.01 on this tree (the identical driver
 # comparison, run locally).
 _PRIORITY = [

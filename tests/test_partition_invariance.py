@@ -41,6 +41,7 @@ AT_RISK = [
     "pq_code_stats",             # micro-unit-floored argmin — code assignment stability
     "similarity_pq_topk",        # integer ADC sums + top-k tie determinism
     "similarity_pq_recall",      # shortlist boundary + rerank tie determinism
+    "similarity_ivfpq_topk",     # cell assignment + probe + shortlist ties
     "events_ewma",               # frame-ordered fold — sequencing case
     "graph_supplier_jaccard",    # inverted-index pair counts + bp-ranked top-k
     "dedup_rate_by_source",      # hash-group rollup incl. null-side union
