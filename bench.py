@@ -86,6 +86,8 @@ HEADLINE = [
     "neardup_prefix_pairs",
     "doc_weighted_sample",
     "events_value_trend",
+    "graph_supplier_pmi",
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -50,6 +50,8 @@ REPRESENTATIVE = [
     "embedding_label_outliers",  # centroid sums over zero rows
     "source_token_budget",       # budget window over empty corpus
     "graph_closeness_sample",    # multi-source BFS with zero seeds
+    "similarity_ivfpq_topk",     # coarse+codebook guard on empty corpus
+    "graph_supplier_pmi",        # incidence joins over zero rows
 ]
 
 

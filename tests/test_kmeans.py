@@ -72,3 +72,13 @@ def test_centroid_literal_roundtrips_exact_bits(spark):
     assert got[0].cv == vals  # exact bit round-trip
     assert math.isnan(got[1].cv[0])
     assert got[1].cv[1] == float("inf") and got[1].cv[2] == float("-inf")
+
+
+def test_assign_cells_ubp_tie_to_lowest_cid(spark):
+    from molgraphdb_spark.operators.kmeans import assign_cells_ubp
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "id long, v array<double>")
+    # two centroids exactly equidistant from v → lowest cid wins
+    cents = [(7, [0.0, 0.0]), (3, [2.0, 0.0]), (9, [10.0, 10.0])]
+    row = assign_cells_ubp(df, "v", cents).first()
+    assert row.cid == 3 and row.d2_upm == 1_000_000
