@@ -88,6 +88,7 @@ HEADLINE = [
     "events_value_trend",
     "graph_supplier_pmi",
     "similarity_ivfpq_topk",
+    "vocab_zipf_slope",
 ]
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from molgraphdb_spark.session import tune
 from molgraphdb_spark.sources.tables import load_table
@@ -1137,11 +1138,91 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Zipf-slope fit: the vocabulary-health diagnostic.
+# --------------------------------------------------------------------------
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of ln(frequency) against ln(rank) over the token
+    dictionary — natural prose sits near the Zipf line (slope ≈ −1);
+    templated/duplicated corpora flatten the head, gibberish fattens
+    the tail, so drift in this one number is a cheap corpus-health
+    alarm a curation pipeline tracks across snapshots.
+
+    Shapes already proven elsewhere, composed: the corpus collapses to
+    the tiny dictionary in one groupBy (the dictionary-resolve rule);
+    rank is a window over that dictionary (tf DESC, token ASC — total
+    order); ln values floor to MILLI-NATS (the cross-engine ln
+    pattern); the four OLS moments sum as long/DECIMAL(38,0)
+    (order-free — the events_value_trend pattern); one final IEEE
+    division. Output: (n_types, n_tokens, zipf_slope_milli)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(_tokens()).alias("tok"))
+    dct = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    xy = dct.select(
+        "tf",
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1000 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("tf").cast("double")) * 1000 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tf").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+    )
+    num = (dec(F.col("n")) * F.col("sxy") - dec(F.col("sx")) * F.col("sy")) * F.lit(
+        1000
+    ).cast("decimal(38,0)")
+    den = dec(F.col("n")) * F.col("sxx") - dec(F.col("sx")) * F.col("sx")
+    return agg.withColumn("num", num).withColumn("den", den).select(
+        F.col("n").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.col("den") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("num").cast("double") / F.col("den").cast("double")))
+        .cast("long")
+        .alias("zipf_slope_milli"),
+    )
+
+
+VOCAB_ZIPF_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+), dct AS (
+  SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok
+), xy AS (
+  SELECT tf,
+         CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok ASC) AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS y
+  FROM dct
+), m AS (
+  SELECT COUNT(*) AS n, SUM(tf) AS n_tokens, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_types, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN 0
+            ELSE floor(
+              CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000 AS DOUBLE)
+              / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+            END AS BIGINT) AS zipf_slope_milli
+FROM m
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "vocab_bpe_merge_pairs": vocab_bpe_merge_pairs,
     "vocab_bpe_merge_table": vocab_bpe_merge_table,
     "vocab_bpe_compression": vocab_bpe_compression,
+    "vocab_zipf_slope": vocab_zipf_slope,
     "doc_quality_scores": doc_quality_scores,
     "doc_language_id": doc_language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -1163,6 +1244,7 @@ ORACLES = {
     "vocab_bpe_merge_pairs": VOCAB_BPE_SQL,
     "vocab_bpe_merge_table": VOCAB_BPE_TABLE_SQL,
     "vocab_bpe_compression": VOCAB_BPE_COMPRESSION_SQL,
+    "vocab_zipf_slope": VOCAB_ZIPF_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "doc_language_id": DOC_LANGUAGE_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

@@ -48,6 +48,7 @@ AT_RISK = [
     "neardup_prefix_pairs",      # rank-window prefix index — order determinism
     "doc_weighted_sample",       # global cumsum mark crossings — integer exact
     "events_value_trend",        # decimal moment sums — order-free OLS
+    "vocab_zipf_slope",          # rank-window + decimal OLS — full-order ties
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
