@@ -89,6 +89,8 @@ HEADLINE = [
     "graph_supplier_pmi",
     "similarity_ivfpq_topk",
     "vocab_zipf_slope",
+    "doc_ngram_novelty",
+    "events_bot_regularity",
 ]
 
 

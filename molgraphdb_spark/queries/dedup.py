@@ -1130,6 +1130,56 @@ def neardup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# N-gram novelty: how much NEW content each document contributes.
+# --------------------------------------------------------------------------
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction (basis points) of a doc's
+    distinct 3-shingles whose FIRST corpus occurrence (lowest doc_id)
+    is this document — the marginal-contribution curve a curation team
+    reads to decide where dedup stops paying (novelty ≈ 10000 → fresh
+    content; ≈ 0 → the document restates earlier shingles).
+
+    Scale shape: first-occurrence attribution is one min-aggregation
+    over the UNCAPPED shingle index (novelty must count stop-shingles
+    too — a boilerplate-only doc IS non-novel, which is the signal) and
+    a join back on shingle; both ride the same shingle-hash
+    partitioning. Integer bp division, ties impossible (min is
+    unique)."""
+    sh = _shingle_rows(spark, sf_dir, max_df=None)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 10000 DIV n_shingles").cast("long").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_NGRAM_NOVELTY_SQL = f"""
+WITH {_SHINGLES_SQL_CTE},
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS novelty_bp
+FROM sh s JOIN first f ON f.shingle = s.shingle
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_rate_by_source": dedup_rate_by_source,
@@ -1145,6 +1195,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "neardup_containment_pairs": neardup_containment_pairs,
     "neardup_prefix_pairs": neardup_prefix_pairs,
+    "doc_ngram_novelty": doc_ngram_novelty,
 }
 
 ORACLES = {
@@ -1165,4 +1216,5 @@ ORACLES = {
     # filtered algorithm must agree hash-for-hash with the plain
     # inverted-index formulation
     "neardup_prefix_pairs": NEARDUP_JACCARD_SQL,
+    "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
 }

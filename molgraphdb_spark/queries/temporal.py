@@ -638,6 +638,86 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Bot-regularity flag: inter-event-gap coefficient of variation.
+# --------------------------------------------------------------------------
+MIN_BOT_GAPS = 5
+BOT_CV2_BP = 500  #: CV² below 5% of mean² → machine-regular cadence
+
+
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user squared coefficient of variation of inter-event gaps —
+    the traffic-curation heuristic that separates machine cadence from
+    human burstiness: scripted clients fire on near-constant timers
+    (CV² ≈ 0), humans are heavy-tailed (CV² ≫ 0). Users with ≥
+    MIN_BOT_GAPS gaps and CV² < 5%% of mean² are flagged — the bot
+    filter a pipeline runs before events feed any training corpus.
+
+    CV² = (n·Σg² − (Σg)²) / (Σg)² needs no mean, no sqrt: the moment
+    sums accumulate exactly (DECIMAL(38,0) — gap² overflows int64 past
+    ~54-minute gaps), and the single final division is one IEEE double
+    op (the TWAP rule). One shuffle on user_id; the lag window and the
+    groupBy share it."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gaps = ev.select("user_id", gap.alias("g")).filter(F.col("g").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(dec(F.col("g")) * F.col("g")).alias("sgg"),
+    )
+    num = (dec(F.col("n_gaps")) * F.col("sgg") - dec(F.col("sg")) * F.col("sg")) * F.lit(
+        10_000
+    ).cast("decimal(38,0)")
+    den = dec(F.col("sg")) * F.col("sg")
+    return (
+        agg.filter(F.col("n_gaps") >= MIN_BOT_GAPS)
+        .withColumn("num", num)
+        .withColumn("den", den)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.when(F.col("den") == 0, F.lit(0))
+            .otherwise(
+                F.floor(F.col("num").cast("double") / F.col("den").cast("double"))
+            )
+            .cast("long")
+            .alias("cv2_bp"),
+        )
+        .withColumn("is_bot", (F.col("cv2_bp") < BOT_CV2_BP).cast("int"))
+        .orderBy("user_id")
+    )
+
+
+EVENTS_BOT_SQL = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+), m AS (
+  SELECT user_id, COUNT(*) AS n_gaps, SUM(g) AS sg,
+         SUM(CAST(g AS DECIMAL(38,0)) * g) AS sgg
+  FROM g WHERE g IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= {MIN_BOT_GAPS}
+), s AS (
+  SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+         CAST(CASE WHEN CAST(sg AS DECIMAL(38,0)) * sg = 0 THEN 0
+              ELSE floor(
+                CAST((CAST(n_gaps AS DECIMAL(38,0)) * sgg - CAST(sg AS DECIMAL(38,0)) * sg) * 10000 AS DOUBLE)
+                / CAST(CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE))
+              END AS BIGINT) AS cv2_bp
+  FROM m
+)
+SELECT user_id, n_gaps, cv2_bp,
+       CAST(cv2_bp < {BOT_CV2_BP} AS INT) AS is_bot
+FROM s
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_ohlc_resample": events_ohlc_resample,
     "events_ewma": events_ewma,
@@ -650,6 +730,7 @@ QUERIES = {
     "events_anomaly_outliers": events_anomaly_outliers,
     "events_winsorized_stats": events_winsorized_stats,
     "events_value_trend": events_value_trend,
+    "events_bot_regularity": events_bot_regularity,
 }
 
 ORACLES = {
@@ -664,4 +745,5 @@ ORACLES = {
     "events_anomaly_outliers": EVENTS_ANOMALY_SQL,
     "events_winsorized_stats": EVENTS_WINSOR_SQL,
     "events_value_trend": EVENTS_TREND_SQL,
+    "events_bot_regularity": EVENTS_BOT_SQL,
 }

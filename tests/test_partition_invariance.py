@@ -49,6 +49,8 @@ AT_RISK = [
     "doc_weighted_sample",       # global cumsum mark crossings — integer exact
     "events_value_trend",        # decimal moment sums — order-free OLS
     "vocab_zipf_slope",          # rank-window + decimal OLS — full-order ties
+    "doc_ngram_novelty",         # min-attribution join — integer bp division
+    "events_bot_regularity",     # decimal gap moments — order-free CV²
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
