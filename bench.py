@@ -91,6 +91,8 @@ HEADLINE = [
     "vocab_zipf_slope",
     "doc_ngram_novelty",
     "events_bot_regularity",
+    "events_markov_transitions",
+    "customer_rfm_segments",
 ]
 
 

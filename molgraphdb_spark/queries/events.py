@@ -287,6 +287,59 @@ FROM u
 """
 
 
+# --------------------------------------------------------------------------
+# Event-type Markov transition matrix: sequence-modeling prep.
+# --------------------------------------------------------------------------
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types over each
+    user's time-ordered stream — the behavioral summary that feeds
+    next-action models and surfaces broken funnels (a fat
+    error→error diagonal) without training anything.
+
+    One shuffle on user_id (the lag window), then a map-side-combined
+    count on the tiny (from, to) key space; probabilities are integer
+    basis points of the from-type's outgoing total (exact integer
+    division). Ties in event ordering resolve by event_id — the
+    repo-wide total-order rule."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 10000 DIV row_total").cast("long").alias("p_bp"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH p AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM p WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
+FROM c
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "events_hourly_counts": events_hourly_counts,
     "events_tumbling_window": events_tumbling_window,
@@ -294,6 +347,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_lag_lead_delta": events_lag_lead_delta,
     "events_funnel": events_funnel,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
@@ -303,4 +357,5 @@ ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_lag_lead_delta": EVENTS_LAG_LEAD_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_markov_transitions": EVENTS_MARKOV_SQL,
 }

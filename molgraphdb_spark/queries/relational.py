@@ -1199,6 +1199,79 @@ ORDER BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# RFM segmentation: the classic behavioral-quintile matrix.
+# --------------------------------------------------------------------------
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-Frequency-Monetary segmentation: every ordering customer
+    scored 1–5 on each axis by NTILE(5) (5 = most recent / most
+    frequent / highest spend), combined into the 3-digit RFM code
+    marketing pipelines key campaigns on (555 = champions, 111 =
+    lost). Aggregated to segment counts — the report shape.
+
+    Determinism: ntile needs a TOTAL order, so every ORDER BY ends in
+    c_custkey (the repo tie rule); recency is integer days from the
+    corpus max order date (a broadcast scalar), monetary is per-row
+    cent-floored before the long sum. Shapes: one groupBy(custkey) +
+    three window passes over the tiny per-customer relation + one
+    segment rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "monetary_c"
+        ),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("max_d"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("max_d"), F.col("last_order")).cast("long").alias("recency_d"),
+        "frequency",
+        "monetary_c",
+    )
+    w_r = Window.orderBy(F.desc("recency_d"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.asc("monetary_c"), F.asc("o_custkey"))
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5).over(w_r).alias("r"),
+        F.ntile(5).over(w_f).alias("f"),
+        F.ntile(5).over(w_m).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int").alias("rfm")
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("rfm")
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH pc AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order, COUNT(*) AS frequency,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_c
+  FROM orders GROUP BY o_custkey
+), mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+base AS (
+  SELECT o_custkey, CAST(date_diff('day', last_order, max_d) AS BIGINT) AS recency_d,
+         frequency, monetary_c
+  FROM pc CROSS JOIN mx
+), scored AS (
+  SELECT o_custkey,
+         NTILE(5) OVER (ORDER BY recency_d DESC, o_custkey ASC) AS r,
+         NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f,
+         NTILE(5) OVER (ORDER BY monetary_c ASC, o_custkey ASC) AS m
+  FROM base
+)
+SELECT CAST(r * 100 + f * 10 + m AS INT) AS rfm, COUNT(*) AS n_customers
+FROM scored
+GROUP BY 1
+ORDER BY rfm
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1235,6 +1308,7 @@ QUERIES = {
     "skew_salted_status_counts": skew_salted_status_counts,
     "parts_skyline": parts_skyline,
     "orders_bloom_prefilter": orders_bloom_prefilter,
+    "customer_rfm_segments": customer_rfm_segments,
 }
 
 ORACLES = {
@@ -1273,4 +1347,5 @@ ORACLES = {
     "skew_salted_status_counts": SKEW_SALTED_SQL,
     "parts_skyline": PARTS_SKYLINE_SQL,
     "orders_bloom_prefilter": ORDERS_BLOOM_SQL,
+    "customer_rfm_segments": CUSTOMER_RFM_SQL,
 }

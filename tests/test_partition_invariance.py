@@ -51,6 +51,8 @@ AT_RISK = [
     "vocab_zipf_slope",          # rank-window + decimal OLS — full-order ties
     "doc_ngram_novelty",         # min-attribution join — integer bp division
     "events_bot_regularity",     # decimal gap moments — order-free CV²
+    "events_markov_transitions", # lag sequencing + integer bp rows
+    "customer_rfm_segments",     # ntile total-order ties across 3 windows
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
