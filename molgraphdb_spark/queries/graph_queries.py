@@ -144,6 +144,9 @@ def graph_common_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        # cache: referenced 3-5 times below — uncached, the
+        # orders⋈lineitem join re-executes once per reference
+        .cache()
     )
     a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_a"))
     b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_b"))
@@ -273,6 +276,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        # cache: referenced 3-5 times below — uncached, the
+        # orders⋈lineitem join re-executes once per reference
+        .cache()
     )
     a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("x"))
     b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("y"))
@@ -321,6 +327,9 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        # cache: referenced 3-5 times below — uncached, the
+        # orders⋈lineitem join re-executes once per reference
+        .cache()
     )
     a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("x"))
     b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("y"))
@@ -358,6 +367,9 @@ def graph_supplier_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        # cache: referenced 3-5 times below — uncached, the
+        # orders⋈lineitem join re-executes once per reference
+        .cache()
     )
     deg = cs.groupBy(F.col("l_suppkey").alias("sup")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -451,6 +463,9 @@ def graph_supplier_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        # cache: referenced 3-5 times below — uncached, the
+        # orders⋈lineitem join re-executes once per reference
+        .cache()
     )
     n_cust = cs.select("o_custkey").distinct().agg(F.count(F.lit(1)).alias("n_cust"))
     deg = cs.groupBy(F.col("l_suppkey").alias("sup")).agg(
