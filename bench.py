@@ -93,6 +93,9 @@ HEADLINE = [
     "events_bot_regularity",
     "events_markov_transitions",
     "customer_rfm_segments",
+    "doc_lang_confusion",
+    "parts_basket_rules",
+    "events_dau_wau",
 ]
 
 

@@ -340,6 +340,62 @@ ORDER BY from_type, to_type
 """
 
 
+# --------------------------------------------------------------------------
+# DAU / trailing-WAU stickiness: the engagement ratio.
+# --------------------------------------------------------------------------
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly actives, and the
+    DAU/WAU stickiness ratio per day — the engagement health metric
+    every product pipeline tracks (stickiness → 10000 bp means daily
+    habit; → ~1400 bp means weekly visits).
+
+    Exact trailing-window DISTINCT users cannot ride a window frame
+    (COUNT(DISTINCT) OVER RANGE isn't supported in either engine), so
+    the WAU side is the day-spine pattern: the tiny distinct-day
+    relation broadcast-joins the (day, user) relation on the 7-day
+    band, then one countDistinct per day — cost |days|·7·DAU rows,
+    independent of raw event volume after the first distinct."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    ud = ud.cache()  # referenced by the DAU agg, the spine, and the band join
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    days = ud.select("d").distinct()
+    band = F.broadcast(days.select(F.col("d").alias("day"))).join(
+        ud,
+        (F.col("d") <= F.col("day")) & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    wau = band.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.d == wau.day)
+        .select(
+            F.unix_micros("d").alias("day_us"),
+            "dau",
+            "wau",
+            F.expr("dau * 10000 DIV wau").cast("long").alias("stickiness_bp"),
+        )
+        .orderBy("day_us")
+    )
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+days AS (SELECT DISTINCT d AS day FROM ud),
+wau AS (
+  SELECT days.day, COUNT(DISTINCT ud.user_id) AS wau
+  FROM days JOIN ud ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
+  GROUP BY days.day
+)
+SELECT epoch_us(dau.d) AS day_us, CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(dau.dau * 10000 // wau.wau AS BIGINT) AS stickiness_bp
+FROM dau JOIN wau ON wau.day = dau.d
+ORDER BY day_us
+"""
+
+
 QUERIES = {
     "events_hourly_counts": events_hourly_counts,
     "events_tumbling_window": events_tumbling_window,
@@ -348,6 +404,7 @@ QUERIES = {
     "events_lag_lead_delta": events_lag_lead_delta,
     "events_funnel": events_funnel,
     "events_markov_transitions": events_markov_transitions,
+    "events_dau_wau": events_dau_wau,
 }
 
 ORACLES = {
@@ -358,4 +415,5 @@ ORACLES = {
     "events_lag_lead_delta": EVENTS_LAG_LEAD_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_markov_transitions": EVENTS_MARKOV_SQL,
+    "events_dau_wau": EVENTS_DAU_WAU_SQL,
 }

@@ -1272,6 +1272,83 @@ ORDER BY rfm
 """
 
 
+# --------------------------------------------------------------------------
+# Market-basket association rules: support / confidence / lift.
+# --------------------------------------------------------------------------
+def parts_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 part pairs co-ordered in the same order, scored with the
+    association-rule trio: support (co-order count), confidence(a→b)
+    = n_ab/n_a, and lift = n_ab·N/(n_a·n_b) — the Apriori-era
+    primitives behind 'frequently bought together'.
+
+    Scale shape: the pair join is keyed on the order (quadratic only
+    within a basket — baskets are a handful of lines, so Σ|basket|²
+    is linear-ish in the fact table), per-part counts broadcast back,
+    N is one broadcast scalar. All three metrics emit as exact
+    integer basis points; ranking ties break by the pair id."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = li.cache()  # referenced by both pair sides + the per-part counts
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_pk")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(per_part.select(F.col("pk").alias("pa"), F.col("n_pk").alias("n_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(per_part.select(F.col("pk").alias("pb"), F.col("n_pk").alias("n_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        joined.select(
+            "pa",
+            "pb",
+            "support",
+            F.expr("support * 10000 DIV n_a").cast("long").alias("conf_ab_bp"),
+            F.expr("support * n_orders * 10000 DIV (n_a * n_b)")
+            .cast("long")
+            .alias("lift_bp"),
+        )
+        .orderBy(F.desc("support"), F.desc("lift_bp"), F.asc("pa"), F.asc("pb"))
+        .limit(10)
+    )
+
+
+PARTS_BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+pp AS (SELECT l_partkey AS pk, COUNT(*) AS n_pk FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT pa, pb, CAST(support AS BIGINT) AS support,
+       CAST(support * 10000 // x.n_pk AS BIGINT) AS conf_ab_bp,
+       CAST(support * n.n_orders * 10000 // (x.n_pk * y.n_pk) AS BIGINT) AS lift_bp
+FROM pairs
+JOIN pp x ON x.pk = pa
+JOIN pp y ON y.pk = pb
+CROSS JOIN n
+ORDER BY support DESC, lift_bp DESC, pa ASC, pb ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1309,6 +1386,7 @@ QUERIES = {
     "parts_skyline": parts_skyline,
     "orders_bloom_prefilter": orders_bloom_prefilter,
     "customer_rfm_segments": customer_rfm_segments,
+    "parts_basket_rules": parts_basket_rules,
 }
 
 ORACLES = {
@@ -1348,4 +1426,5 @@ ORACLES = {
     "parts_skyline": PARTS_SKYLINE_SQL,
     "orders_bloom_prefilter": ORDERS_BLOOM_SQL,
     "customer_rfm_segments": CUSTOMER_RFM_SQL,
+    "parts_basket_rules": PARTS_BASKET_SQL,
 }

@@ -200,6 +200,68 @@ FROM h
 """
 
 
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label confusion matrix: labeled vs heuristic-predicted
+    language, with each cell's share of its LABEL row in basis points
+    — the audit a multilingual curation pipeline runs to find
+    mislabeled shards (a fat off-diagonal cell = a source whose `lang`
+    metadata lies, which silently poisons per-language mixing rates).
+
+    Reuses doc_language_id's stopword-argmax predictor verbatim; the
+    matrix is one tiny-key groupBy + a label-partition window, exact
+    integer division."""
+    docs = _docs(spark, sf_dir)
+    hits = {lang: _stop_hits(lang) for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"]),
+            "en",
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] >= hits["de"]), "es")
+        .when(hits["fr"] >= hits["de"], "fr")
+        .otherwise("de")
+    )
+    cells = (
+        docs.select(F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang_label")
+    return (
+        cells.withColumn("row_total", F.sum("n").over(w))
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n",
+            F.expr("n * 10000 DIV row_total").cast("long").alias("share_bp"),
+        )
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
+DOC_LANG_CONFUSION_SQL = f"""
+WITH h AS (
+  SELECT lang,
+         {_hits_sql('en')} AS h_en, {_hits_sql('es')} AS h_es,
+         {_hits_sql('fr')} AS h_fr, {_hits_sql('de')} AS h_de
+  FROM documents
+), p AS (
+  SELECT lang AS lang_label,
+         CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+              WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+              WHEN h_fr >= h_de THEN 'fr'
+              ELSE 'de' END AS lang_pred
+  FROM h
+), c AS (
+  SELECT lang_label, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2
+)
+SELECT lang_label, lang_pred, CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang_label) AS BIGINT) AS share_bp
+FROM c
+ORDER BY lang_label, lang_pred
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the whitespace-normalized,
     lowercased text (exact-dup key), plus the minimum 5-token-shingle
@@ -1223,6 +1285,7 @@ QUERIES = {
     "vocab_bpe_merge_table": vocab_bpe_merge_table,
     "vocab_bpe_compression": vocab_bpe_compression,
     "vocab_zipf_slope": vocab_zipf_slope,
+    "doc_lang_confusion": doc_lang_confusion,
     "doc_quality_scores": doc_quality_scores,
     "doc_language_id": doc_language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -1245,6 +1308,7 @@ ORACLES = {
     "vocab_bpe_merge_table": VOCAB_BPE_TABLE_SQL,
     "vocab_bpe_compression": VOCAB_BPE_COMPRESSION_SQL,
     "vocab_zipf_slope": VOCAB_ZIPF_SQL,
+    "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
     "doc_quality_scores": DOC_QUALITY_SQL,
     "doc_language_id": DOC_LANGUAGE_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

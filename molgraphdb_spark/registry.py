@@ -50,7 +50,7 @@ _QUERY_MODULES = [
 # doc_dup_span_stats/doc_dup_span_removal whose occ materialization
 # switched cache()→localCheckpoint (plan-shape-only change, r5-green,
 # re-verified by local parity this session — see BASELINE.md r6 note).
-# Twenty-three r6 extension debuts sit OUTSIDE the window (the kcore
+# Twenty-six r6 extension debuts sit OUTSIDE the window (the kcore
 # precedent: staleness-clearing outranks debut slots this round) and
 # lead the r7 window: source_lang_entropy, neardup_degree_hist,
 # vocab_bpe_compression, similarity_pq_topk (the PQ SEARCH leg — ADC
@@ -78,7 +78,10 @@ _QUERY_MODULES = [
 # events_bot_regularity (inter-event-gap CV² bot flag, exact decimal
 # moments), events_markov_transitions (first-order type-transition
 # matrix, integer-bp rows), customer_rfm_segments (NTILE(5)³ RFM
-# segment rollup, total-order ties) — all
+# segment rollup, total-order ties), doc_lang_confusion (label-vs-
+# predicted language confusion matrix), parts_basket_rules
+# (support/confidence/lift association rules), events_dau_wau
+# (trailing-7-day stickiness via the day-spine band join) — all
 # parity-green at sf0.01 on this tree (the identical driver
 # comparison, run locally).
 _PRIORITY = [

@@ -53,6 +53,8 @@ AT_RISK = [
     "events_bot_regularity",     # decimal gap moments — order-free CV²
     "events_markov_transitions", # lag sequencing + integer bp rows
     "customer_rfm_segments",     # ntile total-order ties across 3 windows
+    "parts_basket_rules",        # basket pair counts + integer rule metrics
+    "events_dau_wau",            # band-join distinct counts — layout-free
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
