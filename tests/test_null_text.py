@@ -37,6 +37,9 @@ TEXT_FAMILY = [
     "source_lang_entropy",
     "source_token_budget",
     "neardup_prefix_pairs",
+    "doc_lang_confusion",
+    "doc_ngram_novelty",
+    "vocab_zipf_slope",
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the
