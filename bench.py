@@ -96,6 +96,7 @@ HEADLINE = [
     "doc_lang_confusion",
     "parts_basket_rules",
     "events_dau_wau",
+    "dedup_threshold_curve",
 ]
 
 

@@ -1131,6 +1131,109 @@ def neardup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Threshold-sensitivity curve: how dup volume responds to the knob.
+# --------------------------------------------------------------------------
+DEDUP_THRESHOLDS_BP = [5000, 6000, 7000, 8000, 9000, 9500]
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts at a ladder of Jaccard thresholds — the
+    sensitivity curve a curation team reads BEFORE fixing the dedup
+    knob (a cliff between 0.8 and 0.9 means the corpus has a
+    near-identical band; a flat curve means the threshold hardly
+    matters). One pass: the inverted-index pair scores are computed
+    ONCE, then a tiny explode over the threshold ladder counts each
+    pair into every threshold it clears — no per-threshold re-join.
+
+    Also reports the docs-touched count per threshold (distinct docs
+    in ≥1 surviving pair) — the removal-volume estimate."""
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac_bp = F.expr("n_common * 10000 DIV (n_a + n_b - n_common)")
+    scored = (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select("id_a", "id_b", jac_bp.cast("long").alias("jac_bp"))
+        .filter(F.col("jac_bp") >= min(DEDUP_THRESHOLDS_BP))
+        .localCheckpoint()  # scored pairs feed both aggregations below
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in DEDUP_THRESHOLDS_BP])
+    ).alias("threshold_bp")
+    pair_counts = (
+        scored.select("id_a", "id_b", "jac_bp", thr)
+        .filter(F.col("jac_bp") >= F.col("threshold_bp"))
+        .groupBy("threshold_bp")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    doc_counts = (
+        scored.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id"), "jac_bp", thr
+        )
+        .filter(F.col("jac_bp") >= F.col("threshold_bp"))
+        .groupBy("threshold_bp")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs_touched"))
+    )
+    ladder = spark.range(1).select(thr)
+    return (
+        ladder.join(pair_counts, "threshold_bp", "left")
+        .join(doc_counts, "threshold_bp", "left")
+        .select(
+            "threshold_bp",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_touched", F.lit(0)).cast("long").alias("n_docs_touched"),
+        )
+        .orderBy("threshold_bp")
+    )
+
+
+DEDUP_THRESHOLD_CURVE_SQL = f"""
+WITH {_SHINGLES_SQL_CTE},
+{_SHF_SQL_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         n_common * 10000 // (x.n_sh + y.n_sh - n_common) AS jac_bp
+  FROM pairs JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+  WHERE n_common * 10000 // (x.n_sh + y.n_sh - n_common) >= {min(DEDUP_THRESHOLDS_BP)}
+),
+ladder AS (SELECT unnest([{", ".join(str(t) for t in DEDUP_THRESHOLDS_BP)}]) AS threshold_bp),
+pc AS (
+  SELECT l.threshold_bp, COUNT(*) AS n_pairs
+  FROM ladder l JOIN scored s ON s.jac_bp >= l.threshold_bp
+  GROUP BY 1
+),
+dc AS (
+  SELECT threshold_bp, COUNT(DISTINCT doc_id) AS n_docs_touched FROM (
+    SELECT l.threshold_bp, s.id_a AS doc_id FROM ladder l JOIN scored s ON s.jac_bp >= l.threshold_bp
+    UNION ALL
+    SELECT l.threshold_bp, s.id_b FROM ladder l JOIN scored s ON s.jac_bp >= l.threshold_bp
+  ) GROUP BY 1
+)
+SELECT CAST(l.threshold_bp AS BIGINT) AS threshold_bp,
+       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(dc.n_docs_touched, 0) AS BIGINT) AS n_docs_touched
+FROM ladder l
+LEFT JOIN pc ON pc.threshold_bp = l.threshold_bp
+LEFT JOIN dc ON dc.threshold_bp = l.threshold_bp
+ORDER BY threshold_bp
+"""
+
+
+# --------------------------------------------------------------------------
 # N-gram novelty: how much NEW content each document contributes.
 # --------------------------------------------------------------------------
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,6 +1299,7 @@ QUERIES = {
     "neardup_containment_pairs": neardup_containment_pairs,
     "neardup_prefix_pairs": neardup_prefix_pairs,
     "doc_ngram_novelty": doc_ngram_novelty,
+    "dedup_threshold_curve": dedup_threshold_curve,
 }
 
 ORACLES = {
@@ -1217,4 +1321,5 @@ ORACLES = {
     # inverted-index formulation
     "neardup_prefix_pairs": NEARDUP_JACCARD_SQL,
     "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
+    "dedup_threshold_curve": DEDUP_THRESHOLD_CURVE_SQL,
 }

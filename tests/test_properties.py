@@ -183,3 +183,33 @@ def test_asof_join_matches_pandas_merge_asof(case):
     )
     got = {int(r.lid): (None if r.rid_r is None else int(r.rid_r)) for r in out.collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=-(10**8), max_value=10**8),
+        ),
+        min_size=2,
+        max_size=50,
+    ),
+    st.integers(min_value=-(10**9), max_value=10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_ols_moments_shift_invariance(points, shift):
+    # The identity value_trend_stream relies on: the OLS numerator and
+    # denominator computed from raw moments are invariant under any
+    # constant shift of x — so accumulating UNSHIFTED epoch seconds is
+    # exact regardless of when a group's first event arrives.
+    def moments(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        return n * sxy - sx * sy, n * sxx - sx * sx
+
+    num0, den0 = moments(points)
+    num1, den1 = moments([(x + shift, y) for x, y in points])
+    assert (num0, den0) == (num1, den1)
