@@ -243,6 +243,59 @@ def twap_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_BOT_STATE = "last_ts long, n_gaps long, sg string, sgg string"
+_BOT_OUT = "user_id long, n_gaps long, sg string, sgg string"
+
+
+def _bot_state_fn(key, pdf_iter, state: GroupState):
+    """Streaming per-user gap-moment accumulator — the stateful core
+    of the bot-regularity flag (twin of queries/temporal.py::
+    events_bot_regularity): CV² needs only (n, Σg, Σg²) over the
+    inter-event gaps, and a gap materializes when the NEXT event
+    arrives, so state carries the open last_ts plus the three moments
+    (unbounded Python ints as strings — gap² overflows int64 past
+    ~54-minute gaps, same reason the batch twin uses DECIMAL(38,0)).
+    Within-batch rows sort by (ts, event_id) — the TWAP twin's
+    sequencing contract."""
+    (user_id,) = key
+    if state.exists:
+        last_ts, n, sg_s, sgg_s = state.get
+        sg, sgg = int(sg_s), int(sgg_s)
+    else:
+        last_ts, n, sg, sgg = None, 0, 0, 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t in pdf["ts"].astype("int64").tolist():
+            if last_ts is not None:
+                g = t - last_ts
+                n += 1
+                sg += g
+                sgg += g * g
+            last_ts = t
+    state.update((last_ts, n, str(sg), str(sgg)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_gaps": [n], "sg": [str(sg)], "sgg": [str(sgg)]}
+    )
+
+
+def bot_regularity_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user gap moments via applyInPandasWithState;
+    the CV²/flag derivation happens downstream from the emitted exact
+    sufficient statistics (LAG over an unbounded stream is inherently
+    stateful — a gap exists only once its closing event arrives)."""
+    from pyspark.sql import functions as F
+
+    return events.select(
+        "user_id", F.unix_micros("ts").alias("ts"), "event_id"
+    ).groupBy("user_id").applyInPandasWithState(
+        _bot_state_fn,
+        outputStructType=_BOT_OUT,
+        stateStructType=_BOT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _FUNNEL_STATE = "view_us long, click_us long, purchase_us long"
 _FUNNEL_OUT = "user_id long, view_us long, click_us long, purchase_us long"
 

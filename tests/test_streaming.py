@@ -652,3 +652,39 @@ def test_trend_stream_matches_batch_moments(spark, sf_dir, events_stream_dir):
                 ) * 1_000_000 // wden
     finally:
         q.stop()
+
+
+def test_bot_stream_matches_batch_flags(spark, sf_dir, events_stream_dir):
+    """The streaming gap-moment accumulator must carry exact
+    (last_ts, n, Σg, Σg²) across micro-batches; the CV² flags derived
+    from the final moments must equal the batch events_bot_regularity
+    output exactly."""
+    import math
+
+    from molgraphdb_spark.queries.temporal import (
+        BOT_CV2_BP,
+        MIN_BOT_GAPS,
+        events_bot_regularity,
+    )
+    from molgraphdb_spark.streaming.windows import bot_regularity_stream
+
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(bot_regularity_stream(ev), "t_bot", output_mode="update")
+    try:
+        got = {}
+        for r in spark.table("t_bot").collect():
+            n, sg, sgg = r.n_gaps, int(r.sg), int(r.sgg)
+            if n < MIN_BOT_GAPS:
+                continue
+            den = sg * sg
+            cv2 = 0 if den == 0 else math.floor(
+                float((n * sgg - sg * sg) * 10_000) / float(den)
+            )
+            got[r.user_id] = (n, cv2, int(cv2 < BOT_CV2_BP))
+        want = {
+            r.user_id: (r.n_gaps, r.cv2_bp, r.is_bot)
+            for r in events_bot_regularity(spark, sf_dir).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
