@@ -97,6 +97,7 @@ HEADLINE = [
     "parts_basket_rules",
     "events_dau_wau",
     "dedup_threshold_curve",
+    "events_variant_stats",
 ]
 
 

@@ -396,6 +396,53 @@ ORDER BY day_us
 """
 
 
+# --------------------------------------------------------------------------
+# VARIANT-typed semi-structured path (Spark 4's open JSON type).
+# --------------------------------------------------------------------------
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats over a VARIANT-typed property: ``props`` parses
+    ONCE into Spark 4's binary VARIANT encoding (``parse_json``) and
+    fields extract via ``variant_get`` path expressions — the
+    schema-on-read path for semi-structured columns that, unlike
+    per-field ``get_json_object``, re-parses nothing per extraction
+    and keeps the encoded value shreddable at the storage layer (the
+    Parquet VARIANT spec). At 100 TB this is how freeform properties
+    ride a typed pipeline without a schema migration per new key.
+
+    The oracle reaches the same numbers through DuckDB's JSON
+    extraction — the engines' different physical encodings must agree
+    on the logical values (the point of an open type)."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+            F.count_distinct("k").cast("long").alias("k_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_distinct
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly_counts": events_hourly_counts,
     "events_tumbling_window": events_tumbling_window,
@@ -405,6 +452,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_markov_transitions": events_markov_transitions,
     "events_dau_wau": events_dau_wau,
+    "events_variant_stats": events_variant_stats,
 }
 
 ORACLES = {
@@ -416,4 +464,5 @@ ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_markov_transitions": EVENTS_MARKOV_SQL,
     "events_dau_wau": EVENTS_DAU_WAU_SQL,
+    "events_variant_stats": EVENTS_VARIANT_SQL,
 }
