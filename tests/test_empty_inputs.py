@@ -52,6 +52,10 @@ REPRESENTATIVE = [
     "graph_closeness_sample",    # multi-source BFS with zero seeds
     "similarity_ivfpq_topk",     # coarse+codebook guard on empty corpus
     "graph_supplier_pmi",        # incidence joins over zero rows
+    "dedup_threshold_curve",     # ladder left-joins over zero pairs
+    "events_variant_stats",      # variant extraction over zero rows
+    "events_dau_wau",            # day spine from an empty corpus
+    "parts_basket_rules",        # basket pairs over zero orders
 ]
 
 
@@ -66,10 +70,19 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
     return str(d)
 
 
+#: Queries whose output rows come from a GENERATED spine/ladder, not
+#: the corpus — on empty input they correctly emit the full spine with
+#: zero counts (the report a monitoring job still wants).
+GENERATED_SPINE = {"dedup_threshold_curve"}
+
+
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_query_survives_empty_tables(name, spark, empty_sf_dir):
     df = QUERIES[name](spark, empty_sf_dir)
     rows = df.collect()
+    if name in GENERATED_SPINE:
+        assert rows and all(r.n_pairs == 0 for r in rows)
+        return
     # aggregates without GROUP BY legitimately emit one (null/zero) row;
     # everything else must be empty — either way, no exception
     assert len(rows) <= 1
