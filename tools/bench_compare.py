@@ -17,11 +17,54 @@ import json
 import sys
 
 
+def _brace_object(text: str, key: str) -> dict | None:
+    """Extract the JSON object following ``"key":`` from a possibly
+    front-truncated text blob by brace matching (driver BENCH wrappers
+    keep only the TAIL of stdout when their own parse failed, so the
+    record may hold complete inner objects inside an incomplete
+    line)."""
+    marker = f'"{key}": {{'
+    i = text.find(marker)
+    if i < 0:
+        return None
+    start = i + len(marker) - 1
+    depth = 0
+    for j in range(start, len(text)):
+        if text[j] == "{":
+            depth += 1
+        elif text[j] == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    return json.loads(text[start : j + 1])
+                except json.JSONDecodeError:
+                    return None
+    return None
+
+
 def _load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
+    if "queries" not in d and isinstance(d.get("tail"), str):
+        # driver wrapper whose own parse failed: recover the inner
+        # objects from the tail blob (prefer the cold-floor minimums,
+        # matching what later records report as queries_min)
+        tail = d["tail"]
+        q = _brace_object(tail, "queries")
+        qm = _brace_object(tail, "queries_min")
+        if q or qm:
+            rec = {"queries": q or qm}
+            if qm:
+                rec["queries_min"] = qm
+            import re
+
+            m = re.search(r'"canary_duckdb_sec": ([0-9.]+)', tail)
+            if m:
+                rec["canary_duckdb_sec"] = float(m.group(1))
+            print(f"{path}: recovered {len(rec['queries'])} queries from tail blob")
+            d = rec
     if "queries" not in d:
         raise SystemExit(f"{path}: no 'queries' key (crashed bench record?)")
     return d
