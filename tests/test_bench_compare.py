@@ -1,0 +1,30 @@
+"""bench_compare's driver-wrapper recovery: complete inner JSON
+objects must be extractable from a front-truncated stdout tail."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import bench_compare as bc
+
+
+def test_brace_object_from_truncated_tail():
+    full = json.dumps(
+        {
+            "metric": "x",
+            "queries": {"q1": 1.5, "q2": 0.25},
+            "queries_min": {"q1": 1.2, "q2": 0.2},
+            "canary_duckdb_sec": 2.5,
+        }
+    )
+    tail = full[5:]  # front-truncated: not valid JSON on its own
+    assert bc._brace_object(tail, "queries") == {"q1": 1.5, "q2": 0.25}
+    assert bc._brace_object(tail, "queries_min") == {"q1": 1.2, "q2": 0.2}
+    assert bc._brace_object(tail, "absent") is None
+
+
+def test_brace_object_nested():
+    blob = 'garbage "queries": {"a": {"b": 1}, "c": 2} trailing'
+    assert bc._brace_object(blob, "queries") == {"a": {"b": 1}, "c": 2}
