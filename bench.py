@@ -98,6 +98,7 @@ HEADLINE = [
     "events_dau_wau",
     "dedup_threshold_curve",
     "events_variant_stats",
+    "embedding_covariance_stats",
 ]
 
 

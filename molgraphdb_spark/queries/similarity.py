@@ -1270,6 +1270,103 @@ ORDER BY query_id, rk
 
 
 # --------------------------------------------------------------------------
+# Covariance-matrix moments: the embedding anisotropy diagnostic.
+# --------------------------------------------------------------------------
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance-matrix summary from exact integer moments —
+    the anisotropy health check for an embedding space: TRACE is the
+    total variance, the OFF-DIAGONAL absolute mass says how far the
+    space is from axis-decorrelated (collapsed/anisotropic embeddings
+    — the classic representation-degeneration failure — show
+    off-diagonal mass rivaling the trace; the ratio is the one number
+    to alarm on).
+
+    Exactness: components floor to MILLI-units, the full d×d moment
+    matrix accumulates as integer sums (map-side combined to d² keys
+    — at 100 TB the corpus crosses ONE shuffle into 4096 cells, the
+    kmeans-update shape generalized to second moments), and every
+    reported figure is an integer identity n·S_ij − s_i·s_j — no
+    float until nothing is left to compute."""
+    emb = _emb(spark, sf_dir).filter(F.col("v").isNotNull())
+    x = F.transform(F.col("v"), lambda c: F.floor(c * 1000 + 0.5).cast("long"))
+    rows = emb.select(x.alias("x"))
+    n_row = rows.agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        rows.select(F.posexplode("x").alias("i", "xi"), "x")
+        .select("i", "xi", F.posexplode("x").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("s_ij"))
+    )
+    marg = (
+        rows.select(F.posexplode("x").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum("xi").alias("s_i"))
+    )
+    m = (
+        pairs.join(F.broadcast(marg), "i")
+        .join(
+            F.broadcast(marg.select(F.col("i").alias("j"), F.col("s_i").alias("s_j"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).alias("m_ij"),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(n_row))
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.sum(F.when(F.col("i") == F.col("j"), F.col("m_ij")).otherwise(0))
+            .cast("long")
+            .alias("trace_mass"),
+            F.sum(F.when(F.col("i") != F.col("j"), F.abs(F.col("m_ij"))).otherwise(0))
+            .cast("long")
+            .alias("offdiag_abs_mass"),
+        )
+        .select(
+            "n_vectors",
+            "trace_mass",
+            "offdiag_abs_mass",
+            F.expr("offdiag_abs_mass * 10000 DIV trace_mass")
+            .cast("long")
+            .alias("anisotropy_bp"),
+        )
+    )
+
+
+EMB_COV_SQL = """
+WITH e2 AS (
+  SELECT list_transform(embedding::DOUBLE[], c -> CAST(floor(c * 1000 + 0.5) AS BIGINT)) AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+n AS (SELECT COUNT(*) AS n FROM e2),
+cells AS (
+  SELECT i.i AS i, j.j AS j, SUM(x[CAST(i.i AS INT)] * x[CAST(j.j AS INT)]) AS s_ij
+  FROM e2, range(1, 65) i(i), range(1, 65) j(j)
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT i.i AS i, SUM(x[CAST(i.i AS INT)]) AS s_i
+  FROM e2, range(1, 65) i(i)
+  GROUP BY 1
+),
+m AS (
+  SELECT c.i, c.j, n.n * c.s_ij - a.s_i * b.s_i AS m_ij
+  FROM cells c JOIN marg a ON a.i = c.i JOIN marg b ON b.i = c.j CROSS JOIN n
+)
+SELECT CAST(MAX(n.n) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN i = j THEN m_ij ELSE 0 END) AS BIGINT) AS trace_mass,
+       CAST(SUM(CASE WHEN i <> j THEN abs(m_ij) ELSE 0 END) AS BIGINT) AS offdiag_abs_mass,
+       CAST(SUM(CASE WHEN i <> j THEN abs(m_ij) ELSE 0 END) * 10000
+            // SUM(CASE WHEN i = j THEN m_ij ELSE 0 END) AS BIGINT) AS anisotropy_bp
+FROM m CROSS JOIN n
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-class centroid outliers — the embedding-space quality filter.
 # --------------------------------------------------------------------------
 EMB_DIM = 64
@@ -1377,6 +1474,7 @@ QUERIES = {
     "similarity_pq_recall": similarity_pq_recall,
     "similarity_ivfpq_topk": similarity_ivfpq_topk,
     "embedding_label_outliers": embedding_label_outliers,
+    "embedding_covariance_stats": embedding_covariance_stats,
 }
 
 ORACLES = {
@@ -1396,4 +1494,5 @@ ORACLES = {
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_ivfpq_topk": IVFPQ_TOPK_SQL,
     "embedding_label_outliers": EMB_OUTLIERS_SQL,
+    "embedding_covariance_stats": EMB_COV_SQL,
 }
