@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_threshold_curve",
     "events_variant_stats",
     "embedding_covariance_stats",
+    "chem_nearest_molecule",
 ]
 
 

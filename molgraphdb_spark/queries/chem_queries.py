@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from molgraphdb_spark.chem.spark_ops import (
     expand_relations,
@@ -129,6 +130,65 @@ SELECT * FROM (VALUES
   ('Isopentane', 'Neopentane', 3, 6, 500, 1250)
 ) AS t(mol_a, mol_b, n_shared, n_union, tanimoto_mbp, ged_approx_mbp)
 ORDER BY mol_a, mol_b
+"""
+
+
+def chem_nearest_molecule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference's namesake query (its package is literally
+    ``nearest_molecule_database``): for every fixture molecule, the
+    single most-similar other molecule — max Tanimoto, ties by lower
+    approx-GED then name (deterministic total order). Derived from the
+    same pairwise overlap pipeline as chem_tanimoto_pairs
+    (mcs.py:279–346), symmetrized and ranked per molecule — at corpus
+    scale this is a per-group top-1 window over the pair stream, never
+    a driver-side argmax loop.
+
+    Oracle: VALUES literal hand-derived from the verified
+    CHEM_TANIMOTO_SQL table (e.g. Butane's best Tanimoto 600 mbp ties
+    Hexane/Isopentane at GED 0 → name order picks Hexane)."""
+    sg = _fixture_subgraphs(spark)
+    atoms = sg.groupBy("parent").agg(F.first("parent_atoms").alias("n_atoms"))
+    metrics = pairwise_overlap_metrics(
+        sg, atoms.select(F.col("parent").alias("smiles"), "n_atoms")
+    ).select(
+        "mol_a",
+        "mol_b",
+        F.floor(F.col("tanimoto") * 1000 + 0.5).cast("long").alias("tanimoto_mbp"),
+        F.floor(F.col("ged_approx") * 1000 + 0.5).cast("long").alias("ged_approx_mbp"),
+    )
+    sym = metrics.unionByName(
+        metrics.select(
+            F.col("mol_b").alias("mol_a"),
+            F.col("mol_a").alias("mol_b"),
+            "tanimoto_mbp",
+            "ged_approx_mbp",
+        )
+    )
+    w = Window.partitionBy("mol_a").orderBy(
+        F.desc("tanimoto_mbp"), F.asc("ged_approx_mbp"), F.asc("mol_b")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("mol_a").alias("mol"),
+            F.col("mol_b").alias("nearest"),
+            "tanimoto_mbp",
+            "ged_approx_mbp",
+        )
+        .orderBy("mol")
+    )
+
+
+CHEM_NEAREST_SQL = """
+SELECT * FROM (VALUES
+  ('Butane', 'Hexane', 600, 0),
+  ('Cyclobutane', 'Butane', 500, 1333),
+  ('Hexane', 'Butane', 600, 0),
+  ('Isopentane', 'Butane', 600, 0),
+  ('Neopentane', 'Isopentane', 500, 1250)
+) AS t(mol, nearest, tanimoto_mbp, ged_approx_mbp)
+ORDER BY mol
 """
 
 
@@ -423,6 +483,7 @@ QUERIES = {
     "chem_subgraph_display": chem_subgraph_display,
     "chem_subgraph_counts": chem_subgraph_counts,
     "chem_tanimoto_pairs": chem_tanimoto_pairs,
+    "chem_nearest_molecule": chem_nearest_molecule,
     "chem_subgraph_catalog_hist": chem_subgraph_catalog_hist,
     "chem_edit_expansion": chem_edit_expansion,
     "chem_exact_ged_pairs": chem_exact_ged_pairs,
@@ -459,5 +520,6 @@ ORACLES = {
     "chem_subgraph_display": CHEM_DISPLAY_SQL,
     "chem_subgraph_counts": CHEM_SUBGRAPH_COUNTS_SQL,
     "chem_tanimoto_pairs": CHEM_TANIMOTO_SQL,
+    "chem_nearest_molecule": CHEM_NEAREST_SQL,
     "chem_subgraph_catalog_hist": CHEM_CATALOG_SQL,
 }

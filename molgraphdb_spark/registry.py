@@ -50,7 +50,7 @@ _QUERY_MODULES = [
 # doc_dup_span_stats/doc_dup_span_removal whose occ materialization
 # switched cache()→localCheckpoint (plan-shape-only change, r5-green,
 # re-verified by local parity this session — see BASELINE.md r6 note).
-# Twenty-nine r6 extension debuts sit OUTSIDE the window (the kcore
+# Thirty r6 extension debuts sit OUTSIDE the window (the kcore
 # precedent: staleness-clearing outranks debut slots this round) and
 # lead the r7 window: source_lang_entropy, neardup_degree_hist,
 # vocab_bpe_compression, similarity_pq_topk (the PQ SEARCH leg — ADC
@@ -86,8 +86,9 @@ _QUERY_MODULES = [
 # ladder — the knob-sensitivity report, pairs scored ONCE),
 # events_variant_stats (Spark 4 VARIANT parse_json/variant_get path
 # vs DuckDB JSON extraction), embedding_covariance_stats (exact
-# integer d×d moment matrix → trace/off-diagonal anisotropy alarm) —
-# all
+# integer d×d moment matrix → trace/off-diagonal anisotropy alarm),
+# chem_nearest_molecule (the reference's NAMESAKE query — per-molecule
+# Tanimoto top-1, golden-oracled from the verified pair table) — all
 # parity-green at sf0.01 on this tree (the identical driver
 # comparison, run locally).
 _PRIORITY = [
