@@ -100,6 +100,7 @@ HEADLINE = [
     "events_variant_stats",
     "embedding_covariance_stats",
     "chem_nearest_molecule",
+    "graph_assortativity",
 ]
 
 

@@ -437,6 +437,95 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Degree assortativity: do hubs connect to hubs?
+# --------------------------------------------------------------------------
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity coefficient of the purchase graph — the
+    Pearson correlation of (deg(src), deg(dst)) over edges (Newman):
+    positive = hubs attach to hubs (social-like), negative = hubs
+    attach to leaves (hub-and-spoke, the shape most commerce graphs
+    have). One number that characterizes the whole topology — and for
+    a BIPARTITE graph like this one it is structurally ≤ 0 unless
+    customer and supplier degree distributions collude.
+
+    Shape: the degree relation (one row per vertex) broadcasts onto
+    the edge stream twice; the five Pearson moments accumulate exactly
+    (long/DECIMAL(38,0) — the events_value_trend pattern); the single
+    final expression (one division, one sqrt) runs on exact aggregates
+    with a fixed operation order, so the milli-scaled output is
+    bit-identical in both engines."""
+    edges = purchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        edges.join(F.broadcast(deg), "src")
+        .withColumnRenamed("d", "x")
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    num = dec(F.col("n")) * F.col("sxy") - dec(F.col("sx")) * F.col("sy")
+    dx = dec(F.col("n")) * F.col("sxx") - dec(F.col("sx")) * F.col("sx")
+    dy = dec(F.col("n")) * F.col("syy") - dec(F.col("sy")) * F.col("sy")
+    return (
+        agg.withColumn("num", num)
+        .withColumn("dx", dx)
+        .withColumn("dy", dy)
+        .select(
+            F.col("n").alias("n_edges"),
+            F.when((F.col("dx") == 0) | (F.col("dy") == 0), F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.col("num").cast("double")
+                    / F.sqrt(F.col("dx").cast("double") * F.col("dy").cast("double"))
+                    * 1000
+                    + 0.5
+                )
+            )
+            .cast("long")
+            .alias("assortativity_milli"),
+        )
+    )
+
+
+GRAPH_ASSORT_SQL = f"""
+WITH {_EDGES_CTE},
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+xy AS (
+  SELECT a.d AS x, b.d AS y
+  FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0
+              OR CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy = 0 THEN 0
+            ELSE floor(
+              CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+              / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                     * CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+              * 1000 + 0.5)
+            END AS BIGINT) AS assortativity_milli
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # Pointwise mutual information over the co-purchase incidence.
 # --------------------------------------------------------------------------
 PMI_MIN_SHARED = 2  #: suppress singleton-co-occurrence noise
@@ -637,6 +726,7 @@ QUERIES = {
     "graph_connected_components_summary": graph_connected_components_summary,
     "graph_closeness_sample": graph_closeness_sample,
     "graph_supplier_pmi": graph_supplier_pmi,
+    "graph_assortativity": graph_assortativity,
 }
 
 #: Oracles whose VALUES literals encode the result at the driver's gate
@@ -670,4 +760,5 @@ ORACLES = {
     "graph_connected_components_summary": GRAPH_CC_SQL,
     "graph_closeness_sample": GRAPH_CLOSENESS_SQL,
     "graph_supplier_pmi": GRAPH_SUPPLIER_PMI_SQL,
+    "graph_assortativity": GRAPH_ASSORT_SQL,
 }

@@ -58,6 +58,7 @@ AT_RISK = [
     "doc_lang_confusion",        # label-partition window + integer shares
     "dedup_threshold_curve",     # checkpointed pair scores + ladder rollups
     "embedding_covariance_stats", # d² integer moment cells — order-free
+    "graph_assortativity",       # decimal Pearson moments — order-free
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
