@@ -101,6 +101,8 @@ HEADLINE = [
     "embedding_covariance_stats",
     "chem_nearest_molecule",
     "graph_assortativity",
+    "supplier_concentration_hhi",
+    "customer_spend_gini",
 ]
 
 

@@ -1349,6 +1349,108 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# Concentration / inequality indices: HHI and Gini.
+# --------------------------------------------------------------------------
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration —
+    the antitrust-grade concentration number (Σ share², shares in
+    basis points: <1500 competitive, >2500 concentrated), here the
+    supply-chain-risk readout: how exposed is the order book to its
+    top suppliers.
+
+    Exact: per-supplier revenue sums cents as longs, shares floor to
+    integer basis points against a broadcast total, and the index is
+    the integer Σ share² — no float until nothing is left. One
+    groupBy + one broadcast scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias("rev_c")
+    )
+    total = rev.agg(F.sum("rev_c").alias("total_c"))
+    shares = rev.crossJoin(F.broadcast(total)).select(
+        F.expr("rev_c * 10000 DIV total_c").alias("share_bp")
+    )
+    return shares.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("share_bp") * F.col("share_bp")).cast("long").alias("hhi"),
+        F.max("share_bp").cast("long").alias("top_share_bp"),
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY l_suppkey
+), t AS (SELECT SUM(rev_c) AS total_c FROM rev),
+s AS (SELECT rev_c * 10000 // t.total_c AS share_bp FROM rev CROSS JOIN t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+       CAST(MAX(share_bp) AS BIGINT) AS top_share_bp
+FROM s
+"""
+
+
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality number
+    behind every "top X% of customers drive Y% of revenue" slide,
+    from the sorted-cumulative formulation
+    G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over spend ranked ascending.
+
+    Exact: spend is cent-summed longs, the rank is a total-order
+    window (ties by custkey), Σ i·xᵢ accumulates as DECIMAL(38,0),
+    and the output is floored milli units from one fixed-order final
+    expression. The global rank window is bounded by |customers| —
+    the same reduced-relation single-sort bound as parts_skyline."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("spend_c")
+    )
+    w = Window.orderBy(F.asc("spend_c"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "spend_c", F.row_number().over(w).cast("long").alias("i")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend_c").alias("sx"),
+        F.sum(dec(F.col("i")) * F.col("spend_c")).alias("six"),
+    )
+    g = (
+        F.lit(2.0) * F.col("six").cast("double") / (F.col("n") * F.col("sx")).cast("double")
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.when(F.col("sx") == 0, F.lit(0))
+        .otherwise(F.floor(g * 1000 + 0.5))
+        .cast("long")
+        .alias("gini_milli"),
+    )
+
+
+CUSTOMER_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT spend_c,
+         CAST(ROW_NUMBER() OVER (ORDER BY spend_c ASC, o_custkey ASC) AS BIGINT) AS i
+  FROM spend
+), m AS (
+  SELECT COUNT(*) AS n, SUM(spend_c) AS sx,
+         SUM(CAST(i AS DECIMAL(38,0)) * spend_c) AS six
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(CASE WHEN sx = 0 THEN 0
+            ELSE floor((2.0 * CAST(six AS DOUBLE) / CAST(n * sx AS DOUBLE)
+                        - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000 + 0.5)
+            END AS BIGINT) AS gini_milli
+FROM m
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1387,6 +1489,8 @@ QUERIES = {
     "orders_bloom_prefilter": orders_bloom_prefilter,
     "customer_rfm_segments": customer_rfm_segments,
     "parts_basket_rules": parts_basket_rules,
+    "supplier_concentration_hhi": supplier_concentration_hhi,
+    "customer_spend_gini": customer_spend_gini,
 }
 
 ORACLES = {
@@ -1427,4 +1531,6 @@ ORACLES = {
     "orders_bloom_prefilter": ORDERS_BLOOM_SQL,
     "customer_rfm_segments": CUSTOMER_RFM_SQL,
     "parts_basket_rules": PARTS_BASKET_SQL,
+    "supplier_concentration_hhi": SUPPLIER_HHI_SQL,
+    "customer_spend_gini": CUSTOMER_GINI_SQL,
 }

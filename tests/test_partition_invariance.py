@@ -59,6 +59,8 @@ AT_RISK = [
     "dedup_threshold_curve",     # checkpointed pair scores + ladder rollups
     "embedding_covariance_stats", # d² integer moment cells — order-free
     "graph_assortativity",       # decimal Pearson moments — order-free
+    "customer_spend_gini",       # rank-window decimal sums — order-free
+    "supplier_concentration_hhi", # integer share-bp squares — order-free
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
