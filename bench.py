@@ -103,6 +103,8 @@ HEADLINE = [
     "graph_assortativity",
     "supplier_concentration_hhi",
     "customer_spend_gini",
+    "customer_lorenz_deciles",
+    "events_error_rate_windows",
 ]
 
 

@@ -443,6 +443,62 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Error-rate window flags: the ops burn-rate alarm.
+# --------------------------------------------------------------------------
+ERROR_RATE_ALARM_BP = 2000  #: flag windows where >20% of events error
+
+
+def events_error_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 15-minute window: event volume, error count, error share in
+    basis points, and the alarm flag — the burn-rate window an
+    SRE-style monitor evaluates (only windows that HAVE events exist;
+    silence is a different alarm, covered by events_gap_fill).
+
+    One shuffle on the window key with map-side combine; the share is
+    exact integer division."""
+    ev = _events(spark, sf_dir)
+    win = (F.floor(F.unix_micros("ts") / (900 * 1_000_000)) * 900).cast("long")
+    return (
+        ev.select(win.alias("win_start_s"), "event_type")
+        .groupBy("win_start_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long"))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .select(
+            "win_start_s",
+            "n_events",
+            "n_errors",
+            F.expr("n_errors * 10000 DIV n_events").cast("long").alias("error_bp"),
+        )
+        .withColumn(
+            "alarm", (F.col("error_bp") >= ERROR_RATE_ALARM_BP).cast("int")
+        )
+        .orderBy("win_start_s")
+    )
+
+
+EVENTS_ERROR_RATE_SQL = f"""
+WITH w AS (
+  SELECT CAST(floor(epoch_us(ts) / (900 * 1000000)) * 900 AS BIGINT) AS win_start_s,
+         event_type
+  FROM events
+), g AS (
+  SELECT win_start_s, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM w GROUP BY win_start_s
+)
+SELECT win_start_s, n_events, n_errors,
+       CAST(n_errors * 10000 // n_events AS BIGINT) AS error_bp,
+       CAST(n_errors * 10000 // n_events >= {ERROR_RATE_ALARM_BP} AS INT) AS alarm
+FROM g
+ORDER BY win_start_s
+"""
+
+
 QUERIES = {
     "events_hourly_counts": events_hourly_counts,
     "events_tumbling_window": events_tumbling_window,
@@ -453,6 +509,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_dau_wau": events_dau_wau,
     "events_variant_stats": events_variant_stats,
+    "events_error_rate_windows": events_error_rate_windows,
 }
 
 ORACLES = {
@@ -465,4 +522,5 @@ ORACLES = {
     "events_markov_transitions": EVENTS_MARKOV_SQL,
     "events_dau_wau": EVENTS_DAU_WAU_SQL,
     "events_variant_stats": EVENTS_VARIANT_SQL,
+    "events_error_rate_windows": EVENTS_ERROR_RATE_SQL,
 }

@@ -1451,6 +1451,64 @@ FROM m
 """
 
 
+def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points behind the Gini number: customers ranked by
+    spend DESCENDING into NTILE(10) deciles, each decile's revenue
+    share and the top-down cumulative share in basis points — the
+    "top 10% of customers drive X% of revenue" table itself.
+
+    Exact: cent-long sums, a total-order ntile (ties by custkey), and
+    integer bp division against a broadcast total; the cumulative sum
+    is a 10-row window."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("spend_c")
+    )
+    w = Window.orderBy(F.desc("spend_c"), F.asc("o_custkey"))
+    deciles = (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend_c").alias("rev_c"),
+        )
+    )
+    total = deciles.agg(F.sum("rev_c").alias("total_c"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.crossJoin(F.broadcast(total))
+        .withColumn("cum_c", F.sum("rev_c").over(wc))
+        .select(
+            "decile",
+            "n_customers",
+            F.expr("rev_c * 10000 DIV total_c").cast("long").alias("share_bp"),
+            F.expr("cum_c * 10000 DIV total_c").cast("long").alias("cum_share_bp"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_LORENZ_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY o_custkey
+), d AS (
+  SELECT CAST(NTILE(10) OVER (ORDER BY spend_c DESC, o_custkey ASC) AS INT) AS decile,
+         spend_c
+  FROM spend
+), g AS (
+  SELECT decile, COUNT(*) AS n_customers, SUM(spend_c) AS rev_c FROM d GROUP BY decile
+), t AS (SELECT SUM(rev_c) AS total_c FROM g)
+SELECT decile, n_customers,
+       CAST(rev_c * 10000 // t.total_c AS BIGINT) AS share_bp,
+       CAST(SUM(rev_c) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+            // t.total_c AS BIGINT) AS cum_share_bp
+FROM g CROSS JOIN t
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1491,6 +1549,7 @@ QUERIES = {
     "parts_basket_rules": parts_basket_rules,
     "supplier_concentration_hhi": supplier_concentration_hhi,
     "customer_spend_gini": customer_spend_gini,
+    "customer_lorenz_deciles": customer_lorenz_deciles,
 }
 
 ORACLES = {
@@ -1533,4 +1592,5 @@ ORACLES = {
     "parts_basket_rules": PARTS_BASKET_SQL,
     "supplier_concentration_hhi": SUPPLIER_HHI_SQL,
     "customer_spend_gini": CUSTOMER_GINI_SQL,
+    "customer_lorenz_deciles": CUSTOMER_LORENZ_SQL,
 }

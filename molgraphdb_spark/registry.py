@@ -50,7 +50,7 @@ _QUERY_MODULES = [
 # doc_dup_span_stats/doc_dup_span_removal whose occ materialization
 # switched cache()→localCheckpoint (plan-shape-only change, r5-green,
 # re-verified by local parity this session — see BASELINE.md r6 note).
-# Thirty-three r6 extension debuts sit OUTSIDE the window (the kcore
+# Thirty-five r6 extension debuts sit OUTSIDE the window (the kcore
 # precedent: staleness-clearing outranks debut slots this round) and
 # lead the r7 window: source_lang_entropy, neardup_degree_hist,
 # vocab_bpe_compression, similarity_pq_topk (the PQ SEARCH leg — ADC
@@ -92,7 +92,9 @@ _QUERY_MODULES = [
 # graph_assortativity (Newman degree-correlation coefficient from
 # exact decimal Pearson moments), supplier_concentration_hhi
 # (Herfindahl index in exact integer share-bp), customer_spend_gini
-# (sorted-cumulative Gini, decimal rank-weighted sums) — all
+# (sorted-cumulative Gini, decimal rank-weighted sums),
+# customer_lorenz_deciles (the Lorenz table behind the Gini),
+# events_error_rate_windows (15-min burn-rate alarm flags) — all
 # parity-green at sf0.01 on this tree (the identical driver
 # comparison, run locally).
 _PRIORITY = [

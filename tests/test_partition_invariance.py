@@ -61,6 +61,7 @@ AT_RISK = [
     "graph_assortativity",       # decimal Pearson moments — order-free
     "customer_spend_gini",       # rank-window decimal sums — order-free
     "supplier_concentration_hhi", # integer share-bp squares — order-free
+    "customer_lorenz_deciles",   # ntile total-order + cumulative shares
     "parts_skyline",             # range-frame window over reduced candidates
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
