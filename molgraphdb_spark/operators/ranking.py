@@ -1,0 +1,170 @@
+"""Exact distributed global ranking / running sums — the scale-safe
+replacement for the partitionless-window anti-pattern.
+
+A global ``Window.orderBy(...)`` (no PARTITION BY) funnels the whole
+windowed relation through ONE task — Spark itself warns "Moving all
+data to a single partition".  That is fine for dictionary-sized inputs
+but a scale-killer when the windowed relation grows with the corpus
+(per-customer, per-part, per-document rollups).  This module provides
+the classic two-pass exact alternative (the r6 verdict's prescription):
+
+1. ``repartitionByRange(B, *order)`` — rows land in B **ordered** range
+   buckets (bucket 0 sorts first under the given sort expressions,
+   ascending/descending included).  One distributed shuffle.
+2. Per-bucket row counts / value sums — a tiny aggregate, ≤ B rows,
+   collected to the driver (the bounded-collect rule: B is a constant,
+   independent of data size) and prefix-summed in exact Python integer
+   arithmetic.
+3. The prefix offsets broadcast-join back on the bucket id; a window
+   partitioned **by bucket** (distributed — B concurrent tasks, no
+   single-partition funnel) supplies local ranks / local running sums;
+   ``global = local + offset``.
+
+The result is bit-identical to the single-partition window for any
+TOTAL order (callers must include a tie-break column), at any
+parallelism: range buckets are ordered, so offset + local rank IS the
+global rank.  Bucket-boundary balance affects only task balance, never
+values.
+
+Reference parity note: the reference engine (Tom271/MolGraphDB) has no
+ranking operator — its orderings are whole-result sorts through SQLite
+(main.py ``ORDER BY`` paths); this operator exists for the Spark-side
+analytics extensions that need exact global ranks at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+#: Range-bucket column name (dropped from results).
+_BUCKET = "_rb_bucket"
+
+#: Default bucket count: enough parallelism for a 1000-executor cluster
+#: reading the REDUCED relation (ranking inputs are per-key rollups, not
+#: fact tables) while keeping the driver-side offset table trivially
+#: small. Callers can raise it; correctness never depends on it.
+DEFAULT_BUCKETS = 64
+
+
+def exact_div(num: Column, d: int) -> Column:
+    """Exact ``num DIV d`` for a non-negative long column and a positive
+    int constant, without integer-division misrounding risk: strip the
+    remainder first so the double division is exact-multiple / divisor
+    (IEEE-exact whenever the true quotient is representable — always,
+    for ranks < 2**53)."""
+    if d <= 0:
+        raise ValueError(f"divisor must be positive, got {d}")
+    return ((num - num % d) / d).cast("long")
+
+
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """Exact ``NTILE(k)`` reconstructed from a 1-based global row_number
+    over ``n`` rows — the SQL-standard split: the first ``n mod k``
+    tiles get ``ceil(n/k)`` rows, the rest ``floor(n/k)`` (identical in
+    Spark and DuckDB, verified by the oracle-checked ntile queries).
+    Turning ntile into rank arithmetic lets the distributed two-pass
+    rank replace the partitionless ``F.ntile`` window."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q, r = divmod(n, k)
+    if q == 0:
+        # fewer rows than tiles: tile i holds exactly row i
+        return rank.cast("int")
+    head = r * (q + 1)  # rows living in the first r (larger) tiles
+    return (
+        F.when(rank <= head, exact_div(rank - 1, q + 1) + 1)
+        .otherwise(r + exact_div(rank - head - 1, q) + 1)
+        .cast("int")
+    )
+
+
+def with_order_stats(
+    df: DataFrame,
+    order: list[Column],
+    *,
+    rank_col: str | None = None,
+    cumsum: dict[str, str] | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Attach an exact global row_number and/or inclusive running sums
+    in ``order`` without a partitionless window.
+
+    Parameters
+    ----------
+    order
+        Sort expressions (``F.asc(...)`` / ``F.desc(...)``) forming a
+        TOTAL order — include a tie-break, or ranks are nondeterministic
+        exactly as they would be under a plain window.
+    rank_col
+        Output column for the 1-based global row_number (long).
+    cumsum
+        ``{value_col: out_col}`` — inclusive running sum of each value
+        column in ``order`` (same type promotion as ``F.sum``).
+    n_buckets
+        Range-bucket count; affects parallelism only, never values.
+
+    Returns ``(df, totals)`` where ``totals`` carries the exact global
+    aggregates already known at the driver from pass 1: ``totals["n"]``
+    (row count) and ``totals[value_col]`` (grand total per cumsum
+    column) — callers embed them as literals instead of paying another
+    global aggregate.
+    """
+    cumsum = dict(cumsum or {})
+    if rank_col is None and not cumsum:
+        raise ValueError("request at least one of rank_col / cumsum")
+    spark = df.sparkSession
+
+    # Pass 0: ordered range buckets. localCheckpoint: the bucketed
+    # relation feeds BOTH the offset aggregate and the final join, and
+    # spark_partition_id is plan-nondeterministic — the repo's
+    # multiply-referenced-relation rule applies.
+    part = (
+        df.repartitionByRange(n_buckets, *order)
+        .withColumn(_BUCKET, F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+    # Pass 1: per-bucket counts/sums (≤ n_buckets rows — bounded collect).
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    for src in cumsum:
+        aggs.append(F.sum(src).alias(f"_sum_{src}"))
+    bucket_df = part.groupBy(_BUCKET).agg(*aggs)
+    sum_types = {f.name: f.dataType for f in bucket_df.schema.fields}
+    rows = sorted(bucket_df.collect(), key=lambda r: r[_BUCKET])
+
+    # Exact prefix offsets in driver integer arithmetic (Python ints are
+    # arbitrary-precision; the createDataFrame cast below re-applies the
+    # engine's own sum type, so overflow behavior matches a plain window).
+    off_fields = [
+        T.StructField(_BUCKET, T.IntegerType(), False),
+        T.StructField("_off_cnt", T.LongType(), False),
+    ]
+    for src in cumsum:
+        off_fields.append(T.StructField(f"_off_{src}", sum_types[f"_sum_{src}"], True))
+    run_cnt = 0
+    run_sum: dict[str, int] = {src: 0 for src in cumsum}
+    off_rows = []
+    for r in rows:
+        off_rows.append((int(r[_BUCKET]), run_cnt, *[run_sum[s] for s in cumsum]))
+        run_cnt += r["_cnt"]
+        for s in cumsum:
+            run_sum[s] += r[f"_sum_{s}"] or 0
+    totals = {"n": run_cnt, **run_sum}
+    off_df = spark.createDataFrame(off_rows, T.StructType(off_fields))
+
+    # Pass 2: bucket-partitioned window (distributed) + broadcast offsets.
+    out = part.join(F.broadcast(off_df), _BUCKET)
+    w_local = Window.partitionBy(_BUCKET).orderBy(*order)
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            (F.row_number().over(w_local).cast("long") + F.col("_off_cnt")),
+        )
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for src, dst in cumsum.items():
+        out = out.withColumn(dst, F.sum(src).over(w_run) + F.col(f"_off_{src}"))
+    drop = [_BUCKET, "_off_cnt", *[f"_off_{s}" for s in cumsum]]
+    return out.drop(*drop), totals

@@ -17,6 +17,53 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _top_level_groups(s: str) -> list[str]:
+    """Split a formatted-plan Arguments value into its top-level
+    ``[...]`` groups (bracket depth tracked, so nested ``[`` inside
+    expressions don't split)."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def n_partitionless_windows(df: DataFrame) -> int:
+    """Count WindowExec nodes with an EMPTY partition spec — the
+    single-partition funnel Spark itself warns about ("Moving all data
+    to a single partition"). In the formatted plan a Window node's
+    Arguments line has three top-level bracket groups when partitioned
+    ``[exprs], [partition], [order]`` and only two when global
+    ``[exprs], [order]`` (verified empirically on Spark 4.1). The
+    scale rule (r6 verdict): a plan may contain NO partitionless
+    window over any relation that grows with the corpus — tests
+    assert 0 on such queries."""
+    plan = formatted_plan(df)
+    n = 0
+    sections = re.split(r"\n\((\d+)\) ", plan)
+    # sections: [head, num, body, num, body, ...]
+    for i in range(2, len(sections), 2):
+        body = sections[i]
+        # exact node-name match: "WindowGroupLimit" (rank-filter pushdown)
+        # has a different Arguments shape and is never a funnel
+        if body.split("\n", 1)[0].strip() != "Window":
+            continue
+        m = re.search(r"^Arguments: (.*)$", body, re.M)
+        if m and len(_top_level_groups(m.group(1))) < 3:
+            n += 1
+    return n
+
+
 def plan_summary(df: DataFrame) -> dict:
     """Parse the formatted physical plan into the scale-relevant facts."""
     plan = formatted_plan(df)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from molgraphdb_spark.operators.ranking import ntile_from_rank, with_order_stats
 from molgraphdb_spark.session import tune
 from molgraphdb_spark.sources.tables import load_table
 
@@ -1004,27 +1005,30 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the A/<=7000bp, B/<=9000bp, C class.
 
     Scale shape: the fact scan reduces to a per-part aggregate FIRST
-    (one shuffle on l_partkey, map-side combined); the global
-    cumulative window then runs over the parts DICTIONARY (|parts| ~
-    0.2% of |lineitem| rows and shrinking with SF), so the inherently
-    serial cumulative sort never touches fact-table cardinality. The
-    global window is single-partition by definition — acceptable
-    exactly because its input is dictionary-sized."""
+    (one shuffle on l_partkey, map-side combined); the cumulative sum
+    over the ranked parts then uses the exact two-pass distributed
+    ranking operator (operators/ranking.py: ordered range buckets →
+    driver-side prefix offsets → bucket-partitioned window) instead of
+    a single-partition global window, so NO task ever holds the whole
+    parts relation — the r6-verdict scale fix, bit-identical to the
+    windowed formulation (the oracle is unchanged). The grand total
+    falls out of pass 1 as an exact driver literal (no extra global
+    aggregate, no crossJoin)."""
     li = _t(spark, sf_dir, "lineitem")
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("revenue_c"))
-    w = Window.orderBy(F.desc("revenue_c"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked_df, totals = with_order_stats(
+        rev,
+        [F.desc("revenue_c"), F.asc("l_partkey")],
+        cumsum={"revenue_c": "cum_c"},
     )
-    total = rev.agg(F.sum("revenue_c").alias("t"))
-    ranked = rev.select(
-        F.col("l_partkey").alias("p_partkey"),
-        "revenue_c",
-        F.sum("revenue_c").over(w).alias("cum_c"),
-    ).crossJoin(F.broadcast(total))
-    cum_bp = F.floor(F.col("cum_c") * 10000.0 / F.col("t") + 0.5).cast("long")
+    t = totals["revenue_c"] or 1  # empty-input guard; no rows evaluate it
+    ranked = ranked_df.select(
+        F.col("l_partkey").alias("p_partkey"), "revenue_c", "cum_c"
+    )
+    cum_bp = F.floor(F.col("cum_c") * 10000.0 / F.lit(t) + 0.5).cast("long")
     return ranked.select(
         "p_partkey",
         "revenue_c",
@@ -1212,9 +1216,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ntile needs a TOTAL order, so every ORDER BY ends in
     c_custkey (the repo tie rule); recency is integer days from the
     corpus max order date (a broadcast scalar), monetary is per-row
-    cent-floored before the long sum. Shapes: one groupBy(custkey) +
-    three window passes over the tiny per-customer relation + one
-    segment rollup."""
+    cent-floored before the long sum. Shapes: one groupBy(custkey),
+    then — because the per-customer relation GROWS with the corpus —
+    each of the three quintile axes is an exact two-pass distributed
+    rank (operators/ranking.py) with NTILE(5) reconstructed
+    arithmetically from the global row_number (ntile_from_rank), not a
+    partitionless window: no single task ever holds all customers.
+    Bit-identical to the windowed form (oracle unchanged)."""
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1230,14 +1238,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_c",
     )
-    w_r = Window.orderBy(F.desc("recency_d"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.asc("monetary_c"), F.asc("o_custkey"))
-    scored = base.select(
+    s_r, totals = with_order_stats(
+        base, [F.desc("recency_d"), F.asc("o_custkey")], rank_col="_rn_r"
+    )
+    s_f, _ = with_order_stats(
+        s_r, [F.asc("frequency"), F.asc("o_custkey")], rank_col="_rn_f"
+    )
+    s_m, _ = with_order_stats(
+        s_f, [F.asc("monetary_c"), F.asc("o_custkey")], rank_col="_rn_m"
+    )
+    n = totals["n"]
+    scored = s_m.select(
         "o_custkey",
-        F.ntile(5).over(w_r).alias("r"),
-        F.ntile(5).over(w_f).alias("f"),
-        F.ntile(5).over(w_m).alias("m"),
+        ntile_from_rank(F.col("_rn_r"), n, 5).alias("r"),
+        ntile_from_rank(F.col("_rn_f"), n, 5).alias("f"),
+        ntile_from_rank(F.col("_rn_m"), n, 5).alias("m"),
     )
     return (
         scored.groupBy(
@@ -1397,19 +1412,23 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the sorted-cumulative formulation
     G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over spend ranked ascending.
 
-    Exact: spend is cent-summed longs, the rank is a total-order
-    window (ties by custkey), Σ i·xᵢ accumulates as DECIMAL(38,0),
-    and the output is floored milli units from one fixed-order final
-    expression. The global rank window is bounded by |customers| —
-    the same reduced-relation single-sort bound as parts_skyline."""
+    Exact: spend is cent-summed longs, the rank i is a TOTAL order
+    (ties by custkey) materialized by the exact two-pass distributed
+    ranking operator (operators/ranking.py — ordered range buckets +
+    broadcast prefix offsets, no partitionless window: the
+    per-customer relation grows with the corpus, so no single task
+    may ever hold it), Σ i·xᵢ accumulates as DECIMAL(38,0), and the
+    output is floored milli units from one fixed-order final
+    expression. Bit-identical to the windowed form (oracle
+    unchanged)."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("spend_c")
     )
-    w = Window.orderBy(F.asc("spend_c"), F.asc("o_custkey"))
-    ranked = spend.select(
-        "spend_c", F.row_number().over(w).cast("long").alias("i")
+    ranked_df, _tot = with_order_stats(
+        spend, [F.asc("spend_c"), F.asc("o_custkey")], rank_col="i"
     )
+    ranked = ranked_df.select("spend_c", "i")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1457,32 +1476,45 @@ def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     share and the top-down cumulative share in basis points — the
     "top 10% of customers drive X% of revenue" table itself.
 
-    Exact: cent-long sums, a total-order ntile (ties by custkey), and
-    integer bp division against a broadcast total; the cumulative sum
-    is a 10-row window."""
+    Exact: cent-long sums; the decile comes from NTILE(10)
+    reconstructed arithmetically (ntile_from_rank) over the exact
+    two-pass distributed rank (operators/ranking.py) — the
+    per-customer relation grows with the corpus, so no partitionless
+    window may sort it; the grand total is pass 1's exact driver
+    literal; the ≤10-row decile cumulative sum is a broadcast
+    triangular self-join (≤100 pairs), not a window. Bit-identical to
+    the windowed form (oracle unchanged)."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("spend_c")
     )
-    w = Window.orderBy(F.desc("spend_c"), F.asc("o_custkey"))
+    ranked, totals = with_order_stats(
+        spend,
+        [F.desc("spend_c"), F.asc("o_custkey")],
+        rank_col="_rn",
+        cumsum={"spend_c": "_cum_unused"},
+    )
+    total_c = totals["spend_c"] or 1  # empty-input guard; no rows evaluate it
     deciles = (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        ranked.withColumn("decile", ntile_from_rank(F.col("_rn"), totals["n"], 10))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("spend_c").alias("rev_c"),
         )
     )
-    total = deciles.agg(F.sum("rev_c").alias("total_c"))
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    prior = deciles.select(
+        F.col("decile").alias("_d2"), F.col("rev_c").alias("_rev2")
+    )
     return (
-        deciles.crossJoin(F.broadcast(total))
-        .withColumn("cum_c", F.sum("rev_c").over(wc))
+        deciles.join(F.broadcast(prior), F.col("_d2") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "rev_c")
+        .agg(F.sum("_rev2").alias("cum_c"))
         .select(
             "decile",
             "n_customers",
-            F.expr("rev_c * 10000 DIV total_c").cast("long").alias("share_bp"),
-            F.expr("cum_c * 10000 DIV total_c").cast("long").alias("cum_share_bp"),
+            F.expr(f"rev_c * 10000 DIV {total_c}").cast("long").alias("share_bp"),
+            F.expr(f"cum_c * 10000 DIV {total_c}").cast("long").alias("cum_share_bp"),
         )
         .orderBy("decile")
     )

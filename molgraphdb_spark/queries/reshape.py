@@ -260,22 +260,36 @@ ORDER BY o_orderkey
 def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime order value → quartile (ntile) + percent_rank,
     with a custkey tiebreak so ranks are deterministic across engines.
-    One shuffle for the groupBy, one single-partition sort for the
-    global ranking (at 100 TB a global ntile would be approximated by
-    quantile cutpoints + a map-side bucket join instead)."""
-    orders = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
+    One shuffle for the groupBy; the global ranking is the exact
+    two-pass distributed rank (operators/ranking.py: ordered range
+    buckets → broadcast prefix offsets → bucket-partitioned window) —
+    the per-customer relation grows with the corpus, so the old
+    single-partition ntile window is banned. NTILE(4) and
+    PERCENT_RANK are reconstructed arithmetically from the global
+    row_number (total order ⇒ rank == row_number, so percent_rank is
+    (rn−1)/(n−1) in the same double arithmetic both engines use).
+    Bit-identical to the windowed form (oracle unchanged)."""
+    from molgraphdb_spark.operators.ranking import ntile_from_rank, with_order_stats
 
+    orders = _t(spark, sf_dir, "orders")
     totals = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("lifetime_value")
     )
-    w = Window.orderBy(F.desc("lifetime_value"), F.asc("o_custkey"))
+    ranked, stats = with_order_stats(
+        totals, [F.desc("lifetime_value"), F.asc("o_custkey")], rank_col="_rn"
+    )
+    n = stats["n"]
+    pct = (
+        F.lit(0.0)
+        if n <= 1
+        else (F.col("_rn") - 1).cast("double") / F.lit(float(n - 1))
+    )
     return (
-        totals.select(
+        ranked.select(
             "o_custkey",
             "lifetime_value",
-            F.ntile(4).over(w).alias("value_quartile"),
-            F.floor(F.percent_rank().over(w) * 10000 + 0.5).alias("pct_rank_bp"),
+            ntile_from_rank(F.col("_rn"), n, 4).alias("value_quartile"),
+            F.floor(pct * 10000 + 0.5).alias("pct_rank_bp"),
         )
         .orderBy("o_custkey")
     )

@@ -1211,19 +1211,26 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm a curation pipeline tracks across snapshots.
 
     Shapes already proven elsewhere, composed: the corpus collapses to
-    the tiny dictionary in one groupBy (the dictionary-resolve rule);
-    rank is a window over that dictionary (tf DESC, token ASC — total
-    order); ln values floor to MILLI-NATS (the cross-engine ln
-    pattern); the four OLS moments sum as long/DECIMAL(38,0)
-    (order-free — the events_value_trend pattern); one final IEEE
-    division. Output: (n_types, n_tokens, zipf_slope_milli)."""
+    the dictionary in one groupBy (the dictionary-resolve rule); rank
+    is the exact two-pass distributed rank (operators/ranking.py —
+    the vocabulary grows with the corpus, if sublinearly, so the old
+    partitionless window is replaced by ordered range buckets +
+    broadcast prefix offsets; tf DESC, token ASC — total order); ln
+    values floor to MILLI-NATS (the cross-engine ln pattern); the four
+    OLS moments sum as long/DECIMAL(38,0) (order-free — the
+    events_value_trend pattern); one final IEEE division. Output:
+    (n_types, n_tokens, zipf_slope_milli)."""
+    from molgraphdb_spark.operators.ranking import with_order_stats
+
     docs = _docs(spark, sf_dir)
     tok = docs.select(F.explode(_tokens()).alias("tok"))
     dct = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
-    xy = dct.select(
+    ranked, _tot = with_order_stats(
+        dct, [F.desc("tf"), F.asc("tok")], rank_col="_rank"
+    )
+    xy = ranked.select(
         "tf",
-        F.floor(F.log(F.row_number().over(w).cast("double")) * 1000 + 0.5)
+        F.floor(F.log(F.col("_rank").cast("double")) * 1000 + 0.5)
         .cast("long")
         .alias("x"),
         F.floor(F.log(F.col("tf").cast("double")) * 1000 + 0.5)

@@ -1,0 +1,155 @@
+"""Exact distributed ranking operator (operators/ranking.py): the
+two-pass range-bucketed rank/cumsum must be BIT-IDENTICAL to the
+partitionless global window it replaces (the r6-verdict scale fix),
+for any total order, under ties, at any bucket count — and the
+rewritten queries' plans must contain zero partitionless Window
+nodes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.window import Window
+
+from molgraphdb_spark.operators.ranking import (
+    exact_div,
+    ntile_from_rank,
+    with_order_stats,
+)
+from molgraphdb_spark.plans.explain import n_partitionless_windows
+
+
+def _tied(spark, n=5003, mod=97):
+    # heavy ties: only `mod` distinct primary values over n rows
+    return spark.range(n).select(
+        F.col("id").alias("k"), ((F.col("id") * 2654435761) % mod).alias("v")
+    )
+
+
+def test_rank_and_cumsum_match_global_window(spark):
+    df = _tied(spark)
+    order = [F.desc("v"), F.asc("k")]
+    w = Window.orderBy(*order)
+    exp = {
+        r["k"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+        ).collect()
+    }
+    got_df, totals = with_order_stats(
+        df, order, rank_col="rn", cumsum={"v": "cum"}, n_buckets=7
+    )
+    got = {r["k"]: (r["rn"], r["cum"]) for r in got_df.collect()}
+    assert got == exp
+    assert totals["n"] == 5003
+    # pass-1 grand total == the windowed formulation's final cumsum
+    assert totals["v"] == max(c for _, c in exp.values())
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    df = _tied(spark, n=1009)
+    order = [F.asc("v"), F.asc("k")]
+    w = Window.orderBy(*order)
+    exp = {
+        r["k"]: (r["t4"], r["t5"], r["t10"])
+        for r in df.select(
+            "k",
+            F.ntile(4).over(w).alias("t4"),
+            F.ntile(5).over(w).alias("t5"),
+            F.ntile(10).over(w).alias("t10"),
+        ).collect()
+    }
+    got_df, totals = with_order_stats(df, order, rank_col="rn", n_buckets=5)
+    n = totals["n"]
+    got = {
+        r["k"]: (r["t4"], r["t5"], r["t10"])
+        for r in got_df.select(
+            "k",
+            ntile_from_rank(F.col("rn"), n, 4).alias("t4"),
+            ntile_from_rank(F.col("rn"), n, 5).alias("t5"),
+            ntile_from_rank(F.col("rn"), n, 10).alias("t10"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_fewer_rows_than_tiles_and_buckets(spark):
+    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    got_df, totals = with_order_stats(
+        df, [F.asc("v"), F.asc("k")], rank_col="rn", n_buckets=64
+    )
+    ranks = {r["k"]: r["rn"] for r in got_df.collect()}
+    assert ranks == {0: 1, 1: 2, 2: 3}
+    assert totals["n"] == 3
+    # n < k: every row its own tile
+    tiles = {
+        r["k"]: r["t"]
+        for r in got_df.select(
+            "k", ntile_from_rank(F.col("rn"), 3, 10).alias("t")
+        ).collect()
+    }
+    assert tiles == {0: 1, 1: 2, 2: 3}
+
+
+def test_empty_input(spark):
+    df = spark.range(10).select(F.col("id").alias("v")).filter("v > 100")
+    got_df, totals = with_order_stats(
+        df, [F.asc("v")], rank_col="rn", cumsum={"v": "cum"}
+    )
+    assert got_df.count() == 0
+    assert totals == {"n": 0, "v": 0}
+
+
+def test_exact_div_is_integer_exact(spark):
+    df = spark.range(1, 1000).select(F.col("id").alias("x"))
+    got = df.select("x", exact_div(F.col("x"), 7).alias("d")).collect()
+    for r in got:
+        assert r["d"] == r["x"] // 7
+
+
+def test_rejects_degenerate_args(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        with_order_stats(df, [F.asc("id")])
+    with pytest.raises(ValueError):
+        ntile_from_rank(F.col("id"), 10, 0)
+    with pytest.raises(ValueError):
+        exact_div(F.col("id"), 0)
+
+
+# ---------------------------------------------------------------------------
+# Plan shape: the six rewritten corpus-growing ranking queries (plus the
+# vocabulary edge case) must contain ZERO partitionless Window nodes —
+# the single-partition funnel is the one scale-killer class the r6
+# verdict left open.
+# ---------------------------------------------------------------------------
+RANKING_FAMILY = [
+    ("relational", "parts_abc_analysis"),
+    ("relational", "customer_rfm_segments"),
+    ("relational", "customer_spend_gini"),
+    ("relational", "customer_lorenz_deciles"),
+    ("reshape", "ntile_customer_value"),
+    ("mixing", "doc_weighted_sample"),
+    ("text", "vocab_zipf_slope"),
+]
+
+
+@pytest.mark.parametrize("mod,qname", RANKING_FAMILY)
+def test_no_partitionless_window_in_ranking_family(spark, sf_dir, mod, qname):
+    import importlib
+
+    m = importlib.import_module(f"molgraphdb_spark.queries.{mod}")
+    df = m.QUERIES[qname](spark, sf_dir)
+    assert n_partitionless_windows(df) == 0
+
+
+def test_detector_flags_a_global_window(spark):
+    # sanity: the detector actually detects the anti-pattern
+    df = spark.range(100).select(
+        F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    assert n_partitionless_windows(df) == 1
