@@ -175,7 +175,11 @@ def multi_bfs_distances(
     through)."""
     spark = edges.sparkSession
     edges = edges.select("src", "dst").localCheckpoint()
-    seed_arr = F.array(*[F.lit(int(s)).cast("long") for s in seeds])
+    # dedupe seeds (order-preserving): a duplicate entry would seed
+    # visited twice and silently double every downstream per-seed
+    # aggregate (r6 advice)
+    seeds = list(dict.fromkeys(int(s) for s in seeds))
+    seed_arr = F.array(*[F.lit(s).cast("long") for s in seeds])
     visited = (
         spark.range(1)
         .select(F.explode(seed_arr).alias("seed"))

@@ -359,7 +359,10 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select(
         F.date_trunc("day", "ts").alias("d"), "user_id"
     ).distinct()
-    ud = ud.cache()  # referenced by the DAU agg, the spine, and the band join
+    # localCheckpoint (NOT cache): referenced by the DAU agg, the spine,
+    # and the band join; frees on GC instead of pinning the CacheManager
+    # across queries in a long-lived session (r6 advice)
+    ud = ud.localCheckpoint()
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     days = ud.select("d").distinct()
     band = F.broadcast(days.select(F.col("d").alias("day"))).join(
@@ -411,7 +414,13 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle reaches the same numbers through DuckDB's JSON
     extraction — the engines' different physical encodings must agree
-    on the logical values (the point of an open type)."""
+    on the logical values (the point of an open type). Cast
+    semantics are normalized on BOTH sides to try-cast (r6 advice):
+    Spark ``try_variant_get(...,'int')`` nulls out an uncastable
+    value, and the oracle's TRY_CAST does the same, so a stray
+    ``"1.5"`` / ``"true"`` in props.k drops from both engines
+    identically instead of crashing the oracle. (The generator emits
+    integer k only; the normalization removes the data assumption.)"""
     ev = _events(spark, sf_dir)
     v = F.parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "int")
@@ -431,13 +440,17 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_VARIANT_SQL = """
+WITH e AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
-       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_distinct
-FROM events
-WHERE json_extract_string(props, '$.k') IS NOT NULL
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS INT) AS k_min,
+       CAST(MAX(k) AS INT) AS k_max,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct
+FROM e
+WHERE k IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """

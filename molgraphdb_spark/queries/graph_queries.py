@@ -144,9 +144,12 @@ def graph_common_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        # cache: referenced 3-5 times below — uncached, the
-        # orders⋈lineitem join re-executes once per reference
-        .cache()
+        # localCheckpoint (NOT cache): referenced 3-5 times below —
+        # unmaterialized, the orders⋈lineitem join re-executes once per
+        # reference; cache() would pin the CacheManager across queries
+        # in a long-lived session (r6 advice) while a localCheckpoint
+        # frees its blocks when the DataFrame is GC'd.
+        .localCheckpoint()
     )
     a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_a"))
     b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_b"))
@@ -276,9 +279,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        # cache: referenced 3-5 times below — uncached, the
-        # orders⋈lineitem join re-executes once per reference
-        .cache()
+        # localCheckpoint (NOT cache): referenced 3-5 times below —
+        # unmaterialized, the orders⋈lineitem join re-executes once per
+        # reference; cache() would pin the CacheManager across queries
+        # in a long-lived session (r6 advice) while a localCheckpoint
+        # frees its blocks when the DataFrame is GC'd.
+        .localCheckpoint()
     )
     a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("x"))
     b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("y"))
@@ -327,9 +333,12 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        # cache: referenced 3-5 times below — uncached, the
-        # orders⋈lineitem join re-executes once per reference
-        .cache()
+        # localCheckpoint (NOT cache): referenced 3-5 times below —
+        # unmaterialized, the orders⋈lineitem join re-executes once per
+        # reference; cache() would pin the CacheManager across queries
+        # in a long-lived session (r6 advice) while a localCheckpoint
+        # frees its blocks when the DataFrame is GC'd.
+        .localCheckpoint()
     )
     a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("x"))
     b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("y"))
@@ -367,9 +376,12 @@ def graph_supplier_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        # cache: referenced 3-5 times below — uncached, the
-        # orders⋈lineitem join re-executes once per reference
-        .cache()
+        # localCheckpoint (NOT cache): referenced 3-5 times below —
+        # unmaterialized, the orders⋈lineitem join re-executes once per
+        # reference; cache() would pin the CacheManager across queries
+        # in a long-lived session (r6 advice) while a localCheckpoint
+        # frees its blocks when the DataFrame is GC'd.
+        .localCheckpoint()
     )
     deg = cs.groupBy(F.col("l_suppkey").alias("sup")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -552,9 +564,12 @@ def graph_supplier_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        # cache: referenced 3-5 times below — uncached, the
-        # orders⋈lineitem join re-executes once per reference
-        .cache()
+        # localCheckpoint (NOT cache): referenced 3-5 times below —
+        # unmaterialized, the orders⋈lineitem join re-executes once per
+        # reference; cache() would pin the CacheManager across queries
+        # in a long-lived session (r6 advice) while a localCheckpoint
+        # frees its blocks when the DataFrame is GC'd.
+        .localCheckpoint()
     )
     n_cust = cs.select("o_custkey").distinct().agg(F.count(F.lit(1)).alias("n_cust"))
     deg = cs.groupBy(F.col("l_suppkey").alias("sup")).agg(

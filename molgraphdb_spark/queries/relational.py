@@ -1302,7 +1302,10 @@ def parts_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     N is one broadcast scalar. All three metrics emit as exact
     integer basis points; ranking ties break by the pair id."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    li = li.cache()  # referenced by both pair sides + the per-part counts
+    # localCheckpoint (NOT cache): referenced by both pair sides + the
+    # per-part counts; frees on GC instead of pinning the CacheManager
+    # across queries in a long-lived session (r6 advice)
+    li = li.localCheckpoint()
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )

@@ -35,9 +35,18 @@ LSH_SIGN_DIMS = 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding corpus under the module-wide NULL contract: a NULL
+    embedding row is excluded EVERYWHERE, in the engine and in every
+    oracle (_EMB_CTE filters identically) — otherwise NULL scores
+    rank NULLS-FIRST in Spark but NULLS-LAST in DuckDB and
+    per-label divisors drift apart (r6 advice)."""
     tune(spark)
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+        )
     )
 
 
@@ -61,7 +70,10 @@ def _sign_bucket(v: Column, dims: int = LSH_SIGN_DIMS) -> Column:
 _COS_SQL = (
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
-_EMB_CTE = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)"
+_EMB_CTE = (
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
+    " WHERE embedding IS NOT NULL)"  # the _emb() NULL contract, mirrored
+)
 _SIGN_SQL = " || ".join(
     f"CAST(CAST(v[{i + 1}] >= 0 AS INT) AS VARCHAR)" for i in range(LSH_SIGN_DIMS)
 )

@@ -480,9 +480,12 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the decay-weighted twin of events_rolling_hour_avg's flat mean).
 
     Integer-exact formulation: per-event values floor to micro-units
-    FIRST; with α = 1/2 the lag-ℓ weight is exactly 2^(H-1-ℓ), so the
-    weighted numerator is a sum of longs (≤ 2^53, double-exact) and
-    the denominator is 2^n − 1 — both engines divide the same two
+    FIRST; with α = 1/2 the lag-ℓ weight is exactly 2^(H-1-ℓ), built
+    as an INTEGER shiftleft so every weighted term stays in long
+    arithmetic end to end — matching the oracle's exact BIGINT
+    products for ANY value magnitude (the r6 advice closed the old
+    long×double path, which rounded for |value_u| ≥ 2^38); the
+    denominator is 2^n − 1 — both engines divide the same two
     integers, so the floored quotient is bit-portable. The frame is
     ROWS (15 PRECEDING, CURRENT) ordered by (ts, event_id): the
     event_id tiebreak makes frame membership deterministic.
@@ -505,12 +508,23 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(
             F.col("arr"),
             F.sequence(F.lit(1), F.size("arr")),
-            lambda v, j: (v * F.pow(F.lit(2.0), j.cast("double") - 1)).cast("long"),
+            # integer weight 2^(j-1) via shiftleft: long*long, exact
+            # (F.shiftleft the wrapper takes only literal shifts, so
+            # call_function with a column shift — the bloom.py idiom)
+            lambda v, j: v
+            * F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (j - 1).cast("int")
+            ),
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    den = F.pow(F.lit(2.0), F.size("arr").cast("double")).cast("long") - 1
+    den = (
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.size("arr").cast("int")
+        )
+        - 1
+    )
     return (
         stepped.select(
             "event_id",

@@ -302,6 +302,20 @@ def test_multi_bfs_matches_per_seed_single_source(spark):
     assert (0, 10) not in multi
 
 
+def test_multi_bfs_duplicate_seeds_not_double_counted(spark):
+    # duplicate seed entries must collapse: un-deduped, every (seed,id)
+    # row doubles and downstream counts silently inflate (r6 advice)
+    from molgraphdb_spark.operators.graph import multi_bfs_distances
+
+    pairs = [(0, 1), (1, 2)]
+    e = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    rows = multi_bfs_distances(e, [0, 0, 2, 0], max_depth=10).collect()
+    assert len(rows) == len({(r.seed, r.id) for r in rows})
+    assert {r.seed for r in rows} == {0, 2}
+
+
 def test_multi_bfs_depth_cap(spark):
     from molgraphdb_spark.operators.graph import multi_bfs_distances
 
