@@ -35,124 +35,95 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.spans",
 ]
 
-# Round-6 verification window (first 50): the staleness-clearing round
-# the r5 verdict prescribed. Every registry entry whose latest driver
-# evidence is round 3 — all 44 of them — leads the window (after r6,
-# every oracle-checked query is green within r4∪r5∪r6, staleness ≤ 2
-# rounds). The remaining 6 slots: the three multimodal queries whose
-# engine code changed this round (phash exact-dup collapse + bit_count
-# hamming; null-payload skips in all three mapInPandas UDFs), the two
-# round-6 debuts (pq_code_stats — the PQ path's first oracle-checked
-# registry row; vocab_bpe_merge_table — the full BPE induction loop),
-# and graph_kcore_summary's FIRST driver row (rows-only by design:
-# iterative fixpoint, networkx-golden-backed), placed last per the r5
-# verdict. Everything rotated out is r4/r5-green and untouched, except
-# doc_dup_span_stats/doc_dup_span_removal whose occ materialization
-# switched cache()→localCheckpoint (plan-shape-only change, r5-green,
-# re-verified by local parity this session — see BASELINE.md r6 note).
-# Thirty-five r6 extension debuts sit OUTSIDE the window (the kcore
-# precedent: staleness-clearing outranks debut slots this round) and
-# lead the r7 window: source_lang_entropy, neardup_degree_hist,
-# vocab_bpe_compression, similarity_pq_topk (the PQ SEARCH leg — ADC
-# over broadcast integer LUTs), graph_supplier_jaccard (bipartite-set
-# node similarity), dedup_rate_by_source (per-source exact-dup
-# profile), similarity_pq_recall (shortlist+rerank recall vs the
-# exact L2 baseline), events_ewma (integer-exact α=1/2 decay mean),
-# parts_skyline (Pareto frontier: window formulation vs the oracle's
-# quadratic NOT EXISTS), orders_bloom_prefilter (bloom runtime join
-# pruning — operators/bloom.py), embedding_label_outliers (per-class
-# centroid quality filter), source_token_budget (greedy quality
-# selection under a per-source token budget), graph_closeness_sample
-# (multi-source-BFS sampled closeness), neardup_prefix_pairs
-# (AllPairs prefix-filtered set-similarity join; its oracle is
-# neardup_jaccard_pairs' SQL — two published algorithms agreeing
-# hash-for-hash), doc_weighted_sample (weight-proportional systematic
-# sampling by integer mark crossings), events_value_trend (per-group
-# single-pass OLS slope from exact decimal moment sums),
-# graph_supplier_pmi (milli-nat pointwise mutual information over the
-# co-purchase incidence), similarity_ivfpq_topk (the FULL IVF-PQ
-# composition — coarse ubp cells + PQ codes in one pass, probed-cell
-# ADC, exact rerank — oracle-recomputed end to end), vocab_zipf_slope
-# (milli-nat ln(freq)~ln(rank) OLS — the corpus-health alarm),
-# doc_ngram_novelty (first-occurrence marginal-contribution curve),
-# events_bot_regularity (inter-event-gap CV² bot flag, exact decimal
-# moments), events_markov_transitions (first-order type-transition
-# matrix, integer-bp rows), customer_rfm_segments (NTILE(5)³ RFM
-# segment rollup, total-order ties), doc_lang_confusion (label-vs-
-# predicted language confusion matrix), parts_basket_rules
-# (support/confidence/lift association rules), events_dau_wau
-# (trailing-7-day stickiness via the day-spine band join),
-# dedup_threshold_curve (pair/doc volumes across a Jaccard-threshold
-# ladder — the knob-sensitivity report, pairs scored ONCE),
-# events_variant_stats (Spark 4 VARIANT parse_json/variant_get path
-# vs DuckDB JSON extraction), embedding_covariance_stats (exact
-# integer d×d moment matrix → trace/off-diagonal anisotropy alarm),
-# chem_nearest_molecule (the reference's NAMESAKE query — per-molecule
-# Tanimoto top-1, golden-oracled from the verified pair table),
-# graph_assortativity (Newman degree-correlation coefficient from
-# exact decimal Pearson moments), supplier_concentration_hhi
-# (Herfindahl index in exact integer share-bp), customer_spend_gini
-# (sorted-cumulative Gini, decimal rank-weighted sums),
-# customer_lorenz_deciles (the Lorenz table behind the Gini),
-# events_error_rate_windows (15-min burn-rate alarm flags) — all
-# parity-green at sf0.01 on this tree (the identical driver
-# comparison, run locally).
+# Round-7 verification window (first 50), per the r6 verdict item 1:
+# LEAD with the 35 round-6 extension debuts — every registry entry
+# that has NEVER been through the driver's own gate (all parity-green
+# locally at sf0.01, 30 of them independently re-verified by the r6
+# judge, but zero driver rows). Seven of the debuts ALSO changed
+# engine code this round: customer_rfm_segments / customer_spend_gini
+# / customer_lorenz_deciles / doc_weighted_sample / vocab_zipf_slope
+# moved from partitionless global windows to the exact two-pass
+# distributed rank (operators/ranking.py — r6 verdict item 2/3, same
+# oracles), events_variant_stats gained try-cast-normalized oracle
+# semantics and events_ewma integer shiftleft weights (r6 advice).
+# The remaining 15 slots, in order:
+# - parts_abc_analysis + ntile_customer_value: the other two global-
+#   window rewrites (r5-green previously, engine code changed).
+# - graph_common_suppliers + graph_triangle_count: co-purchase
+#   incidence materialization changed cache()→localCheckpoint (r6
+#   advice); r4-stale on top of the code change.
+# - the seven similarity-module entries NOT already in the debut list
+#   (similarity_lsh_topk, similarity_label_bands, embedding_norm_stats,
+#   similarity_knn_graph, dedup_embedding_lsh, dedup_semantic_clusters,
+#   embedding_quantize_stats): the module-wide embeddings NULL
+#   contract landed in _emb()/_EMB_CTE this round (r6 advice), so the
+#   whole module re-verifies; three are also the r4-stale leaders.
+# - graph_bfs_path_lengths + graph_degree_histogram +
+#   chem_pharma_profile: stalest remaining r4 rows (the first two
+#   adjacent to this round's graph edits).
+# - graph_kcore_summary LAST (rows-only by design — iterative
+#   fixpoint; now pinned by a data-matched networkx golden on the
+#   sf0.01 co-purchase projection, r6 verdict item 7; its incidence
+#   materialization also changed this round).
+# Rotated out: the 44 r3-stale entries re-greened in r6 plus the r6
+# window's mm/pq/bpe rows — all r6-green and untouched this round.
+# Still waiting (r4∪r5-green, untouched): the chem/mm/events/text/
+# tpch families — next round's staleness tail.
 _PRIORITY = [
-    # ---- the 44 r3-stale entries (events/temporal + chem + original
-    # text + graph + similarity + dedup-signature + relational/reshape
-    # families rotated out in r4/r5) ----
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "similarity_ivf_recall",
-    "dedup_embedding_cosine",
-    "approx_distinct_parts",
-    "graph_connected_components_summary",
-    "chem_edit_expansion",
-    "chem_exact_ged_pairs",
-    "mm_metadata_summary",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_line_dedup_ratio",
-    "doc_rare_token_ratio",
-    "full_outer_nation_profile",
-    "sample_systematic_orders",
-    "sample_stratified_docs",
-    "pivot_status_by_priority",
-    "unpivot_lineitem_measures",
-    "grouping_sets_revenue",
-    "quantiles_price_by_flag",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "filter_project_pushdown",
-    "distinct_count_customers",
-    "group_count_orderstatus",
-    "topk_orders_per_customer",
-    "multikey_sort_parts",
-    "cross_pairs_nations",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "agg_stats_lineitem",
-    "window_running_total",
-    "rollup_region_nation",
-    "case_bucket_orders",
-    "string_funcs_customers",
-    "orders_above_customer_avg",
-    "orders_monthly_revenue",
-    "ship_delay_stats",
-    "supplier_part_sets",
-    "cube_status_priority",
-    "null_handling_discounts",
-    # ---- engine code changed this round (r6) ----
-    "mm_phash_neardup",  # exact-dup signature collapse + bit_count hamming
-    "mm_feature_extract",  # null-payload skip in _byte_features
-    "mm_resize_grid",  # null/zero-payload skip + float-coercion guard
-    # ---- round-6 debuts ----
-    "pq_code_stats",  # product-quantization codes, oracle-checked
-    "vocab_bpe_merge_table",  # full BPE merge loop (8 steps)
-    # ---- first driver row, rows-only by design (r5 verdict item 1) ----
+    # ---- the 35 round-6 debuts: first driver rows ----
+    "source_lang_entropy",
+    "neardup_degree_hist",
+    "vocab_bpe_compression",
+    "similarity_pq_topk",
+    "graph_supplier_jaccard",
+    "dedup_rate_by_source",
+    "similarity_pq_recall",
+    "events_ewma",
+    "parts_skyline",
+    "orders_bloom_prefilter",
+    "embedding_label_outliers",
+    "source_token_budget",
+    "graph_closeness_sample",
+    "neardup_prefix_pairs",
+    "doc_weighted_sample",
+    "events_value_trend",
+    "graph_supplier_pmi",
+    "similarity_ivfpq_topk",
+    "vocab_zipf_slope",
+    "doc_ngram_novelty",
+    "events_bot_regularity",
+    "events_markov_transitions",
+    "customer_rfm_segments",
+    "doc_lang_confusion",
+    "parts_basket_rules",
+    "events_dau_wau",
+    "dedup_threshold_curve",
+    "events_variant_stats",
+    "embedding_covariance_stats",
+    "chem_nearest_molecule",
+    "graph_assortativity",
+    "supplier_concentration_hhi",
+    "customer_spend_gini",
+    "customer_lorenz_deciles",
+    "events_error_rate_windows",
+    # ---- engine code changed this round (r7) ----
+    "parts_abc_analysis",  # two-pass distributed cumsum rewrite
+    "ntile_customer_value",  # two-pass distributed ntile/pct_rank rewrite
+    "graph_common_suppliers",  # incidence cache()→localCheckpoint
+    "graph_triangle_count",  # incidence cache()→localCheckpoint
+    # ---- similarity module: NULL contract landed in _emb()/_EMB_CTE ----
+    "similarity_lsh_topk",
+    "similarity_label_bands",
+    "embedding_norm_stats",
+    "similarity_knn_graph",
+    "dedup_embedding_lsh",
+    "dedup_semantic_clusters",
+    "embedding_quantize_stats",
+    # ---- stalest remaining r4 rows ----
+    "graph_bfs_path_lengths",
+    "graph_degree_histogram",
+    "chem_pharma_profile",
+    # ---- rows-only by design (networkx data-matched golden) ----
     "graph_kcore_summary",
 ]
 

@@ -277,6 +277,76 @@ def test_core_numbers_random_agreement(spark):
         assert got == _nx_cores(edges)
 
 
+def _duck_edges(sql: str) -> list[tuple[int, int]]:
+    import duckdb
+
+    return [(int(a), int(b)) for a, b in duckdb.sql(sql).fetchall()]
+
+
+def test_kcore_query_histogram_matches_networkx_on_real_data(spark):
+    """Data-matched golden (r6 verdict item 7): the registry query's
+    FULL core histogram on the real sf0.01 co-purchase projection must
+    equal networkx ``core_number`` on the identical edge set — not
+    just the row count the driver's rows-only check sees. (At sf0.01
+    the supplier projection happens to be the complete graph K100, so
+    the exact histogram is {99: 100} — pinning it still catches any
+    off-by-one in degree init / H-operator convergence; the sparser
+    part projection below exercises a 12-value histogram.)"""
+    from collections import Counter
+
+    import networkx as nx
+
+    from molgraphdb_spark.queries.graph_queries import graph_kcore_summary
+
+    sf01 = "/root/testdata/sf0.01"
+    got = {
+        r["core"]: r["n_vertices"]
+        for r in graph_kcore_summary(spark, sf01).collect()
+    }
+    edges = _duck_edges(f"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+          FROM '{sf01}/lineitem.parquet' l
+          JOIN '{sf01}/orders.parquet' o ON l_orderkey = o_orderkey
+        )
+        SELECT DISTINCT a.sup, b.sup
+        FROM cs a JOIN cs b ON a.cust = b.cust AND a.sup <> b.sup
+    """)
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    expected = dict(Counter(nx.core_number(g).values()))
+    assert got == expected
+
+
+def test_core_numbers_part_projection_matches_networkx(spark, sf_dir):
+    """The operator on a REAL sparse graph: the part co-order
+    projection at test scale has a many-valued core histogram (unlike
+    the dense supplier projection), so this golden discriminates
+    between correct and almost-correct fixpoints on actual data."""
+    from collections import Counter
+
+    import networkx as nx
+
+    from molgraphdb_spark.operators.graph import core_numbers
+
+    edges = _duck_edges(f"""
+        WITH cs AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM '{sf_dir}/lineitem.parquet'
+        )
+        SELECT DISTINCT a.p, b.p
+        FROM cs a JOIN cs b ON a.ok = b.ok AND a.p <> b.p
+    """)
+    # edges query already emits both directions (a <> b, unordered join)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = Counter(r.core for r in core_numbers(df).collect())
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    expected = Counter(nx.core_number(g).values())
+    assert dict(got) == dict(expected)
+    assert len(got) > 5  # non-degenerate: a genuinely multi-valued histogram
+
+
 def test_multi_bfs_matches_per_seed_single_source(spark):
     # multi-source BFS (one wave loop, frontier keyed by (seed, id))
     # must agree exactly with K independent single-source runs

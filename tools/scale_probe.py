@@ -654,6 +654,97 @@ def probe_kcore(spark, n_cliq: int = 10_000, cliq: int = 9, tendril: int = 12) -
     }
 
 
+def probe_ranking(spark, n: int = 4_000_000) -> dict:
+    """Ranking family at ~27× the sf0.1 per-customer relation
+    (r6 verdict item 4): the partitionless-window formulation vs the
+    exact two-pass distributed rank (operators/ranking.py) on a
+    PLANTED permutation — spend = (id·a mod n)+1 with gcd(a,n)=1, so
+    the relation is a permutation of 1..n and every invariant is
+    analytic:
+
+      * global rank of a row ordered by spend asc IS its spend value
+        (checked row-exact on the two-pass output);
+      * NTILE(10) tile sizes are exactly n/10 each (n divisible);
+      * Gini of uniform 1..n: Σi·xᵢ = Σi² = n(n+1)(2n+1)/6 — the
+        engine's floored milli output must equal the same integer
+        formula evaluated exactly in Python.
+
+    Both shapes must agree aggregate-for-aggregate; the recorded walls
+    are the before/after of the r6 'What's wrong' class (the window
+    shape funnels all n rows through ONE sort task — Spark logs
+    'Moving all data to a single partition' — while the two-pass
+    shape never holds more than n/64 rows in a task)."""
+    from pyspark.sql.window import Window
+
+    from molgraphdb_spark.operators.ranking import ntile_from_rank, with_order_stats
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+
+    a = 2654435761  # odd, not divisible by 5 → coprime with n = 4e6
+    df = spark.range(n).select(
+        F.col("id").alias("custkey"),
+        ((F.col("id") * a) % n + 1).alias("spend"),
+    )
+    order = [F.asc("spend"), F.asc("custkey")]
+
+    def gini_agg(ranked):
+        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        r = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("spend").alias("sx"),
+            F.sum(dec(F.col("i")) * F.col("spend")).alias("six"),
+        ).first()
+        import math
+
+        g = 2.0 * float(r["six"]) / (r["n"] * float(r["sx"])) - (r["n"] + 1) / r["n"]
+        return int(r["n"]), int(r["sx"]), int(r["six"]), math.floor(g * 1000 + 0.5)
+
+    # BEFORE: the partitionless global window (the r6 anti-pattern).
+    w = Window.orderBy(*order)
+    windowed = df.select(
+        "spend", F.row_number().over(w).cast("long").alias("i")
+    )
+    assert n_partitionless_windows(windowed) == 1
+    t0 = time.time()
+    win_stats = gini_agg(windowed)
+    t_window = time.time() - t0
+    spark.catalog.clearCache()
+
+    # AFTER: the exact two-pass distributed rank.
+    t0 = time.time()
+    ranked, totals = with_order_stats(df, order, rank_col="i")
+    two_stats = gini_agg(ranked)
+    t_twopass = time.time() - t0
+    assert n_partitionless_windows(ranked) == 0
+
+    # planted invariants (exact integer arithmetic)
+    rank_mismatches = ranked.filter(F.col("i") != F.col("spend")).count()
+    tiles = {
+        int(r["t"]): int(r["c"])
+        for r in ranked.select(ntile_from_rank(F.col("i"), totals["n"], 10).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    import math
+
+    six_exact = n * (n + 1) * (2 * n + 1) // 6
+    g_exact = 2.0 * six_exact / (n * (n * (n + 1) // 2)) - (n + 1) / n
+    gini_exact = math.floor(g_exact * 1000 + 0.5)
+    return {
+        "probe": "ranking", "n": n,
+        "results_equal": bool(win_stats == two_stats),
+        "rank_eq_spend_violations": int(rank_mismatches),
+        "tiles_exact": bool(tiles == {t: n // 10 for t in range(1, 11)}),
+        "gini_milli": two_stats[3],
+        "gini_milli_exact": gini_exact,
+        "gini_exact_match": bool(
+            two_stats[3] == gini_exact and two_stats[2] == six_exact
+        ),
+        "wall_window_s": round(t_window, 1),
+        "wall_twopass_s": round(t_twopass, 1),
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe")
@@ -681,6 +772,9 @@ def main() -> None:
     print(json.dumps(probe_multi_bfs(spark)))
     print(json.dumps(probe_pagerank(spark)))
     print(json.dumps(probe_kcore(spark)))
+    # Ranking family (r6 verdict item 4): partitionless window vs the
+    # exact two-pass distributed rank, planted permutation invariants.
+    print(json.dumps(probe_ranking(spark)))
 
 
 if __name__ == "__main__":
