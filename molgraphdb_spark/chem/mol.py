@@ -15,7 +15,16 @@ B/C/N/O/P/S/F/Cl/Br/I.
 Kekulé-written benzenoid rings are normalized to aromatic
 (perception below), so ``C1=CC=CC=C1`` and ``c1ccccc1`` share one
 identity — mirroring RDKit's SanitizeMol aromaticity perception that
-the reference relies on (main.py:94–95). Stereochemistry and isotopes
+the reference relies on (main.py:94–95). PRECISE perception boundary
+(pinned by tests/test_chem.py): only benzenoid 6-rings and
+lowercase-written 5-ring heteroaromatics unify; a NON-benzenoid
+aromatic 6-ring (caffeine's pyrimidinedione) keeps distinct Kekulé vs
+lowercase identities — no Hückel electron counting is performed.
+The parser is TOTAL: any string outside the subset raises
+``SmilesError`` (never another exception — fuzz-verified over
+arbitrary token soup and a grammar-valid generator), and anything
+accepted satisfies connected + valence_ok + aromatic_ok and
+round-trips through ``to_smiles`` with its WL identity intact. Stereochemistry and isotopes
 are parsed and discarded: identity here is 2D-graph identity, which is
 exactly what the reference's GED pipeline reduces to
 (/root/reference/src/mcs.py:178–194: element node attrs only).

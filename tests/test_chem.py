@@ -275,3 +275,195 @@ def test_expand_relations_fixed_point(spark):
     k_ccc = mol_key(parse_smiles("CCC"))
     k_cc = mol_key(parse_smiles("CC"))
     assert bfs_query(edges, k_ccc, k_cc) == 2
+
+
+# ---------------------------------------------------------------------------
+# SMILES parser hardening (r6 verdict item 6): published-corpus
+# goldens, precise reject list, and property-based fuzzing — both over
+# arbitrary token soup and over GRAMMAR-VALID strings from a generator
+# that exercises every production of the documented subset
+# (chem/mol.py module docstring; reference parse path main.py:46).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+#: Published structures (all public-knowledge SMILES), spanning every
+#: documented-subset feature: aromatic/Kekulé rings, fused systems,
+#: 5-ring heteroaromatics, branches, charges, %nn closures, stereo and
+#: isotope marks (parsed-and-discarded), directional bonds.
+PUBLISHED_SMILES = {
+    "benzene": "c1ccccc1",
+    "benzene_kekule": "C1=CC=CC=C1",
+    "toluene": "Cc1ccccc1",
+    "phenol": "Oc1ccccc1",
+    "aniline": "Nc1ccccc1",
+    "pyridine": "c1ccncc1",
+    "pyrrole": "c1cc[nH]c1",
+    "furan": "c1ccoc1",
+    "thiophene": "c1ccsc1",
+    "imidazole": "c1cnc[nH]1",
+    "naphthalene": "c1ccc2ccccc2c1",
+    "naphthalene_kekule": "C1=CC=C2C=CC=CC2=C1",
+    "indole": "c1ccc2[nH]ccc2c1",
+    "aspirin": "CC(=O)Oc1ccccc1C(=O)O",
+    "ibuprofen": "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+    "caffeine": "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+    "caffeine_kekule": "CN1C=NC2=C1C(=O)N(C)C(=O)N2C",
+    "paracetamol": "CC(=O)Nc1ccc(O)cc1",
+    "nicotine_flat": "CN1CCCC1c1cccnc1",
+    "tnt": "Cc1c(cc(cc1[N+](=O)[O-])[N+](=O)[O-])[N+](=O)[O-]",
+    "glucose_flat": "OCC1OC(O)C(O)C(O)C1O",
+    "acetic_acid": "CC(=O)O",
+    "acetonitrile": "CC#N",
+    "dimethyl_sulfoxide": "CS(=O)C",
+    "sulfuric_acid": "OS(=O)(=O)O",
+    "urea": "NC(=O)N",
+    "trans_2_butene_stereo": "C/C=C/C",
+    "charged_ammonium": "C[N+](C)(C)C",
+    "isotope_discard": "[13C]",
+    "atom_map_discard": "[CH3:1]C",
+    "stereo_at_alanine": "C[C@H](N)C(=O)O",
+    "pct_ring_closure": "C%10CCCCCCCCC%10",
+}
+
+#: Strings OUTSIDE the accepted subset — every one must raise
+#: SmilesError (never any other exception, never silent acceptance).
+REJECTED_SMILES = [
+    "",                # empty
+    "1CC",             # ring closure before first atom
+    "C(",              # unbalanced open branch
+    "C)",              # unbalanced close branch
+    "(C)",             # branch before first atom
+    "C=",              # dangling bond symbol
+    "CC.CC",           # disconnected (reference candidate filter main.py:101)
+    "[Xx]",            # unknown element
+    "[]C",             # empty bracket atom
+    "[C@@",            # unclosed bracket
+    "C1CC",            # unclosed ring bond
+    "C%1C",            # malformed %nn closure
+    "*",               # wildcard atom (outside subset)
+    "C:C",             # explicit aromatic bond between non-aromatic atoms
+    "C11",             # ring self-bond
+    "Zz",              # not an organic-subset token
+]
+
+
+@pytest.mark.parametrize("name", sorted(PUBLISHED_SMILES))
+def test_published_corpus_parses_and_roundtrips(name):
+    mol = parse_smiles(PUBLISHED_SMILES[name])
+    assert mol.n_atoms >= 1
+    assert mol.is_connected() and mol.valence_ok() and mol.aromatic_ok()
+    # writer round-trip preserves WL identity
+    assert mol_key(parse_smiles(to_smiles(mol))) == mol_key(mol)
+
+
+def test_kekule_and_aromatic_forms_share_identity():
+    # benzenoid rings: Kekulé and lowercase forms unify (the perception
+    # rule of _perceive_aromatic_rings)
+    for a, b in [
+        ("benzene", "benzene_kekule"),
+        ("naphthalene", "naphthalene_kekule"),
+    ]:
+        assert mol_key(parse_smiles(PUBLISHED_SMILES[a])) == mol_key(
+            parse_smiles(PUBLISHED_SMILES[b])
+        )
+
+
+def test_documented_perception_boundary_nonbenzenoid():
+    # PRECISE subset boundary (module docstring): perception unifies
+    # BENZENOID 6-rings only. Caffeine's pyrimidinedione ring is not
+    # benzenoid, so its Kekulé and lowercase forms both parse as sane
+    # molecules but keep distinct WL identities — callers needing
+    # RDKit-grade unification of non-benzenoid aromatics are outside
+    # the documented subset (SURVEY.md §7 M2 fallback).
+    ka = mol_key(parse_smiles(PUBLISHED_SMILES["caffeine"]))
+    kb = mol_key(parse_smiles(PUBLISHED_SMILES["caffeine_kekule"]))
+    assert ka != kb
+
+
+@pytest.mark.parametrize("bad", REJECTED_SMILES)
+def test_documented_rejects_raise_smiles_error(bad):
+    with pytest.raises(SmilesError):
+        parse_smiles(bad)
+
+
+# -- grammar-valid generator ------------------------------------------------
+
+_G_ATOMS = st.sampled_from(
+    ["C"] * 6 + ["N", "O"] * 3 + ["S", "P", "B", "F", "Cl", "Br", "I"]
+    + ["c"] * 3 + ["n", "o", "s"]
+    + ["[nH]", "[N+]", "[O-]", "[13C]", "[C@H]", "[CH3]", "[S+2]", "[n+:4]"]
+)
+_G_BONDS = st.sampled_from([""] * 6 + ["-", "=", "#", ":", "/", "\\"])
+
+
+@st.composite
+def grammar_smiles(draw):
+    """Syntactically valid SMILES within the documented subset: atoms
+    (organic + bracket forms), optional bond symbols, balanced
+    branches, and ring-closure digits that always come in pairs.
+    Chemically invalid outputs (valence, aromaticity, ring self-bonds)
+    are EXPECTED — the parser must reject them with SmilesError, which
+    is the property under test."""
+    out = [draw(_G_ATOMS)]
+    depth = 0
+    open_rings: list[str] = []
+    next_ring = 1
+    for _ in range(draw(st.integers(0, 14))):
+        action = draw(st.integers(0, 9))
+        if action == 0 and depth < 3:
+            out.append("(")
+            depth += 1
+            out.append(draw(_G_BONDS))
+            out.append(draw(_G_ATOMS))
+        elif action == 1 and depth > 0:
+            out.append(")")
+            depth -= 1
+        elif action == 2 and next_ring <= 9:
+            out.append(str(next_ring))  # open a ring bond
+            open_rings.append(str(next_ring))
+            next_ring += 1
+        elif action == 3 and open_rings:
+            out.append(draw(st.sampled_from(open_rings)))  # close one
+            open_rings.remove(out[-1])
+        else:
+            out.append(draw(_G_BONDS))
+            out.append(draw(_G_ATOMS))
+    out.extend(")" * depth)
+    out.extend(open_rings)  # close leftover rings on the final atom
+    return "".join(out)
+
+
+@given(grammar_smiles())
+@settings(max_examples=400, deadline=None)
+def test_grammar_valid_smiles_parse_is_total(s):
+    # every grammar-valid string either parses into a sane molecule or
+    # raises SmilesError (chemical rejection) — no other exception
+    try:
+        mol = parse_smiles(s)
+    except SmilesError:
+        return
+    assert mol.n_atoms >= 1
+    assert mol.is_connected() and mol.valence_ok() and mol.aromatic_ok()
+    assert mol_key(parse_smiles(to_smiles(mol))) == mol_key(mol)
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            list("CNOPSBFIclnops()[]=#:-+123456789%@H./\\") + ["Br", "Cl", "%10", "[nH]"]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_token_soup_reject_dont_crash(tokens):
+    # arbitrary token soup (digram elements and %nn included as units,
+    # which plain character fuzz under-samples): MolGraph or
+    # SmilesError, never a crash
+    s = "".join(tokens)
+    try:
+        mol = parse_smiles(s)
+    except SmilesError:
+        return
+    assert mol.n_atoms >= 1 and mol.is_connected() and mol.valence_ok()
