@@ -9,8 +9,10 @@ SMILES subset wide enough for the reference's own demo corpus
 sildenafil/vardenafil/tadalafil) — single/double/triple/aromatic
 bonds, branches, ring closures (incl. ``%nn``), aromatic lowercase
 atoms, bracket atoms with charge/stereo/H-count, directional-bond
-symbols (read as single), and the organic-subset elements
-B/C/N/O/P/S/F/Cl/Br/I.
+symbols (read as single), the organic-subset elements
+B/C/N/O/P/S/F/Cl/Br/I bare, and ANY periodic-table element inside
+brackets ([Na+], [Fe+2], [Au]; aromatic [se]/[as]) — non-organic
+elements carry no valence bound, matching RDKit's default model.
 
 Kekulé-written benzenoid rings are normalized to aromatic
 (perception below), so ``C1=CC=CC=C1`` and ``c1ccccc1`` share one
@@ -52,7 +54,7 @@ import networkx as nx
 #: charge of ±q widens the bound by q (e.g. [N+] carries 4).
 VALENCE = {
     "B": 3, "C": 4, "N": 3, "O": 2, "P": 5, "S": 6,
-    "F": 1, "Cl": 1, "Br": 1, "I": 1,
+    "F": 1, "Cl": 1, "Br": 1, "I": 1, "H": 1,
 }
 
 #: Aromatic bond order (two aromatic ring bonds + one substituent = 4).
@@ -71,6 +73,23 @@ _ORGANIC = ["Cl", "Br", "B", "C", "N", "O", "P", "S", "F", "I"]
 
 #: Aromatic lowercase forms allowed outside brackets.
 _AROMATIC_ORGANIC = {"b": "B", "c": "C", "n": "N", "o": "O", "p": "P", "s": "S"}
+
+#: Aromatic lowercase forms allowed only INSIDE brackets (selenophene /
+#: arsole rings — OpenSMILES §3.4 aromatic-symbols list).
+_AROMATIC_BRACKET = {"se": "Se", "as": "As"}
+
+#: All periodic-table element symbols — bracket atoms accept ANY of
+#: these (RDKit parity: [Na+], [Fe+2], [Au] are valid SMILES atoms).
+#: Elements outside the organic subset carry no valence bound
+#: (valence_ok skips them — the documented parity with RDKit's default
+#: model, which leaves d-block valence effectively unchecked).
+PERIODIC = frozenset(
+    """H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca Sc Ti V Cr Mn Fe
+    Co Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr Nb Mo Tc Ru Rh Pd Ag Cd In Sn
+    Sb Te I Xe Cs Ba La Ce Pr Nd Pm Sm Eu Gd Tb Dy Ho Er Tm Yb Lu Hf Ta W
+    Re Os Ir Pt Au Hg Tl Pb Bi Po At Rn Fr Ra Ac Th Pa U Np Pu Am Cm Bk Cf
+    Es Fm Md No Lr Rf Db Sg Bh Hs Mt Ds Rg Cn Nh Fl Mc Lv Ts Og""".split()
+)
 
 
 class SmilesError(ValueError):
@@ -156,11 +175,15 @@ class MolGraph:
 
     def valence_ok(self) -> bool:
         """Sanitize-analogue (main.py:94): total bond order within the
-        element's valence bound, widened by |formal charge|."""
+        element's valence bound, widened by |formal charge|. Elements
+        outside the organic subset (no VALENCE entry — metals, noble
+        gases) are UNCHECKED, matching RDKit's default model which
+        leaves d-block valence effectively unbounded."""
         return all(
             self.valence_sum(i)
-            <= VALENCE.get(el, 0) + abs(self.charges.get(i, 0)) + 1e-9
+            <= VALENCE[el] + abs(self.charges.get(i, 0)) + 1e-9
             for i, el in enumerate(self.elements)
+            if el in VALENCE
         )
 
     def _node_label(self, i: int) -> str:
@@ -244,12 +267,22 @@ def _parse_bracket(body: str, smiles: str) -> tuple[str, bool, int]:
     while i < len(body) and body[i].isdigit():  # isotope
         i += 1
     if i < len(body) and body[i].isupper():
+        # longest element match over the FULL periodic table (bracket
+        # atoms are not restricted to the organic subset — RDKit
+        # parity; [Sc] is scandium, never S + aromatic c, per the
+        # one-atom-per-bracket rule)
         elem = body[i]
         i += 1
-        if i < len(body) and body[i].islower() and elem + body[i] in VALENCE:
+        if i < len(body) and body[i].islower() and elem + body[i] in PERIODIC:
             elem += body[i]
             i += 1
+        if elem not in PERIODIC:
+            raise SmilesError(f"bad bracket atom [{body}] in {smiles!r}")
         aromatic = False
+    elif body[i : i + 2] in _AROMATIC_BRACKET:  # [se]/[as] aromatics
+        elem = _AROMATIC_BRACKET[body[i : i + 2]]
+        aromatic = True
+        i += 2
     elif i < len(body) and body[i] in _AROMATIC_ORGANIC:
         elem = _AROMATIC_ORGANIC[body[i]]
         aromatic = True
@@ -543,7 +576,14 @@ def to_smiles(mol: MolGraph) -> str:
         if q:
             qs = ("+" if q > 0 else "-") * abs(q) if abs(q) <= 2 else f"{q:+d}"
             return f"[{sym}{qs}]"
-        return sym
+        # elements with no bare form ([Na], [Au], aromatic [se]) must
+        # re-enter through brackets or the round-trip re-parses wrong
+        bare_ok = (
+            sym in _AROMATIC_ORGANIC
+            if u in mol.aromatic
+            else mol.elements[u] in _ORGANIC
+        )
+        return sym if bare_ok else f"[{sym}]"
 
     def emit(u: int) -> str:
         s = atom_sym(u)

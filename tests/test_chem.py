@@ -323,6 +323,14 @@ PUBLISHED_SMILES = {
     "atom_map_discard": "[CH3:1]C",
     "stereo_at_alanine": "C[C@H](N)C(=O)O",
     "pct_ring_closure": "C%10CCCCCCCCC%10",
+    # full-periodic bracket atoms (RDKit parity; valence unchecked
+    # outside the organic subset)
+    "sodium_cation": "[Na+]",
+    "gold_atom": "[Au]",
+    "ferrocene_like_flat": "[Fe](C)(C)C",
+    "grignard_flat": "CC[Mg]Br",
+    "selenophene": "c1cc[se]1",
+    "tetraethyllead": "CC[Pb](CC)(CC)CC",
 }
 
 #: Strings OUTSIDE the accepted subset — every one must raise
@@ -341,6 +349,9 @@ REJECTED_SMILES = [
     "C1CC",            # unclosed ring bond
     "C%1C",            # malformed %nn closure
     "*",               # wildcard atom (outside subset)
+    "[Xx]",            # not a periodic-table symbol
+    "[X]",             # not a periodic-table symbol (single letter)
+    "[Na+].[Cl-]",     # salt: disconnected fragments rejected
     "C:C",             # explicit aromatic bond between non-aromatic atoms
     "C11",             # ring self-bond
     "Zz",              # not an organic-subset token
@@ -392,6 +403,7 @@ _G_ATOMS = st.sampled_from(
     ["C"] * 6 + ["N", "O"] * 3 + ["S", "P", "B", "F", "Cl", "Br", "I"]
     + ["c"] * 3 + ["n", "o", "s"]
     + ["[nH]", "[N+]", "[O-]", "[13C]", "[C@H]", "[CH3]", "[S+2]", "[n+:4]"]
+    + ["[Na+]", "[Fe+2]", "[Au]", "[se]", "[Mg]"]
 )
 _G_BONDS = st.sampled_from([""] * 6 + ["-", "=", "#", ":", "/", "\\"])
 
