@@ -1523,6 +1523,66 @@ def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Percentiles reported by customer_spend_exact_percentiles, in bp.
+SPEND_PCTS_BP = [2500, 5000, 7500, 9000, 9900]
+
+
+def customer_spend_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles of per-customer spend — the deterministic twin
+    of the approx_percentile family: the p-th percentile is the value
+    at global rank ⌈p·n⌉ under the total order (spend asc, custkey
+    asc), the nearest-rank definition both engines compute
+    identically in integer arithmetic (no interpolation, no sketch
+    error bound to reason about — the number a revenue SLA quotes).
+
+    Scale shape: the rank is the exact two-pass distributed rank
+    (operators/ranking.py — the per-customer relation grows with the
+    corpus, so no partitionless window); n arrives as pass 1's exact
+    driver literal, the five target ranks are integer literals, and
+    the final filter keeps 5 rows. Recomputing approx vs exact drift
+    is then one join away — the calibration a 100 TB pipeline runs
+    before trusting its sketches."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("spend_c")
+    )
+    ranked, totals = with_order_stats(
+        spend, [F.asc("spend_c"), F.asc("o_custkey")], rank_col="i"
+    )
+    n = totals["n"]
+    targets = {bp: -(-bp * n // 10000) for bp in SPEND_PCTS_BP}  # ceil(p·n)
+    target_df = F.broadcast(
+        spark.createDataFrame(
+            [(bp, r) for bp, r in targets.items()], "pct_bp long, i long"
+        )
+    )
+    return (
+        ranked.join(target_df, "i")
+        .select("pct_bp", F.col("i").alias("rank_i"), "spend_c")
+        .orderBy("pct_bp")
+    )
+
+
+CUSTOMER_PCTL_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT spend_c,
+         CAST(ROW_NUMBER() OVER (ORDER BY spend_c ASC, o_custkey ASC) AS BIGINT) AS i,
+         COUNT(*) OVER () AS n
+  FROM spend
+), targets AS (
+  SELECT UNNEST(ARRAY{SPEND_PCTS_BP}) AS pct_bp
+)
+SELECT CAST(t.pct_bp AS BIGINT) AS pct_bp,
+       CAST(r.i AS BIGINT) AS rank_i,
+       CAST(r.spend_c AS BIGINT) AS spend_c
+FROM targets t JOIN ranked r ON r.i = -((-t.pct_bp * r.n) // 10000)
+ORDER BY pct_bp
+"""
+
+
 CUSTOMER_LORENZ_SQL = """
 WITH spend AS (
   SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
@@ -1585,6 +1645,7 @@ QUERIES = {
     "supplier_concentration_hhi": supplier_concentration_hhi,
     "customer_spend_gini": customer_spend_gini,
     "customer_lorenz_deciles": customer_lorenz_deciles,
+    "customer_spend_exact_percentiles": customer_spend_exact_percentiles,
 }
 
 ORACLES = {
@@ -1628,4 +1689,5 @@ ORACLES = {
     "supplier_concentration_hhi": SUPPLIER_HHI_SQL,
     "customer_spend_gini": CUSTOMER_GINI_SQL,
     "customer_lorenz_deciles": CUSTOMER_LORENZ_SQL,
+    "customer_spend_exact_percentiles": CUSTOMER_PCTL_SQL,
 }

@@ -132,6 +132,7 @@ RANKING_FAMILY = [
     ("relational", "customer_rfm_segments"),
     ("relational", "customer_spend_gini"),
     ("relational", "customer_lorenz_deciles"),
+    ("relational", "customer_spend_exact_percentiles"),
     ("reshape", "ntile_customer_value"),
     ("mixing", "doc_weighted_sample"),
     ("text", "vocab_zipf_slope"),
