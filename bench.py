@@ -104,6 +104,9 @@ HEADLINE = [
     "supplier_concentration_hhi",
     "customer_spend_gini",
     "customer_lorenz_deciles",
+    "parts_abc_analysis",
+    "ntile_customer_value",
+    "customer_spend_exact_percentiles",
     "events_error_rate_windows",
 ]
 
