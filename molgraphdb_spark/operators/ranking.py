@@ -81,6 +81,81 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     )
 
 
+def ntile_from_rank_cols(rank_col: str, n_col: str, k: int) -> Column:
+    """Exact ``NTILE(k)`` from a 1-based rank COLUMN and a group-size
+    COLUMN (the per-group variant of :func:`ntile_from_rank`, for use
+    after :func:`with_grouped_order_stats` where n varies per group).
+    Integer arithmetic throughout via SQL ``DIV`` — the expression is
+    built over column names, so both must already be columns of the
+    frame."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q = f"({n_col} DIV {k})"
+    r = f"({n_col} % {k})"
+    head = f"({r} * ({q} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {n_col} < {k} THEN {rank_col} "
+        f"WHEN {rank_col} <= {head} THEN ({rank_col} - 1) DIV ({q} + 1) + 1 "
+        f"ELSE {r} + ({rank_col} - 1 - {head}) DIV {q} + 1 END AS INT)"
+    )
+
+
+def with_grouped_order_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    *,
+    rank_col: str | None = None,
+    cumsum: dict[str, str] | None = None,
+    count_col: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact PER-GROUP row_number / running sums without a partitioned
+    window — for the funnel class ``Window.partitionBy(g)`` where the
+    groups are FEW and LARGE (per-source, per-language rollups: a
+    handful of partitions each growing with the corpus, so each group
+    still funnels through one task under a plain partitioned window).
+
+    One GLOBAL total order (group columns ascending, then ``order``)
+    through :func:`with_order_stats` makes groups contiguous in rank
+    space; the per-group offset is then an aggregate fact —
+    ``min(global_rank) − 1`` for ranks, ``min(global_cum − value)``
+    (the pre-group running sum, exact because cum is monotone along
+    the order) for sums — joined back from the broadcast group
+    dictionary. ``count_col`` optionally attaches the group size (the
+    n that per-group NTILE needs, see :func:`ntile_from_rank_cols`).
+
+    Scale: the group dictionary is bounded by the number of groups —
+    exactly the regime where the partitioned window was a funnel; with
+    millions of tiny groups a plain partitioned window is already
+    parallel and should be used instead."""
+    cumsum = dict(cumsum or {})
+    gorder = [F.asc(c) for c in group_cols] + list(order)
+    inner_cum = {src: f"_gcum_{src}" for src in cumsum}
+    out, _totals = with_order_stats(
+        df, gorder, rank_col="_grank", cumsum=inner_cum, n_buckets=n_buckets
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_gcnt"),
+        (F.min("_grank") - 1).alias("_goff"),
+    ]
+    for src in cumsum:
+        aggs.append(
+            F.min(F.col(inner_cum[src]) - F.col(src)).alias(f"_gsumoff_{src}")
+        )
+    offs = out.groupBy(*group_cols).agg(*aggs)
+    res = out.join(F.broadcast(offs), list(group_cols))
+    if rank_col is not None:
+        res = res.withColumn(rank_col, F.col("_grank") - F.col("_goff"))
+    for src, dst in cumsum.items():
+        res = res.withColumn(dst, F.col(inner_cum[src]) - F.col(f"_gsumoff_{src}"))
+    if count_col is not None:
+        res = res.withColumn(count_col, F.col("_gcnt"))
+    drop = ["_grank", "_goff", "_gcnt", *inner_cum.values()]
+    drop += [f"_gsumoff_{s}" for s in cumsum]
+    return res.drop(*drop)
+
+
 def with_order_stats(
     df: DataFrame,
     order: list[Column],

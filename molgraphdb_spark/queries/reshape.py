@@ -349,8 +349,68 @@ ORDER BY o_custkey
 """
 
 
+def source_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE decile table of document length — the mixture-health
+    report a curation pipeline reads per corpus slice (is wiki's tail
+    shorter than web's? did a crawl batch shift the p90?): for each
+    source, documents rank into NTILE(10) by (n_chars, doc_id) and
+    each decile reports its count and char range.
+
+    Scale shape: ``Window.partitionBy(source)`` is the OTHER funnel
+    class — a handful of sources, each growing with the corpus, so
+    every source still sorts in ONE task. This uses
+    with_grouped_order_stats (operators/ranking.py): one global
+    two-pass rank over (source, n_chars, doc_id) makes groups
+    contiguous, per-source offsets come from the broadcast group
+    dictionary, and NTILE reconstructs arithmetically from the
+    per-group rank and size — zero partitioned OR partitionless
+    window over a corpus-growing relation (plan-asserted)."""
+    from molgraphdb_spark.operators.ranking import (
+        ntile_from_rank_cols,
+        with_grouped_order_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    ranked = with_grouped_order_stats(
+        docs,
+        ["source"],
+        [F.asc("n_chars"), F.asc("doc_id")],
+        rank_col="_rn",
+        count_col="_n",
+    )
+    return (
+        ranked.withColumn("decile", ntile_from_rank_cols("_rn", "_n", 10))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("chars_min"),
+            F.max("n_chars").alias("chars_max"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+SOURCE_LEN_DECILES_SQL = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(NTILE(10) OVER (PARTITION BY source
+              ORDER BY n_chars ASC, doc_id ASC) AS INT) AS decile
+  FROM documents
+)
+SELECT source, decile, COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS chars_min,
+       CAST(MAX(n_chars) AS BIGINT) AS chars_max
+FROM d
+GROUP BY source, decile
+ORDER BY source, decile
+"""
+
+
 QUERIES = {
     "ntile_customer_value": ntile_customer_value,
+    "source_length_deciles": source_length_deciles,
     "full_outer_nation_profile": full_outer_nation_profile,
     "sample_systematic_orders": sample_systematic_orders,
     "sample_stratified_docs": sample_stratified_docs,
@@ -362,6 +422,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_length_deciles": SOURCE_LEN_DECILES_SQL,
     "ntile_customer_value": NTILE_SQL,
     "full_outer_nation_profile": FULL_OUTER_SQL,
     "sample_systematic_orders": SAMPLE_SQL,

@@ -154,3 +154,90 @@ def test_detector_flags_a_global_window(spark):
         F.row_number().over(Window.orderBy("id")).alias("rn")
     )
     assert n_partitionless_windows(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# Per-group variant: with_grouped_order_stats must match the
+# PARTITIONED window exactly (the few-large-groups funnel class).
+# ---------------------------------------------------------------------------
+def test_grouped_rank_cumsum_match_partitioned_window(spark):
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
+    df = spark.range(4007).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),   # 3 large groups
+        ((F.col("id") * 2654435761) % 89).alias("v"),  # heavy ties
+    )
+    order = [F.desc("v"), F.asc("k")]
+    w = Window.partitionBy("g").orderBy(*order)
+    exp = {
+        r["k"]: (r["rn"], r["cum"], r["n"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("g").orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    got_df = with_grouped_order_stats(
+        df, ["g"], order, rank_col="rn", cumsum={"v": "cum"}, count_col="n",
+        n_buckets=7,
+    )
+    got = {r["k"]: (r["rn"], r["cum"], r["n"]) for r in got_df.collect()}
+    assert got == exp
+
+
+def test_grouped_ntile_cols_matches_partitioned_ntile(spark):
+    from molgraphdb_spark.operators.ranking import (
+        ntile_from_rank_cols,
+        with_grouped_order_stats,
+    )
+
+    df = spark.range(1013).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        ((F.col("id") * 48271) % 59).alias("v"),
+    )
+    order = [F.asc("v"), F.asc("k")]
+    w = Window.partitionBy("g").orderBy(*order)
+    exp = {
+        r["k"]: r["t"]
+        for r in df.select("k", F.ntile(10).over(w).alias("t")).collect()
+    }
+    ranked = with_grouped_order_stats(
+        df, ["g"], order, rank_col="_rn", count_col="_n", n_buckets=5
+    )
+    got = {
+        r["k"]: r["t"]
+        for r in ranked.select(
+            "k", ntile_from_rank_cols("_rn", "_n", 10).alias("t")
+        ).collect()
+    }
+    assert got == exp
+    # tiny-group edge: n < k → tile == rank
+    tiny = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    r2 = with_grouped_order_stats(
+        tiny, ["g"], [F.asc("v")], rank_col="_rn", count_col="_n"
+    )
+    t2 = sorted(
+        r["t"] for r in r2.select(ntile_from_rank_cols("_rn", "_n", 10).alias("t")).collect()
+    )
+    assert t2 == [1, 2]
+
+
+def test_source_length_deciles_no_partitioned_funnel(spark, sf_dir):
+    from molgraphdb_spark.queries.reshape import source_length_deciles
+
+    df = source_length_deciles(spark, sf_dir)
+    assert n_partitionless_windows(df) == 0
+    # and the only Window nodes are bucket-partitioned (no per-source
+    # partition spec): the plan must not contain a source-partitioned sort
+    from molgraphdb_spark.plans.explain import formatted_plan
+
+    assert "windowspecdefinition(source#" not in formatted_plan(df)
