@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from molgraphdb_spark.session import tune
 from molgraphdb_spark.sources.tables import load_table
@@ -112,18 +111,26 @@ def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins are full by construction and a document may straddle a bin
     boundary (first_bin < last_bin).
 
-    Scale: the cumsum window partitions by ``source`` — packing
-    parallelizes across sources (shards), never a global single-
-    partition sort; within one source the running sum is the sequential
-    semantics packing requires. One shuffle on source."""
+    Scale: sources are FEW and each grows with the corpus, so a
+    per-source window would still sort every source in ONE task (the
+    partitioned edge of the r6 funnel class). The running sum instead
+    rides the grouped two-pass distributed operator
+    (operators/ranking.py::with_grouped_order_stats): one global range
+    order over (source, doc_id), per-source offsets from the broadcast
+    group dictionary — no task ever holds a whole source, same exact
+    sequential packing semantics (oracle unchanged)."""
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    end = F.sum("n_tok").over(w)
+    docs = with_grouped_order_stats(
+        docs, ["source"], [F.asc("doc_id")], cumsum={"n_tok": "_end"}
+    )
+    end = F.col("_end")
     start = end - F.col("n_tok")
     return docs.select(
         "doc_id",
@@ -331,11 +338,14 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     effective quality cutoff (min selected quality) — the knobs a
     mixture designer actually reads.
 
-    Scale: one window shuffle on ``source`` (ranking + running sum ride
-    the same sort), then a map-side-combined aggregation; the corpus
-    crosses the wire once. Skew note: partitioning is by source, so a
-    single dominant source serializes its own sort — the same bound as
-    doc_pack_offsets, inherent to per-source sequential semantics."""
+    Scale: sources are FEW and corpus-growing, so the per-source
+    ranked running sum goes through the grouped two-pass distributed
+    operator (with_grouped_order_stats — one global range order over
+    (source, quality desc, doc_id), broadcast per-source offsets):
+    even a single dominant source never serializes through one task,
+    closing the skew note the old per-source window carried. Then one
+    map-side-combined aggregation; the corpus crosses the wire once;
+    oracle unchanged."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -352,12 +362,18 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quality_bp"),
     )
-    w = Window.partitionBy("source").orderBy(F.desc("quality_bp"), F.asc("doc_id"))
-    ranked = docs.select(
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
+    ranked = with_grouped_order_stats(
+        docs,
+        ["source"],
+        [F.desc("quality_bp"), F.asc("doc_id")],
+        cumsum={"n_tok": "_cum"},
+    ).select(
         "source",
         "n_tok",
         "quality_bp",
-        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_before"),
+        (F.col("_cum") - F.col("n_tok")).alias("cum_before"),
     )
     sel = F.col("cum_before") < TOKEN_BUDGET
     return (

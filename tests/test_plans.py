@@ -240,15 +240,18 @@ def test_mixture_sample_is_map_only_over_docs(spark, sf_dir):
     assert not s["has_python_worker"]
 
 
-def test_pack_offsets_partitions_by_source(spark, sf_dir):
-    """Packing must parallelize across sources — a single global-
-    partition window (Window.partitionBy() empty) would serialize the
-    cumsum on one task at corpus scale."""
+def test_pack_offsets_no_per_source_funnel(spark, sf_dir):
+    """Packing must parallelize BELOW source granularity (round 7):
+    sources are few and corpus-growing, so a window partitioned by
+    source would still sort each source on one task. The grouped
+    two-pass operator replaces it — the plan may contain neither a
+    partitionless window nor a source-partitioned windowspec."""
+    from molgraphdb_spark.plans.explain import formatted_plan, n_partitionless_windows
     from molgraphdb_spark.queries.mixing import doc_pack_offsets
 
     df = doc_pack_offsets(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(source" in plan
+    assert n_partitionless_windows(df) == 0
+    assert "windowspecdefinition(source#" not in formatted_plan(df)
     assert not plan_summary(df)["has_python_worker"]
 
 
@@ -450,13 +453,17 @@ def test_label_outliers_broadcast_centroids(spark, sf_dir):
     assert s["n_broadcast_joins"] >= 1
 
 
-def test_token_budget_single_sort(spark, sf_dir):
-    # ranking and the running token sum ride ONE window sort on source
+def test_token_budget_no_per_source_funnel(spark, sf_dir):
+    # round 7: the per-source ranked running sum goes through the
+    # grouped two-pass operator — no source-partitioned window (a
+    # dominant source must never serialize on one task), no python
+    # worker, no cartesian
+    from molgraphdb_spark.plans.explain import formatted_plan, n_partitionless_windows
     from molgraphdb_spark.queries.mixing import source_token_budget
 
-    s = plan_summary(source_token_budget(spark, sf_dir))
+    df = source_token_budget(spark, sf_dir)
+    s = plan_summary(df)
     assert not s["has_python_worker"]
     assert "CartesianProduct" not in s["plan"]
-    assert s["n_sortmerge_joins"] == 0
-    # window shuffle + agg exchange + final sort (+AQE read) - no more
-    assert s["plan"].count("Exchange") <= 4
+    assert n_partitionless_windows(df) == 0
+    assert "windowspecdefinition(source#" not in formatted_plan(df)
