@@ -156,6 +156,62 @@ def with_grouped_order_stats(
     return res.drop(*drop)
 
 
+def with_running_max_before(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    out_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """``max(value) over rows with key STRICTLY below this row's key``
+    — the dominance scan of the skyline family — without a
+    partitionless RANGE window.
+
+    Same two-pass shape as :func:`with_order_stats`, specialized to a
+    running max with range (peers-excluded) semantics: range buckets
+    on the KEY ALONE (equal keys always co-locate under range
+    partitioning, so "strictly below" never leaks across a bucket
+    boundary), per-bucket maxima prefix-folded at the driver, and a
+    bucket-partitioned RANGE window supplies the within-bucket leg;
+    ``greatest`` merges the two (NULL-absorbing on both sides, so the
+    globally-smallest key rows keep the window formulation's NULL)."""
+    spark = df.sparkSession
+    part = (
+        df.repartitionByRange(n_buckets, F.asc(key_col))
+        .withColumn(_BUCKET, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    agg = part.groupBy(_BUCKET).agg(F.max(value_col).alias("_mx"))
+    mx_type = next(f.dataType for f in agg.schema.fields if f.name == "_mx")
+    rows = sorted(agg.collect(), key=lambda r: r[_BUCKET])
+    offs, run = [], None
+    for r in rows:
+        offs.append((int(r[_BUCKET]), run))
+        if r["_mx"] is not None:
+            run = r["_mx"] if run is None else max(run, r["_mx"])
+    off_df = spark.createDataFrame(
+        offs,
+        T.StructType(
+            [
+                T.StructField(_BUCKET, T.IntegerType(), False),
+                T.StructField("_premax", mx_type, True),
+            ]
+        ),
+    )
+    local = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(key_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.join(F.broadcast(off_df), _BUCKET)
+        .withColumn(
+            out_col, F.greatest(F.max(value_col).over(local), F.col("_premax"))
+        )
+        .drop(_BUCKET, "_premax")
+    )
+
+
 def with_order_stats(
     df: DataFrame,
     order: list[Column],

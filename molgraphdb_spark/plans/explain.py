@@ -43,11 +43,16 @@ def n_partitionless_windows(df: DataFrame) -> int:
     single-partition funnel Spark itself warns about ("Moving all data
     to a single partition"). In the formatted plan a Window node's
     Arguments line has three top-level bracket groups when partitioned
-    ``[exprs], [partition], [order]`` and only two when global
-    ``[exprs], [order]`` (verified empirically on Spark 4.1). The
-    scale rule (r6 verdict): a plan may contain NO partitionless
-    window over any relation that grows with the corpus — tests
-    assert 0 on such queries."""
+    AND ordered ``[exprs], [partition], [order]``; two groups are
+    ambiguous — ``[exprs], [order]`` is a GLOBAL ordered window (the
+    funnel) while ``[exprs], [partition]`` is a partitioned unordered
+    window (distributed, fine) — disambiguated by the ordering
+    direction markers only an order spec carries; one group
+    ``[exprs]`` is a global unordered window (AllTuples — also a
+    funnel). Verified empirically on Spark 4.1. The scale rule (r6
+    verdict): a plan may contain NO partitionless window over any
+    relation that grows with the corpus — tests assert 0 on such
+    queries."""
     plan = formatted_plan(df)
     n = 0
     sections = re.split(r"\n\((\d+)\) ", plan)
@@ -59,8 +64,16 @@ def n_partitionless_windows(df: DataFrame) -> int:
         if body.split("\n", 1)[0].strip() != "Window":
             continue
         m = re.search(r"^Arguments: (.*)$", body, re.M)
-        if m and len(_top_level_groups(m.group(1))) < 3:
-            n += 1
+        if not m:
+            continue
+        groups = _top_level_groups(m.group(1))
+        if len(groups) >= 3:
+            continue  # partitioned + ordered
+        if len(groups) == 2 and not re.search(
+            r" (ASC|DESC) NULLS (FIRST|LAST)", groups[-1]
+        ):
+            continue  # partitioned, unordered — distributed
+        n += 1
     return n
 
 

@@ -1111,10 +1111,13 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equal-price smaller parts are dominated; equal price AND size are
     mutually non-dominating, so all per-price maxima survive), so
     stage 1 is an ordinary skew-free hash aggregation + broadcast
-    semi-reduction to ≤|distinct prices| candidates; only THAT reduced
-    set pays the unpartitioned global-sort window (the classic
-    single-partition window hazard, here bounded by price cardinality
-    rather than row count)."""
+    semi-reduction to ≤|distinct prices| candidates; the dominance
+    scan over THAT reduced set then rides the strictly-before running
+    max of operators/ranking.py (range buckets on price + driver
+    prefix maxima — round 7): the price dictionary grows with the
+    parts table, so even the reduced relation no longer pays a
+    single-partition sort. Bit-identical to the old global RANGE
+    window (oracle unchanged)."""
     part = _t(spark, sf_dir, "part")
     cents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
     sized = part.select(
@@ -1124,12 +1127,13 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sized.join(F.broadcast(per_price), "price_c").filter(
         F.col("p_size") == F.col("_mx")
     )
-    w_cheaper = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
-    flagged = cand.select(
-        "p_partkey",
+    from molgraphdb_spark.operators.ranking import with_running_max_before
+
+    flagged = with_running_max_before(
+        cand.select("p_partkey", "price_c", "p_size"),
         "price_c",
         "p_size",
-        F.max("p_size").over(w_cheaper).alias("_mx_cheaper"),
+        "_mx_cheaper",
     )
     return (
         flagged.filter(

@@ -241,3 +241,44 @@ def test_source_length_deciles_no_partitioned_funnel(spark, sf_dir):
     from molgraphdb_spark.plans.explain import formatted_plan
 
     assert "windowspecdefinition(source#" not in formatted_plan(df)
+
+
+def test_running_max_before_matches_range_window(spark):
+    from molgraphdb_spark.operators.ranking import with_running_max_before
+
+    # heavy key ties (peers must be EXCLUDED from their own max)
+    df = spark.range(3001).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 48271) % 37).alias("key"),
+        ((F.col("id") * 2654435761) % 1000).alias("v"),
+    )
+    w = Window.orderBy("key").rangeBetween(Window.unboundedPreceding, -1)
+    exp = {
+        r["k"]: r["m"]
+        for r in df.select("k", F.max("v").over(w).alias("m")).collect()
+    }
+    got = {
+        r["k"]: r["m"]
+        for r in with_running_max_before(df, "key", "v", "m", n_buckets=7).collect()
+    }
+    assert got == exp
+    # the smallest-key rows carry NULL in both formulations
+    assert any(v is None for v in got.values())
+
+
+def test_skyline_no_partitionless_window(spark, sf_dir):
+    from molgraphdb_spark.queries.relational import parts_skyline
+
+    assert n_partitionless_windows(parts_skyline(spark, sf_dir)) == 0
+
+
+def test_detector_ignores_partitioned_unordered_windows(spark):
+    # Window.partitionBy(k) with NO orderBy prints only two bracket
+    # groups — it must NOT count as a funnel (it distributes by k)
+    df = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    w = Window.partitionBy("k")
+    d = df.select("k", F.max("v").over(w).alias("m"))
+    assert n_partitionless_windows(d) == 0
+    # but a global unordered window (empty partitionBy) IS a funnel
+    d2 = df.select(F.max("v").over(Window.partitionBy()).alias("m"))
+    assert n_partitionless_windows(d2) == 1
