@@ -512,7 +512,79 @@ ORDER BY win_start_s
 """
 
 
+# --------------------------------------------------------------------------
+# Exact per-type value percentiles: the ops latency-SLO table.
+# --------------------------------------------------------------------------
+LATENCY_PCTS_BP = [5000, 9500, 9900]
+
+
+def events_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p95/p99 of ``value`` per event type — the
+    latency-SLO table an ops dashboard quotes, deterministic to the
+    micro-unit (no t-digest error bound): the p-th percentile of a
+    type with n events is the value at per-type rank ⌈p·n⌉ under the
+    total order (value, event_id).
+
+    Scale shape: event types are FEW and each grows with the corpus —
+    the textbook per-group funnel — so the per-type rank rides
+    with_grouped_order_stats (operators/ranking.py: one global range
+    order over (type, value, id), broadcast per-type offsets; no task
+    ever holds a whole type). The three target ranks come from an
+    exploded literal list and one integer-DIV filter."""
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("value_u"),
+    )
+    ranked = with_grouped_order_stats(
+        base,
+        ["event_type"],
+        [F.asc("value_u"), F.asc("event_id")],
+        rank_col="_rn",
+        count_col="_n",
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p).cast("long") for p in LATENCY_PCTS_BP])
+    ).alias("pct_bp")
+    return (
+        ranked.select("event_type", "value_u", "_rn", "_n", pcts)
+        .filter(F.expr("_rn = -((-pct_bp * _n) DIV 10000)"))
+        .select(
+            "event_type",
+            "pct_bp",
+            F.col("_rn").cast("long").alias("rank_i"),
+            F.col("_n").cast("long").alias("n_events"),
+            "value_u",
+        )
+        .orderBy("event_type", "pct_bp")
+    )
+
+
+EVENTS_LATENCY_PCTL_SQL = f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_u
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_type, value_u,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY value_u ASC, event_id ASC) AS BIGINT) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), t AS (SELECT UNNEST(ARRAY{LATENCY_PCTS_BP}) AS pct_bp)
+SELECT r.event_type, CAST(t.pct_bp AS BIGINT) AS pct_bp,
+       CAST(r.i AS BIGINT) AS rank_i, CAST(r.n AS BIGINT) AS n_events,
+       r.value_u
+FROM t JOIN r ON r.i = -((-t.pct_bp * r.n) // 10000)
+ORDER BY event_type, pct_bp
+"""
+
+
 QUERIES = {
+    "events_latency_percentiles": events_latency_percentiles,
     "events_hourly_counts": events_hourly_counts,
     "events_tumbling_window": events_tumbling_window,
     "events_json_extract": events_json_extract,
@@ -526,6 +598,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_latency_percentiles": EVENTS_LATENCY_PCTL_SQL,
     "events_hourly_counts": EVENTS_HOURLY_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
     "events_json_extract": EVENTS_JSON_SQL,

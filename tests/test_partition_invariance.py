@@ -62,7 +62,13 @@ AT_RISK = [
     "customer_spend_gini",       # rank-window decimal sums — order-free
     "supplier_concentration_hhi", # integer share-bp squares — order-free
     "customer_lorenz_deciles",   # ntile total-order + cumulative shares
-    "parts_skyline",             # range-frame window over reduced candidates
+    "parts_skyline",             # strictly-before running max — bucket-boundary ties
+    "parts_abc_analysis",        # two-pass cumsum — bucket prefix exactness
+    "ntile_customer_value",      # two-pass rank + reconstructed ntile/pct_rank
+    "customer_spend_exact_percentiles",  # nearest-rank targets at bucket seams
+    "source_length_deciles",     # grouped two-pass rank + per-group ntile
+    "source_token_budget",       # grouped two-pass cumsum — budget boundary
+    "events_latency_percentiles",  # grouped nearest-rank targets at seams
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
 ]
