@@ -42,11 +42,24 @@ from pyspark.sql.window import Window
 #: Range-bucket column name (dropped from results).
 _BUCKET = "_rb_bucket"
 
-#: Default bucket count: enough parallelism for a 1000-executor cluster
-#: reading the REDUCED relation (ranking inputs are per-key rollups, not
-#: fact tables) while keeping the driver-side offset table trivially
-#: small. Callers can raise it; correctness never depends on it.
+#: Floor for the adaptive bucket count (see :func:`_buckets_for`).
+#: Correctness never depends on the bucket count — only task balance.
 DEFAULT_BUCKETS = 64
+
+
+def _buckets_for(df: DataFrame, n_buckets: int | None) -> int:
+    """Resolve the range-bucket count: an explicit caller value wins;
+    otherwise scale with the cluster — 2× default parallelism, floored
+    at DEFAULT_BUCKETS — so the same code that runs 64 buckets on
+    local[32] runs ~16k on an 8000-core cluster without a knob. The
+    driver-side offset state stays trivially small either way (one
+    long per bucket per statistic)."""
+    if n_buckets is not None:
+        if n_buckets <= 0:
+            raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+        return n_buckets
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(DEFAULT_BUCKETS, 2 * par)
 
 
 def exact_div(num: Column, d: int) -> Column:
@@ -108,7 +121,7 @@ def with_grouped_order_stats(
     rank_col: str | None = None,
     cumsum: dict[str, str] | None = None,
     count_col: str | None = None,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exact PER-GROUP row_number / running sums without a partitioned
     window — for the funnel class ``Window.partitionBy(g)`` where the
@@ -161,7 +174,7 @@ def with_running_max_before(
     key_col: str,
     value_col: str,
     out_col: str,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """``max(value) over rows with key STRICTLY below this row's key``
     — the dominance scan of the skyline family — without a
@@ -175,6 +188,7 @@ def with_running_max_before(
     bucket-partitioned RANGE window supplies the within-bucket leg;
     ``greatest`` merges the two (NULL-absorbing on both sides, so the
     globally-smallest key rows keep the window formulation's NULL)."""
+    n_buckets = _buckets_for(df, n_buckets)
     spark = df.sparkSession
     part = (
         df.repartitionByRange(n_buckets, F.asc(key_col))
@@ -218,7 +232,7 @@ def with_order_stats(
     *,
     rank_col: str | None = None,
     cumsum: dict[str, str] | None = None,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Attach an exact global row_number and/or inclusive running sums
     in ``order`` without a partitionless window.
@@ -246,6 +260,7 @@ def with_order_stats(
     cumsum = dict(cumsum or {})
     if rank_col is None and not cumsum:
         raise ValueError("request at least one of rank_col / cumsum")
+    n_buckets = _buckets_for(df, n_buckets)
     spark = df.sparkSession
 
     # Pass 0: ordered range buckets. localCheckpoint: the bucketed
