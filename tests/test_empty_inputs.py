@@ -56,6 +56,11 @@ REPRESENTATIVE = [
     "events_variant_stats",      # variant extraction over zero rows
     "events_dau_wau",            # day spine from an empty corpus
     "parts_basket_rules",        # basket pairs over zero orders
+    "customer_rfm_segments",     # three two-pass ranks over zero customers
+    "customer_spend_exact_percentiles",  # rank targets with n = 0
+    "source_length_deciles",     # grouped two-pass over zero docs
+    "events_latency_percentiles",  # grouped rank targets with n = 0
+    "doc_weighted_sample",       # mark crossings with zero total weight
 ]
 
 

@@ -730,6 +730,45 @@ def probe_ranking(spark, n: int = 4_000_000) -> dict:
     six_exact = n * (n + 1) * (2 * n + 1) // 6
     g_exact = 2.0 * six_exact / (n * (n * (n + 1) // 2)) - (n + 1) / n
     gini_exact = math.floor(g_exact * 1000 + 0.5)
+
+    # GROUPED primitive: 4 planted groups g = spend % 4. Within group g,
+    # members are {g+1, g+5, g+9, ...} in spend order, so the per-group
+    # rank of spend s must be exactly (s - 1) DIV 4 + 1 and the group
+    # cumsum the arithmetic series g+1, g+5, ... summed to that rank:
+    # r*(g+1) + 4*(r-1)*r/2.
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
+    spark.catalog.clearCache()
+    gdf = df.withColumn("g", (F.col("spend") % 4).cast("int"))
+    t0 = time.time()
+    granked = with_grouped_order_stats(
+        gdf, ["g"], [F.asc("spend"), F.asc("custkey")],
+        rank_col="gr", cumsum={"spend": "gcum"},
+    )
+    g_bad = granked.filter(
+        (F.col("gr") != (F.col("spend") - 1 - (F.col("spend") - 1) % 4) / 4 + 1)
+        | (
+            F.col("gcum")
+            != F.col("gr") * (F.col("g") + 1) + 2 * (F.col("gr") - 1) * F.col("gr")
+        )
+    ).count()
+    t_grouped = time.time() - t0
+
+    # RUNNING-MAX primitive: max over strictly smaller spend of a
+    # permutation is spend − 1 (NULL for the minimum).
+    from molgraphdb_spark.operators.ranking import with_running_max_before
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    rm = with_running_max_before(df, "spend", "spend", "premax")
+    rm_bad = rm.filter(
+        ~(
+            (F.col("spend") == 1) & F.col("premax").isNull()
+            | (F.col("premax") == F.col("spend") - 1)
+        )
+    ).count()
+    t_runmax = time.time() - t0
+
     return {
         "probe": "ranking", "n": n,
         "results_equal": bool(win_stats == two_stats),
@@ -740,8 +779,14 @@ def probe_ranking(spark, n: int = 4_000_000) -> dict:
         "gini_exact_match": bool(
             two_stats[3] == gini_exact and two_stats[2] == six_exact
         ),
+        "grouped_invariant_violations": int(g_bad),
+        "runmax_invariant_violations": int(rm_bad),
+        "grouped_exact": bool(g_bad == 0),
+        "runmax_exact": bool(rm_bad == 0),
         "wall_window_s": round(t_window, 1),
         "wall_twopass_s": round(t_twopass, 1),
+        "wall_grouped_s": round(t_grouped, 1),
+        "wall_runmax_s": round(t_runmax, 1),
     }
 
 
