@@ -731,11 +731,11 @@ def probe_ranking(spark, n: int = 4_000_000) -> dict:
     g_exact = 2.0 * six_exact / (n * (n * (n + 1) // 2)) - (n + 1) / n
     gini_exact = math.floor(g_exact * 1000 + 0.5)
 
-    # GROUPED primitive: 4 planted groups g = spend % 4. Within group g,
-    # members are {g+1, g+5, g+9, ...} in spend order, so the per-group
-    # rank of spend s must be exactly (s - 1) DIV 4 + 1 and the group
-    # cumsum the arithmetic series g+1, g+5, ... summed to that rank:
-    # r*(g+1) + 4*(r-1)*r/2.
+    # GROUPED primitive: 4 planted groups g = spend % 4. Group g's
+    # members in spend order form the arithmetic series first, first+4,
+    # first+8, ... with first = g (or 4 when g = 0), so the per-group
+    # rank of spend s is exactly (s − 1) DIV 4 + 1 and the group cumsum
+    # at rank r is r·first + 4·r(r−1)/2 — both analytic.
     from molgraphdb_spark.operators.ranking import with_grouped_order_stats
 
     spark.catalog.clearCache()
@@ -745,11 +745,12 @@ def probe_ranking(spark, n: int = 4_000_000) -> dict:
         gdf, ["g"], [F.asc("spend"), F.asc("custkey")],
         rank_col="gr", cumsum={"spend": "gcum"},
     )
+    first = F.when(F.col("g") == 0, F.lit(4)).otherwise(F.col("g"))
     g_bad = granked.filter(
         (F.col("gr") != (F.col("spend") - 1 - (F.col("spend") - 1) % 4) / 4 + 1)
         | (
             F.col("gcum")
-            != F.col("gr") * (F.col("g") + 1) + 2 * (F.col("gr") - 1) * F.col("gr")
+            != F.col("gr") * first + 2 * (F.col("gr") - 1) * F.col("gr")
         )
     ).count()
     t_grouped = time.time() - t0
