@@ -15,9 +15,11 @@ the classic two-pass exact alternative (the r6 verdict's prescription):
    collected to the driver (the bounded-collect rule: B is a constant,
    independent of data size) and prefix-summed in exact Python integer
    arithmetic.
-3. The prefix offsets broadcast-join back on the bucket id; a window
-   partitioned **by bucket** (distributed — B concurrent tasks, no
-   single-partition funnel) supplies local ranks / local running sums;
+3. The prefix offsets ship back as bucket-indexed ARRAY LITERALS (a
+   pure projection; the broadcast-join fallback remains for
+   non-integral offset types); a window partitioned **by bucket**
+   (distributed — B concurrent tasks, no single-partition funnel)
+   supplies local ranks / local running sums;
    ``global = local + offset``.
 
 The result is bit-identical to the single-partition window for any
