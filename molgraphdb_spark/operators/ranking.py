@@ -171,6 +171,59 @@ def with_grouped_order_stats(
     return res.drop(*drop)
 
 
+def with_group_rows_frame(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    n_preceding: int,
+    value_col: str,
+    out_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group ``collect_list(value) OVER (ROWS n_preceding PRECEDING
+    AND CURRENT ROW)`` without a per-group window sort — the scale
+    path for bounded-frame folds (EWMA, rolling means) over FEW
+    corpus-growing groups, where ``Window.partitionBy(type)`` still
+    sorts each group in one task.
+
+    Shape: the exact per-group rank (grouped two-pass) turns the frame
+    into an equi-join — a contributor at rank r feeds targets
+    r..r+n_preceding, so exploding n_preceding+1 offsets and grouping
+    on (group, target) rebuilds every frame with one distributed
+    shuffle; ``sort_array`` on (rank, value) structs restores frame
+    order deterministically. Cost: an (n_preceding+1)× row blowup —
+    bounded by the FRAME, not the group, which is exactly the trade
+    that removes the funnel. Output column is the ordered frame array
+    (oldest first, current row last), identical to the window
+    formulation's collect_list for any total order."""
+    if n_preceding < 0:
+        raise ValueError(f"n_preceding must be >= 0, got {n_preceding}")
+    ranked = with_grouped_order_stats(
+        df, group_cols, order, rank_col="_fr_rank", n_buckets=n_buckets
+    )
+    contrib = (
+        ranked.select(*group_cols, "_fr_rank", F.col(value_col).alias("_fr_v"))
+        .withColumn(
+            "_fr_off", F.explode(F.sequence(F.lit(0), F.lit(int(n_preceding))))
+        )
+        .withColumn("_fr_target", F.col("_fr_rank") + F.col("_fr_off"))
+        .drop("_fr_off")
+    )
+    frames = contrib.groupBy(*group_cols, "_fr_target").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_fr_rank", "_fr_v"))),
+            lambda s: s["_fr_v"],
+        ).alias(out_col)
+    )
+    cond = ranked["_fr_rank"] == frames["_fr_target"]
+    for g in group_cols:
+        cond = cond & ranked[g].eqNullSafe(frames[g])
+    out = ranked.join(frames, cond)
+    for g in group_cols:
+        out = out.drop(frames[g])
+    return out.drop(frames["_fr_target"]).drop("_fr_rank")
+
+
 def with_running_max_before(
     df: DataFrame,
     key_col: str,

@@ -490,20 +490,29 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS (15 PRECEDING, CURRENT) ordered by (ts, event_id): the
     event_id tiebreak makes frame membership deterministic.
 
-    Scale shape: one shuffle on event_type; the fold is per-row over a
-    ≤16-element frame array — no self-join, no explode, map-side after
-    the single window exchange."""
+    Scale shape (round 7): event TYPES are few and each grows with the
+    corpus, so a type-partitioned window would sort every type's whole
+    stream in one task — the per-group funnel. The ≤16-element frames
+    instead come from operators/ranking.py::with_group_rows_frame (the
+    grouped two-pass rank turns the ROWS frame into a distributed
+    equi-join with a 16× bounded blowup — bounded by the FRAME, never
+    the group); the fold over each frame array is unchanged and
+    map-side."""
+    from molgraphdb_spark.operators.ranking import with_group_rows_frame
+
     ev = _events(spark, sf_dir).filter(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     vu = F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"), "event_id")
-        .rowsBetween(-15, 0)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("_ts_us"),
+        vu.alias("_vu"),
     )
-    arr = F.collect_list(vu).over(w)
-    stepped = ev.select("event_id", "event_type", arr.alias("arr"))
+    stepped = with_group_rows_frame(
+        base, ["event_type"], [F.asc("_ts_us"), F.asc("event_id")], 15, "_vu", "arr"
+    ).select("event_id", "event_type", "arr")
     num = F.aggregate(
         F.zip_with(
             F.col("arr"),

@@ -394,15 +394,20 @@ def test_dedup_rate_by_source_pruned_scan(spark, sf_dir):
     assert "source" in cols and "text" in cols and len(s["read_columns"]) <= 2
 
 
-def test_events_ewma_single_window_exchange(spark, sf_dir):
-    # one shuffle on event_type; the per-row fold runs over the ≤16-
-    # element frame array JVM-side — no self-join, no Python worker
+def test_events_ewma_no_per_type_funnel(spark, sf_dir):
+    # round 7: frames come from the grouped two-pass frame join (16×
+    # bounded blowup), not a type-partitioned window sort — no
+    # partitionless window, no type-partitioned windowspec, no Python
+    # worker, no cartesian; the fold stays JVM-side over frame arrays
+    from molgraphdb_spark.plans.explain import formatted_plan, n_partitionless_windows
     from molgraphdb_spark.queries.temporal import events_ewma
 
-    s = plan_summary(events_ewma(spark, sf_dir))
+    df = events_ewma(spark, sf_dir)
+    s = plan_summary(df)
     assert not s["has_python_worker"]
     assert "CartesianProduct" not in s["plan"]
-    assert s["n_sortmerge_joins"] == 0
+    assert n_partitionless_windows(df) == 0
+    assert "windowspecdefinition(event_type#" not in formatted_plan(df)
 
 
 def test_pq_recall_rerank_bounded(spark, sf_dir):

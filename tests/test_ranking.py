@@ -282,3 +282,45 @@ def test_detector_ignores_partitioned_unordered_windows(spark):
     # but a global unordered window (empty partitionBy) IS a funnel
     d2 = df.select(F.max("v").over(Window.partitionBy()).alias("m"))
     assert n_partitionless_windows(d2) == 1
+
+
+def test_group_rows_frame_matches_window_collect_list(spark):
+    from molgraphdb_spark.operators.ranking import with_group_rows_frame
+
+    # groups of wildly different sizes incl. groups smaller than the
+    # frame; heavy value ties
+    df = spark.range(2003).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 3, F.lit("tiny"))
+        .when(F.col("id") % 7 == 0, F.lit("small"))
+        .otherwise(F.lit("big"))
+        .alias("g"),
+        ((F.col("id") * 2654435761) % 41).alias("v"),
+    )
+    order = [F.asc("v"), F.asc("k")]
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(-15, Window.currentRow)
+    )
+    exp = {
+        r["k"]: tuple(r["arr"])
+        for r in df.select("k", F.collect_list("v").over(w).alias("arr")).collect()
+    }
+    got = {
+        r["k"]: tuple(r["arr"])
+        for r in with_group_rows_frame(
+            df, ["g"], order, 15, "v", "arr", n_buckets=7
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_group_rows_frame_zero_preceding(spark):
+    from molgraphdb_spark.operators.ranking import with_group_rows_frame
+
+    df = spark.range(20).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    got = with_group_rows_frame(df, ["g"], [F.asc("v")], 0, "v", "arr").collect()
+    assert all(tuple(r["arr"]) == (r["v"],) for r in got)
