@@ -310,8 +310,12 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on the stratum key; the per-stratum top-k is a window
     over that same partitioning (rank + filter, no global sort). At
-    100 TB strata are large but the state per stratum is the k-row
-    heap, and the output is quota-bounded: |strata| × k rows."""
+    100 TB strata are large but this is NOT the per-group buffering
+    funnel the r7 sweep removed elsewhere: the rank≤k filter compiles
+    to WindowGroupLimit with a MAP-SIDE partial stage (plan-asserted:
+    two WindowGroupLimit nodes), so every task keeps at most k rows
+    per stratum BEFORE the shuffle and the output is quota-bounded:
+    |strata| × k rows."""
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 

@@ -596,17 +596,22 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (event_type, n, slope_upm_per_s) — micro-value-units per
     second, floored."""
     ev = _events(spark, sf_dir)
-    w_min = Window.partitionBy("event_type")
-    base = ev.select(
+    raw = ev.select(
         "event_type",
         F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("y"),
         F.unix_micros(F.col("ts")).alias("t_us"),
-    ).select(
+    )
+    # per-type first-event time via groupBy + BROADCAST join, not an
+    # unordered partitionBy(event_type) window: an unbounded-frame
+    # window BUFFERS each type's whole stream in one task (types are
+    # few and corpus-growing — the same funnel class as the r7 ewma
+    # fix), while the aggregate is map-side combined and the per-type
+    # minima are a broadcast dictionary.
+    t0 = raw.groupBy("event_type").agg(F.min("t_us").alias("_t0_us"))
+    base = raw.join(F.broadcast(t0), "event_type").select(
         "event_type",
         "y",
-        ((F.col("t_us") - F.min("t_us").over(w_min)) / 1_000_000)
-        .cast("long")
-        .alias("x"),
+        ((F.col("t_us") - F.col("_t0_us")) / 1_000_000).cast("long").alias("x"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = base.groupBy("event_type").agg(

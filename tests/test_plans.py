@@ -472,3 +472,16 @@ def test_token_budget_no_per_source_funnel(spark, sf_dir):
     assert "CartesianProduct" not in s["plan"]
     assert n_partitionless_windows(df) == 0
     assert "windowspecdefinition(source#" not in formatted_plan(df)
+
+
+def test_stratified_sample_group_limit_pushdown(spark, sf_dir):
+    # the per-stratum rank<=k filter must compile to WindowGroupLimit
+    # with a map-side partial stage (2 nodes) — each task then holds at
+    # most k rows per stratum before the shuffle, which is why this
+    # per-group window is NOT the buffering funnel the r7 sweep
+    # removed elsewhere
+    from molgraphdb_spark.plans.explain import formatted_plan
+    from molgraphdb_spark.queries.reshape import sample_stratified_docs
+
+    p = formatted_plan(sample_stratified_docs(spark, sf_dir))
+    assert p.count(") WindowGroupLimit") >= 2
