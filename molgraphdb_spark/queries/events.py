@@ -551,7 +551,10 @@ def events_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("pct_bp")
     return (
         ranked.select("event_type", "value_u", "_rn", "_n", pcts)
-        .filter(F.expr("_rn = -((-pct_bp * _n) DIV 10000)"))
+        # ceil(p·n) in POSITIVE-operand form: Spark DIV and DuckDB //
+        # truncate toward zero, so -((-a) DIV b) floors instead of
+        # ceiling — (a + 9999) DIV 10000 is exact ceil for positives
+        .filter(F.expr("_rn = (pct_bp * _n + 9999) DIV 10000"))
         .select(
             "event_type",
             "pct_bp",
@@ -578,7 +581,7 @@ WITH e AS (
 SELECT r.event_type, CAST(t.pct_bp AS BIGINT) AS pct_bp,
        CAST(r.i AS BIGINT) AS rank_i, CAST(r.n AS BIGINT) AS n_events,
        r.value_u
-FROM t JOIN r ON r.i = -((-t.pct_bp * r.n) // 10000)
+FROM t JOIN r ON r.i = (t.pct_bp * r.n + 9999) // 10000
 ORDER BY event_type, pct_bp
 """
 

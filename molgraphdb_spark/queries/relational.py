@@ -1554,7 +1554,12 @@ def customer_spend_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         spend, [F.asc("spend_c"), F.asc("o_custkey")], rank_col="i"
     )
     n = totals["n"]
-    targets = {bp: -(-bp * n // 10000) for bp in SPEND_PCTS_BP}  # ceil(p·n)
+    # ceil(p·n) via the POSITIVE-operand form (bp·n + 9999) // 10000 —
+    # identical under Python floor division, Spark DIV and DuckDB //
+    # (the latter two TRUNCATE toward zero, so the -(-a//b) ceil trick
+    # silently floors there; caught by the sf0.001 parity gate where
+    # p·n lands on .5)
+    targets = {bp: (bp * n + 9999) // 10000 for bp in SPEND_PCTS_BP}
     target_df = F.broadcast(
         spark.createDataFrame(
             [(bp, r) for bp, r in targets.items()], "pct_bp long, i long"
@@ -1582,7 +1587,7 @@ WITH spend AS (
 SELECT CAST(t.pct_bp AS BIGINT) AS pct_bp,
        CAST(r.i AS BIGINT) AS rank_i,
        CAST(r.spend_c AS BIGINT) AS spend_c
-FROM targets t JOIN ranked r ON r.i = -((-t.pct_bp * r.n) // 10000)
+FROM targets t JOIN ranked r ON r.i = (t.pct_bp * r.n + 9999) // 10000
 ORDER BY pct_bp
 """
 
