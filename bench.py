@@ -107,6 +107,8 @@ HEADLINE = [
     "parts_abc_analysis",
     "ntile_customer_value",
     "customer_spend_exact_percentiles",
+    "source_length_deciles",
+    "events_latency_percentiles",
     "events_error_rate_windows",
 ]
 
