@@ -143,7 +143,12 @@ def with_grouped_order_stats(
     Scale: the group dictionary is bounded by the number of groups —
     exactly the regime where the partitioned window was a funnel; with
     millions of tiny groups a plain partitioned window is already
-    parallel and should be used instead."""
+    parallel and should be used instead.
+
+    Contract: ``cumsum`` value columns must be NON-NULL (every caller
+    floors/casts first) — the pre-group offset is recovered as
+    ``min(cum − value)``, which needs both defined on the group's
+    first row; the GLOBAL operator handles NULL values exactly."""
     cumsum = dict(cumsum or {})
     gorder = [F.asc(c) for c in group_cols] + list(order)
     inner_cum = {src: f"_gcum_{src}" for src in cumsum}
@@ -341,12 +346,29 @@ def with_order_stats(
     # type below keeps overflow behavior identical to a plain window).
     run_cnt = 0
     run_sum: dict[str, int] = {src: 0 for src in cumsum}
+    # NULL semantics parity with the window: sum over an all-NULL
+    # prefix is NULL, so each offset carries a has-seen-non-null flag —
+    # a bucket whose LOCAL running sum is NULL (its own prefix all
+    # NULL) must still surface earlier buckets' values, and must stay
+    # NULL only while no bucket anywhere before has contributed.
+    run_has: dict[str, bool] = {src: False for src in cumsum}
     off_rows = []
     for r in rows:
-        off_rows.append((int(r[_BUCKET]), run_cnt, *[run_sum[s] for s in cumsum]))
+        off_rows.append(
+            (
+                int(r[_BUCKET]),
+                run_cnt,
+                *[run_sum[s] for s in cumsum],
+                *[int(run_has[s]) for s in cumsum],
+            )
+        )
         run_cnt += r["_cnt"]
         for s in cumsum:
-            run_sum[s] += r[f"_sum_{s}"] or 0
+            if r[f"_sum_{s}"] is not None:
+                run_sum[s] += r[f"_sum_{s}"]
+                run_has[s] = True
+    # totals treat NULLs as absent (0 for a fully-NULL column) — the
+    # aggregate convention, distinct from the window's NULL propagation
     totals = {"n": run_cnt, **run_sum}
 
     # Pass 2: bucket-partitioned window (distributed) + prefix offsets.
@@ -378,10 +400,15 @@ def with_order_stats(
                 F.row_number().over(w_local).cast("long")
                 + F.element_at(_arr(1), F.col(_BUCKET) + 1),
             )
+        n_cs = len(cumsum)
         for k, (src, dst) in enumerate(cumsum.items()):
+            local = F.sum(src).over(w_run)
+            off_val = F.element_at(_arr(2 + k), F.col(_BUCKET) + 1)
+            off_has = F.element_at(_arr(2 + n_cs + k), F.col(_BUCKET) + 1)
             out = out.withColumn(
                 dst,
-                F.sum(src).over(w_run) + F.element_at(_arr(2 + k), F.col(_BUCKET) + 1),
+                F.when(off_has == 1, F.coalesce(local, F.lit(0)) + off_val)
+                .otherwise(local),
             )
         return out.drop(_BUCKET), totals
     off_fields = [
@@ -390,6 +417,8 @@ def with_order_stats(
     ]
     for src in cumsum:
         off_fields.append(T.StructField(f"_off_{src}", sum_types[f"_sum_{src}"], True))
+    for src in cumsum:
+        off_fields.append(T.StructField(f"_offhas_{src}", T.IntegerType(), False))
     off_df = spark.createDataFrame(off_rows, T.StructType(off_fields))
     out = part.join(F.broadcast(off_df), _BUCKET)
     if rank_col is not None:
@@ -398,6 +427,14 @@ def with_order_stats(
             (F.row_number().over(w_local).cast("long") + F.col("_off_cnt")),
         )
     for src, dst in cumsum.items():
-        out = out.withColumn(dst, F.sum(src).over(w_run) + F.col(f"_off_{src}"))
+        local = F.sum(src).over(w_run)
+        out = out.withColumn(
+            dst,
+            F.when(
+                F.col(f"_offhas_{src}") == 1,
+                F.coalesce(local, F.lit(0)) + F.col(f"_off_{src}"),
+            ).otherwise(local),
+        )
     drop = [_BUCKET, "_off_cnt", *[f"_off_{s}" for s in cumsum]]
+    drop += [f"_offhas_{s}" for s in cumsum]
     return out.drop(*drop), totals

@@ -324,3 +324,34 @@ def test_group_rows_frame_zero_preceding(spark):
     )
     got = with_group_rows_frame(df, ["g"], [F.asc("v")], 0, "v", "arr").collect()
     assert all(tuple(r["arr"]) == (r["v"],) for r in got)
+
+
+def test_order_stats_null_keys_and_values_match_window(spark):
+    # NULL order keys (NULLS FIRST under asc, like the window) and NULL
+    # values (skipped by sum on both paths) must agree with the global
+    # window exactly
+    from pyspark.sql import Row
+
+    rows = [
+        Row(k=i, v=(None if i % 5 == 0 else i * 7 % 13), s=(None if i % 4 == 0 else i % 3))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, v long, s long")
+    order = [F.asc("v"), F.asc("k")]
+    w = Window.orderBy(*order)
+    exp = {
+        r["k"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+        ).collect()
+    }
+    got_df, totals = with_order_stats(
+        df, order, rank_col="rn", cumsum={"s": "cum"}, n_buckets=9
+    )
+    got = {r["k"]: (r["rn"], r["cum"]) for r in got_df.collect()}
+    assert got == exp
+    assert totals["n"] == 500
