@@ -109,6 +109,7 @@ HEADLINE = [
     "customer_spend_exact_percentiles",
     "source_length_deciles",
     "events_latency_percentiles",
+    "priority_ship_delay_percentiles",
     "events_error_rate_windows",
 ]
 

@@ -1527,6 +1527,82 @@ def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Percentiles reported by priority_ship_delay_percentiles, in bp.
+DELAY_PCTS_BP = [5000, 9000, 9900]
+
+
+def priority_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of order→ship latency (days) per
+    order priority — the fulfillment-SLA table: does 1-URGENT actually
+    ship faster at the tail? Deterministic to the day (no sketch): the
+    p-th percentile of a priority with n line items is the delay at
+    per-priority rank ⌈p·n⌉ under the total order (delay, orderkey,
+    linenumber).
+
+    Scale shape: priorities are FIVE and each grows with the fact
+    table — the per-group funnel — so the per-priority rank rides
+    with_grouped_order_stats (one global range order, broadcast
+    per-priority offsets); targets are one exploded literal list and
+    the positive-operand ceil DIV (the r7 cross-engine rule)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("delay_d"),
+        )
+    )
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
+    ranked = with_grouped_order_stats(
+        base,
+        ["o_orderpriority"],
+        [F.asc("delay_d"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rank_col="_rn",
+        count_col="_n",
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p).cast("long") for p in DELAY_PCTS_BP])
+    ).alias("pct_bp")
+    return (
+        ranked.select("o_orderpriority", "delay_d", "_rn", "_n", pcts)
+        .filter(F.expr("_rn = (pct_bp * _n + 9999) DIV 10000"))
+        .select(
+            "o_orderpriority",
+            "pct_bp",
+            F.col("_rn").cast("long").alias("rank_i"),
+            F.col("_n").cast("long").alias("n_lines"),
+            "delay_d",
+        )
+        .orderBy("o_orderpriority", "pct_bp")
+    )
+
+
+PRIORITY_DELAY_PCTL_SQL = f"""
+WITH d AS (
+  SELECT o_orderpriority, l_orderkey, l_linenumber,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), r AS (
+  SELECT o_orderpriority, delay_d,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY delay_d ASC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS i,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM d
+), t AS (SELECT UNNEST(ARRAY{DELAY_PCTS_BP}) AS pct_bp)
+SELECT r.o_orderpriority, CAST(t.pct_bp AS BIGINT) AS pct_bp,
+       CAST(r.i AS BIGINT) AS rank_i, CAST(r.n AS BIGINT) AS n_lines,
+       r.delay_d
+FROM t JOIN r ON r.i = (t.pct_bp * r.n + 9999) // 10000
+ORDER BY o_orderpriority, pct_bp
+"""
+
+
 #: Percentiles reported by customer_spend_exact_percentiles, in bp.
 SPEND_PCTS_BP = [2500, 5000, 7500, 9000, 9900]
 
@@ -1655,6 +1731,7 @@ QUERIES = {
     "customer_spend_gini": customer_spend_gini,
     "customer_lorenz_deciles": customer_lorenz_deciles,
     "customer_spend_exact_percentiles": customer_spend_exact_percentiles,
+    "priority_ship_delay_percentiles": priority_ship_delay_percentiles,
 }
 
 ORACLES = {
@@ -1699,4 +1776,5 @@ ORACLES = {
     "customer_spend_gini": CUSTOMER_GINI_SQL,
     "customer_lorenz_deciles": CUSTOMER_LORENZ_SQL,
     "customer_spend_exact_percentiles": CUSTOMER_PCTL_SQL,
+    "priority_ship_delay_percentiles": PRIORITY_DELAY_PCTL_SQL,
 }

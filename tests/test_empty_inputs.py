@@ -61,6 +61,7 @@ REPRESENTATIVE = [
     "source_length_deciles",     # grouped two-pass over zero docs
     "events_latency_percentiles",  # grouped rank targets with n = 0
     "doc_weighted_sample",       # mark crossings with zero total weight
+    "priority_ship_delay_percentiles",  # grouped rank targets over zero lines
 ]
 
 

@@ -69,6 +69,7 @@ AT_RISK = [
     "source_length_deciles",     # grouped two-pass rank + per-group ntile
     "source_token_budget",       # grouped two-pass cumsum — budget boundary
     "events_latency_percentiles",  # grouped nearest-rank targets at seams
+    "priority_ship_delay_percentiles",  # fact-scale grouped rank targets
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
 ]
