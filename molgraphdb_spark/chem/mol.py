@@ -78,6 +78,16 @@ _AROMATIC_ORGANIC = {"b": "B", "c": "C", "n": "N", "o": "O", "p": "P", "s": "S"}
 #: arsole rings — OpenSMILES §3.4 aromatic-symbols list).
 _AROMATIC_BRACKET = {"se": "Se", "as": "As"}
 
+#: The aromatic-CAPABLE element set (OpenSMILES §3.4): the organic
+#: lowercase subset plus the bracket-only pair. Ring aromatization is
+#: gated on membership — a bond-alternating ring containing e.g. [Na+]
+#: must stay Kekulé (RDKit SanitizeMol parity, reference main.py:94:
+#: sodium cannot be aromatic), and ``to_smiles`` lowercases only these
+#: symbols, keeping the parse/serialize round-trip total.
+AROMATIC_ELEMENTS = frozenset(_AROMATIC_ORGANIC.values()) | frozenset(
+    _AROMATIC_BRACKET.values()
+)
+
 #: All periodic-table element symbols — bracket atoms accept ANY of
 #: these (RDKit parity: [Na+], [Fe+2], [Au] are valid SMILES atoms).
 #: Elements outside the organic subset carry no valence bound
@@ -344,6 +354,14 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
         changed = False
         for cyc in rings:
             n = len(cyc)
+            # Aromaticity is an ELEMENT property before it is a bond
+            # property: a ring holding any non-aromatic-capable atom
+            # ([Na+], [Fe], …) keeps its Kekulé form, no matter how its
+            # bonds alternate (fuzz counterexample
+            # ``CCCC1=[Na+]2N(C1(=C3))23`` — aromatizing it made
+            # to_smiles emit ``[na+]``, which parse_smiles rejects).
+            if any(mol.elements[a] not in AROMATIC_ELEMENTS for a in cyc):
+                continue
             edges = [
                 (min(cyc[k], cyc[(k + 1) % n]), max(cyc[k], cyc[(k + 1) % n]))
                 for k in range(n)
@@ -571,18 +589,19 @@ def to_smiles(mol: MolGraph) -> str:
         return ""  # single and aromatic are implicit
 
     def atom_sym(u: int) -> str:
-        sym = mol.elements[u].lower() if u in mol.aromatic else mol.elements[u]
+        # Lowercase ONLY symbols the parser accepts lowercase
+        # (AROMATIC_ELEMENTS) — serializer totality: every emitted
+        # token must re-parse. Perception guarantees mol.aromatic ⊆
+        # capable atoms, so the guard is belt-and-braces.
+        arom = u in mol.aromatic and mol.elements[u] in AROMATIC_ELEMENTS
+        sym = mol.elements[u].lower() if arom else mol.elements[u]
         q = mol.charges.get(u, 0)
         if q:
             qs = ("+" if q > 0 else "-") * abs(q) if abs(q) <= 2 else f"{q:+d}"
             return f"[{sym}{qs}]"
         # elements with no bare form ([Na], [Au], aromatic [se]) must
         # re-enter through brackets or the round-trip re-parses wrong
-        bare_ok = (
-            sym in _AROMATIC_ORGANIC
-            if u in mol.aromatic
-            else mol.elements[u] in _ORGANIC
-        )
+        bare_ok = sym in _AROMATIC_ORGANIC if arom else mol.elements[u] in _ORGANIC
         return sym if bare_ok else f"[{sym}]"
 
     def emit(u: int) -> str:

@@ -284,7 +284,7 @@ def test_expand_relations_fixed_point(spark):
 # that exercises every production of the documented subset
 # (chem/mol.py module docstring; reference parse path main.py:46).
 # ---------------------------------------------------------------------------
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 #: Published structures (all public-knowledge SMILES), spanning every
 #: documented-subset feature: aromatic/Kekulé rings, fused systems,
@@ -446,6 +446,10 @@ def grammar_smiles(draw):
 
 
 @given(grammar_smiles())
+# r7 judge counterexample, pinned forever: a Kekulé-alternating ring
+# containing [Na+] must NOT aromatize (to_smiles used to emit [na+],
+# which parse_smiles rejects — broken round-trip).
+@example("CCCC1=[Na+]2N(C1(=C3))23")
 @settings(max_examples=400, deadline=None)
 def test_grammar_valid_smiles_parse_is_total(s):
     # every grammar-valid string either parses into a sane molecule or
@@ -456,6 +460,35 @@ def test_grammar_valid_smiles_parse_is_total(s):
         return
     assert mol.n_atoms >= 1
     assert mol.is_connected() and mol.valence_ok() and mol.aromatic_ok()
+    assert mol_key(parse_smiles(to_smiles(mol))) == mol_key(mol)
+
+
+@given(grammar_smiles())
+@example("CCCC1=[Na+]2N(C1(=C3))23")
+@settings(max_examples=400, deadline=None)
+def test_serializer_totality(s):
+    # serializer-totality contract (r7 verdict item 1): for EVERY
+    # parseable molecule, to_smiles emits a string parse_smiles
+    # accepts — no token leaves the accepted subset.
+    try:
+        mol = parse_smiles(s)
+    except SmilesError:
+        return
+    out = to_smiles(mol)
+    reparsed = parse_smiles(out)  # must not raise
+    assert reparsed.n_atoms == mol.n_atoms
+
+
+def test_non_aromatic_capable_ring_stays_kekule():
+    # A bond-alternating ring containing sodium must NOT aromatize:
+    # aromaticity is gated on OpenSMILES §3.4 aromatic-capable elements
+    # (chem/mol.py AROMATIC_ELEMENTS). RDKit SanitizeMol parity.
+    mol = parse_smiles("C1=CC=CC=[Na]1")
+    assert not mol.aromatic
+    assert 2.0 in mol.bonds.values()  # Kekulé doubles survive
+    # benzene still aromatizes (the gate only excludes incapable atoms)
+    benz = parse_smiles("C1=CC=CC=C1")
+    assert len(benz.aromatic) == 6
     assert mol_key(parse_smiles(to_smiles(mol))) == mol_key(mol)
 
 
