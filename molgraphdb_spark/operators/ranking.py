@@ -134,11 +134,16 @@ def with_grouped_order_stats(
     One GLOBAL total order (group columns ascending, then ``order``)
     through :func:`with_order_stats` makes groups contiguous in rank
     space; the per-group offset is then an aggregate fact —
-    ``min(global_rank) − 1`` for ranks, ``min(global_cum − value)``
-    (the pre-group running sum, exact because cum is monotone along
-    the order) for sums — joined back from the broadcast group
-    dictionary. ``count_col`` optionally attaches the group size (the
-    n that per-group NTILE needs, see :func:`ntile_from_rank_cols`).
+    ``min(global_rank) − 1`` for ranks, and for sums the
+    ``cum − value`` of the group's FIRST row (``min_by(cum − value,
+    rank)``): the pre-group running sum, exact for SIGNED values too —
+    no monotonicity assumption (the old ``min(cum − value)`` form was
+    only correct for non-negative values). Offsets join back from the
+    broadcast group dictionary with NULL-SAFE equality, so NULL group
+    keys rank within their own group exactly like the partitioned
+    window they replace. ``count_col`` optionally attaches the group
+    size (the n that per-group NTILE needs, see
+    :func:`ntile_from_rank_cols`).
 
     Scale: the group dictionary is bounded by the number of groups —
     exactly the regime where the partitioned window was a funnel; with
@@ -146,9 +151,9 @@ def with_grouped_order_stats(
     parallel and should be used instead.
 
     Contract: ``cumsum`` value columns must be NON-NULL (every caller
-    floors/casts first) — the pre-group offset is recovered as
-    ``min(cum − value)``, which needs both defined on the group's
-    first row; the GLOBAL operator handles NULL values exactly."""
+    floors/casts first) — the pre-group offset subtracts the first
+    row's value from its inclusive cumsum, which needs both defined;
+    the GLOBAL operator handles NULL values exactly."""
     cumsum = dict(cumsum or {})
     gorder = [F.asc(c) for c in group_cols] + list(order)
     inner_cum = {src: f"_gcum_{src}" for src in cumsum}
@@ -161,10 +166,22 @@ def with_grouped_order_stats(
     ]
     for src in cumsum:
         aggs.append(
-            F.min(F.col(inner_cum[src]) - F.col(src)).alias(f"_gsumoff_{src}")
+            F.min_by(
+                F.col(inner_cum[src]) - F.col(src), F.col("_grank")
+            ).alias(f"_gsumoff_{src}")
         )
+    # Rename the dictionary's key columns before the null-safe join:
+    # same-lineage column references would otherwise be ambiguous
+    # (Spark warns "trivially true equals predicate" and guesses).
     offs = out.groupBy(*group_cols).agg(*aggs)
-    res = out.join(F.broadcast(offs), list(group_cols))
+    gk = {g: f"_gkey_{i}" for i, g in enumerate(group_cols)}
+    for g, a in gk.items():
+        offs = offs.withColumnRenamed(g, a)
+    cond = None
+    for g, a in gk.items():
+        c = out[g].eqNullSafe(offs[a])
+        cond = c if cond is None else cond & c
+    res = out.join(F.broadcast(offs), cond).drop(*gk.values())
     if rank_col is not None:
         res = res.withColumn(rank_col, F.col("_grank") - F.col("_goff"))
     for src, dst in cumsum.items():
@@ -220,13 +237,19 @@ def with_group_rows_frame(
             lambda s: s["_fr_v"],
         ).alias(out_col)
     )
+    # Rename join keys: same-lineage references are ambiguous (Spark's
+    # "trivially true equals predicate" warning) — see the grouped
+    # operator's offset join.
+    gk = {g: f"_fkey_{i}" for i, g in enumerate(group_cols)}
+    for g, a in gk.items():
+        frames = frames.withColumnRenamed(g, a)
     cond = ranked["_fr_rank"] == frames["_fr_target"]
-    for g in group_cols:
-        cond = cond & ranked[g].eqNullSafe(frames[g])
-    out = ranked.join(frames, cond)
-    for g in group_cols:
-        out = out.drop(frames[g])
-    return out.drop(frames["_fr_target"]).drop("_fr_rank")
+    for g, a in gk.items():
+        cond = cond & ranked[g].eqNullSafe(frames[a])
+    return (
+        ranked.join(frames, cond)
+        .drop(*gk.values(), "_fr_target", "_fr_rank")
+    )
 
 
 def with_running_max_before(
@@ -320,6 +343,22 @@ def with_order_stats(
     cumsum = dict(cumsum or {})
     if rank_col is None and not cumsum:
         raise ValueError("request at least one of rank_col / cumsum")
+    # Exact-numeric contract: the driver prefix-folds per-bucket sums,
+    # which for floating point is a DIFFERENT association order than
+    # the sequential window sum — the bit-identical claim would not
+    # hold. Integral and decimal sums are association-free, so the
+    # claim is exact; float/double callers must pre-scale to a fixed
+    # point (cast to decimal/long) first.
+    in_types = dict(df.dtypes)
+    for src in cumsum:
+        t = in_types.get(src, "")
+        if t in ("float", "double"):
+            raise TypeError(
+                f"with_order_stats cumsum column {src!r} is {t}: "
+                "floating-point running sums are association-order-"
+                "dependent and cannot be bit-identical to a window "
+                "sum — cast to decimal or a scaled long first"
+            )
     n_buckets = _buckets_for(df, n_buckets)
     spark = df.sparkSession
 

@@ -355,3 +355,86 @@ def test_order_stats_null_keys_and_values_match_window(spark):
     got = {r["k"]: (r["rn"], r["cum"]) for r in got_df.collect()}
     assert got == exp
     assert totals["n"] == 500
+
+
+def test_grouped_null_group_keys_kept(spark):
+    # r7 advice: the offset join must be NULL-safe — rows whose group
+    # key is NULL form their own group, exactly like a partitioned
+    # window, instead of silently vanishing through an inner equi-join.
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), (None, 3, 5), (None, 4, 7), ("b", 5, 1)],
+        "g string, k long, v long",
+    )
+    order = [F.asc("v"), F.asc("k")]
+    w = Window.partitionBy("g").orderBy(*order)
+    exp = {
+        r["k"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+        ).collect()
+    }
+    got_df = with_grouped_order_stats(
+        df, ["g"], order, rank_col="rn", cumsum={"v": "cum"}, n_buckets=3
+    )
+    got = {r["k"]: (r["rn"], r["cum"]) for r in got_df.collect()}
+    assert got == exp
+    assert len(got) == 5  # the two NULL-group rows survive
+
+
+def test_grouped_cumsum_signed_values_exact(spark):
+    # r7 advice: the per-group sum offset must be the first row's
+    # cum - value (min_by over rank), not min(cum - value) — the
+    # latter is wrong for SIGNED values where cum is non-monotone.
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
+    rows = [("g1", 1, 5), ("g1", 2, -9), ("g1", 3, 2),
+            ("g2", 4, -4), ("g2", 5, 6), ("g2", 6, -1)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    order = [F.asc("k")]
+    w = Window.partitionBy("g").orderBy(*order)
+    exp = {
+        r["k"]: r["cum"]
+        for r in df.select(
+            "k",
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+        ).collect()
+    }
+    got_df = with_grouped_order_stats(
+        df, ["g"], order, cumsum={"v": "cum"}, n_buckets=4
+    )
+    got = {r["k"]: r["cum"] for r in got_df.collect()}
+    assert got == exp
+    assert [got[k] for k in (1, 2, 3)] == [5, -4, -2]
+
+
+def test_global_cumsum_signed_values_exact(spark):
+    # the global operator, signed too: driver prefix offsets are exact
+    # Python-int arithmetic, so negatives need no special case — pin it
+    df = spark.createDataFrame(
+        [(1, 5), (2, -9), (3, 2), (4, -100), (5, 50)], "k long, v long"
+    )
+    got_df, totals = with_order_stats(
+        df, [F.asc("k")], cumsum={"v": "cum"}, n_buckets=3
+    )
+    got = {r["k"]: r["cum"] for r in got_df.collect()}
+    assert got == {1: 5, 2: -4, 3: -2, 4: -102, 5: -52}
+    assert totals["v"] == -52
+
+
+def test_float_cumsum_rejected(spark):
+    # r7 advice: floating-point running sums are association-order-
+    # dependent — the operator must refuse rather than return
+    # near-but-not-bit-identical results.
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 0.5).alias("v")
+    )
+    with pytest.raises(TypeError, match="association-order"):
+        with_order_stats(df, [F.asc("k")], cumsum={"v": "cum"})
