@@ -201,6 +201,7 @@ def with_group_rows_frame(
     value_col: str,
     out_col: str,
     n_buckets: int | None = None,
+    seg_len: int | None = None,
 ) -> DataFrame:
     """Per-group ``collect_list(value) OVER (ROWS n_preceding PRECEDING
     AND CURRENT ROW)`` without a per-group window sort — the scale
@@ -208,47 +209,65 @@ def with_group_rows_frame(
     corpus-growing groups, where ``Window.partitionBy(type)`` still
     sorts each group in one task.
 
-    Shape: the exact per-group rank (grouped two-pass) turns the frame
-    into an equi-join — a contributor at rank r feeds targets
-    r..r+n_preceding, so exploding n_preceding+1 offsets and grouping
-    on (group, target) rebuilds every frame with one distributed
-    shuffle; ``sort_array`` on (rank, value) structs restores frame
-    order deterministically. Cost: an (n_preceding+1)× row blowup —
-    bounded by the FRAME, not the group, which is exactly the trade
-    that removes the funnel. Output column is the ordered frame array
-    (oldest first, current row last), identical to the window
-    formulation's collect_list for any total order."""
+    Shape (segmented scan, r8 — replaced the exploded equi-join whose
+    (n_preceding+1)× row blowup was the whole query cost at bench
+    scale): the exact per-group rank (grouped two-pass) assigns each
+    row a SEGMENT ``(rank−1) div S``; only each segment's LAST
+    ``n_preceding`` rows are duplicated into the next segment as
+    context, and a window partitioned by (group, segment) — ≤
+    S + n_preceding rows per partition, distributed across segments —
+    rebuilds every frame locally; context rows then drop out. Row
+    blowup is n_preceding/S (< 1%), there is NO join, and each frame
+    is complete: a row's n_preceding predecessors either share its
+    segment or are exactly the replicated tail of the previous one.
+    Output column is the ordered frame array (oldest first, current
+    row last), identical to the window formulation's collect_list for
+    any total order."""
     if n_preceding < 0:
         raise ValueError(f"n_preceding must be >= 0, got {n_preceding}")
-    ranked = with_grouped_order_stats(
-        df, group_cols, order, rank_col="_fr_rank", n_buckets=n_buckets
-    )
-    contrib = (
-        ranked.select(*group_cols, "_fr_rank", F.col(value_col).alias("_fr_v"))
-        .withColumn(
-            "_fr_off", F.explode(F.sequence(F.lit(0), F.lit(int(n_preceding))))
+    if seg_len is None:
+        seg_len = max(4096, 32 * (n_preceding + 1))
+    elif seg_len <= n_preceding:
+        # a segment must hold at least one full frame tail or context
+        # rows would themselves need context
+        raise ValueError(
+            f"seg_len ({seg_len}) must exceed n_preceding ({n_preceding})"
         )
-        .withColumn("_fr_target", F.col("_fr_rank") + F.col("_fr_off"))
-        .drop("_fr_off")
+    # The GLOBAL rank under group-major order suffices: each group's
+    # rows are CONTIGUOUS in global rank space, so a row's n_preceding
+    # group-predecessors sit at the global ranks immediately before it
+    # — tail-of-segment replication hands them over segment boundaries
+    # and the (group, segment) window partition separates groups. No
+    # per-group offsets, no broadcast join.
+    gorder = [F.asc(g) for g in group_cols] + list(order)
+    ranked, _tot = with_order_stats(
+        df, gorder, rank_col="_fr_rank", n_buckets=n_buckets
     )
-    frames = contrib.groupBy(*group_cols, "_fr_target").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("_fr_rank", "_fr_v"))),
-            lambda s: s["_fr_v"],
-        ).alias(out_col)
+    # Single scan: a segment-tail row explodes into (own_seg,
+    # own_seg+1); everything else into (own_seg,) — a union of a
+    # filtered second branch would re-execute the whole ranked plan
+    # per branch (the single-consumer rule).
+    pos = F.col("_fr_rank") - 1
+    seg = exact_div(pos, seg_len)
+    segs = (
+        F.when(
+            pos % seg_len >= seg_len - n_preceding, F.array(seg, seg + 1)
+        ).otherwise(F.array(seg))
+        if n_preceding > 0
+        else F.array(seg)
     )
-    # Rename join keys: same-lineage references are ambiguous (Spark's
-    # "trivially true equals predicate" warning) — see the grouped
-    # operator's offset join.
-    gk = {g: f"_fkey_{i}" for i, g in enumerate(group_cols)}
-    for g, a in gk.items():
-        frames = frames.withColumnRenamed(g, a)
-    cond = ranked["_fr_rank"] == frames["_fr_target"]
-    for g, a in gk.items():
-        cond = cond & ranked[g].eqNullSafe(frames[a])
+    both = ranked.withColumn("_fr_seg", F.explode(segs)).withColumn(
+        "_fr_ctx", (F.col("_fr_seg") > seg).cast("int")
+    )
+    w = (
+        Window.partitionBy(*group_cols, "_fr_seg")
+        .orderBy("_fr_rank")
+        .rowsBetween(-n_preceding, 0)
+    )
     return (
-        ranked.join(frames, cond)
-        .drop(*gk.values(), "_fr_target", "_fr_rank")
+        both.withColumn(out_col, F.collect_list(value_col).over(w))
+        .filter(F.col("_fr_ctx") == 0)
+        .drop("_fr_seg", "_fr_ctx", "_fr_rank")
     )
 
 

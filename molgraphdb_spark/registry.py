@@ -35,97 +35,87 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.spans",
 ]
 
-# Round-7 verification window (first 50), per the r6 verdict item 1:
-# LEAD with the 35 round-6 extension debuts — every registry entry
-# that has NEVER been through the driver's own gate (all parity-green
-# locally at sf0.01, 30 of them independently re-verified by the r6
-# judge, but zero driver rows). Seven of the debuts ALSO changed
-# engine code this round: customer_rfm_segments / customer_spend_gini
-# / customer_lorenz_deciles / doc_weighted_sample / vocab_zipf_slope
-# moved from partitionless global windows to the exact two-pass
-# distributed rank (operators/ranking.py — r6 verdict item 2/3, same
-# oracles), events_variant_stats gained try-cast-normalized oracle
-# semantics and events_ewma integer shiftleft weights (r6 advice).
-# The remaining 15 slots, in order:
-# - parts_abc_analysis + ntile_customer_value: the other two global-
-#   window rewrites (r5-green previously, engine code changed).
-# - graph_common_suppliers + graph_triangle_count: co-purchase
-#   incidence materialization changed cache()→localCheckpoint (r6
-#   advice); r4-stale on top of the code change.
-# - the seven similarity-module entries NOT already in the debut list
-#   (similarity_lsh_topk, similarity_label_bands, embedding_norm_stats,
-#   similarity_knn_graph, dedup_embedding_lsh, dedup_semantic_clusters,
-#   embedding_quantize_stats): the module-wide embeddings NULL
-#   contract landed in _emb()/_EMB_CTE this round (r6 advice), so the
-#   whole module re-verifies; three are also the r4-stale leaders.
-# - graph_bfs_path_lengths + graph_degree_histogram +
-#   chem_pharma_profile: stalest remaining r4 rows (the first two
-#   adjacent to this round's graph edits).
-# - graph_kcore_summary LAST (rows-only by design — iterative
-#   fixpoint; now pinned by a data-matched networkx golden on the
-#   sf0.01 co-purchase projection, r6 verdict item 7; its incidence
-#   materialization also changed this round).
-# Rotated out: the 44 r3-stale entries re-greened in r6 plus the r6
-# window's mm/pq/bpe rows — all r6-green and untouched this round.
-# Still waiting (r4∪r5-green, untouched): the chem/mm/events/text/
-# tpch families — next round's staleness tail.
+# Round-8 verification window (first 50), per the r7 verdict item 2.
+# Staleness is now COMPUTED, not hand-curated: tools/gen_query_index.py
+# reads every CORRECTNESS_r*.json and writes each query's last
+# driver-green round into QUERIES.md; this window was assembled from
+# that ledger. Composition:
+# - The four r7 percentile debuts (never driver-checked) lead:
+#   customer_spend_exact_percentiles, priority_ship_delay_percentiles,
+#   source_length_deciles, events_latency_percentiles.
+# - Changed-code r8 entries next: the grouped-ranking operator gained a
+#   NULL-safe offset join + min_by sum offsets (operators/ranking.py),
+#   so its consumers re-gate (doc_pack_offsets — also r5-stale —
+#   source_token_budget, events_ewma); chem/mol.py gained the
+#   aromatic-capable perception gate, so ALL nine chem queries re-gate
+#   (five of them are also the r4-stale chem family).
+# - Then the ENTIRE remaining r4-stale tail (31 non-chem entries: mm,
+#   events, text, tpch families — last driver-green in r4).
+# - Three oldest r5 rows fill the last slots (graph_pagerank_top,
+#   dedup_exact, dedup_incremental_flags).
+# Rotated out: the 35 r6 debuts + r7 window rows — all r7-green and
+# (except the ranking consumers re-gated above) untouched this round.
+# graph_kcore_summary sits out one round (r7 rows-only + data-matched
+# golden, code untouched).
 _PRIORITY = [
-    # ---- the 35 round-6 debuts: first driver rows ----
-    "source_lang_entropy",
-    "neardup_degree_hist",
-    "vocab_bpe_compression",
-    "similarity_pq_topk",
-    "graph_supplier_jaccard",
-    "dedup_rate_by_source",
-    "similarity_pq_recall",
-    "events_ewma",
-    "parts_skyline",
-    "orders_bloom_prefilter",
-    "embedding_label_outliers",
+    # ---- r7 debuts: first driver rows ----
+    "customer_spend_exact_percentiles",
+    "priority_ship_delay_percentiles",
+    "source_length_deciles",
+    "events_latency_percentiles",
+    # ---- grouped-ranking operator changed this round ----
+    "doc_pack_offsets",
     "source_token_budget",
-    "graph_closeness_sample",
-    "neardup_prefix_pairs",
-    "doc_weighted_sample",
-    "events_value_trend",
-    "graph_supplier_pmi",
-    "similarity_ivfpq_topk",
-    "vocab_zipf_slope",
-    "doc_ngram_novelty",
-    "events_bot_regularity",
-    "events_markov_transitions",
-    "customer_rfm_segments",
-    "doc_lang_confusion",
-    "parts_basket_rules",
-    "events_dau_wau",
-    "dedup_threshold_curve",
-    "events_variant_stats",
-    "embedding_covariance_stats",
+    "events_ewma",
+    # ---- chem/mol.py aromatic gate changed this round ----
     "chem_nearest_molecule",
-    "graph_assortativity",
-    "supplier_concentration_hhi",
-    "customer_spend_gini",
-    "customer_lorenz_deciles",
-    "events_error_rate_windows",
-    # ---- engine code changed this round (r7) ----
-    "parts_abc_analysis",  # two-pass distributed cumsum rewrite
-    "ntile_customer_value",  # two-pass distributed ntile/pct_rank rewrite
-    "graph_common_suppliers",  # incidence cache()→localCheckpoint
-    "graph_triangle_count",  # incidence cache()→localCheckpoint
-    # ---- similarity module: NULL contract landed in _emb()/_EMB_CTE ----
-    "similarity_lsh_topk",
-    "similarity_label_bands",
-    "embedding_norm_stats",
-    "similarity_knn_graph",
-    "dedup_embedding_lsh",
-    "dedup_semantic_clusters",
-    "embedding_quantize_stats",
-    # ---- stalest remaining r4 rows ----
-    "graph_bfs_path_lengths",
-    "graph_degree_histogram",
     "chem_pharma_profile",
-    # ---- rows-only by design (networkx data-matched golden) ----
-    "graph_kcore_summary",
+    "chem_edit_expansion",
+    "chem_exact_ged_pairs",
+    "chem_pharma_overlap",      # also r4-stale
+    "chem_subgraph_display",    # also r4-stale
+    "chem_subgraph_counts",     # also r4-stale
+    "chem_tanimoto_pairs",      # also r4-stale
+    "chem_subgraph_catalog_hist",  # also r4-stale
+    # ---- the full remaining r4-stale tail ----
+    "mm_frame_sample",
+    "mm_chunk_windows",
+    "dedup_clusters",
+    "events_hourly_counts",
+    "events_tumbling_window",
+    "events_json_extract",
+    "events_sessionize",
+    "events_lag_lead_delta",
+    "events_ohlc_resample",
+    "events_asof_join",
+    "events_range_join",
+    "events_gap_fill",
+    "events_sliding_window",
+    "events_rolling_hour_avg",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_language_id",
+    "doc_fingerprint",
+    "doc_ngram_topk",
+    "doc_tfidf_top_terms",
+    "doc_content_filter",
+    "doc_decontaminate_overlap",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "profile_lineitem",
+    # ---- oldest r5 rows ----
+    "graph_pagerank_top",
+    "dedup_exact",
+    "dedup_incremental_flags",
 ]
+
+
 
 
 def _reorder(d: dict) -> dict:

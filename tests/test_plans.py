@@ -395,10 +395,14 @@ def test_dedup_rate_by_source_pruned_scan(spark, sf_dir):
 
 
 def test_events_ewma_no_per_type_funnel(spark, sf_dir):
-    # round 7: frames come from the grouped two-pass frame join (16×
-    # bounded blowup), not a type-partitioned window sort — no
-    # partitionless window, no type-partitioned windowspec, no Python
-    # worker, no cartesian; the fold stays JVM-side over frame arrays
+    # round 8: frames come from the segmented scan (ranking.py
+    # with_group_rows_frame) — no partitionless window, no windowspec
+    # partitioned by event_type ALONE (the per-type funnel): the only
+    # type-keyed window must also carry the bounded _fr_seg segment
+    # key, so partitions are segment-sized, never group-sized. No
+    # Python worker, no cartesian, no join for the frames at all.
+    import re
+
     from molgraphdb_spark.plans.explain import formatted_plan, n_partitionless_windows
     from molgraphdb_spark.queries.temporal import events_ewma
 
@@ -407,7 +411,11 @@ def test_events_ewma_no_per_type_funnel(spark, sf_dir):
     assert not s["has_python_worker"]
     assert "CartesianProduct" not in s["plan"]
     assert n_partitionless_windows(df) == 0
-    assert "windowspecdefinition(event_type#" not in formatted_plan(df)
+    plan = formatted_plan(df)
+    type_windows = re.findall(r"windowspecdefinition\(event_type#\d+[^)]*", plan)
+    assert type_windows, "expected the segmented (type, seg) window"
+    assert all("_fr_seg" in w for w in type_windows), type_windows
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
 def test_pq_recall_rerank_bounded(spark, sf_dir):

@@ -438,3 +438,32 @@ def test_float_cumsum_rejected(spark):
     )
     with pytest.raises(TypeError, match="association-order"):
         with_order_stats(df, [F.asc("k")], cumsum={"v": "cum"})
+
+
+def test_group_rows_frame_segment_boundaries(spark):
+    # Force many segments (seg_len barely above the frame) so frames
+    # cross segment boundaries constantly — the replicated-context path
+    # must still rebuild every frame exactly.
+    from molgraphdb_spark.operators.ranking import with_group_rows_frame
+
+    df = spark.range(1001).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 48271) % 37).alias("v"),
+    )
+    order = [F.asc("v"), F.asc("k")]
+    w = Window.partitionBy("g").orderBy(*order).rowsBetween(-15, Window.currentRow)
+    exp = {
+        r["k"]: tuple(r["arr"])
+        for r in df.select("k", F.collect_list("v").over(w).alias("arr")).collect()
+    }
+    for seg in (16, 17, 31, 100):
+        got = {
+            r["k"]: tuple(r["arr"])
+            for r in with_group_rows_frame(
+                df, ["g"], order, 15, "v", "arr", n_buckets=5, seg_len=seg
+            ).collect()
+        }
+        assert got == exp, f"seg_len={seg}"
+    with pytest.raises(ValueError, match="seg_len"):
+        with_group_rows_frame(df, ["g"], order, 15, "v", "arr", seg_len=15)
