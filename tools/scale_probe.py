@@ -791,6 +791,134 @@ def probe_ranking(spark, n: int = 4_000_000) -> dict:
     }
 
 
+def probe_ranking_skew(spark, n: int = 4_000_000) -> dict:
+    """Grouped ranking under GROUP SKEW (r7 verdict item 4): the
+    probe_ranking grouped leg uses 4 equal residue classes; the real
+    funnel case is one dominant group. Here group sizes are planted at
+    90/5/3/2% of n via thresholds on a permutation p = id·a mod n —
+    each group's members are a CONTIGUOUS p-range, so per-group rank
+    and running sum are analytic:
+
+      * rank of a row in its group  = p − lo_g + 1
+      * running sum of spend (=p+1) = r·lo_g + r(r+1)/2
+      * 16-row frame sum at rank r  = 16·lo_g + 16r − 120   (r ≥ 16)
+                                      r·lo_g + r(r+1)/2     (r < 16)
+
+    Both the grouped two-pass operator and the partitioned-window
+    formulation are checked against the closed forms and against each
+    other (mod-prime checksums), and walls are recorded: under this
+    skew the window shape sorts 90% of the relation in ONE task while
+    the two-pass shape never holds more than n/buckets rows."""
+    from pyspark.sql.window import Window
+
+    from molgraphdb_spark.operators.ranking import (
+        with_group_rows_frame,
+        with_grouped_order_stats,
+    )
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+
+    a = 2654435761
+    lo1, lo2, lo3 = int(0.90 * n), int(0.95 * n), int(0.98 * n)
+    df = spark.range(n).select(
+        F.col("id").alias("k"), ((F.col("id") * a) % n).alias("p")
+    ).select(
+        "k",
+        "p",
+        (F.col("p") + 1).alias("spend"),
+        F.when(F.col("p") < lo1, 0)
+        .when(F.col("p") < lo2, 1)
+        .when(F.col("p") < lo3, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("g"),
+    )
+    lo = (
+        F.when(F.col("g") == 0, 0)
+        .when(F.col("g") == 1, lo1)
+        .when(F.col("g") == 2, lo2)
+        .otherwise(lo3)
+        .cast("long")
+    )
+    order = [F.asc("spend"), F.asc("k")]
+    P = 1_000_003
+
+    def checksum(ranked, rcol, ccol):
+        r = ranked.agg(
+            F.sum(F.col(rcol) % P).alias("cr"),
+            F.sum(F.col(ccol) % P).alias("cc"),
+        ).first()
+        return int(r["cr"]), int(r["cc"])
+
+    # window shape (the funnel): 90% of rows sort in one task
+    w = Window.partitionBy("g").orderBy(*order)
+    t0 = time.time()
+    win = df.select(
+        "p",
+        "g",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.sum("spend")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    win_sum = checksum(win, "r", "cum")
+    t_window = time.time() - t0
+    spark.catalog.clearCache()
+
+    # grouped two-pass
+    t0 = time.time()
+    granked = with_grouped_order_stats(
+        df, ["g"], order, rank_col="r", cumsum={"spend": "cum"}
+    )
+    two_sum = checksum(granked, "r", "cum")
+    bad = granked.filter(
+        (F.col("r") != F.col("p") - lo + 1)
+        | (
+            F.col("cum")
+            != F.col("r") * lo + F.col("r") * (F.col("r") + 1) / 2
+        )
+    ).count()
+    t_grouped = time.time() - t0
+    assert n_partitionless_windows(granked) == 0
+    spark.catalog.clearCache()
+
+    # bounded 16-row frame under the same skew (segmented scan)
+    t0 = time.time()
+    framed = with_group_rows_frame(df, ["g"], order, 15, "spend", "arr")
+    fsum = F.aggregate(
+        F.col("arr"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    r_expr = F.col("p") - lo + 1
+    frame_bad = framed.select(
+        "p",
+        "g",
+        fsum.alias("fs"),
+        r_expr.alias("r"),
+        lo.alias("lo"),
+    ).filter(
+        ~F.when(
+            F.col("r") >= 16,
+            F.col("fs") == 16 * F.col("lo") + 16 * F.col("r") - 120,
+        ).otherwise(
+            F.col("fs")
+            == F.col("r") * F.col("lo") + F.col("r") * (F.col("r") + 1) / 2
+        )
+    ).count()
+    t_frame = time.time() - t0
+
+    return {
+        "probe": "ranking_skew", "n": n,
+        "group_pcts": [90, 5, 3, 2],
+        "checksums_equal": bool(win_sum == two_sum),
+        "grouped_invariant_violations": int(bad),
+        "frame_invariant_violations": int(frame_bad),
+        "grouped_exact": bool(bad == 0),
+        "frame_exact": bool(frame_bad == 0),
+        "wall_window_s": round(t_window, 1),
+        "wall_grouped_s": round(t_grouped, 1),
+        "wall_frame_s": round(t_frame, 1),
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe")
@@ -821,6 +949,9 @@ def main() -> None:
     # Ranking family (r6 verdict item 4): partitionless window vs the
     # exact two-pass distributed rank, planted permutation invariants.
     print(json.dumps(probe_ranking(spark)))
+    # Grouped ranking + bounded frames under 90/5/3/2% group skew
+    # (r7 verdict item 4).
+    print(json.dumps(probe_ranking_skew(spark)))
 
 
 if __name__ == "__main__":
