@@ -20,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from molgraphdb_spark.session import get_spark, tune
 from molgraphdb_spark.registry import all_queries
 
-HEADLINE = [
+# Curated warm-up-ordered head (families interleave so one slow family
+# doesn't monopolize the first minutes); the FULL registry follows —
+# since r8 every registered query is benchmarked each round (r7 verdict
+# item 6: no more solo-baseline-only tail invisible to the per-round
+# bench diff).
+_CURATED = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
@@ -113,6 +118,8 @@ HEADLINE = [
     "events_error_rate_windows",
 ]
 
+HEADLINE = _CURATED + [q for q in all_queries() if q not in set(_CURATED)]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,6 +172,12 @@ def main() -> None:
     # identical 2.88 s medians, both with one outlier) — a median of 5
     # survives two spiked runs, a median of 3 only one.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    # Per-query wall budget: since r8 the headline is the FULL registry
+    # (181 queries), so the handful of 25–30 s members (triangle count,
+    # simhash pairs, embedding cosine) get ≥2 runs but stop once their
+    # accumulated wall passes the budget — a 2-run median still beats a
+    # solo number, and the cheap majority keeps its full median-of-5.
+    run_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "30"))
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -190,6 +203,8 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
+                if len(runs) >= 2 and sum(runs) > run_budget_s:
+                    break
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             continue

@@ -26,10 +26,20 @@ The parser is TOTAL: any string outside the subset raises
 ``SmilesError`` (never another exception — fuzz-verified over
 arbitrary token soup and a grammar-valid generator), and anything
 accepted satisfies connected + valence_ok + aromatic_ok and
-round-trips through ``to_smiles`` with its WL identity intact. Stereochemistry and isotopes
-are parsed and discarded: identity here is 2D-graph identity, which is
-exactly what the reference's GED pipeline reduces to
-(/root/reference/src/mcs.py:178–194: element node attrs only).
+round-trips through ``to_smiles`` with its WL identity intact.
+
+Isotopes and tetrahedral stereo are IDENTITY-BEARING (r8, r7 verdict
+item 5): ``[13C]`` ≠ ``[C]``, and ``C[C@H](N)O`` ≠ ``C[C@@H](N)O``
+while every rewriting of the same configuration (``O[C@@H](N)C``)
+hashes equal — the parsed ``@``/``@@`` flag is canonicalized against
+stereo-blind WL colors via permutation parity (OpenSMILES §3.9.2:
+swapping two neighbor entities flips the mark), and tags on centers
+whose entities are WL-equivalent (achiral, e.g. cyclobutan-1-ol C1)
+lapse, mirroring RDKit's AssignStereochemistry cleanup. Tags also
+lapse when graph edits change a center's neighbor set (validity is
+re-checked at every use). Double-bond cis/trans (``/``, ``\\``)
+remains outside identity: directional bonds read as singles
+(documented subset boundary). Atom maps are validated and discarded.
 
 Identity: molecules and subgraphs are keyed by a Weisfeiler–Lehman
 hash over element labels and bond orders (networkx ≥3.5 convention,
@@ -106,6 +116,18 @@ class SmilesError(ValueError):
     pass
 
 
+def _parity_even(perm: list[int]) -> bool:
+    """True iff the permutation (a list containing 0..k-1) is even
+    (inversion count — k ≤ 4 here, so the quadratic count is free)."""
+    inv = sum(
+        1
+        for a in range(len(perm))
+        for b in range(a + 1, len(perm))
+        if perm[a] > perm[b]
+    )
+    return inv % 2 == 0
+
+
 @dataclass
 class MolGraph:
     """Element-labeled undirected graph; nodes are 0..n-1. ``bonds``
@@ -117,6 +139,20 @@ class MolGraph:
     bonds: dict[tuple[int, int], float] = field(default_factory=dict)
     aromatic: set[int] = field(default_factory=set)
     charges: dict[int, int] = field(default_factory=dict)
+    #: isotope mass number per atom (absent = natural abundance) —
+    #: identity-bearing since r8 ([13C] ≠ [C]).
+    isotopes: dict[int, int] = field(default_factory=dict)
+    #: tetrahedral stereo flag per atom: 1 = ``@``, 2 = ``@@``.
+    stereo: dict[int, int] = field(default_factory=dict)
+    #: parse-order neighbor ENTITY list per stereo atom; -1 is the
+    #: implicit bracket hydrogen (OpenSMILES §3.9.2 ordering:
+    #: preceding atom, bracket H, ring-closure digits in text order,
+    #: then following atoms). A stereo entry is USED only while valid:
+    #: exactly 4 entities whose real members are exactly the atom's
+    #: current neighbors — graph edits that break that invariant make
+    #: the tag silently lapse (RDKit drops stereo on edited centers
+    #: the same way), so copy()-and-mutate callers stay correct.
+    stereo_nbrs: dict[int, list[int]] = field(default_factory=dict)
 
     @property
     def n_atoms(self) -> int:
@@ -197,36 +233,126 @@ class MolGraph:
         )
 
     def _node_label(self, i: int) -> str:
-        """WL node label: element symbol, lowercased when aromatic,
-        charge-suffixed when charged — so pyridine-N ≠ pyrrole-C and
-        [O-] ≠ O in identity space."""
+        """WL node label: isotope-prefixed element symbol, lowercased
+        when aromatic, charge-suffixed when charged — so pyridine-N ≠
+        pyrrole-C, [O-] ≠ O, and [13C] ≠ C in identity space. Stereo
+        is NOT in this label (it feeds the stereo-blind WL colors that
+        canonical_stereo orients against); to_nx appends the canonical
+        stereo class on top."""
         sym = self.elements[i].lower() if i in self.aromatic else self.elements[i]
+        iso = self.isotopes.get(i, 0)
+        if iso:
+            sym = f"{iso}{sym}"
         q = self.charges.get(i, 0)
         return f"{sym}{q:+d}" if q else sym
 
+    def _wl_colors(self) -> list[str]:
+        """Stereo-blind Weisfeiler–Lehman color per atom, refined to a
+        stable partition (capped at n iterations). Isomorphism-
+        invariant: renumbering the molecule permutes but never changes
+        the colors — the property canonical_stereo rides on."""
+        import hashlib
+
+        n = self.n_atoms
+        colors = [self._node_label(i) for i in range(n)]
+        adj: dict[int, list[tuple[int, float]]] = {i: [] for i in range(n)}
+        for (a, b), o in self.bonds.items():
+            adj[a].append((b, o))
+            adj[b].append((a, o))
+        n_classes = len(set(colors))
+        for _ in range(n):
+            nxt = []
+            for i in range(n):
+                sig = (colors[i], sorted((str(o), colors[j]) for j, o in adj[i]))
+                nxt.append(hashlib.md5(repr(sig).encode()).hexdigest())
+            colors = nxt
+            k = len(set(colors))
+            if k == n_classes:
+                break
+            n_classes = k
+        return colors
+
+    def _stereo_entities(self, i: int) -> list[int] | None:
+        """The atom's stereo entity list if its tag is VALID (exactly
+        4 entities; real members == current neighbor set), else None.
+        Centralizing validity here makes copy()-and-mutate edits safe:
+        a stale tag simply lapses instead of corrupting identity."""
+        if i not in self.stereo:
+            return None
+        ents = self.stereo_nbrs.get(i, [])
+        if len(ents) != 4:
+            return None
+        real = sorted(e for e in ents if e != -1)
+        if len(set(ents)) != 4 or real != self.neighbors(i):
+            return None
+        return ents
+
+    def canonical_stereo(self) -> dict[int, str]:
+        """Writing-invariant tetrahedral class ('@' / '@@') per valid
+        stereocenter: the parsed flag, flipped by the parity of the
+        permutation that sorts the parse-order entities into
+        WL-color order. Two SMILES writings of the same configuration
+        differ by an entity permutation whose parity equals their flag
+        difference (OpenSMILES §3.9.2: swapping two neighbors flips
+        @/@@), so the composition is invariant. Centers whose entities
+        share a WL color are dropped — the tag is not orientable
+        against the skeleton (achiral or WL-symmetric; RDKit's
+        AssignStereochemistry strips non-stereogenic tags likewise)."""
+        if not self.stereo:
+            return {}
+        colors = None
+        out: dict[int, str] = {}
+        for i, flag in self.stereo.items():
+            ents = self._stereo_entities(i)
+            if ents is None:
+                continue
+            if colors is None:
+                colors = self._wl_colors()
+            keys = ["0H" if e == -1 else "1" + colors[e] for e in ents]
+            if len(set(keys)) != 4:
+                continue
+            perm = sorted(range(4), key=lambda k: keys[k])
+            canon = flag if _parity_even(perm) else 3 - flag
+            out[i] = "@" if canon == 1 else "@@"
+        return out
+
     def to_nx(self) -> nx.Graph:
         """Element-labeled networkx graph (mcs.py:178–194 shape), with
-        bond order as a string edge attr for WL hashing."""
+        bond order as a string edge attr for WL hashing; valid stereo
+        centers carry their canonical class in the node label."""
+        st = self.canonical_stereo()
         g = nx.Graph()
         for i in range(self.n_atoms):
-            g.add_node(i, symbol=self._node_label(i))
+            g.add_node(i, symbol=self._node_label(i) + st.get(i, ""))
         for (a, b), o in self.bonds.items():
             g.add_edge(a, b, order=str(o))
         return g
 
     def induced(self, nodes: tuple[int, ...]) -> "MolGraph":
         """Induced subgraph on ``nodes`` (relabeled 0..k-1), preserving
-        bond orders, aromatic flags, and charges."""
+        bond orders, aromatic flags, charges, and isotopes. Stereo tags
+        carry over only when every entity survives (a center that lost
+        a neighbor is no longer tetrahedrally defined — the validity
+        check would drop it anyway; pruning here keeps the dicts
+        clean)."""
         order = sorted(nodes)
         remap = {n: k for k, n in enumerate(order)}
         sub = MolGraph(
             elements=[self.elements[n] for n in order],
             aromatic={remap[n] for n in order if n in self.aromatic},
             charges={remap[n]: q for n, q in self.charges.items() if n in remap},
+            isotopes={remap[n]: m for n, m in self.isotopes.items() if n in remap},
         )
         for (a, b), o in self.bonds.items():
             if a in remap and b in remap:
                 sub.add_bond(remap[a], remap[b], o)
+        for n, flag in self.stereo.items():
+            ents = self.stereo_nbrs.get(n, [])
+            if n in remap and all(e == -1 or e in remap for e in ents):
+                sub.stereo[remap[n]] = flag
+                sub.stereo_nbrs[remap[n]] = [
+                    -1 if e == -1 else remap[e] for e in ents
+                ]
         return sub
 
     def largest_fragment(self) -> "MolGraph":
@@ -255,6 +381,9 @@ class MolGraph:
             bonds=dict(self.bonds),
             aromatic=set(self.aromatic),
             charges=dict(self.charges),
+            isotopes=dict(self.isotopes),
+            stereo=dict(self.stereo),
+            stereo_nbrs={k: list(v) for k, v in self.stereo_nbrs.items()},
         )
 
     def adjacency_matrix(self) -> list[list[int]]:
@@ -268,14 +397,19 @@ class MolGraph:
         return m
 
 
-def _parse_bracket(body: str, smiles: str) -> tuple[str, bool, int]:
-    """Parse a bracket-atom body (isotope, element, stereo, H-count,
-    charge, atom map) → (element, aromatic, charge). Isotope, stereo,
-    H-count, and map number are validated and discarded (2D-graph
-    identity; see module docstring)."""
+def _parse_bracket(
+    body: str, smiles: str
+) -> tuple[str, bool, int, int, int, int]:
+    """Parse a bracket-atom body → (element, aromatic, charge,
+    isotope, stereo, h_count). Isotope and tetrahedral ``@``/``@@``
+    are IDENTITY-BEARING since r8 (stereo = 0/1/2); the H-count is
+    kept because it is a stereo neighbor entity (OpenSMILES §3.9.2).
+    Atom-map numbers are validated and discarded."""
     i = 0
+    iso_start = i
     while i < len(body) and body[i].isdigit():  # isotope
         i += 1
+    isotope = int(body[iso_start:i]) if i > iso_start else 0
     if i < len(body) and body[i].isupper():
         # longest element match over the FULL periodic table (bracket
         # atoms are not restricted to the organic subset — RDKit
@@ -299,12 +433,19 @@ def _parse_bracket(body: str, smiles: str) -> tuple[str, bool, int]:
         i += 1
     else:
         raise SmilesError(f"bad bracket atom [{body}] in {smiles!r}")
-    while i < len(body) and body[i] == "@":  # stereo
+    stereo = 0
+    while i < len(body) and body[i] == "@":  # tetrahedral stereo
+        stereo += 1
         i += 1
+    if stereo > 2:
+        raise SmilesError(f"bad stereo mark in [{body}] in {smiles!r}")
+    h_count = 0
     if i < len(body) and body[i] == "H":  # explicit H count
         i += 1
+        h_start = i
         while i < len(body) and body[i].isdigit():
             i += 1
+        h_count = int(body[h_start:i]) if i > h_start else 1
     charge = 0
     while i < len(body) and body[i] in "+-":
         sign = 1 if body[i] == "+" else -1
@@ -323,7 +464,7 @@ def _parse_bracket(body: str, smiles: str) -> tuple[str, bool, int]:
             i += 1
     if i != len(body):
         raise SmilesError(f"bad bracket atom [{body}] in {smiles!r}")
-    return elem, aromatic, charge
+    return elem, aromatic, charge, isotope, stereo, h_count
 
 
 def _perceive_aromatic_rings(mol: MolGraph) -> None:
@@ -431,13 +572,20 @@ def parse_smiles(smiles: str) -> MolGraph:
     mol = MolGraph()
     prev: int | None = None
     stack: list[int] = []
-    rings: dict[str, tuple[int, float | None]] = {}
+    rings: dict[str, tuple[int, float | None, str]] = {}
     pending: float | None = None  # explicit bond symbol awaiting use
     i = 0
     n = len(smiles)
+    # Parse-order neighbor entities per atom (OpenSMILES §3.9.2:
+    # preceding atom, bracket H (-1), ring digits in text order as
+    # placeholders resolved at close, then following atoms) — the
+    # orientation frame tetrahedral stereo is defined against.
+    nbr: dict[int, list] = {}
+    ring_seq = 0
 
     def attach(idx: int, aromatic: bool) -> None:
         nonlocal prev, pending
+        nbr[idx] = []
         if prev is not None:
             if pending is not None:
                 order = pending
@@ -446,6 +594,8 @@ def parse_smiles(smiles: str) -> MolGraph:
             else:
                 order = 1.0
             mol.add_bond(prev, idx, order)
+            nbr[prev].append(idx)
+            nbr[idx].append(prev)
         pending = None
         prev = idx
 
@@ -455,13 +605,20 @@ def parse_smiles(smiles: str) -> MolGraph:
             end = smiles.find("]", i)
             if end < 0:
                 raise SmilesError(f"unclosed '[' in {smiles!r}")
-            elem, aromatic, charge = _parse_bracket(smiles[i + 1 : end], smiles)
+            elem, aromatic, charge, isotope, stereo, h_count = _parse_bracket(
+                smiles[i + 1 : end], smiles
+            )
             idx = mol.add_atom(elem)
             if aromatic:
                 mol.aromatic.add(idx)
             if charge:
                 mol.charges[idx] = charge
+            if isotope:
+                mol.isotopes[idx] = isotope
             attach(idx, aromatic)
+            if stereo:
+                mol.stereo[idx] = stereo
+            nbr[idx].extend([-1] * h_count)
             i = end + 1
             continue
         two = smiles[i : i + 2]
@@ -496,7 +653,7 @@ def parse_smiles(smiles: str) -> MolGraph:
             if prev is None:
                 raise SmilesError("ring closure before first atom")
             if label in rings:
-                other, other_pending = rings.pop(label)
+                other, other_pending, token = rings.pop(label)
                 order = pending if pending is not None else other_pending
                 if order is None:
                     order = (
@@ -505,9 +662,16 @@ def parse_smiles(smiles: str) -> MolGraph:
                         else 1.0
                     )
                 mol.add_bond(other, prev, order)
+                # resolve the opener's placeholder; the closer's slot
+                # is at this digit's text position
+                nbr[other] = [prev if e == token else e for e in nbr[other]]
+                nbr[prev].append(other)
                 pending = None
             else:
-                rings[label] = (prev, pending)
+                token = f"\x00ring{ring_seq}"
+                ring_seq += 1
+                rings[label] = (prev, pending, token)
+                nbr[prev].append(token)
                 pending = None
         else:
             raise SmilesError(f"unsupported SMILES token {ch!r} in {smiles!r}")
@@ -544,6 +708,10 @@ def parse_smiles(smiles: str) -> MolGraph:
             raise SmilesError("aromatic bond between non-aromatic atoms")
     if not mol.valence_ok():
         raise SmilesError("valence violation")
+    # Record parse-order entities for stereo atoms (all ring
+    # placeholders are resolved by now — unclosed rings raised above).
+    for idx in mol.stereo:
+        mol.stereo_nbrs[idx] = list(nbr.get(idx, []))
     return mol
 
 
@@ -557,12 +725,14 @@ def to_smiles(mol: MolGraph) -> str:
     ring_bonds: list[tuple[int, int]] = []
     visited: set[int] = set()
     tree: dict[int, list[int]] = {i: [] for i in range(mol.n_atoms)}
+    parent: dict[int, int] = {}
 
     def dfs(u: int) -> None:
         visited.add(u)
         for v in mol.neighbors(u):
             if v not in visited:
                 tree[u].append(v)
+                parent[v] = u
                 dfs(v)
             elif v < u and u not in tree.get(v, []):
                 pair = (min(u, v), max(u, v))
@@ -588,6 +758,21 @@ def to_smiles(mol: MolGraph) -> str:
             return "-"  # biphenyl-type single between aromatic atoms
         return ""  # single and aromatic are implicit
 
+    def _written_entities(u: int) -> list[int]:
+        """The entity order a REPARSE of this output will record for
+        atom u: parent, bracket H, ring partners in digit order, then
+        children (mirrors parse_smiles's nbr tracking exactly)."""
+        w: list[int] = []
+        if u in parent:
+            w.append(parent[u])
+        if -1 in mol.stereo_nbrs.get(u, []):
+            w.append(-1)
+        for pair in ring_digit:
+            if u in pair:
+                w.append(pair[0] if pair[1] == u else pair[1])
+        w.extend(tree[u])
+        return w
+
     def atom_sym(u: int) -> str:
         # Lowercase ONLY symbols the parser accepts lowercase
         # (AROMATIC_ELEMENTS) — serializer totality: every emitted
@@ -596,9 +781,29 @@ def to_smiles(mol: MolGraph) -> str:
         arom = u in mol.aromatic and mol.elements[u] in AROMATIC_ELEMENTS
         sym = mol.elements[u].lower() if arom else mol.elements[u]
         q = mol.charges.get(u, 0)
-        if q:
-            qs = ("+" if q > 0 else "-") * abs(q) if abs(q) <= 2 else f"{q:+d}"
-            return f"[{sym}{qs}]"
+        qs = (
+            (("+" if q > 0 else "-") * abs(q) if abs(q) <= 2 else f"{q:+d}")
+            if q
+            else ""
+        )
+        iso = mol.isotopes.get(u, 0)
+        isos = str(iso) if iso else ""
+        ents = mol._stereo_entities(u)
+        if ents is not None:
+            # emit the mark whose orientation under the OUTPUT's
+            # written entity order equals the stored one: flip @/@@
+            # when the permutation between the two orders is odd
+            written = _written_entities(u)
+            if sorted(written) == sorted(ents):
+                perm = [ents.index(w) for w in written]
+                flag = (
+                    mol.stereo[u] if _parity_even(perm) else 3 - mol.stereo[u]
+                )
+                marks = "@" if flag == 1 else "@@"
+                h = "H" if -1 in ents else ""
+                return f"[{isos}{sym}{marks}{h}{qs}]"
+        if q or iso:
+            return f"[{isos}{sym}{qs}]"
         # elements with no bare form ([Na], [Au], aromatic [se]) must
         # re-enter through brackets or the round-trip re-parses wrong
         bare_ok = sym in _AROMATIC_ORGANIC if arom else mol.elements[u] in _ORGANIC

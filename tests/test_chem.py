@@ -319,9 +319,10 @@ PUBLISHED_SMILES = {
     "urea": "NC(=O)N",
     "trans_2_butene_stereo": "C/C=C/C",
     "charged_ammonium": "C[N+](C)(C)C",
-    "isotope_discard": "[13C]",
+    "isotope_carbon13": "[13C]",
     "atom_map_discard": "[CH3:1]C",
     "stereo_at_alanine": "C[C@H](N)C(=O)O",
+    "stereo_ring_center": "C1C[C@H](C)[C@H]1O",
     "pct_ring_closure": "C%10CCCCCCCCC%10",
     # full-periodic bracket atoms (RDKit parity; valence unchecked
     # outside the organic subset)
@@ -512,3 +513,84 @@ def test_token_soup_reject_dont_crash(tokens):
     except SmilesError:
         return
     assert mol.n_atoms >= 1 and mol.is_connected() and mol.valence_ok()
+
+
+# -- stereo / isotope identity (r8: identity-bearing) ------------------------
+
+
+def test_isotope_identity():
+    assert mol_key(parse_smiles("[13C]")) != mol_key(parse_smiles("[C]"))
+    assert mol_key(parse_smiles("[13C]C")) != mol_key(parse_smiles("CC"))
+    # same isotope, different writing -> equal
+    assert mol_key(parse_smiles("C[13C]")) == mol_key(parse_smiles("[13C]C"))
+
+
+def test_stereo_enantiomers_distinct():
+    a, b = parse_smiles("C[C@H](N)O"), parse_smiles("C[C@@H](N)O")
+    assert mol_key(a) != mol_key(b)
+    # swapping two branch entities flips the mark (OpenSMILES parity):
+    # C[C@H](O)N is the enantiomer of C[C@H](N)O
+    d = parse_smiles("C[C@H](O)N")
+    assert mol_key(d) == mol_key(b)
+    assert mol_key(d) != mol_key(a)
+
+
+def test_stereo_rewriting_invariance():
+    # the same configuration written four ways hashes identically
+    forms = [
+        "C[C@H](N)O",     # canonical-ish
+        "O[C@@H](N)C",    # reversed main chain (odd perm -> flipped mark)
+        "N[C@@H](C)O",    # N first
+        "O[C@H](C)N",     # another even rewriting
+    ]
+    keys = {mol_key(parse_smiles(s)) for s in forms}
+    assert len(keys) == 1, keys
+
+
+def test_stereo_achiral_center_lapses():
+    # cyclobutan-1-ol: the tagged C's two ring CH2 neighbors are
+    # WL-equivalent, so the tag is not orientable -> identity equals
+    # the untagged form (the center is genuinely achiral)
+    assert mol_key(parse_smiles("C1CC[C@H]1O")) == mol_key(
+        parse_smiles("C1CCC1O")
+    )
+    assert mol_key(parse_smiles("C[C@H](C)O")) == mol_key(parse_smiles("CC(C)O"))
+
+
+def test_stereo_ring_diastereomers_distinct():
+    # 2-methylcyclobutan-1-ol: cis and trans are distinct; each
+    # rewriting of the same diastereomer is equal
+    cis = parse_smiles("C1C[C@H](C)[C@H]1O")
+    trans = parse_smiles("C1C[C@H](C)[C@@H]1O")
+    assert mol_key(cis) != mol_key(trans)
+    assert mol_key(parse_smiles(to_smiles(cis))) == mol_key(cis)
+    assert mol_key(parse_smiles(to_smiles(trans))) == mol_key(trans)
+
+
+def test_stereo_tag_lapses_on_edit():
+    from molgraphdb_spark.chem.edits import atom_deletions
+
+    m = parse_smiles("C[C@H](N)O")
+    assert m.canonical_stereo()  # valid before the edit
+    # deleting any neighbor invalidates the center; candidates must
+    # parse/serialize cleanly with the tag lapsed
+    for row in atom_deletions(m, "x", min_atoms=1, min_bonds=0):
+        cand_smiles = row[1]
+        parse_smiles(cand_smiles)  # never raises
+
+
+def test_stereo_serializer_emits_reparseable_marks():
+    # ibuprofen + tadalafil (the corpus stereo members): round-trip
+    # preserves identity INCLUDING the stereo class
+    for s in [
+        "CC(C)Cc1ccc(cc1)[C@@H](C)C(=O)O",
+        r"CN1CC(=O)N2[C@H](Cc3c([nH]c4ccccc34)[C@H]2c2ccc3c(c2)OCO3)C1=O",
+    ]:
+        m = parse_smiles(s)
+        assert m.canonical_stereo()
+        m2 = parse_smiles(to_smiles(m))
+        assert mol_key(m2) == mol_key(m)
+        # same multiset of canonical classes (atom numbering may differ)
+        assert sorted(m2.canonical_stereo().values()) == sorted(
+            m.canonical_stereo().values()
+        )
