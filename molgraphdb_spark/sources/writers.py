@@ -63,8 +63,46 @@ def read_current(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(root, version))
 
 
-def merge_upsert(
+def _merge_upsert_delta(
     spark: SparkSession, root: str, updates: DataFrame, keys: list[str]
+) -> int:
+    """Real ACID MERGE via delta-spark (r7 verdict item 7): on a
+    cluster with the Delta Lake runtime, the same upsert-by-key shape
+    rides DeltaTable.merge — multi-writer safe through the Delta
+    transaction log instead of this module's single-host fcntl lock.
+    Import-gated: this container has no delta-spark, so the path is
+    exercised only for its graceful refusal (tests/test_sinks.py)."""
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as ex:
+        raise RuntimeError(
+            "format='delta' requires the delta-spark package "
+            "(pip install delta-spark + Delta-enabled SparkSession); "
+            "use the default format='parquet' snapshot MERGE here"
+        ) from ex
+    fresh = updates.dropDuplicates(keys)
+    if DeltaTable.isDeltaTable(spark, root):
+        target = DeltaTable.forPath(spark, root)
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        (
+            target.alias("t")
+            .merge(fresh.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    else:
+        fresh.write.format("delta").mode("overwrite").save(root)
+    return spark.read.format("delta").load(root).count()
+
+
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    format: str = "parquet",
 ) -> int:
     """MERGE (upsert-by-key, S6 / SURVEY.md §1.3 multi-writer form):
     rows matching on ``keys`` are replaced by ``updates``, others kept —
@@ -80,7 +118,15 @@ def merge_upsert(
     updates. This is the single-host stand-in for Delta/Iceberg MERGE
     (same logical shape; a real cluster swaps this file pointer for a
     transaction log). Returns the merged snapshot's row count.
+
+    ``format="delta"`` switches to a real Delta Lake MERGE when
+    delta-spark is installed (raises a clear RuntimeError here, where
+    it is not — the documented production swap).
     """
+    if format == "delta":
+        return _merge_upsert_delta(spark, root, updates, keys)
+    if format != "parquet":
+        raise ValueError(f"unknown merge format {format!r}")
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "_LOCK"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)

@@ -305,3 +305,25 @@ def test_register_views_sql_entry_point(spark, sf_dir):
         .toString()
     )
     assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_merge_upsert_delta_gate(spark, tmp_path):
+    # format='delta' is the documented production swap (r7 verdict
+    # item 7): without delta-spark it must refuse with a clear error,
+    # never fall back silently; unknown formats are rejected too.
+    import pytest
+
+    from molgraphdb_spark.sources.writers import merge_upsert
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    try:
+        import delta.tables  # noqa: F401
+
+        has_delta = True
+    except ImportError:
+        has_delta = False
+    if not has_delta:
+        with pytest.raises(RuntimeError, match="delta-spark"):
+            merge_upsert(spark, str(tmp_path / "d"), df, ["k"], format="delta")
+    with pytest.raises(ValueError, match="unknown merge format"):
+        merge_upsert(spark, str(tmp_path / "x"), df, ["k"], format="orc")
