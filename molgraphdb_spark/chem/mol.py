@@ -37,9 +37,12 @@ swapping two neighbor entities flips the mark), and tags on centers
 whose entities are WL-equivalent (achiral, e.g. cyclobutan-1-ol C1)
 lapse, mirroring RDKit's AssignStereochemistry cleanup. Tags also
 lapse when graph edits change a center's neighbor set (validity is
-re-checked at every use). Double-bond cis/trans (``/``, ``\\``)
-remains outside identity: directional bonds read as singles
-(documented subset boundary). Atom maps are validated and discarded.
+re-checked at every use). Double-bond cis/trans is identity-bearing
+too: directional marks (``/``, ``\\``) classify each double bond E/Z
+relative to WL-canonical substituents (``F/C=C/F`` ≠ ``F/C=C\\F`` ≠
+``FC=CF``; all rewritings of one geometry equal), geometrically
+impossible mark combinations raise, and non-stereogenic ends (equal
+substituents) drop the class. Atom maps are validated and discarded.
 
 Identity: molecules and subgraphs are keyed by a Weisfeiler–Lehman
 hash over element labels and bond orders (networkx ≥3.5 convention,
@@ -76,6 +79,10 @@ MAX_ATOMS_GED = 10
 #: Bond symbol → order ('/' and '\\' are directional singles; ':' is an
 #: explicit aromatic bond).
 _BOND_SYMBOLS = {"-": 1.0, "=": 2.0, "#": 3.0, ":": AROMATIC_ORDER, "/": 1.0, "\\": 1.0}
+
+#: Directional-single sign ('/' = +1, '\\' = −1) in the written a→b
+#: direction — the raw material of double-bond E/Z classes.
+_BOND_DIRS = {"/": 1, "\\": -1}
 
 #: Elements parsable OUTSIDE brackets (SMILES organic subset), longest
 #: match first so 'Cl'/'Br' win over 'C'/'B'.
@@ -153,6 +160,13 @@ class MolGraph:
     #: the tag silently lapse (RDKit drops stereo on edited centers
     #: the same way), so copy()-and-mutate callers stay correct.
     stereo_nbrs: dict[int, list[int]] = field(default_factory=dict)
+    #: directional single bonds ('/', '\\') for double-bond E/Z:
+    #: (min,max) → ±1, the sign of '/' when the bond is read min→max
+    #: (so '\\' written min→max is −1, and either symbol written
+    #: max→min negates). E/Z classes are derived per double bond at
+    #: identity time (canonical_ez) and lapse when marks or the double
+    #: bond disappear under edits.
+    bond_dirs: dict[tuple[int, int], int] = field(default_factory=dict)
 
     @property
     def n_atoms(self) -> int:
@@ -316,16 +330,64 @@ class MolGraph:
             out[i] = "@" if canon == 1 else "@@"
         return out
 
+    def _bond_side(self, x: int, a: int) -> int | None:
+        """Relative side (±1) of neighbor ``a`` w.r.t. atom ``x`` under
+        the bond's directional mark, or None if unmarked. Sign
+        convention: consistent under either writing direction (the
+        normalized dict absorbs '/'-vs-'\\' flips)."""
+        d = self.bond_dirs.get((min(a, x), max(a, x)))
+        if d is None:
+            return None
+        return d if x == max(a, x) else -d
+
+    def canonical_ez(self, colors: list[str]) -> dict[tuple[int, int], str]:
+        """Writing-invariant cis/trans class ('Z'/'E') per double bond
+        whose both ends have a directional mark and a color-unique
+        reference substituent: each end's side is taken relative to
+        its MINIMUM-WL-color substituent (marks on the other
+        substituent negate — the two substituents of an sp² end are
+        opposite by construction), and the product of the two sides is
+        the class (+1 → Z, −1 → E: F/C=C/F is E). Ends whose two
+        substituents share a WL color are not stereogenic — no class
+        (RDKit's AssignStereochemistry drops those markings too)."""
+        out: dict[tuple[int, int], str] = {}
+        if not self.bond_dirs:
+            return out
+        for (x, y), o in self.bonds.items():
+            if o != 2.0:
+                continue
+            sides = []
+            for end, partner in ((x, y), (y, x)):
+                cands = [n for n in self.neighbors(end) if n != partner]
+                if not cands:
+                    break
+                marked = [c for c in cands if self._bond_side(end, c) is not None]
+                if not marked:
+                    break
+                ref = min(cands, key=lambda c: colors[c])
+                if len(cands) == 2 and colors[cands[0]] == colors[cands[1]]:
+                    break  # substituents WL-equivalent: not stereogenic
+                m = marked[0]
+                side = self._bond_side(end, m)
+                sides.append(side if m == ref else -side)
+            if len(sides) == 2:
+                out[(x, y)] = "Z" if sides[0] * sides[1] == 1 else "E"
+        return out
+
     def to_nx(self) -> nx.Graph:
         """Element-labeled networkx graph (mcs.py:178–194 shape), with
         bond order as a string edge attr for WL hashing; valid stereo
-        centers carry their canonical class in the node label."""
+        centers carry their canonical class in the node label, and
+        classed double bonds their E/Z in the edge label."""
         st = self.canonical_stereo()
+        ez = (
+            self.canonical_ez(self._wl_colors()) if self.bond_dirs else {}
+        )
         g = nx.Graph()
         for i in range(self.n_atoms):
             g.add_node(i, symbol=self._node_label(i) + st.get(i, ""))
         for (a, b), o in self.bonds.items():
-            g.add_edge(a, b, order=str(o))
+            g.add_edge(a, b, order=str(o) + ez.get((a, b), ""))
         return g
 
     def induced(self, nodes: tuple[int, ...]) -> "MolGraph":
@@ -353,6 +415,14 @@ class MolGraph:
                 sub.stereo_nbrs[remap[n]] = [
                     -1 if e == -1 else remap[e] for e in ents
                 ]
+        for (a, b), d in self.bond_dirs.items():
+            if a in remap and b in remap:
+                ra, rb = remap[a], remap[b]
+                # remapping preserves relative order (remap is
+                # monotone over sorted nodes), so the sign carries
+                sub.bond_dirs[(min(ra, rb), max(ra, rb))] = (
+                    d if (ra < rb) == (a < b) else -d
+                )
         return sub
 
     def largest_fragment(self) -> "MolGraph":
@@ -384,6 +454,7 @@ class MolGraph:
             isotopes=dict(self.isotopes),
             stereo=dict(self.stereo),
             stereo_nbrs={k: list(v) for k, v in self.stereo_nbrs.items()},
+            bond_dirs=dict(self.bond_dirs),
         )
 
     def adjacency_matrix(self) -> list[list[int]]:
@@ -572,8 +643,9 @@ def parse_smiles(smiles: str) -> MolGraph:
     mol = MolGraph()
     prev: int | None = None
     stack: list[int] = []
-    rings: dict[str, tuple[int, float | None, str]] = {}
+    rings: dict[str, tuple[int, float | None, int | None, str]] = {}
     pending: float | None = None  # explicit bond symbol awaiting use
+    pending_dir: int | None = None  # '/'=+1, '\\'=-1 awaiting use
     i = 0
     n = len(smiles)
     # Parse-order neighbor entities per atom (OpenSMILES §3.9.2:
@@ -584,7 +656,7 @@ def parse_smiles(smiles: str) -> MolGraph:
     ring_seq = 0
 
     def attach(idx: int, aromatic: bool) -> None:
-        nonlocal prev, pending
+        nonlocal prev, pending, pending_dir
         nbr[idx] = []
         if prev is not None:
             if pending is not None:
@@ -594,9 +666,15 @@ def parse_smiles(smiles: str) -> MolGraph:
             else:
                 order = 1.0
             mol.add_bond(prev, idx, order)
+            if pending_dir is not None:
+                # normalize the written prev→idx direction to min→max
+                mol.bond_dirs[(min(prev, idx), max(prev, idx))] = (
+                    pending_dir if prev < idx else -pending_dir
+                )
             nbr[prev].append(idx)
             nbr[idx].append(prev)
         pending = None
+        pending_dir = None
         prev = idx
 
     while i < n:
@@ -634,6 +712,7 @@ def parse_smiles(smiles: str) -> MolGraph:
             attach(idx, True)
         elif ch in _BOND_SYMBOLS:
             pending = _BOND_SYMBOLS[ch]
+            pending_dir = _BOND_DIRS.get(ch)
         elif ch == "(":
             if prev is None:
                 raise SmilesError("branch before first atom")
@@ -653,7 +732,7 @@ def parse_smiles(smiles: str) -> MolGraph:
             if prev is None:
                 raise SmilesError("ring closure before first atom")
             if label in rings:
-                other, other_pending, token = rings.pop(label)
+                other, other_pending, other_dir, token = rings.pop(label)
                 order = pending if pending is not None else other_pending
                 if order is None:
                     order = (
@@ -662,17 +741,40 @@ def parse_smiles(smiles: str) -> MolGraph:
                         else 1.0
                     )
                 mol.add_bond(other, prev, order)
+                # directional marks on ring-closure bonds: the OPEN
+                # occurrence reads open→close, the CLOSE occurrence
+                # close→open; both normalize to min→max and must agree
+                key = (min(other, prev), max(other, prev))
+                d_open = (
+                    None
+                    if other_dir is None
+                    else (other_dir if other < prev else -other_dir)
+                )
+                d_close = (
+                    None
+                    if pending_dir is None
+                    else (pending_dir if prev < other else -pending_dir)
+                )
+                if d_open is not None and d_close is not None and d_open != d_close:
+                    raise SmilesError(
+                        f"conflicting ring-bond directions in {smiles!r}"
+                    )
+                d = d_open if d_open is not None else d_close
+                if d is not None:
+                    mol.bond_dirs[key] = d
                 # resolve the opener's placeholder; the closer's slot
                 # is at this digit's text position
                 nbr[other] = [prev if e == token else e for e in nbr[other]]
                 nbr[prev].append(other)
                 pending = None
+                pending_dir = None
             else:
                 token = f"\x00ring{ring_seq}"
                 ring_seq += 1
-                rings[label] = (prev, pending, token)
+                rings[label] = (prev, pending, pending_dir, token)
                 nbr[prev].append(token)
                 pending = None
+                pending_dir = None
         else:
             raise SmilesError(f"unsupported SMILES token {ch!r} in {smiles!r}")
         i += 1
@@ -708,6 +810,22 @@ def parse_smiles(smiles: str) -> MolGraph:
             raise SmilesError("aromatic bond between non-aromatic atoms")
     if not mol.valence_ok():
         raise SmilesError("valence violation")
+    # Two marked substituents on the same sp² end claiming the same
+    # side are geometrically impossible — RDKit rejects the SMILES.
+    for (x, y), o in mol.bonds.items():
+        if o != 2.0:
+            continue
+        for end, partner in ((x, y), (y, x)):
+            sides = [
+                s
+                for c in mol.neighbors(end)
+                if c != partner
+                and (s := mol._bond_side(end, c)) is not None
+            ]
+            if len(sides) == 2 and sides[0] == sides[1]:
+                raise SmilesError(
+                    f"conflicting bond directions at atom {end} in {smiles!r}"
+                )
     # Record parse-order entities for stereo atoms (all ring
     # placeholders are resolved by now — unclosed rings raised above).
     for idx in mol.stereo:
@@ -749,11 +867,17 @@ def to_smiles(mol: MolGraph) -> str:
     }
 
     def bond_sym(a: int, b: int) -> str:
+        """Symbol for the bond emitted in the written a→b direction
+        (a = the atom whose text the symbol follows)."""
         o = mol.bonds[(min(a, b), max(a, b))]
         if o == 2.0:
             return "="
         if o == 3.0:
             return "#"
+        d = mol.bond_dirs.get((min(a, b), max(a, b)))
+        if o == 1.0 and d is not None:
+            # re-orient the stored min→max sign to the emitted a→b
+            return "/" if (d if a < b else -d) == 1 else "\\"
         if o == 1.0 and a in mol.aromatic and b in mol.aromatic:
             return "-"  # biphenyl-type single between aromatic atoms
         return ""  # single and aromatic are implicit

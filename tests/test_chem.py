@@ -594,3 +594,58 @@ def test_stereo_serializer_emits_reparseable_marks():
         assert sorted(m2.canonical_stereo().values()) == sorted(
             m.canonical_stereo().values()
         )
+
+
+# -- double-bond E/Z identity (r8) ------------------------------------------
+
+
+def test_ez_geometries_distinct():
+    t = parse_smiles("F/C=C/F")   # trans (E)
+    c = parse_smiles("F/C=C\\F")  # cis (Z)
+    u = parse_smiles("FC=CF")     # unclassed
+    assert len({mol_key(t), mol_key(c), mol_key(u)}) == 3
+    tb, cb, ub = (
+        parse_smiles("C/C=C/C"),
+        parse_smiles("C/C=C\\C"),
+        parse_smiles("CC=CC"),
+    )
+    assert len({mol_key(tb), mol_key(cb), mol_key(ub)}) == 3
+
+
+def test_ez_rewriting_invariance():
+    # '/'<->'\\' flips with written direction; marking either
+    # substituent of a 2-substituted end determines the same geometry
+    same = ["F/C(/Cl)=C/Br", "FC(/Cl)=C/Br", "F/C(Cl)=C/Br"]
+    opp = ["F/C(/Cl)=C\\Br", "FC(/Cl)=C\\Br", "Cl/C(/F)=C/Br"]
+    ks = {mol_key(parse_smiles(s)) for s in same}
+    ko = {mol_key(parse_smiles(s)) for s in opp}
+    assert len(ks) == 1 and len(ko) == 1 and ks != ko
+    assert mol_key(parse_smiles("F\\C=C\\F")) == mol_key(parse_smiles("F/C=C/F"))
+    assert mol_key(parse_smiles("F\\C=C/F")) == mol_key(parse_smiles("F/C=C\\F"))
+
+
+def test_ez_conflicting_directions_rejected():
+    # both substituents of one sp2 end claiming the same side
+    with pytest.raises(SmilesError, match="conflicting bond directions"):
+        parse_smiles("F/C(\\F)=CC")
+
+
+def test_ez_nonstereogenic_dropped():
+    # identical substituents on one end -> no class (2-methyl-2-butene
+    # shape); marks on bonds not adjacent to any double bond are inert
+    ns = parse_smiles("C/C=C(/C)C")
+    assert ns.canonical_ez(ns._wl_colors()) == {}
+    inert = parse_smiles("C/C/C")  # directional singles, no double bond
+    assert mol_key(inert) == mol_key(parse_smiles("CCC"))
+
+
+def test_ez_roundtrip_preserves_class():
+    for s in [
+        "F/C=C/F",
+        "F/C=C\\F",
+        "C/C=C/C",
+        "C(/F)=C/F",
+        r"O=C2\N=C(/Nn1c(nc(c12)C)CCC)c3cc(ccc3OCC)S(=O)(=O)N4CCN(CC)CC4",
+    ]:
+        m = parse_smiles(s)
+        assert mol_key(parse_smiles(to_smiles(m))) == mol_key(m), s
