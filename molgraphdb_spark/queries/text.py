@@ -1286,7 +1286,153 @@ FROM m
 """
 
 
+#: BM25 query set (Okapi k1=1.2, b=0.75): three disjoint-term queries
+#: over the corpus vocabulary — the lexical-retrieval leg of the
+#: similarity-search family (cosine/IVF/PQ cover the dense leg).
+BM25_QUERIES = [
+    (0, ["fast", "table", "scan"]),
+    (1, ["hash", "join", "merge"]),
+    (2, ["window", "agg", "group"]),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a fixed query set — the exact
+    lexical ranking a training-data pipeline uses for benchmark-decon
+    lookups and quality probes (and the baseline every dense retriever
+    is scored against).
+
+    Determinism engineering (the doc_unigram_logprob discipline): each
+    term's contribution idf·tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) is
+    floored to integer MILLI units per (term, doc) and summed as
+    integers, so scores are partition-order independent and
+    cross-engine stable; ranking orders by the floored integer (never
+    the raw float), doc_id tiebreak.
+
+    Scale: pass 1 is ONE map-side aggregate row (doc count, token
+    total, and one conditional df counter per query term — ≤9
+    constants collected, the bounded-collect rule); pass 2 scans docs
+    once against the broadcast term list (BroadcastNestedLoopJoin,
+    9× bounded row blowup), aggregates per (query, doc) — a
+    high-cardinality distributed shuffle — and takes top-10 per query
+    through the rank-limiting filter Spark rewrites to a map-side
+    WindowGroupLimit (the stratified top-k pattern, reshape.py)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens().alias("toks"))
+        .withColumn("dl", F.size("toks").cast("long"))
+    )
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("tot"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("long")).alias(f"df_{t}")
+            for t in all_terms
+        ],
+    ).first()
+    n, tot = int(stats["n"]), int(stats["tot"])
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    tf = F.size(F.filter("toks", lambda x: x == F.col("term"))).cast("long")
+    # per-term idf as a when-chain over the ≤9 collected df constants
+    # (F.log here and ln in the oracle — the proven milli-floor pair)
+    idf = F.lit(0.0)
+    for t in all_terms:
+        df_t = float(stats[f"df_{t}"])
+        idf = F.when(
+            F.col("term") == t,
+            F.log(F.lit(1.0) + (n - df_t + 0.5) / (df_t + 0.5)),
+        ).otherwise(idf)
+    contrib = F.floor(
+        F.lit(1000)
+        * idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * ((1.0 - BM25_B) + BM25_B * F.col("dl") * n / tot)
+        )
+        + 0.5
+    ).cast("long")
+    scored = (
+        docs.crossJoin(F.broadcast(qt))
+        .withColumn("tf", tf)
+        .filter(F.col("tf") > 0)
+        .withColumn("c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "score_milli", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+    return f"""
+WITH dd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dd
+),
+q(query_id, term) AS (VALUES {vals}),
+tf AS (
+  SELECT q.query_id, q.term, dd.doc_id, dd.dl,
+         len(list_filter(dd.toks, x -> x = q.term))::BIGINT AS tf
+  FROM dd CROSS JOIN q
+),
+tfp AS (SELECT * FROM tf WHERE tf > 0),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tfp GROUP BY term
+),
+contrib AS (
+  SELECT query_id, doc_id,
+    CAST(floor(
+      1000 * ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * (tfp.tf * {BM25_K1 + 1.0})
+           / (tfp.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tfp.dl * s.n / s.tot))
+      + 0.5) AS BIGINT) AS c
+  FROM tfp JOIN dfreq f USING (term) CROSS JOIN stats s
+),
+score AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_milli
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_milli,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_milli DESC, doc_id
+         ) AS rank
+  FROM score
+)
+SELECT query_id, doc_id, score_milli, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+DOC_BM25_SQL = _bm25_sql()
+
+
 QUERIES = {
+    "doc_bm25_topk": doc_bm25_topk,
     "doc_token_stats": doc_token_stats,
     "vocab_bpe_merge_pairs": vocab_bpe_merge_pairs,
     "vocab_bpe_merge_table": vocab_bpe_merge_table,
@@ -1310,6 +1456,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_bm25_topk": DOC_BM25_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "vocab_bpe_merge_pairs": VOCAB_BPE_SQL,
     "vocab_bpe_merge_table": VOCAB_BPE_TABLE_SQL,

@@ -493,3 +493,24 @@ def test_stratified_sample_group_limit_pushdown(spark, sf_dir):
 
     p = formatted_plan(sample_stratified_docs(spark, sf_dir))
     assert p.count(") WindowGroupLimit") >= 2
+
+
+def test_bm25_topk_scale_shape(spark, sf_dir):
+    # BM25 retrieval: corpus constants fold at build time (one bounded
+    # .first()), so the FINAL plan scans documents exactly once against
+    # the broadcast term list (BroadcastNestedLoopJoin — 9 terms, a
+    # bounded row blowup), stays JVM-side, and the per-query top-10
+    # compiles to map-side WindowGroupLimit so no query group ever
+    # buffers the corpus on one task
+    from molgraphdb_spark.plans.explain import formatted_plan
+    from molgraphdb_spark.queries.text import doc_bm25_topk
+
+    df = doc_bm25_topk(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert s["n_scans"] == 1
+    assert set(s["read_columns"]) == {"doc_id", "text"}
+    p = formatted_plan(df)
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
