@@ -1469,8 +1469,164 @@ ORDER BY label, rk
 """
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the dense and sparse legs.
+# --------------------------------------------------------------------------
+#: RRF constant (Cormack, Clarke & Buettcher 2009 use k=60).
+RRF_K = 60
+#: Query identities: document doc_id == embedding vec_id for ids < 5.
+RRF_N_QUERIES = 5
+#: Per-leg candidate depth before fusion.
+RRF_LEG_K = 20
+#: Fused results returned per query.
+RRF_TOPK = 5
+
+
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval via reciprocal-rank fusion: for
+    each query identity (vec_id == doc_id < 5), rank the corpus by
+    embedding cosine (dense leg) and by token-set Jaccard over the
+    document text (sparse leg), take each leg's top-20, and fuse with
+    integer RRF contributions floor(1e9/(60+rank)) summed per
+    candidate — the standard hybrid-retrieval recipe next to the
+    BM25/ANN legs it composes.
+
+    Determinism: both legs rank by integer scores (cosine micro-units;
+    Jaccard as inter*1e6 DIV union — exact integer division in both
+    engines) with neighbor-id tiebreaks, and fusion sums integers, so
+    the result is partition-order independent and hash-stable.
+
+    Scale: each leg is the proven broadcast-queries × one-corpus-scan
+    shape with a map-side WindowGroupLimit top-k; fusion then touches
+    only ≤ 2·k rows per query (k-bounded, never corpus-bounded)."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < RRF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dense = (
+        F.broadcast(qv)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(_cosine(F.col("qv"), F.col("v")) * 1_000_000 + 0.5).alias("s"),
+        )
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+        )
+    )
+    qd = docs.filter(F.col("doc_id") < RRF_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("toks").alias("qtoks")
+    )
+    inter = F.size(F.array_intersect("qtoks", "toks")).cast("long")
+    uni = (F.size("qtoks") + F.size("toks")).cast("long") - inter
+    sparse = (
+        F.broadcast(qd)
+        .crossJoin(docs)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            inter.alias("inter"),
+            F.expr(
+                "CAST(size(array_intersect(qtoks, toks)) AS BIGINT) * 1000000"
+                " DIV (CAST(size(qtoks) + size(toks) AS BIGINT)"
+                "      - CAST(size(array_intersect(qtoks, toks)) AS BIGINT))"
+            ).alias("s"),
+        )
+        .filter(F.col("inter") > 0)
+    )
+    contrib = F.expr(f"CAST(1000000000 DIV ({RRF_K} + rk) AS BIGINT)").alias("c")
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    legs = (
+        dense.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RRF_LEG_K)
+        .select("query_id", "neighbor_id", contrib)
+        .unionByName(
+            sparse.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= RRF_LEG_K)
+            .select("query_id", "neighbor_id", contrib)
+        )
+    )
+    fused = legs.groupBy("query_id", "neighbor_id").agg(
+        F.sum("c").alias("rrf_score_nano")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score_nano"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("query_id", "neighbor_id", "rrf_score_nano", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+RRF_HYBRID_SQL = f"""
+WITH {_EMB_CTE},
+dq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {RRF_N_QUERIES}),
+dscored AS (
+  SELECT dq.query_id, b.vec_id AS neighbor_id,
+         CAST(floor(
+           list_dot_product(dq.qv, b.v)
+           / (sqrt(list_dot_product(dq.qv, dq.qv)) * sqrt(list_dot_product(b.v, b.v)))
+           * 1000000 + 0.5) AS BIGINT) AS s
+  FROM dq CROSS JOIN e b WHERE b.vec_id != dq.query_id
+),
+dtop AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
+  FROM dscored
+),
+dd AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+sq AS (SELECT doc_id AS query_id, toks AS qtoks FROM dd WHERE doc_id < {RRF_N_QUERIES}),
+sscored AS (
+  SELECT sq.query_id, b.doc_id AS neighbor_id,
+         CAST(len(list_intersect(sq.qtoks, b.toks)) AS BIGINT) AS inter,
+         CAST(len(list_intersect(sq.qtoks, b.toks)) AS BIGINT) * 1000000
+           // (CAST(len(sq.qtoks) + len(b.toks) AS BIGINT)
+               - CAST(len(list_intersect(sq.qtoks, b.toks)) AS BIGINT)) AS s
+  FROM sq CROSS JOIN dd b WHERE b.doc_id != sq.query_id
+),
+stop_ AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
+  FROM sscored WHERE inter > 0
+),
+legs AS (
+  SELECT query_id, neighbor_id, 1000000000 // ({RRF_K} + rk) AS c
+  FROM dtop WHERE rk <= {RRF_LEG_K}
+  UNION ALL
+  SELECT query_id, neighbor_id, 1000000000 // ({RRF_K} + rk) AS c
+  FROM stop_ WHERE rk <= {RRF_LEG_K}
+),
+fused AS (
+  SELECT query_id, neighbor_id, CAST(SUM(c) AS BIGINT) AS rrf_score_nano
+  FROM legs GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_score_nano DESC, neighbor_id) AS rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, rrf_score_nano, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {RRF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
+    "retrieval_rrf_hybrid": retrieval_rrf_hybrid,
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_knn_graph": similarity_knn_graph,
     "similarity_ivf_topk": similarity_ivf_topk,
@@ -1490,6 +1646,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "retrieval_rrf_hybrid": RRF_HYBRID_SQL,
     "embedding_quantize_stats": EMB_QUANT_SQL,
     "similarity_ivf_recall": SIM_IVF_RECALL_SQL,
     "similarity_cosine_topk": SIM_TOPK_SQL,

@@ -1328,13 +1328,15 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("tot"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
         *[
-            F.sum(F.array_contains("toks", t).cast("long")).alias(f"df_{t}")
+            F.coalesce(
+                F.sum(F.array_contains("toks", t).cast("long")), F.lit(0)
+            ).alias(f"df_{t}")
             for t in all_terms
         ],
     ).first()
-    n, tot = int(stats["n"]), int(stats["tot"])
+    n, tot = int(stats["n"]), max(int(stats["tot"]), 1)  # tot=0 only when n=0
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
         "query_id int, term string",

@@ -62,6 +62,8 @@ REPRESENTATIVE = [
     "events_latency_percentiles",  # grouped rank targets with n = 0
     "doc_weighted_sample",       # mark crossings with zero total weight
     "priority_ship_delay_percentiles",  # grouped rank targets over zero lines
+    "doc_bm25_topk",             # corpus constants fold over zero docs
+    "retrieval_rrf_hybrid",      # both legs empty → empty fusion
 ]
 
 

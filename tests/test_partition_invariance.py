@@ -72,6 +72,8 @@ AT_RISK = [
     "priority_ship_delay_percentiles",  # fact-scale grouped rank targets
     "orders_bloom_prefilter",    # literal-bitmap pruning must be layout-free
     "embedding_label_outliers",  # integer centroid sums — order-free means
+    "doc_bm25_topk",             # integer milli scores + top-k tie determinism
+    "retrieval_rrf_hybrid",      # two integer legs + fused rank ties
 ]
 
 
