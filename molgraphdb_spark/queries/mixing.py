@@ -493,8 +493,75 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights: the α-sampling rebalance.
+# --------------------------------------------------------------------------
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (α = 0.5): each
+    source's sampling weight ∝ tokens^α — the multilingual/multi-corpus
+    rebalance (mT5, XLM-R use exactly this) that upsamples small
+    sources without letting a dominant one swamp the mixture. Output
+    per source: docs, token mass, natural share and temperature share
+    (basis points) — natural vs temperature is the upsampling report a
+    mixture designer reads.
+
+    Determinism: tokens^0.5 is floor(sqrt(tokens)) — IEEE sqrt is
+    correctly rounded and floor is exact below 2^52, so both engines
+    produce the same integer; shares are positive-operand integer DIV.
+
+    Scale: ONE map-side-combinable groupBy over the corpus (the only
+    corpus-width pass), then totals via a broadcast single-row cross
+    join over the ≤|sources| aggregated rows — no window, no second
+    scan."""
+    tune(spark)
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")).alias(
+                "tokens"
+            ),
+        )
+        .withColumn("isq", F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long"))
+    )
+    totals = per_src.agg(
+        F.sum("tokens").alias("tot_tok"), F.sum("isq").alias("tot_isq")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("CAST(tokens * 10000 DIV tot_tok AS BIGINT)").alias("natural_bp"),
+            F.expr("CAST(isq * 10000 DIV tot_isq AS BIGINT)").alias("temperature_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TEMP_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isq FROM per_src),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tok,
+               CAST(SUM(isq) AS BIGINT) AS tot_isq FROM w)
+SELECT source, n_docs, tokens,
+       CAST(tokens * 10000 // tot_tok AS BIGINT) AS natural_bp,
+       CAST(isq * 10000 // tot_isq AS BIGINT) AS temperature_bp
+FROM w CROSS JOIN tot
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
+    "source_temperature_weights": source_temperature_weights,
     "source_lang_entropy": source_lang_entropy,
     "doc_pack_offsets": doc_pack_offsets,
     "orders_retention_cohorts": orders_retention_cohorts,
@@ -505,6 +572,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_mixture_sample": DOC_MIXTURE_SQL,
+    "source_temperature_weights": SOURCE_TEMP_SQL,
     "source_lang_entropy": SOURCE_LANG_ENTROPY_SQL,
     "doc_pack_offsets": DOC_PACK_SQL,
     "orders_retention_cohorts": ORDERS_RETENTION_SQL,

@@ -1433,8 +1433,88 @@ ORDER BY query_id, rank
 DOC_BM25_SQL = _bm25_sql()
 
 
+#: Hashed-feature dimensionality of the linear quality classifier.
+QC_DIMS = 1024
+#: Knuth multiplicative constant reused from the mixing hash family.
+QC_MIX = 2654435761
+
+
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering: the fastText/CCNet shape — a
+    linear classifier over HASHED bag-of-words features (token →
+    md5-bucket in [0, 1024), bucket → weight from a fixed table),
+    thresholded at 0, rolled up per source (docs, accepted, accept
+    rate in basis points, mean score in milli units).
+
+    The weight table is a deterministic hash-derived stand-in (no
+    model artifacts ship in this container): w(b) = (b·2654435761 mod
+    2^31) mod 2001 − 1000 milli-units — uniform in [−1000, 1000]. The
+    Spark plumbing IS the production shape: per-token hashing and the
+    weight lookup run inside one JVM-side fold (no Python worker, no
+    weight-table join — the 'model' rides the expression), and the
+    rollup is one map-side-combinable groupBy over ≤ |sources| rows.
+    Swapping real fastText weights in = replacing the w() arithmetic
+    with a broadcast array literal of 1024 longs.
+
+    Determinism: scores are integer milli sums of integer weights —
+    partition-order free, hash-stable across engines."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    score = F.aggregate(
+        F.transform(
+            _tokens(),
+            lambda t: (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                % QC_DIMS
+                * QC_MIX
+                % 2147483648
+                % 2001
+                - 1000
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = docs.select("source", score.alias("score_milli"))
+    n = F.count(F.lit(1))
+    acc = F.sum((F.col("score_milli") >= 0).cast("long"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            acc.alias("accepted"),
+            F.expr("CAST(SUM(CAST(score_milli >= 0 AS BIGINT)) * 10000"
+                   " DIV COUNT(1) AS BIGINT)").alias("accept_bp"),
+            # exact integer sum, not a mean: negative-operand DIV
+            # truncates in Spark but floors in DuckDB — sums stay
+            # engine-agnostic (positive-operand DIV above is safe)
+            F.sum("score_milli").alias("sum_score_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_QC_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         CAST(list_sum(list_transform(
+           regexp_split_to_array(trim(text), '\\s+'),
+           t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT)
+                % {QC_DIMS} * {QC_MIX} % 2147483648 % 2001 - 1000
+         )) AS BIGINT) AS score_milli
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(CAST(score_milli >= 0 AS BIGINT)) AS BIGINT) AS accepted,
+       CAST(SUM(CAST(score_milli >= 0 AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS accept_bp,
+       CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
+    "doc_quality_classifier": doc_quality_classifier,
     "doc_token_stats": doc_token_stats,
     "vocab_bpe_merge_pairs": vocab_bpe_merge_pairs,
     "vocab_bpe_merge_table": vocab_bpe_merge_table,
@@ -1459,6 +1539,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_bm25_topk": DOC_BM25_SQL,
+    "doc_quality_classifier": DOC_QC_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "vocab_bpe_merge_pairs": VOCAB_BPE_SQL,
     "vocab_bpe_merge_table": VOCAB_BPE_TABLE_SQL,

@@ -51,11 +51,12 @@ _QUERY_MODULES = [
 #   (five of them are also the r4-stale chem family).
 # - Then the ENTIRE remaining r4-stale tail (31 non-chem entries: mm,
 #   events, text, tpch families — last driver-green in r4).
-# - The r8 debuts doc_bm25_topk + retrieval_rrf_hybrid (new queries
-#   must enter through the window) and the oldest r5 row
-#   (graph_pagerank_top) fill the last slots; dedup_exact and
-#   dedup_incremental_flags (both r5-green, code untouched) yielded
-#   their slots to the debuts.
+# - The four r8 debuts (doc_bm25_topk, retrieval_rrf_hybrid,
+#   doc_quality_classifier, source_temperature_weights — new queries
+#   must enter through the window) fill the last slots;
+#   graph_pagerank_top, dedup_exact, dedup_incremental_flags (all
+#   r5-green, code untouched) and profile_lineitem (r4-stale but a
+#   trivial suite-covered profiling rollup) yielded their slots.
 # Rotated out: the 35 r6 debuts + r7 window rows — all r7-green and
 # (except the ranking consumers re-gated above) untouched this round.
 # graph_kcore_summary sits out one round (r7 rows-only + data-matched
@@ -111,12 +112,11 @@ _PRIORITY = [
     "q18_large_orders",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
-    "profile_lineitem",
     # ---- r8 debuts (new queries must enter through the window) ----
     "doc_bm25_topk",
     "retrieval_rrf_hybrid",
-    # ---- oldest r5 row ----
-    "graph_pagerank_top",
+    "doc_quality_classifier",
+    "source_temperature_weights",
 ]
 
 

@@ -64,6 +64,8 @@ REPRESENTATIVE = [
     "priority_ship_delay_percentiles",  # grouped rank targets over zero lines
     "doc_bm25_topk",             # corpus constants fold over zero docs
     "retrieval_rrf_hybrid",      # both legs empty → empty fusion
+    "doc_quality_classifier",    # hashed-feature fold over zero docs
+    "source_temperature_weights",  # totals cross join over zero sources
 ]
 
 

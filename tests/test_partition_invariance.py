@@ -74,6 +74,8 @@ AT_RISK = [
     "embedding_label_outliers",  # integer centroid sums — order-free means
     "doc_bm25_topk",             # integer milli scores + top-k tie determinism
     "retrieval_rrf_hybrid",      # two integer legs + fused rank ties
+    "doc_quality_classifier",    # integer weight sums — order-free
+    "source_temperature_weights",  # floor-sqrt integers + positive DIV
 ]
 
 
