@@ -289,7 +289,7 @@ from hypothesis import example, given, settings, strategies as st
 #: Published structures (all public-knowledge SMILES), spanning every
 #: documented-subset feature: aromatic/Kekulé rings, fused systems,
 #: 5-ring heteroaromatics, branches, charges, %nn closures, stereo and
-#: isotope marks (parsed-and-discarded), directional bonds.
+#: isotope marks (identity-bearing since r8), directional bonds.
 PUBLISHED_SMILES = {
     "benzene": "c1ccccc1",
     "benzene_kekule": "C1=CC=CC=C1",
