@@ -512,7 +512,9 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE map-side-combinable groupBy over the corpus (the only
     corpus-width pass), then totals via a broadcast single-row cross
     join over the ≤|sources| aggregated rows — no window, no second
-    scan."""
+    scan. The aggregated relation is localCheckpoint-ed (≤|sources|
+    rows) because Spark reuses no exchange across its two references
+    (totals + output): without it the corpus would scan twice."""
     tune(spark)
     per_src = (
         load_table(spark, sf_dir, "documents")
@@ -525,6 +527,7 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("isq", F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long"))
+        .localCheckpoint(eager=True)
     )
     totals = per_src.agg(
         F.sum("tokens").alias("tot_tok"), F.sum("isq").alias("tot_isq")
