@@ -449,6 +449,86 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Adamic–Adar link prediction: rare shared neighbors count for more.
+# --------------------------------------------------------------------------
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 supplier pairs by Adamic–Adar index — the link-prediction
+    score Σ_c 1/ln(deg(c)) over shared customers c, which discounts
+    promiscuous neighbors (a customer who buys from everyone says
+    nothing about supplier affinity). The third member of the
+    node-similarity family (counts → Jaccard → AA), and the classic
+    graph-ML edge feature.
+
+    Determinism: each shared customer's contribution floor(1e6/ln d)
+    is an integer attached to the customer row BEFORE pairing, so the
+    pair score is an order-free integer sum; ties break on the pair.
+
+    Scale shape: identical to the Jaccard query — customer-keyed
+    inverted-index self-join (bounded by Σ deg², never |suppliers|²);
+    the per-customer degree rides the SAME cust-keyed shuffle as the
+    pairing join (no extra exchange), and the top-10 is
+    TakeOrderedAndProject. Customers with degree 1 drop out early
+    (they cannot be shared, and ln 1 would divide by zero)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    cdeg = (
+        cs.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter(F.col("cd") >= 2)
+        .withColumn(
+            "w_micro",
+            F.floor(F.lit(1_000_000) / F.log(F.col("cd").cast("double"))).cast("long"),
+        )
+    )
+    a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_a"))
+    b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_b"))
+    return (
+        a.join(b, "cust")
+        .filter(F.col("sup_a") < F.col("sup_b"))
+        .join(cdeg.select("cust", "w_micro"), "cust")
+        .groupBy("sup_a", "sup_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_customers"),
+            F.sum("w_micro").alias("aa_micro"),
+        )
+        .orderBy(
+            F.desc("aa_micro"),
+            F.asc("sup_a"),
+            F.asc("sup_b"),
+        )
+        .limit(10)
+    )
+
+
+GRAPH_ADAMIC_ADAR_SQL = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cdeg AS (
+  SELECT cust, CAST(floor(1000000 / ln(COUNT(*))) AS BIGINT) AS w_micro
+  FROM cs GROUP BY cust HAVING COUNT(*) >= 2
+)
+SELECT a.sup AS sup_a, b.sup AS sup_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_customers,
+       CAST(SUM(d.w_micro) AS BIGINT) AS aa_micro
+FROM cs a
+JOIN cs b ON a.cust = b.cust AND a.sup < b.sup
+JOIN cdeg d ON d.cust = a.cust
+GROUP BY 1, 2
+ORDER BY aa_micro DESC, sup_a ASC, sup_b ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Degree assortativity: do hubs connect to hubs?
 # --------------------------------------------------------------------------
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,6 +812,7 @@ ORDER BY seed
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_supplier_jaccard": graph_supplier_jaccard,
+    "graph_adamic_adar": graph_adamic_adar,
     "graph_pagerank_top": graph_pagerank_top,
     "approx_distinct_parts": approx_distinct_parts,
     "graph_kcore_summary": graph_kcore_summary,
@@ -767,6 +848,7 @@ ORDER BY rank_ubp DESC, id ASC
 ORACLES = {
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "graph_supplier_jaccard": GRAPH_SUPPLIER_JACCARD_SQL,
+    "graph_adamic_adar": GRAPH_ADAMIC_ADAR_SQL,
     "graph_pagerank_top": GRAPH_PAGERANK_SQL,
     "approx_distinct_parts": APPROX_DISTINCT_SQL,
     "graph_bfs_path_lengths": GRAPH_BFS_SQL,

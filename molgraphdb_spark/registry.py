@@ -61,6 +61,9 @@ _QUERY_MODULES = [
 # (except the ranking consumers re-gated above) untouched this round.
 # graph_kcore_summary sits out one round (r7 rows-only + data-matched
 # golden, code untouched).
+# Post-window r8 debuts (the r9 window must LEAD with these — the r7
+# precedent): graph_adamic_adar (parity-green at sf0.001+sf0.01,
+# in-suite sweep covers it until then).
 _PRIORITY = [
     # ---- r7 debuts: first driver rows ----
     "customer_spend_exact_percentiles",

@@ -66,6 +66,7 @@ REPRESENTATIVE = [
     "retrieval_rrf_hybrid",      # both legs empty → empty fusion
     "doc_quality_classifier",    # hashed-feature fold over zero docs
     "source_temperature_weights",  # totals cross join over zero sources
+    "graph_adamic_adar",         # degree-weighted pairs over zero edges
 ]
 
 

@@ -395,3 +395,35 @@ def test_multi_bfs_depth_cap(spark):
     )
     got = {r.id for r in multi_bfs_distances(e, [0], max_depth=2).collect()}
     assert got == {0, 1, 2}
+
+
+def test_adamic_adar_hand_graph(spark, tmp_path_factory):
+    """Exact hand-computed AA on a 3-customer bipartite graph: c1 buys
+    from s1,s2 (deg 2 → w=floor(1e6/ln2)=1442695), c2 from s1,s2,s3
+    (deg 3 → 910239), c3 from s1 only (deg 1 — dropped: unshareable).
+    Third implementation (math.log by hand), independent of both the
+    Spark expression and the DuckDB oracle."""
+    import math
+
+    from molgraphdb_spark.queries.graph_queries import graph_adamic_adar
+
+    path = str(tmp_path_factory.mktemp("aa_mini"))
+    orders = [(10, 1), (11, 2), (12, 3)]  # o_orderkey, o_custkey
+    lines = [(10, 101), (10, 102), (11, 101), (11, 102), (11, 103), (12, 101)]
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(lines, "l_orderkey long, l_suppkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    w2 = math.floor(1_000_000 / math.log(2))
+    w3 = math.floor(1_000_000 / math.log(3))
+    got = [
+        (r.sup_a, r.sup_b, r.shared_customers, r.aa_micro)
+        for r in graph_adamic_adar(spark, path).collect()
+    ]
+    assert got == [
+        (101, 102, 2, w2 + w3),
+        (101, 103, 1, w3),
+        (102, 103, 1, w3),
+    ]

@@ -76,6 +76,7 @@ AT_RISK = [
     "retrieval_rrf_hybrid",      # two integer legs + fused rank ties
     "doc_quality_classifier",    # integer weight sums — order-free
     "source_temperature_weights",  # floor-sqrt integers + positive DIV
+    "graph_adamic_adar",         # integer micro-weight sums + pair ties
 ]
 
 
