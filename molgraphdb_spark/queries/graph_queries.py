@@ -452,7 +452,8 @@ LIMIT 10
 # Adamic–Adar link prediction: rare shared neighbors count for more.
 # --------------------------------------------------------------------------
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 supplier pairs by Adamic–Adar index — the link-prediction
+    """Top-10 supplier pairs by Adamic–Adar index (Adamic & Adar 2003,
+    "Friends and neighbors on the Web") — the link-prediction
     score Σ_c 1/ln(deg(c)) over shared customers c, which discounts
     promiscuous neighbors (a customer who buys from everyone says
     nothing about supplier affinity). The third member of the

@@ -494,6 +494,61 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Weighted priority sampling (A-Res): reproducible WOR sample.
+# --------------------------------------------------------------------------
+#: Sample size for the weighted without-replacement sample.
+PRIORITY_SAMPLE_K = 100
+
+
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via A-Res priorities
+    (Efraimidis & Spirakis 2006): each document draws a deterministic
+    uniform u from md5(doc_id) and gets priority u^(1/w) with weight
+    w = n_chars; the top-k priorities are the sample. Complements
+    doc_weighted_sample (systematic/with-replacement marks): A-Res is
+    the WOR variant a holdout-set builder needs (no doc twice).
+
+    Determinism: priorities compare as ln(u)/w (monotone in u^(1/w)),
+    floored to integer micro units with identical operand order in
+    both engines; md5 replaces rand() as everywhere in this module.
+    The micro floor makes the boundary-ulp risk of ln() negligible
+    (~2.5e-9 per row) and ties break on doc_id.
+
+    Scale: map-only priority computation (no shuffle), global top-k
+    via orderBy+limit — TakeOrderedAndProject, k-bounded per task,
+    never a partitionless window."""
+    tune(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("n_chars") > 0))
+        .select("doc_id", "source", "n_chars")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)  # (0, 1]
+    key = F.floor(F.log(u) / F.col("n_chars") * 1_000_000).cast("long")
+    return (
+        docs.withColumn("priority_micro", key)
+        .orderBy(F.desc("priority_micro"), F.asc("doc_id"))
+        .limit(PRIORITY_SAMPLE_K)
+    )
+
+
+DOC_PRIORITY_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       CAST(floor(
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) + 1)
+            / 4294967296.0)
+         / n_chars * 1000000) AS BIGINT) AS priority_micro
+FROM documents
+WHERE text IS NOT NULL AND n_chars > 0
+ORDER BY priority_micro DESC, doc_id ASC
+LIMIT {PRIORITY_SAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Temperature-scaled mixture weights: the α-sampling rebalance.
 # --------------------------------------------------------------------------
 def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,6 +620,7 @@ ORDER BY source
 QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "source_temperature_weights": source_temperature_weights,
+    "doc_priority_sample": doc_priority_sample,
     "source_lang_entropy": source_lang_entropy,
     "doc_pack_offsets": doc_pack_offsets,
     "orders_retention_cohorts": orders_retention_cohorts,
@@ -576,6 +632,7 @@ QUERIES = {
 ORACLES = {
     "doc_mixture_sample": DOC_MIXTURE_SQL,
     "source_temperature_weights": SOURCE_TEMP_SQL,
+    "doc_priority_sample": DOC_PRIORITY_SAMPLE_SQL,
     "source_lang_entropy": SOURCE_LANG_ENTROPY_SQL,
     "doc_pack_offsets": DOC_PACK_SQL,
     "orders_retention_cohorts": ORDERS_RETENTION_SQL,

@@ -1299,10 +1299,10 @@ BM25_B = 0.75
 
 
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-10 retrieval for a fixed query set — the exact
-    lexical ranking a training-data pipeline uses for benchmark-decon
-    lookups and quality probes (and the baseline every dense retriever
-    is scored against).
+    """Okapi BM25 top-10 retrieval (Robertson et al., TREC-3) for a
+    fixed query set — the exact lexical ranking a training-data
+    pipeline uses for benchmark-decon lookups and quality probes (and
+    the baseline every dense retriever is scored against).
 
     Determinism engineering (the doc_unigram_logprob discipline): each
     term's contribution idf·tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) is
@@ -1439,6 +1439,28 @@ QC_DIMS = 1024
 QC_MIX = 2654435761
 
 
+def quality_score_col() -> Column:
+    """The classifier's integer milli score over the row's ``text``
+    column — one JVM-side fold (tokens → md5 bucket → weight → sum).
+    Shared by the batch query and its streaming twin (stateless, so it
+    streams map-side unchanged)."""
+    return F.aggregate(
+        F.transform(
+            _tokens(),
+            lambda t: (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                % QC_DIMS
+                * QC_MIX
+                % 2147483648
+                % 2001
+                - 1000
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-scored quality filtering: the fastText/CCNet shape — a
     linear classifier over HASHED bag-of-words features (token →
@@ -1459,22 +1481,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: scores are integer milli sums of integer weights —
     partition-order free, hash-stable across engines."""
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    score = F.aggregate(
-        F.transform(
-            _tokens(),
-            lambda t: (
-                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-                % QC_DIMS
-                * QC_MIX
-                % 2147483648
-                % 2001
-                - 1000
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = docs.select("source", score.alias("score_milli"))
+    scored = docs.select("source", quality_score_col().alias("score_milli"))
     n = F.count(F.lit(1))
     acc = F.sum((F.col("score_milli") >= 0).cast("long"))
     return (

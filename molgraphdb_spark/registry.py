@@ -62,8 +62,9 @@ _QUERY_MODULES = [
 # graph_kcore_summary sits out one round (r7 rows-only + data-matched
 # golden, code untouched).
 # Post-window r8 debuts (the r9 window must LEAD with these — the r7
-# precedent): graph_adamic_adar (parity-green at sf0.001+sf0.01,
-# in-suite sweep covers it until then).
+# precedent): graph_adamic_adar, doc_priority_sample (each
+# parity-green at sf0.001+sf0.01; the in-suite sweep covers them
+# until the r9 rotation).
 _PRIORITY = [
     # ---- r7 debuts: first driver rows ----
     "customer_spend_exact_percentiles",

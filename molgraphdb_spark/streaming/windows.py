@@ -643,6 +643,27 @@ def read_documents_stream(
     )
 
 
+def quality_classifier_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of queries.text.doc_quality_classifier: the
+    hashed-feature linear scorer is STATELESS (the model rides the
+    expression), so it runs map-side per micro-batch unchanged — the
+    shared quality_score_col() is the single code path for the math —
+    and only the per-source counters (docs, accepted, score sum) are a
+    streaming aggregation (state = one row per source). This is the
+    continuously-scored ingest gate a landing-zone corpus wants:
+    scores land per file drop, the mixture report updates in place."""
+    from molgraphdb_spark.queries.text import quality_score_col
+
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        "source", quality_score_col().alias("score_milli")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score_milli") >= 0).cast("long")).alias("accepted"),
+        F.sum("score_milli").alias("sum_score_milli"),
+    )
+
+
 def source_token_counts_stream(docs: DataFrame) -> DataFrame:
     """Streaming twin of source_token_divergence's corpus pass: running
     (source, token) counts via a streaming aggregation (update/complete

@@ -67,6 +67,7 @@ REPRESENTATIVE = [
     "doc_quality_classifier",    # hashed-feature fold over zero docs
     "source_temperature_weights",  # totals cross join over zero sources
     "graph_adamic_adar",         # degree-weighted pairs over zero edges
+    "doc_priority_sample",       # top-k over zero priorities
 ]
 
 

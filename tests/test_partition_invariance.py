@@ -77,6 +77,7 @@ AT_RISK = [
     "doc_quality_classifier",    # integer weight sums — order-free
     "source_temperature_weights",  # floor-sqrt integers + positive DIV
     "graph_adamic_adar",         # integer micro-weight sums + pair ties
+    "doc_priority_sample",       # micro-floored priorities + id ties
 ]
 
 

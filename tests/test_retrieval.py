@@ -256,3 +256,38 @@ def test_temperature_flattens_the_mixture(spark, mini_dir):
     small = min(rows, key=lambda r: r.tokens)
     assert big.temperature_bp <= big.natural_bp
     assert small.temperature_bp >= small.natural_bp
+
+
+def test_priority_sample_matches_python_reference(spark, mini_dir):
+    from molgraphdb_spark.queries.mixing import doc_priority_sample
+
+    def ref():
+        out = []
+        for doc_id, text, _, source, n_chars in MINI_DOCS:
+            if text is None or n_chars <= 0:
+                continue
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            u = (h + 1) / 4294967296.0
+            key = math.floor(math.log(u) / n_chars * 1_000_000)
+            out.append((doc_id, source, n_chars, key))
+        out.sort(key=lambda r: (-r[3], r[0]))
+        return out[:100]
+
+    got = [
+        (r.doc_id, r.source, r.n_chars, r.priority_micro)
+        for r in doc_priority_sample(spark, mini_dir).collect()
+    ]
+    assert got == ref() and len(got) == len(MINI_DOCS)
+
+
+def test_priority_sample_weight_monotonicity(spark, mini_dir):
+    # ln(u) <= 0 and w = n_chars divides it, so every priority is <= 0
+    # and the output order is (priority desc, doc_id asc) exactly
+    from molgraphdb_spark.queries.mixing import doc_priority_sample
+
+    rows = doc_priority_sample(spark, mini_dir).collect()
+    assert all(r.priority_micro <= 0 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.priority_micro > b.priority_micro or (
+            a.priority_micro == b.priority_micro and a.doc_id < b.doc_id
+        )

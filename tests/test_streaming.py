@@ -688,3 +688,38 @@ def test_bot_stream_matches_batch_flags(spark, sf_dir, events_stream_dir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_quality_classifier_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The stateless scorer + streaming counters must reproduce the
+    batch doc_quality_classifier exactly across micro-batches (integer
+    state — no drift to tolerate). accept_bp is derived from the
+    streamed counters with the same positive-operand DIV."""
+    from pyspark.sql import functions as F
+
+    from molgraphdb_spark.queries.text import doc_quality_classifier
+    from molgraphdb_spark.streaming.windows import (
+        quality_classifier_stream,
+        read_documents_stream,
+    )
+
+    d = tmp_path_factory.mktemp("docs_qc_stream")
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        3
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    docs = read_documents_stream(spark, str(d / "documents.parquet"))
+    q = run_to_memory(quality_classifier_stream(docs), "t_qc_counts")
+    try:
+        got = {
+            r.source: (r.n_docs, r.accepted, r.accept_bp, r.sum_score_milli)
+            for r in spark.table("t_qc_counts")
+            .withColumn("accept_bp", F.expr("accepted * 10000 DIV n_docs"))
+            .collect()
+        }
+        want = {
+            r.source: (r.n_docs, r.accepted, r.accept_bp, r.sum_score_milli)
+            for r in doc_quality_classifier(spark, sf_dir).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
