@@ -467,7 +467,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond MAX_EXACT_PAIRS_INPUT."""
     _guard_quadratic(sf_dir, "dedup_embedding_cosine")
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    # The embedding table is tiny in BYTES (~13 MB at sf0.1) so the
+    # scan yields ONE input split — but the BNLJ's work is quadratic
+    # in ROWS, so that one task would evaluate all ~1.2G cosine folds
+    # alone (measured 30-43 s; the whole query is this stage).
+    # Round-robin the stream side across the full parallelism first:
+    # compute-bound operators partition by WORK, not by input bytes.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va")).repartition(
+        n_part
+    )
     b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     pairs = (
         a.crossJoin(b)
