@@ -514,3 +514,17 @@ def test_bm25_topk_scale_shape(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_embedding_cosine_dedup_stream_side_parallel(spark, sf_dir):
+    # the quadratic baseline's stream side must be round-robin
+    # repartitioned: the embeddings table is tiny in BYTES (one scan
+    # split) but the BNLJ's work is quadratic in ROWS — without the
+    # exchange every cosine fold runs in ONE task (measured 30-43 s at
+    # sf0.1; 1.8 s repartitioned)
+    from molgraphdb_spark.plans.explain import formatted_plan
+    from molgraphdb_spark.queries.similarity import dedup_embedding_cosine
+
+    p = formatted_plan(dedup_embedding_cosine(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "RoundRobinPartitioning" in p  # formatted mode: Arguments line
