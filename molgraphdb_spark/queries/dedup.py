@@ -457,11 +457,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit → 1). Emitted as a 32-char '0'/'1' string; near-dup docs
     differ in few bits (Hamming distance)."""
     docs = _norm_docs(spark, sf_dir)
-    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
-    h = F.md5("tok")
+    # repartition first: documents are small in BYTES (one scan split)
+    # but the per-token md5 work below is corpus-sized — without this
+    # the whole map side runs in ONE task (the single-split funnel;
+    # measured 13 s → ~1 s at sf0.1)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = docs.repartition(n_part).select("doc_id", F.explode("toks").alias("tok"))
+    # materialize md5 ONCE per token as a column — referenced from 32
+    # aggregate expressions, an inline F.md5 would be recomputed per
+    # bit (no CSE across partial-aggregate expressions)
+    tok = tok.select("doc_id", F.md5("tok").alias("h"))
     bit_sums = [
         F.sum(
-            F.substring(h, j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f").cast("int")
+            F.substring("h", j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f").cast("int")
         ).alias(f"s_{j}")
         for j in range(SIMHASH_BITS)
     ]
@@ -510,7 +518,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify the exact distance on the candidates only. Same
     candidate→verify shape as dedup_lsh_verified, specialized to bit
     signatures."""
-    sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash: 32-char '0'/'1')
+    # signatures once, as BOTH the band strings and two packed longs
+    # (first/last 16 bits via the proven 16-char conv) — referenced 3×
+    # below, so materialize the tiny (one row per doc) relation
+    sig = (
+        dedup_simhash(spark, sf_dir)  # (doc_id, simhash: 32-char '0'/'1')
+        .select(
+            "doc_id",
+            "simhash",
+            F.conv(F.substring("simhash", 1, 16), 2, 10).cast("long").alias("hi"),
+            F.conv(F.substring("simhash", 17, 16), 2, 10).cast("long").alias("lo"),
+        )
+        .localCheckpoint(eager=True)
+    )
     width = SIMHASH_BITS // _SIMHASH_BANDS
     # One pass + explode, NOT a per-band union: the signature subplan
     # (explode + 32-counter groupBy) would otherwise run once per band.
@@ -523,13 +543,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SIMHASH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", "simhash", F.explode(band_structs).alias("bb")).select(
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id",
-        "simhash",
         F.col("bb.band").alias("band"),
         F.col("bb.content").alias("content"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # candidates carry ONLY the id pair: the ~Σ bucket² pair stream
+    # dedups on 16 bytes/row, and the signatures come back afterwards
+    # as two BROADCAST hash joins of the per-doc relation (dragging the
+    # 32-char strings through the pair distinct measured 2× slower)
     cands = (
         a.join(
             b,
@@ -540,17 +563,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
         )
         .distinct()
     )
-    hamming = sum(
-        (F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1)).cast("int")
-        for i in range(SIMHASH_BITS)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")
     )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b")
+    )
+    # hamming on packed longs: two xor/bit_count integer ops per pair
+    # (the r6 conv lesson — never per-character substring compares)
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
     return (
-        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        cands.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("id_a", "id_b")
     )
