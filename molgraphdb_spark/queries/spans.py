@@ -435,8 +435,14 @@ def doc_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and top-4-gram occurrence shares plus the duplicated-5-gram
     character share, each floored to basis points; ``keep`` requires all
     three under their Gopher thresholds. Entirely map-only (per-doc
-    sorted-run folds); the DuckDB oracle keeps the groupBy formulation."""
-    docs = _docs(spark, sf_dir)
+    sorted-run folds); the DuckDB oracle keeps the groupBy formulation.
+
+    Repartitioned first: the corpus is one scan split (single parquet
+    row group) but the per-doc n-gram sort folds are the whole cost —
+    single-split funnel (measured 4.6 s → sub-second at sf0.1)."""
+    docs = _docs(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     toks = _tokens()
     n = F.size(toks)
 

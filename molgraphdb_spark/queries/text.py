@@ -266,8 +266,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the whitespace-normalized,
     lowercased text (exact-dup key), plus the minimum 5-token-shingle
     hash (a 1-permutation MinHash — the rolling-hash fingerprint
-    analogue, deterministic unlike Python hash(), SURVEY.md §7 risk 3)."""
+    analogue, deterministic unlike Python hash(), SURVEY.md §7 risk 3).
+
+    Repartitioned first: the corpus is one scan split by BYTES but the
+    per-doc shingle fold is ~n_tokens md5 calls, so the whole map ran
+    in a single task (measured 6.1 s → 0.7 s at sf0.1 — the
+    single-split funnel class)."""
     docs = _docs(spark, sf_dir)
+    docs = docs.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     toks = F.split(norm, " ")
     n = F.size(toks)

@@ -258,12 +258,14 @@ def test_pack_offsets_no_per_source_funnel(spark, sf_dir):
 def test_repetition_suite_map_only(spark, sf_dir):
     # top-3/4-gram shares and the dup-5-gram char share are per-row
     # sorted-run folds — the explode+groupBy formulation (three
-    # corpus-sized shuffles) must never creep back in; only the final
-    # orderBy's range exchange is allowed.
+    # corpus-sized shuffles) must never creep back in; allowed: the
+    # round-robin scan repartition (single-split funnel fix) and the
+    # final orderBy's range exchange.
     from molgraphdb_spark.queries.spans import doc_repetition_suite
 
     s = plan_summary(doc_repetition_suite(spark, sf_dir))
-    assert s["n_exchanges"] <= 1
+    assert s["n_exchanges"] <= 2
+    assert "RoundRobinPartitioning" in s["plan"]
     assert not s["has_python_worker"]
 
 
