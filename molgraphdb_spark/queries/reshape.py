@@ -123,17 +123,21 @@ def quantiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing. Scale note: exact percentile materializes each group's
     values — swap to approx_percentile when groups stop fitting."""
     li = _t(spark, sf_dir, "lineitem")
-
-    def cents(p: float, name: str):
-        return F.floor(F.percentile("l_extendedprice", F.lit(p)) * 100 + 0.5).alias(name)
-
+    # ONE percentile aggregate with the probability array: four scalar
+    # F.percentile calls each buffer+sort the group's values separately
+    # (4x the work; measured ~4 s vs ~1.5 s at sf0.1)
+    ps = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)]))
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            cents(0.25, "p25_cents"),
-            cents(0.50, "p50_cents"),
-            cents(0.75, "p75_cents"),
-            cents(0.95, "p95_cents"),
+        .agg(ps.alias("qs"))
+        .select(
+            "l_returnflag",
+            *[
+                F.floor(F.element_at("qs", i + 1) * 100 + 0.5).alias(name)
+                for i, name in enumerate(
+                    ("p25_cents", "p50_cents", "p75_cents", "p95_cents")
+                )
+            ],
         )
         .orderBy("l_returnflag")
     )
@@ -163,11 +167,23 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from it), the driver gets a hashable oracle row, and pytest
     additionally pins the error band."""
     li = _t(spark, sf_dir, "lineitem")
+    # array-probability calls: scalar percentile/percentile_approx
+    # aggs each keep their own buffer/sketch per group — the array
+    # form buffers once (same lesson as quantiles_price_by_flag)
+    exact = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+    )
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("exact_p95"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
-        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+        exact.alias("ex"), approx.alias("ap")
+    ).select(
+        "l_returnflag",
+        F.element_at("ex", 1).alias("exact_p50"),
+        F.element_at("ex", 2).alias("exact_p95"),
+        F.element_at("ap", 1).alias("a50"),
+        F.element_at("ap", 2).alias("a95"),
     )
     band = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.01)
