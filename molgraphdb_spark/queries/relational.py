@@ -957,20 +957,37 @@ ORDER BY c_nationkey
 # --------------------------------------------------------------------------
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    # four DIFFERENT countDistinct columns in one aggregate force the
+    # distinct-Expand plan (5x the rows through every agg — the
+    # approx_distinct_parts lesson); plain aggs in one branch, each
+    # ndv in its own 2-stage distinct agg, 1x1 crossJoins
+    plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nulls"),
-        F.countDistinct("l_quantity").alias("qty_ndv"),
         F.round(F.min("l_quantity"), 2).alias("qty_min"),
         F.round(F.max("l_quantity"), 2).alias("qty_max"),
         F.sum(F.col("l_discount").isNull().cast("long")).alias("disc_nulls"),
-        F.countDistinct("l_discount").alias("disc_ndv"),
         F.round(F.min("l_discount"), 2).alias("disc_min"),
         F.round(F.max("l_discount"), 2).alias("disc_max"),
-        F.countDistinct("l_returnflag").alias("flag_ndv"),
         F.min("l_returnflag").alias("flag_min"),
         F.max("l_returnflag").alias("flag_max"),
-        F.countDistinct("l_orderkey").alias("order_ndv"),
+    )
+    ndvs = [
+        li.agg(F.countDistinct(c).alias(n))
+        for c, n in (
+            ("l_quantity", "qty_ndv"),
+            ("l_discount", "disc_ndv"),
+            ("l_returnflag", "flag_ndv"),
+            ("l_orderkey", "order_ndv"),
+        )
+    ]
+    out = plain
+    for ndv in ndvs:
+        out = out.crossJoin(ndv)
+    return out.select(
+        "n_rows", "qty_nulls", "qty_ndv", "qty_min", "qty_max",
+        "disc_nulls", "disc_ndv", "disc_min", "disc_max",
+        "flag_ndv", "flag_min", "flag_max", "order_ndv",
     )
 
 
