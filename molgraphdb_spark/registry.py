@@ -65,6 +65,12 @@ _QUERY_MODULES = [
 # precedent): graph_adamic_adar, doc_priority_sample (each
 # parity-green at sf0.001+sf0.01; the in-suite sweep covers them
 # until the r9 rotation).
+# Changed-code r8 entries NOT in this window (funnel-sweep rewrites,
+# result-identical and parity-green, but the r9 window should re-gate
+# them): dedup_embedding_cosine, dedup_simhash_pairs,
+# approx_distinct_parts, doc_repetition_suite, quantiles_price_by_flag,
+# approx_quantiles_price, profile_lineitem. (doc_fingerprint also
+# changed but sits INSIDE this window already.)
 _PRIORITY = [
     # ---- r7 debuts: first driver rows ----
     "customer_spend_exact_percentiles",
