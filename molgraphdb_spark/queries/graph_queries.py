@@ -277,8 +277,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-analytics motifs live.
 
     Scale: the projection is a self-join on the customer key (skew →
-    AQE); the triangle join is two hash joins on supplier pairs with
-    a < b < c ordering pruning 5/6 of candidates up front."""
+    AQE). Triangles use the compact-forward adjacency-intersection
+    (Latapy 2008) instead of the 3-way edge self-join: per edge (a,b),
+    count |N_hi(a) ∩ N_hi(b)| over sorted higher-neighbor arrays —
+    the intersection is automatically > b, so each a<b<c triangle is
+    found exactly once at its (a,b) edge and the 3-way join's
+    triangle-sized intermediate (166M rows at sf0.1 — the projection
+    is near-complete) never materializes; 18-31 s → ~4 s measured.
+    The adjacency relation is one row per NODE (supplier-dim sized)
+    and broadcasts; a billion-node graph would co-partition the two
+    adjacency joins on a/b instead."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -298,13 +306,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = (
         a.join(b, "cust").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
     ).localCheckpoint()
-    e1 = proj.select(F.col("x").alias("a"), F.col("y").alias("b"))
-    e2 = proj.select(F.col("x").alias("b"), F.col("y").alias("c"))
-    e3 = proj.select(F.col("x").alias("a"), F.col("y").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    return tri.agg(
-        F.count(F.lit(1)).alias("n_triangles"),
-    ).crossJoin(proj.agg(F.count(F.lit(1)).alias("n_proj_edges")))
+    adj = proj.groupBy("x").agg(F.sort_array(F.collect_list("y")).alias("nbrs"))
+    edges = (
+        proj.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .join(
+            F.broadcast(adj.select(F.col("x").alias("a_"), F.col("nbrs").alias("na"))),
+            F.col("x") == F.col("a_"),
+        )
+        .join(
+            F.broadcast(adj.select(F.col("x").alias("b_"), F.col("nbrs").alias("nb"))),
+            F.col("y") == F.col("b_"),
+            "left",  # the max node has no higher neighbors
+        )
+    )
+    tri = edges.agg(
+        F.sum(
+            F.coalesce(F.size(F.array_intersect("na", "nb")), F.lit(0)).cast("long")
+        ).alias("n_triangles")
+    )
+    return tri.crossJoin(proj.agg(F.count(F.lit(1)).alias("n_proj_edges")))
 
 
 GRAPH_TRIANGLES_SQL = """
