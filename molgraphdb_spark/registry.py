@@ -69,8 +69,8 @@ _QUERY_MODULES = [
 # result-identical and parity-green, but the r9 window should re-gate
 # them): dedup_embedding_cosine, dedup_simhash_pairs,
 # approx_distinct_parts, doc_repetition_suite, quantiles_price_by_flag,
-# approx_quantiles_price, profile_lineitem. (doc_fingerprint also
-# changed but sits INSIDE this window already.)
+# approx_quantiles_price, profile_lineitem, graph_triangle_count.
+# (doc_fingerprint also changed but sits INSIDE this window already.)
 _PRIORITY = [
     # ---- r7 debuts: first driver rows ----
     "customer_spend_exact_percentiles",
