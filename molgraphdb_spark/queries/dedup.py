@@ -1314,7 +1314,61 @@ ORDER BY s.doc_id
 """
 
 
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-duplication matrix: verified LSH near-dup
+    pairs (the production candidate→verify flow above, jaccard ≥ 0.8)
+    rolled up by unordered source pair — the provenance diagnostic a
+    mixture designer reads before weighting sources (is source B just
+    a re-crawl of source A?). Emits pair count and summed jaccard
+    basis points per (source_a ≤ source_b).
+
+    Scale: the verified pair list is tiny relative to the corpus (LSH
+    buckets, never n²); the two source lookups join the pruned
+    (doc_id, source) projection; the rollup is ≤|sources|² rows. All
+    integer counts/bp — hash-stable."""
+    pairs = dedup_lsh_verified(spark, sf_dir).filter(F.col("verified") == 1)
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+    )
+    joined = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard_bp",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jaccard_bp").alias("sum_jaccard_bp"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )
+
+
+def _cross_source_sql() -> str:
+    return f"""
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(v.jaccard_bp) AS BIGINT) AS sum_jaccard_bp
+FROM (
+{DEDUP_LSH_VERIFIED_SQL}
+) v
+JOIN documents da ON da.doc_id = v.id_a
+JOIN documents db ON db.doc_id = v.id_b
+WHERE v.verified = 1
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, source_a, source_b
+"""
+
+
 QUERIES = {
+    "dedup_cross_source_matrix": dedup_cross_source_matrix,
     "dedup_exact": dedup_exact,
     "dedup_rate_by_source": dedup_rate_by_source,
     "neardup_degree_hist": neardup_degree_hist,
@@ -1334,6 +1388,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cross_source_matrix": _cross_source_sql(),
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "neardup_degree_hist": NEARDUP_DEGREE_HIST_SQL,

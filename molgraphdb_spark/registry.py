@@ -62,9 +62,9 @@ _QUERY_MODULES = [
 # graph_kcore_summary sits out one round (r7 rows-only + data-matched
 # golden, code untouched).
 # Post-window r8 debuts (the r9 window must LEAD with these — the r7
-# precedent): graph_adamic_adar, doc_priority_sample (each
-# parity-green at sf0.001+sf0.01; the in-suite sweep covers them
-# until the r9 rotation).
+# precedent): graph_adamic_adar, doc_priority_sample,
+# dedup_cross_source_matrix (each parity-green at sf0.001+sf0.01; the
+# in-suite sweep covers them until the r9 rotation).
 # Changed-code r8 entries NOT in this window (funnel-sweep rewrites,
 # result-identical and parity-green, but the r9 window should re-gate
 # them): dedup_embedding_cosine, dedup_simhash_pairs,

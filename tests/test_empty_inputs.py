@@ -68,6 +68,7 @@ REPRESENTATIVE = [
     "source_temperature_weights",  # totals cross join over zero sources
     "graph_adamic_adar",         # degree-weighted pairs over zero edges
     "doc_priority_sample",       # top-k over zero priorities
+    "dedup_cross_source_matrix", # hash-source rollup over zero docs
 ]
 
 

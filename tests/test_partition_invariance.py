@@ -78,6 +78,7 @@ AT_RISK = [
     "source_temperature_weights",  # floor-sqrt integers + positive DIV
     "graph_adamic_adar",         # integer micro-weight sums + pair ties
     "doc_priority_sample",       # micro-floored priorities + id ties
+    "dedup_cross_source_matrix", # verified-pair rollup — integer bp sums
 ]
 
 

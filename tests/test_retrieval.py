@@ -291,3 +291,33 @@ def test_priority_sample_weight_monotonicity(spark, mini_dir):
         assert a.priority_micro > b.priority_micro or (
             a.priority_micro == b.priority_micro and a.doc_id < b.doc_id
         )
+
+
+def test_cross_source_matrix_hand_corpus(spark, tmp_path_factory):
+    """Hand-built near-dup provenance matrix: two identical 5-token
+    docs across web/code (one cross pair, jaccard 1.0 = 10000 bp) and
+    two identical docs within web (one within pair), plus distinct
+    noise docs. Identical shingle sets collide in every LSH band and
+    verify at exactly 10000 bp, so the rollup is hand-checkable."""
+    from molgraphdb_spark.queries.dedup import dedup_cross_source_matrix
+
+    path = str(tmp_path_factory.mktemp("xsrc_mini"))
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "web", 31),
+        (1, "alpha beta gamma delta epsilon", "en", "code", 31),
+        (2, "one two three four five", "en", "web", 23),
+        (3, "one two three four five", "en", "web", 23),
+        (4, "lonely words entirely unrelated here", "en", "book", 36),
+        (5, "another quite different document text", "en", "code", 37),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+    got = [
+        (r.source_a, r.source_b, r.n_pairs, r.sum_jaccard_bp)
+        for r in dedup_cross_source_matrix(spark, path).collect()
+    ]
+    assert got == [
+        ("code", "web", 1, 10000),
+        ("web", "web", 1, 10000),
+    ]
