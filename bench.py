@@ -180,6 +180,12 @@ def main() -> None:
     run_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "30"))
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    # Per-query run counts: the wall budget truncates expensive queries
+    # to 2 runs, so a BENCH file silently mixes 2-run and 5-run medians.
+    # Recording n_runs per query lets cross-round diffs (tools/
+    # bench_compare.py) distinguish a 2-run median from a 5-run one
+    # (r8 ADVICE item, bench.py:206).
+    nruns: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries.get(name)
@@ -208,6 +214,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             continue
+        nruns[name] = len(runs)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         mins[name] = round(runs[0], 3)
@@ -221,6 +228,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": mins,
+                "queries_n_runs": nruns,
                 "errors": errors,
                 "canary_duckdb_sec": canary_sec,
                 "runs_per_query": n_runs,

@@ -365,8 +365,15 @@ class MolGraph:
                 if not marked:
                     break
                 ref = min(cands, key=lambda c: colors[c])
-                if len(cands) == 2 and colors[cands[0]] == colors[cands[1]]:
-                    break  # substituents WL-equivalent: not stereogenic
+                # The reference substituent's WL color must be UNIQUE
+                # among ALL of the end's substituents — not just in the
+                # two-substituent case (r8 ADVICE, mol.py:368): with 3+
+                # valence-legal substituents, a color tie on the min
+                # reference would make the marked[0]/ref pairing
+                # writing-dependent, merging or splitting geometries
+                # inconsistently. A tied reference lapses the class.
+                if sum(1 for c in cands if colors[c] == colors[ref]) > 1:
+                    break  # reference WL-ambiguous: not stereogenic
                 m = marked[0]
                 side = self._bond_side(end, m)
                 sides.append(side if m == ref else -side)

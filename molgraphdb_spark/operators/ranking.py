@@ -240,7 +240,7 @@ def with_group_rows_frame(
     # and the (group, segment) window partition separates groups. No
     # per-group offsets, no broadcast join.
     gorder = [F.asc(g) for g in group_cols] + list(order)
-    ranked, _tot = with_order_stats(
+    ranked, tot = with_order_stats(
         df, gorder, rank_col="_fr_rank", n_buckets=n_buckets
     )
     # Single scan: a segment-tail row explodes into (own_seg,
@@ -249,9 +249,20 @@ def with_group_rows_frame(
     # per branch (the single-consumer rule).
     pos = F.col("_fr_rank") - 1
     seg = exact_div(pos, seg_len)
+    # Context replication stops at the GLOBAL last segment: tail rows
+    # of segment s duplicate into s+1 only if s+1 holds a real row
+    # (first real position (s+1)*seg_len < total). Without the cap the
+    # final segment's tail shuffled + windowed into a context-only
+    # partition whose rows were entirely filtered out — wasted work,
+    # no correctness impact (r8 ADVICE, ranking.py:254). The total is
+    # a driver-side int from with_order_stats, so this is a pure
+    # column predicate, no extra pass.
+    total = int(tot["n"])
     segs = (
         F.when(
-            pos % seg_len >= seg_len - n_preceding, F.array(seg, seg + 1)
+            (pos % seg_len >= seg_len - n_preceding)
+            & ((seg + 1) * seg_len < F.lit(total)),
+            F.array(seg, seg + 1),
         ).otherwise(F.array(seg))
         if n_preceding > 0
         else F.array(seg)

@@ -71,7 +71,25 @@ def _merge_upsert_delta(
     rides DeltaTable.merge — multi-writer safe through the Delta
     transaction log instead of this module's single-host fcntl lock.
     Import-gated: this container has no delta-spark, so the path is
-    exercised only for its graceful refusal (tests/test_sinks.py)."""
+    exercised only for its graceful refusals (tests/test_sinks.py)."""
+    # Refuse to bootstrap-write into a non-empty root that is not a
+    # Delta table (no _delta_log): it would silently replace a prior
+    # parquet snapshot store (the default merge_upsert path) with ONLY
+    # the new updates — a format switch must be an explicit migration,
+    # not a data loss (r8 ADVICE item, writers.py:95). Checked
+    # structurally BEFORE the delta import so the guard is real (and
+    # testable) even where delta-spark is absent.
+    if (
+        os.path.isdir(root)
+        and os.listdir(root)
+        and not os.path.isdir(os.path.join(root, "_delta_log"))
+    ):
+        raise RuntimeError(
+            f"refusing Delta bootstrap into non-empty non-Delta root "
+            f"{root!r}: it holds a prior (likely parquet-snapshot) "
+            f"store; migrate explicitly with read_current() + an "
+            f"initial Delta write to a fresh root"
+        )
     try:
         from delta.tables import DeltaTable
     except ImportError as ex:

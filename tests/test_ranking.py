@@ -467,3 +467,30 @@ def test_group_rows_frame_segment_boundaries(spark):
         assert got == exp, f"seg_len={seg}"
     with pytest.raises(ValueError, match="seg_len"):
         with_group_rows_frame(df, ["g"], order, 15, "v", "arr", seg_len=15)
+
+
+def test_group_rows_frame_exact_segment_multiple(spark):
+    # total an exact multiple of seg_len: the last-segment context cap
+    # (r8 ADVICE — tail rows must not replicate into a nonexistent
+    # segment s_max+1) has its off-by-one risk exactly here, where the
+    # final segment ends flush at total.
+    from molgraphdb_spark.operators.ranking import with_group_rows_frame
+
+    df = spark.range(992).select(  # 992 = 31 * 32
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") * 16807) % 41).alias("v"),
+    )
+    order = [F.asc("v"), F.asc("k")]
+    w = Window.partitionBy("g").orderBy(*order).rowsBetween(-7, Window.currentRow)
+    exp = {
+        r["k"]: tuple(r["arr"])
+        for r in df.select("k", F.collect_list("v").over(w).alias("arr")).collect()
+    }
+    got = {
+        r["k"]: tuple(r["arr"])
+        for r in with_group_rows_frame(
+            df, ["g"], order, 7, "v", "arr", n_buckets=4, seg_len=31
+        ).collect()
+    }
+    assert got == exp

@@ -327,3 +327,22 @@ def test_merge_upsert_delta_gate(spark, tmp_path):
             merge_upsert(spark, str(tmp_path / "d"), df, ["k"], format="delta")
     with pytest.raises(ValueError, match="unknown merge format"):
         merge_upsert(spark, str(tmp_path / "x"), df, ["k"], format="orc")
+
+
+def test_merge_upsert_delta_refuses_nonempty_non_delta_root(spark, tmp_path):
+    # r8 ADVICE (writers.py:95): a format switch on an existing
+    # parquet-snapshot store must REFUSE, not silently overwrite the
+    # merged history with only the new updates. The guard is a
+    # structural _delta_log precheck, so it fires even where
+    # delta-spark is absent (this container) — before the import gate.
+    import pytest
+
+    from molgraphdb_spark.sources.writers import merge_upsert, read_current
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    root = str(tmp_path / "store")
+    assert merge_upsert(spark, root, df, ["k"]) == 1  # parquet snapshot
+    with pytest.raises(RuntimeError, match="non-Delta root"):
+        merge_upsert(spark, root, df, ["k"], format="delta")
+    # prior store untouched by the refused call
+    assert read_current(spark, root).count() == 1
