@@ -14,14 +14,20 @@ B/C/N/O/P/S/F/Cl/Br/I bare, and ANY periodic-table element inside
 brackets ([Na+], [Fe+2], [Au]; aromatic [se]/[as]) — non-organic
 elements carry no valence bound, matching RDKit's default model.
 
-Kekulé-written benzenoid rings are normalized to aromatic
-(perception below), so ``C1=CC=CC=C1`` and ``c1ccccc1`` share one
-identity — mirroring RDKit's SanitizeMol aromaticity perception that
-the reference relies on (main.py:94–95). PRECISE perception boundary
-(pinned by tests/test_chem.py): only benzenoid 6-rings and
-lowercase-written 5-ring heteroaromatics unify; a NON-benzenoid
-aromatic 6-ring (caffeine's pyrimidinedione) keeps distinct Kekulé vs
-lowercase identities — no Hückel electron counting is performed.
+Kekulé-written aromatic rings are normalized to aromatic form via
+Hückel 4n+2 π-electron counting over all simple 5/6-cycles iterated
+to fixpoint (perception below, r9), so ``C1=CC=CC=C1`` and
+``c1ccccc1`` share one identity — as do the fused/non-benzenoid
+forms RDKit's SanitizeMol unifies for the reference (main.py:94–95):
+Kekulé caffeine's pyrimidinedione ring (exocyclic C=O carbons
+contribute 0 electrons, pyrrole-type N its lone pair) now equals its
+lowercase form. PRECISE perception boundary (pinned by
+tests/test_chem.py): rings of size 5 and 6 only — 7-ring aromatics
+(tropylium, azulene's heptagon) keep distinct Kekulé vs lowercase
+identities; anti-aromatic counts (quinone 4, 1,4-dioxine 8) and
+sp³-interrupted rings stay Kekulé; a ring holding any
+non-aromatic-capable element ([Na+]) stays Kekulé regardless of bond
+alternation.
 The parser is TOTAL: any string outside the subset raises
 ``SmilesError`` (never another exception — fuzz-verified over
 arbitrary token soup and a grammar-valid generator), and anything
@@ -545,17 +551,85 @@ def _parse_bracket(
     return elem, aromatic, charge, isotope, stereo, h_count
 
 
+#: Hückel lone-pair donors: π-electron contribution of a ring atom
+#: with NO π bond anywhere (both cycle edges single, no exocyclic
+#: double). N/O/S/Se/P/As donate their lone pair (2 e⁻, pyrrole/furan/
+#: thiophene type); boron's empty p orbital donates none (borole stays
+#: antiaromatic). Neutral carbon without a π bond is sp³ — the ring
+#: cannot be aromatic at all (handled as a reject, not a 0).
+_PI_DONOR_ELECTRONS = {"N": 2, "O": 2, "S": 2, "Se": 2, "P": 2, "As": 2, "B": 0}
+
+#: Exocyclic-double partners that let the ring atom stay in the π
+#: system contributing 0 electrons (RDKit aromaticity model: a
+#: carbonyl/imine/thione carbon is sp² but donates no π electron to
+#: the ring — caffeine's pyrimidinedione, 2-pyridone). An exocyclic
+#: double to any OTHER element (fulvene's =CH2) takes the atom's π
+#: electron out of the ring entirely: the ring cannot be aromatic.
+_EXO_ELECTRONEGATIVE = frozenset({"O", "N", "S"})
+
+
+def _pi_contribution(
+    mol: MolGraph,
+    atom: int,
+    prev_o: float,
+    next_o: float,
+    cycle_edges: frozenset[tuple[int, int]],
+) -> int | None:
+    """π-electron contribution of ``atom`` to a candidate ring whose
+    two cycle edges at the atom have orders ``prev_o``/``next_o``, or
+    None when the atom makes the ring non-aromatizable (sp³ carbon,
+    exocyclic double to a non-electronegative atom)."""
+    # An in-ring π edge (double, or aromatic from an already-perceived
+    # fused ring) contributes exactly one electron.
+    if 2.0 in (prev_o, next_o) or AROMATIC_ORDER in (prev_o, next_o):
+        return 1
+    # Both cycle edges single: look for an exocyclic double bond.
+    exo_partners = [
+        x
+        for x in mol.neighbors(atom)
+        if mol.bonds.get((min(atom, x), max(atom, x))) == 2.0
+        and (min(atom, x), max(atom, x)) not in cycle_edges
+    ]
+    if exo_partners:
+        if all(mol.elements[x] in _EXO_ELECTRONEGATIVE for x in exo_partners):
+            return 0
+        return None
+    q = mol.charges.get(atom, 0)
+    if mol.elements[atom] == "C":
+        # cyclopentadienyl anion donates its pair; tropylium-type
+        # cations contribute an empty orbital; neutral sp³ C rejects.
+        if q < 0:
+            return 2
+        if q > 0:
+            return 0
+        return None
+    base = _PI_DONOR_ELECTRONS.get(mol.elements[atom])
+    if base is None:
+        return None
+    # A positively charged donor has no lone pair left to give.
+    return 0 if q > 0 else base
+
+
 def _perceive_aromatic_rings(mol: MolGraph) -> None:
-    """Normalize Kekulé-written benzenoid 6-rings to aromatic, so
-    ``C1=CC=CC=C1`` and ``c1ccccc1`` share one WL identity (the
-    perception RDKit's SanitizeMol performs for the reference,
-    main.py:94). Conservative rule, iterated to fixpoint for fused
-    systems (naphthalene): a 6-cycle qualifies when every cycle edge is
-    single/double/aromatic, no atom joins two double cycle edges, and
-    every atom touches a double or aromatic CYCLE edge (exocyclic
-    doubles — quinones — do not count). Five-membered aromatics are
-    recognized only when written lowercase (no Hückel electron count
-    here; documented subset boundary)."""
+    """Normalize Kekulé-written aromatic rings to aromatic form via
+    Hückel 4n+2 π-electron counting, so ``C1=CC=CC=C1`` and
+    ``c1ccccc1`` — and since r9 the fused/non-benzenoid forms RDKit's
+    SanitizeMol unifies for the reference (main.py:94), e.g. Kekulé
+    caffeine's pyrimidinedione ring — share one WL identity.
+
+    Rule, iterated to fixpoint for fused systems (naphthalene, pyrene,
+    Kekulé indole/purine): a 5/6-cycle of aromatic-CAPABLE elements
+    (AROMATIC_ELEMENTS gate — a ring holding [Na+] stays Kekulé no
+    matter how its bonds alternate) qualifies when every cycle edge is
+    single/double/aromatic, no atom joins two double cycle edges
+    (cumulated), every atom yields a π contribution
+    (:func:`_pi_contribution`: in-ring π edge → 1, exocyclic double to
+    O/N/S → 0, lone-pair donor → 2, boron → 0, charged carbon → 2/0;
+    sp³ carbon or an exocyclic double to carbon reject the ring), and
+    the ring total satisfies 4n+2 (quinone's 4 and 1,4-dioxine's 8
+    stay Kekulé). Rings larger than 6 (azulene, tropylium) remain
+    outside the documented subset — their Kekulé and lowercase forms
+    keep distinct identities."""
     g = nx.Graph(list(mol.bonds))
     # All simple 5/6-cycles, not a cycle basis: nx.cycle_basis returns a
     # FUNDAMENTAL basis, which for peri-fused polycyclics (pyrene:
@@ -590,35 +664,21 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
                 continue
             if all(o == AROMATIC_ORDER for o in orders):
                 continue  # already aromatic
-            if n == 6:
-                ok = True
-                for k in range(6):
-                    prev_o, next_o = orders[k - 1], orders[k]
-                    if prev_o == 2.0 and next_o == 2.0:  # cumulated double
-                        ok = False
-                        break
-                    if prev_o == 1.0 and next_o == 1.0:  # atom with no π edge
-                        ok = False
-                        break
-                if not ok:
-                    continue
-            else:
-                # 5-ring: aromatic iff exactly one atom — the lone-pair
-                # donor, which must be N/O/S — has two SINGLE cycle
-                # edges, every other atom touches a π cycle edge
-                # (double or already-aromatic, so FUSED systems like
-                # Kekulé indole work after their benzo ring perceives),
-                # and no atom joins two doubles. Cyclopentadiene's sp³
-                # carbon donor correctly fails the element test.
-                donors = [
-                    cyc[k]
-                    for k in range(5)
-                    if orders[k - 1] == 1.0 and orders[k] == 1.0
-                ]
-                if len(donors) != 1 or mol.elements[donors[0]] not in ("N", "O", "S"):
-                    continue
-                if any(orders[k - 1] == 2.0 and orders[k] == 2.0 for k in range(5)):
-                    continue
+            # Cumulated doubles (an atom joining two double cycle
+            # edges) cannot be part of a planar π system.
+            if any(orders[k - 1] == 2.0 and orders[k] == 2.0 for k in range(n)):
+                continue
+            edge_set = frozenset(edges)
+            pi = 0
+            ok = True
+            for k in range(n):
+                c = _pi_contribution(mol, cyc[k], orders[k - 1], orders[k], edge_set)
+                if c is None:
+                    ok = False
+                    break
+                pi += c
+            if not ok or pi % 4 != 2:  # Hückel 4n+2
+                continue
             for e in edges:
                 mol.bonds[e] = AROMATIC_ORDER
             mol.aromatic.update(cyc)

@@ -340,13 +340,20 @@ def chem_pharma_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Golden re-derived for r9 Hückel perception: sildenafil's
+#: pyrazolo[4,3-d]pyrimidin-7-one and vardenafil's imidazo-triazinone
+#: cores now aromatize fully (5+6−2 shared = 9 ring atoms + benzene 6
+#: = 15 aromatic, matching RDKit's canonical lowercase forms; the ring
+#: C=N doubles fold into the aromatic system, 4→3 doubles — the 3
+#: survivors are 2×S=O + the exocyclic ring C=O). Tadalafil unchanged
+#: (its diketopiperazine ring is sp³-interrupted, correctly Kekulé).
 CHEM_PHARMA_SQL = """
 SELECT * FROM (VALUES
   ('aspirin', 13, 13, 6, 2, 14),
   ('ibuprofen', 15, 15, 6, 1, 17),
-  ('sildenafil', 33, 36, 11, 4, 43),
+  ('sildenafil', 33, 36, 15, 3, 38),
   ('tadalafil', 29, 34, 15, 2, 46),
-  ('vardenafil', 34, 37, 11, 4, 45)
+  ('vardenafil', 34, 37, 15, 3, 40)
 ) AS t(name, n_atoms, n_bonds, n_aromatic, n_double_bonds, n_edit_neighbors)
 ORDER BY name
 """

@@ -380,16 +380,44 @@ def test_kekule_and_aromatic_forms_share_identity():
         )
 
 
-def test_documented_perception_boundary_nonbenzenoid():
-    # PRECISE subset boundary (module docstring): perception unifies
-    # BENZENOID 6-rings only. Caffeine's pyrimidinedione ring is not
-    # benzenoid, so its Kekulé and lowercase forms both parse as sane
-    # molecules but keep distinct WL identities — callers needing
-    # RDKit-grade unification of non-benzenoid aromatics are outside
-    # the documented subset (SURVEY.md §7 M2 fallback).
+def test_huckel_unifies_nonbenzenoid_kekule_forms():
+    # r8 verdict item 2, the golden that FLIPPED in r9: Hückel 4n+2
+    # counting unifies caffeine's Kekulé and lowercase forms — the
+    # pyrimidinedione ring's carbonyl carbons contribute 0 electrons
+    # (exocyclic =O), the methylated Ns their lone pairs (2 each), the
+    # fused C=C edge 1+1 → 6 = 4·1+2, matching RDKit SanitizeMol
+    # (reference main.py:94) on real drug molecules.
     ka = mol_key(parse_smiles(PUBLISHED_SMILES["caffeine"]))
     kb = mol_key(parse_smiles(PUBLISHED_SMILES["caffeine_kekule"]))
-    assert ka != kb
+    assert ka == kb
+    # both fully aromatic: 9 ring atoms across the fused bicycle
+    assert len(parse_smiles(PUBLISHED_SMILES["caffeine_kekule"]).aromatic) == 9
+
+
+def test_huckel_perception_boundary():
+    # The PRECISE r9 boundary (module docstring): 4n+2 gate and ring
+    # sizes 5/6 only.
+    # 2-pyridone: N lone pair 2 + C(=O) 0 + 4 ring doubles → 6 ✓
+    assert mol_key(parse_smiles("O=C1C=CC=CN1")) == mol_key(
+        parse_smiles("O=c1cccc[nH]1")
+    )
+    # 4H-pyran-4-one (γ-pyrone): ring O 2 + C(=O) 0 + 4 → 6 ✓
+    assert len(parse_smiles("O=C1C=COC=C1").aromatic) == 6
+    # 1,4-dioxine: 2+2+1+1+1+1 = 8 — NOT 4n+2, stays Kekulé
+    assert not parse_smiles("C1=COC=CO1").aromatic
+    # fulvene: exocyclic double to CARBON rejects the ring outright
+    assert not parse_smiles("C=C1C=CC=C1").aromatic
+    # borole: B contributes 0 → 4 electrons, antiaromatic
+    assert not parse_smiles("B1C=CC=C1").aromatic
+    # thiophene-1,1-dioxide: sulfone S contributes 0 → 4, not aromatic
+    assert not parse_smiles("O=S1(=O)C=CC=C1").aromatic
+    # 7-rings are outside the subset: Kekulé tropone stays Kekulé
+    assert not parse_smiles("O=C1C=CC=CC=C1").aromatic
+    # Kekulé purine (no methyls): imidazole perceives via its donor N,
+    # then the pyrimidine ring rides the now-aromatic fusion edge
+    assert mol_key(parse_smiles("C1=NC2=C(N1)N=CN=C2")) == mol_key(
+        parse_smiles("c1nc2c([nH]1)ncnc2")
+    )
 
 
 @pytest.mark.parametrize("bad", REJECTED_SMILES)
