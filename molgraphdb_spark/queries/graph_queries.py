@@ -347,10 +347,10 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core-number histogram of the supplier co-purchase projection —
     the density profile a graph-mining pass reads before picking
     community/nucleus thresholds. Uses operators/graph.core_numbers
-    (distributed H-operator fixpoint; golden-tested against networkx),
-    so the driver check is rows-only by design: the iterative fixpoint
-    is not single-statement-SQL-expressible (same class as
-    chem_edit_expansion)."""
+    (distributed H-operator fixpoint; golden-tested against networkx).
+    Value-hash checked since r9: the exact peel IS single-statement
+    expressible as a DuckDB recursive CTE (GRAPH_KCORE_SQL), so the
+    registry's last rows-only entry is now oracle-gated."""
     from molgraphdb_spark.operators.graph import core_numbers
 
     tune(spark)
@@ -873,7 +873,48 @@ ORDER BY rank_ubp DESC, id ASC
 """
 
 
+#: r9 (r8 verdict item 4): the registry's last rows-only entry gains a
+#: REAL oracle — the exact peel as ONE recursive CTE. The working
+#: table carries (k, src, dst): each step removes vertices with
+#: degree < k from the surviving edge set, or (when stable — the
+#: remaining graph IS the k-core) advances k; a vertex's core number
+#: is (max k at which it still appears) − 1, since appearing at phase
+#: k means it survived the (k−1)-peel. Matches the distributed
+#: H-operator fixpoint (operators/graph.core_numbers) exactly —
+#: cross-validated against networkx on toy + sf0.001/sf0.01 graphs.
+#: Degrees count src rows only (the projection emits both
+#: orientations, so out-degree == undirected degree).
+GRAPH_KCORE_SQL = """
+WITH RECURSIVE cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), proj AS (
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM cs a JOIN cs b USING (cust) WHERE a.s <> b.s
+), peel AS (
+  SELECT 1 AS k, src, dst FROM proj
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT * FROM peel),
+         deg AS (SELECT src AS v, COUNT(*) AS d FROM cur GROUP BY src),
+         kk AS (SELECT MAX(k) AS k FROM cur),
+         low AS (SELECT v FROM deg, kk WHERE d < kk.k)
+    SELECT CASE WHEN EXISTS(SELECT 1 FROM low) THEN kk.k ELSE kk.k + 1 END AS k,
+           cur.src, cur.dst
+    FROM cur, kk
+    WHERE cur.src NOT IN (SELECT v FROM low)
+      AND cur.dst NOT IN (SELECT v FROM low)
+  )
+)
+SELECT CAST(core AS BIGINT) AS core,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM (SELECT src AS v, MAX(k) - 1 AS core FROM peel GROUP BY src)
+GROUP BY core
+ORDER BY core
+"""
+
 ORACLES = {
+    "graph_kcore_summary": GRAPH_KCORE_SQL,
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "graph_supplier_jaccard": GRAPH_SUPPLIER_JACCARD_SQL,
     "graph_adamic_adar": GRAPH_ADAMIC_ADAR_SQL,

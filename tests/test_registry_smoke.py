@@ -64,9 +64,11 @@ def test_priority_window_names_are_real():
 #: Queries that are rows-only ON PURPOSE (iterative fixpoints with no
 #: single-statement SQL twin; correctness pinned by golden suites).
 #: Anything else missing an oracle is a silent downgrade — still fails.
-ROWS_ONLY_BY_DESIGN = {
-    "graph_kcore_summary",  # H-operator fixpoint; networkx goldens
-}
+#: r9: empty — graph_kcore_summary (the last rows-only entry) gained a
+#: recursive-CTE peel oracle; the registry is now 100% value-hash
+#: checked. Kept as a set so a future genuinely-non-SQL query has a
+#: place to declare itself.
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def test_every_query_has_oracle():
