@@ -484,3 +484,73 @@ def core_numbers(edges: DataFrame, max_iter: int = 100) -> DataFrame:
             core_numbers.last_converged = True
             break
     return deg
+
+
+#: Broadcast ceiling for the triangle adjacency relation (one row per
+#: vertex, sorted higher-neighbor array payload). Below it the
+#: adjacency broadcasts to every task (two hash joins, zero shuffle of
+#: the edge stream beyond its round-robin spread); above it the
+#: formerly-silent node-count ceiling of the broadcast plan flips to
+#: co-partitioned shuffle-hash joins on the edge endpoints (r8 verdict
+#: item 7 — "a billion-node graph would co-partition", now shipped as
+#: a dispatch instead of a docstring promise).
+TRIANGLE_BROADCAST_MAX_VERTICES = 2_000_000
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    n_vertices: int | None = None,
+    broadcast_max_vertices: int = TRIANGLE_BROADCAST_MAX_VERTICES,
+) -> DataFrame:
+    """Exact triangle count over a canonical undirected edge list
+    (columns ``x < y``, deduplicated) via compact-forward adjacency
+    intersection (Latapy 2008): per edge (a,b), count
+    |N_hi(a) ∩ N_hi(b)| over sorted higher-neighbor arrays — the
+    intersection members are automatically > b, so each a<b<c triangle
+    is found exactly once at its (a,b) edge and no triangle-sized
+    intermediate ever materializes (the 3-way edge self-join's 166M-row
+    intermediate at sf0.1).
+
+    Size dispatch: the adjacency relation (one row per vertex) is
+    BROADCAST while the vertex count stays under
+    ``broadcast_max_vertices``; past that it joins co-partitioned
+    (shuffle-hash, adjacency as build side) on each endpoint — the
+    shape that survives a billion-node graph where a broadcast would
+    OOM every executor. Pass ``n_vertices`` when the caller already
+    knows the bound (a dimension-table count) to skip the counting job.
+    Diagnostics: ``triangle_count.last_strategy`` records which path
+    ran ('broadcast' | 'copartition'). Returns one row
+    ``(n_triangles bigint)``."""
+    spark = edges.sparkSession
+    proj = edges.select("x", "y").localCheckpoint()
+    if n_vertices is None:
+        n_vertices = (
+            proj.select(F.explode(F.array("x", "y")).alias("v")).distinct().count()
+        )
+    adj = proj.groupBy("x").agg(F.sort_array(F.collect_list("y")).alias("nbrs"))
+    na = adj.select(F.col("x").alias("a_"), F.col("nbrs").alias("na"))
+    nb = adj.select(F.col("x").alias("b_"), F.col("nbrs").alias("nb"))
+    if n_vertices <= broadcast_max_vertices:
+        triangle_count.last_strategy = "broadcast"
+        na, nb = F.broadcast(na), F.broadcast(nb)
+        # Round-robin the edge stream: it is small in BYTES but the
+        # per-edge intersection work is super-linear in degree — the
+        # single-split-funnel class (r8) — so spread it explicitly.
+        stream = proj.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    else:
+        triangle_count.last_strategy = "copartition"
+        # Shuffle-hash, adjacency as the (per-partition small) build
+        # side; both joins shuffle on an edge endpoint, so the edge
+        # stream is spread by the exchanges themselves.
+        na, nb = na.hint("shuffle_hash"), nb.hint("shuffle_hash")
+        stream = proj
+    joined = stream.join(na, F.col("x") == F.col("a_")).join(
+        # left: the globally-max vertex has no higher-neighbor row
+        nb, F.col("y") == F.col("b_"), "left"
+    )
+    return joined.agg(
+        F.sum(
+            F.coalesce(F.size(F.array_intersect("na", "nb")), F.lit(0)).cast("long")
+        ).alias("n_triangles")
+    )

@@ -277,16 +277,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-analytics motifs live.
 
     Scale: the projection is a self-join on the customer key (skew →
-    AQE). Triangles use the compact-forward adjacency-intersection
-    (Latapy 2008) instead of the 3-way edge self-join: per edge (a,b),
-    count |N_hi(a) ∩ N_hi(b)| over sorted higher-neighbor arrays —
-    the intersection is automatically > b, so each a<b<c triangle is
-    found exactly once at its (a,b) edge and the 3-way join's
-    triangle-sized intermediate (166M rows at sf0.1 — the projection
-    is near-complete) never materializes; 18-31 s → ~4 s measured.
-    The adjacency relation is one row per NODE (supplier-dim sized)
-    and broadcasts; a billion-node graph would co-partition the two
-    adjacency joins on a/b instead."""
+    AQE). Triangles ride operators/graph.triangle_count — the
+    compact-forward adjacency-intersection (Latapy 2008) with a
+    broadcast/co-partition SIZE DISPATCH (r9): the supplier dimension
+    count bounds the vertex set, so the broadcast adjacency plan is
+    picked only while it provably fits, and a billion-node graph flips
+    to shuffle-hash co-partitioned joins instead of silently OOMing
+    on the broadcast (the former docstring promise, now shipped and
+    probe-measured in tools/scale_probe.probe_triangle_dispatch)."""
+    from molgraphdb_spark.operators.graph import triangle_count
+
     tune(spark)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -306,24 +306,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = (
         a.join(b, "cust").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
     ).localCheckpoint()
-    adj = proj.groupBy("x").agg(F.sort_array(F.collect_list("y")).alias("nbrs"))
-    edges = (
-        proj.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-        .join(
-            F.broadcast(adj.select(F.col("x").alias("a_"), F.col("nbrs").alias("na"))),
-            F.col("x") == F.col("a_"),
-        )
-        .join(
-            F.broadcast(adj.select(F.col("x").alias("b_"), F.col("nbrs").alias("nb"))),
-            F.col("y") == F.col("b_"),
-            "left",  # the max node has no higher neighbors
-        )
-    )
-    tri = edges.agg(
-        F.sum(
-            F.coalesce(F.size(F.array_intersect("na", "nb")), F.lit(0)).cast("long")
-        ).alias("n_triangles")
-    )
+    # Vertex bound from the supplier DIMENSION (tiny metadata-cheap
+    # count), not a job over the projection.
+    n_sup = load_table(spark, sf_dir, "supplier").count()
+    tri = triangle_count(proj, n_vertices=n_sup)
     return tri.crossJoin(proj.agg(F.count(F.lit(1)).alias("n_proj_edges")))
 
 
@@ -496,7 +482,18 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-customer degree rides the SAME cust-keyed shuffle as the
     pairing join (no extra exchange), and the top-10 is
     TakeOrderedAndProject. Customers with degree 1 drop out early
-    (they cannot be shared, and ln 1 would divide by zero)."""
+    (they cannot be shared, and ln 1 would divide by zero).
+
+    Hot-key bound (r9, r8 verdict item 3): the Σ deg² bound has a
+    cap-with-exclusion analogue of the shingle index's
+    MAX_SHINGLE_DF — :func:`adamic_adar_pairs`'s
+    ``max_customer_degree`` drops customers above a degree ceiling
+    from pairing entirely (their per-pair weight 1/ln d is the
+    SMALLEST of any contributor, while their pair count deg² is the
+    largest — the exact df-cap trade). The registry entry keeps the
+    cap OFF (exact at gate scales); the planted-hot-customer probe
+    (tools/scale_probe.probe_copurchase_hotkey) measures both sides
+    and SCALE.md records the bound."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -506,10 +503,28 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    return adamic_adar_pairs(cs).limit(10)
+
+
+def adamic_adar_pairs(
+    cs: DataFrame, max_customer_degree: int | None = None
+) -> DataFrame:
+    """Adamic–Adar supplier pairs from a (o_custkey, l_suppkey)
+    incidence relation, ordered by score: the customer-keyed
+    inverted-index self-join with integer per-customer weights
+    floor(1e6/ln d) attached BEFORE pairing (order-free exact sum).
+    ``max_customer_degree`` is the hot-key cap-with-exclusion: when
+    set, customers with degree above it are excluded from pairing
+    (both from pairs AND weights — the same semantics as dropping a
+    stop-shingle's posting list), bounding the pair join by
+    cap·Σdeg(c) instead of Σdeg(c)²."""
+    deg_filter = F.col("cd") >= 2
+    if max_customer_degree is not None:
+        deg_filter = deg_filter & (F.col("cd") <= max_customer_degree)
     cdeg = (
         cs.groupBy(F.col("o_custkey").alias("cust"))
         .agg(F.count(F.lit(1)).alias("cd"))
-        .filter(F.col("cd") >= 2)
+        .filter(deg_filter)
         .withColumn(
             "w_micro",
             F.floor(F.lit(1_000_000) / F.log(F.col("cd").cast("double"))).cast("long"),
@@ -517,10 +532,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_a"))
     b = cs.select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("sup_b"))
+    # The weight dictionary joins onto side `a` BEFORE the pairing
+    # join — excluded (capped / degree-1) customers never reach the
+    # deg²-generating self-join, so the cap bounds COST, not just the
+    # result; relying on Catalyst to reorder the filter below the
+    # pairing join would leave the blowup to optimizer luck.
     return (
-        a.join(b, "cust")
+        a.join(cdeg.select("cust", "w_micro"), "cust")
+        .join(b, "cust")
         .filter(F.col("sup_a") < F.col("sup_b"))
-        .join(cdeg.select("cust", "w_micro"), "cust")
         .groupBy("sup_a", "sup_b")
         .agg(
             F.count(F.lit(1)).alias("shared_customers"),
@@ -531,7 +551,6 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc("sup_a"),
             F.asc("sup_b"),
         )
-        .limit(10)
     )
 
 

@@ -919,10 +919,301 @@ def probe_ranking_skew(spark, n: int = 4_000_000) -> dict:
     }
 
 
+def probe_copurchase_hotkey(spark, n_sup: int = 8_000, n_cust: int = 200_000) -> dict:
+    """Hot-key probe for the co-purchase inverted-index family (r8
+    verdict item 3): the pair join is bounded by Σ deg(c)² with no
+    cap, so ONE customer of degree ≈ |suppliers| contributes
+    C(n_sup, 2) pairs — here ~32M from a single key, dwarfing the
+    600k pairs of 200k ordinary degree-3 customers. Measures the
+    uncapped query against adamic_adar_pairs(max_customer_degree=64)
+    (cap-with-exclusion, the MAX_SHINGLE_DF analogue) and verifies
+    the cap changed COST, not RESULTS: the capped output must equal
+    the uncapped output over the corpus with the hot customer
+    removed, exactly."""
+    from molgraphdb_spark.queries.graph_queries import adamic_adar_pairs
+
+    base = spark.range(n_cust)
+    normal = (
+        base.select(
+            F.col("id").alias("o_custkey"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+        )
+        .select(
+            "o_custkey",
+            ((F.col("o_custkey") * 31 + F.col("i") * 7919) % n_sup).alias("l_suppkey"),
+        )
+        .distinct()
+    )
+    hot = spark.range(n_sup).select(
+        F.lit(-1).cast("long").alias("o_custkey"), F.col("id").alias("l_suppkey")
+    )
+    cs = normal.unionByName(hot).localCheckpoint()
+
+    def run(df, cap):
+        t0 = time.time()
+        r = (
+            adamic_adar_pairs(df, max_customer_degree=cap)
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("aa_micro").alias("sum_aa"),
+            )
+            .collect()[0]
+        )
+        return int(r["n_pairs"]), int(r["sum_aa"]), round(time.time() - t0, 1)
+
+    n_unc, sum_unc, t_unc = run(cs, None)
+    n_cap, sum_cap, t_cap = run(cs, 64)
+    # exact-equality invariant: cap == exclusion of the hot customer
+    manual = adamic_adar_pairs(normal.localCheckpoint(), max_customer_degree=None)
+    capped = adamic_adar_pairs(cs, max_customer_degree=64)
+    diff = (
+        capped.exceptAll(manual).count() + manual.exceptAll(capped).count()
+    )
+    return {
+        "probe": "copurchase_hotkey",
+        "n_suppliers": n_sup,
+        "n_customers": n_cust + 1,
+        "hot_degree": n_sup,
+        "pairs_uncapped": n_unc,
+        "pairs_capped": n_cap,
+        "t_uncapped_s": t_unc,
+        "t_capped_s": t_cap,
+        "cap_equals_exclusion_exact": bool(diff == 0),
+        "sum_aa_uncapped": sum_unc,
+        "sum_aa_capped": sum_cap,
+    }
+
+
+def probe_triangle_dispatch(spark, n_cliq: int = 20_000, c: int = 12) -> dict:
+    """Triangle-count dispatch at ~10x the sf0.1 projection (r8
+    verdict item 7): planted disjoint c-cliques (exact count
+    n_cliq * C(c,3)), run through BOTH sides of
+    operators/graph.triangle_count's broadcast/co-partition dispatch
+    — the broadcast plan under the 2M-vertex ceiling and the
+    shuffle-hash co-partitioned plan with the ceiling forced to 1k —
+    asserting both return the planted count exactly."""
+    from molgraphdb_spark.operators.graph import triangle_count
+
+    root = (F.col("id") * 16).alias("root")
+    base = spark.range(n_cliq).select(root)
+    ii = F.explode(F.sequence(F.lit(0), F.lit(c - 1))).alias("i")
+    jj = F.explode(F.sequence(F.lit(0), F.lit(c - 1))).alias("j")
+    edges = (
+        base.select("root", ii)
+        .select("root", "i", jj)
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            (F.col("root") + F.col("i")).alias("x"),
+            (F.col("root") + F.col("j")).alias("y"),
+        )
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    want = n_cliq * (c * (c - 1) * (c - 2) // 6)
+    t0 = time.time()
+    got_b = triangle_count(edges, n_vertices=n_cliq * c).collect()[0][0]
+    t_b = round(time.time() - t0, 1)
+    strat_b = triangle_count.last_strategy
+    t0 = time.time()
+    got_c = triangle_count(
+        edges, n_vertices=n_cliq * c, broadcast_max_vertices=1_000
+    ).collect()[0][0]
+    t_c = round(time.time() - t0, 1)
+    strat_c = triangle_count.last_strategy
+    return {
+        "probe": "triangle_dispatch",
+        "vertices": n_cliq * c,
+        "edges": n_edges,
+        "planted_triangles": want,
+        "broadcast_exact": bool(got_b == want),
+        "copartition_exact": bool(got_c == want),
+        "strategies": [strat_b, strat_c],
+        "t_broadcast_s": t_b,
+        "t_copartition_s": t_c,
+    }
+
+
+def probe_retrieval(spark, sf_dir: str) -> dict:
+    """Planted-relevance probe for the r8 retrieval/classifier debuts
+    at 10x (r8 verdict item 5): BM25, RRF hybrid, and the hashed
+    quality classifier on the 50k-doc corpus, each with a closed-form
+    planted answer:
+
+    * BM25: per query, one planted doc holding every query term 40
+      times in a 120-token body — tf-saturated, shorter than avgdl —
+      must be top-1, and its integer milli score must EQUAL a plain-
+      Python recompute from DuckDB-collected corpus stats (the third-
+      implementation discipline: catches both-engines-wrong formulas).
+    * RRF: a planted doc duplicating query-doc 0's text exactly
+      (sparse Jaccard 1.0 -> leg rank 1) whose planted vector is a
+      scalar multiple of query-vector 0 (cosine 1.0 -> leg rank 1)
+      must win the fusion for query 0.
+    * classifier: 100 planted docs of one fixed text under a fresh
+      source — the source row must equal the plain-Python md5-hash
+      score recompute exactly.
+    """
+    import duckdb
+    import hashlib
+    import math
+
+    from molgraphdb_spark.queries.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        QC_DIMS,
+        QC_MIX,
+        doc_bm25_topk,
+        doc_quality_classifier,
+    )
+    from molgraphdb_spark.queries.similarity import retrieval_rrf_hybrid
+
+    # TWO planted corpora: the RRF plant is a verbatim copy of query-
+    # doc 0's (term-rich) text and would itself win BM25 query 0 if it
+    # shared the corpus — plants must not compete with each other.
+    out = f"{BASE}/retrieval_bm25"
+    out_rrf = f"{BASE}/retrieval_rrf"
+    for d in (out, out_rrf):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.makedirs(d)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc0_text = docs.filter(F.col("doc_id") == 0).select("text").collect()[0][0]
+    planted_bm25 = [
+        (2_000_000_000 + qid, " ".join(ts * 40), "en", "probe_bm25")
+        for qid, ts in BM25_QUERIES
+    ]
+    planted_rrf = [(600_000, doc0_text, "en", "probe_rrf")]
+    qc_text = "alpha beta gamma delta epsilon zeta eta theta"
+    planted_qc = [(2_100_000_000 + i, qc_text, "en", "probesrc") for i in range(100)]
+    extra = spark.createDataFrame(
+        planted_bm25 + planted_qc,
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text"))
+    docs.unionByName(extra).repartition(32).write.parquet(f"{out}/documents.parquet")
+    extra_rrf = spark.createDataFrame(
+        planted_rrf, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    docs.unionByName(extra_rrf).repartition(32).write.parquet(
+        f"{out_rrf}/documents.parquet"
+    )
+
+    # synthetic embeddings: 20k deterministic vectors, dim 16, period
+    # 104729 > n so no two base vectors share a direction; vector
+    # 600000 = 2x vector 0 (cosine 1.0 with query vector 0)
+    dim = 16
+    vexpr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: ((F.col("vec_id") * 2654435761 + j * 40503) % 104729).cast(
+            "double"
+        ) / 104729.0 - 0.5,
+    )
+    base_emb = spark.range(20_000).select(
+        F.col("id").alias("vec_id"), vexpr.alias("embedding"),
+        (F.col("id") % 7).cast("int").alias("label"),
+    )
+    twin = base_emb.filter(F.col("vec_id") == 0).select(
+        F.lit(600_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        F.lit(0).cast("int").alias("label"),
+    )
+    base_emb.unionByName(twin).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    ).repartition(8).write.parquet(f"{out_rrf}/embeddings.parquet")
+
+    # --- BM25 ---
+    t0 = time.time()
+    bm = doc_bm25_topk(spark, out).collect()
+    t_bm25 = round(time.time() - t0, 1)
+    top1 = {r["query_id"]: r["doc_id"] for r in bm if r["rank"] == 1}
+    bm25_top1_planted = all(
+        top1.get(qid) == 2_000_000_000 + qid for qid, _ in BM25_QUERIES
+    )
+    # third implementation: plain Python from DuckDB-collected stats
+    con = duckdb.connect()
+    n, tot = con.execute(
+        f"""SELECT COUNT(*), SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+            FROM '{out}/documents.parquet/*.parquet' WHERE text IS NOT NULL"""
+    ).fetchone()
+    score_exact = True
+    got_scores = {(r["query_id"], r["doc_id"]): r["score_milli"] for r in bm}
+    for qid, ts in BM25_QUERIES:
+        expect = 0
+        dl = 40 * len(ts)
+        for t in ts:
+            (df_t,) = con.execute(
+                f"""SELECT COUNT(*) FROM '{out}/documents.parquet/*.parquet'
+                    WHERE text IS NOT NULL
+                      AND list_contains(regexp_split_to_array(trim(text), '\\s+'), ?)""",
+                [t],
+            ).fetchone()
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            tf = 40
+            expect += math.floor(
+                1000 * idf * tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl * n / tot))
+                + 0.5
+            )
+        if got_scores.get((qid, 2_000_000_000 + qid)) != expect:
+            score_exact = False
+
+    # --- RRF ---
+    t0 = time.time()
+    rrf = retrieval_rrf_hybrid(spark, out_rrf).collect()
+    t_rrf = round(time.time() - t0, 1)
+    rrf_top1_q0 = next(
+        (r["neighbor_id"] for r in rrf if r["query_id"] == 0 and r["rank"] == 1),
+        None,
+    )
+
+    # --- classifier ---
+    def w(tok: str) -> int:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        return h % QC_DIMS * QC_MIX % 2147483648 % 2001 - 1000
+
+    per_doc = sum(w(t) for t in qc_text.split())
+    t0 = time.time()
+    qc = {
+        r["source"]: r
+        for r in doc_quality_classifier(spark, out).collect()
+    }
+    t_qc = round(time.time() - t0, 1)
+    row = qc.get("probesrc")
+    qc_exact = bool(
+        row is not None
+        and row["n_docs"] == 100
+        and row["sum_score_milli"] == 100 * per_doc
+        and row["accepted"] == (100 if per_doc >= 0 else 0)
+        and row["accept_bp"] == (10000 if per_doc >= 0 else 0)
+    )
+    return {
+        "probe": "retrieval",
+        "docs": int(n),
+        "vectors": 20_001,
+        "bm25_top1_planted": bool(bm25_top1_planted),
+        "bm25_score_thirdimpl_exact": bool(score_exact),
+        "rrf_top1_q0_planted": bool(rrf_top1_q0 == 600_000),
+        "classifier_thirdimpl_exact": qc_exact,
+        "t_bm25_s": t_bm25,
+        "t_rrf_s": t_rrf,
+        "t_classifier_s": t_qc,
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])  # probe-name filter, e.g. "copurchase_hotkey"
     spark = get_spark("scale-probe")
     tune(spark)
+    if only:
+        # selective run (r9): probes named on the CLI, no corpus build
+        fns = {
+            "copurchase_hotkey": lambda: probe_copurchase_hotkey(spark),
+            "triangle_dispatch": lambda: probe_triangle_dispatch(spark),
+            "retrieval": lambda: probe_retrieval(spark, build_corpus(spark, k)),
+        }
+        for name in sys.argv[2:]:
+            print(json.dumps(fns[name]()))
+        return
     n_orig = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").count()
 
     sf_dir = build_corpus(spark, k)
@@ -952,6 +1243,10 @@ def main() -> None:
     # Grouped ranking + bounded frames under 90/5/3/2% group skew
     # (r7 verdict item 4).
     print(json.dumps(probe_ranking_skew(spark)))
+    # r9: hot-key cap, triangle dispatch, retrieval invariants
+    print(json.dumps(probe_copurchase_hotkey(spark)))
+    print(json.dumps(probe_triangle_dispatch(spark)))
+    print(json.dumps(probe_retrieval(spark, sf_dir)))
 
 
 if __name__ == "__main__":
