@@ -1,0 +1,201 @@
+"""Third-implementation goldens for the percentile / EWMA / Adamic–Adar
+families (r8 verdict item 8, extending the tests/test_retrieval.py
+pattern): every DuckDB oracle shares its query's formula by design, so
+cross-engine parity cannot catch a both-sides-wrong formula bug. Each
+test here recomputes the result with plain Python (sorted lists, dict
+loops, math) — and for Adamic–Adar additionally against networkx's own
+``adamic_adar_index`` — on corpora small enough to eyeball.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+MINI_EVENT_TYPES = ["click", "view", "error"]
+
+
+@pytest.fixture(scope="module")
+def mini_events_dir(spark, tmp_path_factory):
+    """~300 events over 3 types with deterministic pseudo-random values
+    (ties included: values quantized to 1 decimal so nearest-rank
+    tiebreaks actually fire)."""
+    path = str(tmp_path_factory.mktemp("thirdimpl_events"))
+    rng = random.Random(42)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                # out-of-order timestamps: ordering must come from sort
+                ((eid * 48271) % 300) * 1_000_000 + 1_600_000_000_000_000,
+                eid % 37,
+                MINI_EVENT_TYPES[eid % 3],
+                round(rng.uniform(0, 50), 1),
+                None,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    return path, rows
+
+
+def test_latency_percentiles_match_python_reference(spark, mini_events_dir):
+    # nearest-rank ceil(p·n) per type, recomputed with a sorted list.
+    from molgraphdb_spark.queries.events import (
+        LATENCY_PCTS_BP,
+        events_latency_percentiles,
+    )
+
+    path, rows = mini_events_dir
+    got = [
+        (r.event_type, r.pct_bp, r.rank_i, r.n_events, r.value_u)
+        for r in events_latency_percentiles(spark, path).collect()
+    ]
+    expect = []
+    for et in sorted(MINI_EVENT_TYPES):
+        vals = sorted(
+            (math.floor(v * 1_000_000 + 0.5), eid)
+            for (eid, _ts, _u, t, v, _p) in rows
+            if t == et and v is not None
+        )
+        n = len(vals)
+        for p in LATENCY_PCTS_BP:
+            rank = (p * n + 9999) // 10000
+            expect.append((et, p, rank, n, vals[rank - 1][0]))
+    assert got == expect
+
+
+def test_spend_percentiles_match_python_reference(spark, tmp_path_factory):
+    # global nearest-rank percentiles of per-customer spend.
+    from molgraphdb_spark.queries.relational import (
+        SPEND_PCTS_BP,
+        customer_spend_exact_percentiles,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_orders"))
+    rng = random.Random(7)
+    orders = [
+        (oid, oid % 83, round(rng.uniform(100, 5000), 2))
+        for oid in range(400)
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+    got = [
+        (r.pct_bp, r.rank_i, r.spend_c)
+        for r in customer_spend_exact_percentiles(spark, path).collect()
+    ]
+    spend: dict[int, int] = {}
+    for _oid, cust, price in orders:
+        spend[cust] = spend.get(cust, 0) + math.floor(price * 100 + 0.5)
+    ordered = sorted((s, c) for c, s in spend.items())
+    n = len(ordered)
+    expect = [
+        (p, (p * n + 9999) // 10000, ordered[(p * n + 9999) // 10000 - 1][0])
+        for p in SPEND_PCTS_BP
+    ]
+    assert got == expect
+
+
+def test_ewma_matches_python_reference(spark, mini_events_dir):
+    # per-type 16-row EWMA (alpha=1/2): integer weights 2^(j-1) over
+    # the ordered frame, floored integer quotient — recomputed with a
+    # rolling Python list.
+    from molgraphdb_spark.queries.temporal import events_ewma
+
+    path, rows = mini_events_dir
+    got = {
+        r.event_id: (r.ewma_num, r.ewma_den, r.ewma_u)
+        for r in events_ewma(spark, path).collect()
+    }
+    expect = {}
+    for et in MINI_EVENT_TYPES:
+        stream = sorted(
+            (ts, eid, math.floor(v * 1_000_000 + 0.5))
+            for (eid, ts, _u, t, v, _p) in rows
+            if t == et and v is not None
+        )
+        hist: list[int] = []
+        for _ts, eid, vu in stream:
+            hist.append(vu)
+            frame = hist[-16:]
+            num = sum(v * (1 << j) for j, v in enumerate(frame))
+            den = (1 << len(frame)) - 1
+            expect[eid] = (num, den, math.floor(num / den))
+    assert got == expect
+
+
+def test_adamic_adar_matches_python_and_networkx(spark, tmp_path_factory):
+    # Random bipartite purchase graph: the integer-milli score must
+    # equal a plain-Python recompute with the exact floored weights,
+    # and track networkx's own adamic_adar_index (the INDEPENDENT
+    # library implementation of the published formula) to within the
+    # flooring error.
+    import networkx as nx
+
+    from molgraphdb_spark.queries.graph_queries import adamic_adar_pairs
+
+    rng = random.Random(13)
+    n_cust, n_sup = 40, 25
+    inc = sorted(
+        {
+            (c, rng.randrange(n_sup))
+            for c in range(n_cust)
+            for _ in range(rng.randrange(1, 6))
+        }
+    )
+    cs = spark.createDataFrame(inc, "o_custkey long, l_suppkey long")
+    got = [
+        (r.sup_a, r.sup_b, r.shared_customers, r.aa_micro)
+        for r in adamic_adar_pairs(cs).collect()
+    ]
+
+    # plain-Python recompute (exact integer semantics)
+    by_cust: dict[int, list[int]] = {}
+    for c, s in inc:
+        by_cust.setdefault(c, []).append(s)
+    scores: dict[tuple[int, int], list[int]] = {}
+    for c, sups in by_cust.items():
+        if len(sups) < 2:
+            continue
+        w = math.floor(1_000_000 / math.log(len(sups)))
+        for i, a in enumerate(sorted(sups)):
+            for b in sorted(sups)[i + 1 :]:
+                cur = scores.setdefault((a, b), [0, 0])
+                cur[0] += 1
+                cur[1] += w
+    expect = sorted(
+        ((a, b, sh, aa) for (a, b), (sh, aa) in scores.items()),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    assert got == expect
+
+    # networkx cross-check of the weight formula itself
+    g = nx.Graph()
+    g.add_edges_from((f"c{c}", f"s{s}") for c, s in inc)
+    nx_scores = {
+        tuple(sorted((int(u[1:]), int(v[1:])))): p
+        for u, v, p in nx.adamic_adar_index(
+            g, [(f"s{a}", f"s{b}") for (a, b) in scores]
+        )
+    }
+    for a, b, sh, aa in got:
+        # flooring loses < 1 micro-unit per shared customer
+        assert abs(aa / 1_000_000 - nx_scores[(a, b)]) < sh * 1e-6 + 1e-9
