@@ -35,98 +35,95 @@ _QUERY_MODULES = [
     "molgraphdb_spark.queries.spans",
 ]
 
-# Round-8 verification window (first 50), per the r7 verdict item 2.
-# Staleness is now COMPUTED, not hand-curated: tools/gen_query_index.py
-# reads every CORRECTNESS_r*.json and writes each query's last
-# driver-green round into QUERIES.md; this window was assembled from
-# that ledger. Composition:
-# - The four r7 percentile debuts (never driver-checked) lead:
-#   customer_spend_exact_percentiles, priority_ship_delay_percentiles,
-#   source_length_deciles, events_latency_percentiles.
-# - Changed-code r8 entries next: the grouped-ranking operator gained a
-#   NULL-safe offset join + min_by sum offsets (operators/ranking.py),
-#   so its consumers re-gate (doc_pack_offsets — also r5-stale —
-#   source_token_budget, events_ewma); chem/mol.py gained the
-#   aromatic-capable perception gate, so ALL nine chem queries re-gate
-#   (five of them are also the r4-stale chem family).
-# - Then the ENTIRE remaining r4-stale tail (31 non-chem entries: mm,
-#   events, text, tpch families — last driver-green in r4).
-# - The four r8 debuts (doc_bm25_topk, retrieval_rrf_hybrid,
-#   doc_quality_classifier, source_temperature_weights — new queries
-#   must enter through the window) fill the last slots;
-#   graph_pagerank_top, dedup_exact, dedup_incremental_flags (all
-#   r5-green, code untouched) and profile_lineitem (r4-stale but a
-#   trivial suite-covered profiling rollup) yielded their slots.
-# Rotated out: the 35 r6 debuts + r7 window rows — all r7-green and
-# (except the ranking consumers re-gated above) untouched this round.
-# graph_kcore_summary sits out one round (r7 rows-only + data-matched
-# golden, code untouched).
-# Post-window r8 debuts (the r9 window must LEAD with these — the r7
-# precedent): graph_adamic_adar, doc_priority_sample,
-# dedup_cross_source_matrix (each parity-green at sf0.001+sf0.01; the
-# in-suite sweep covers them until the r9 rotation).
-# Changed-code r8 entries NOT in this window (funnel-sweep rewrites,
-# result-identical and parity-green, but the r9 window should re-gate
-# them): dedup_embedding_cosine, dedup_simhash_pairs,
-# approx_distinct_parts, doc_repetition_suite, quantiles_price_by_flag,
-# approx_quantiles_price, profile_lineitem, graph_triangle_count.
-# (doc_fingerprint also changed but sits INSIDE this window already.)
+# Round-9 verification window (first 50), per the r8 verdict item 1.
+# Assembled from the computed staleness ledger (tools/
+# gen_query_index.py over all CORRECTNESS_r*.json). Composition:
+# - The 3 never-driver-checked post-window r8 debuts LEAD (the r7/r8
+#   precedent): graph_adamic_adar (also changed-code this round — the
+#   pairing join now attaches the weight dictionary pre-pairing for
+#   the hot-key cap), doc_priority_sample, dedup_cross_source_matrix.
+# - The 8 r8 funnel-sweep rewrites (changed code, parity-green but
+#   never driver-gated post-rewrite): dedup_embedding_cosine,
+#   dedup_simhash_pairs, approx_distinct_parts, doc_repetition_suite,
+#   quantiles_price_by_flag, approx_quantiles_price, profile_lineitem
+#   (also the last r4-stale row), graph_triangle_count (re-changed in
+#   r9: dispatch via operators/graph.triangle_count).
+# - graph_kcore_summary: first round with a value-hash oracle (the
+#   recursive-CTE peel) — must enter the window to flip its driver
+#   row from rows-only to hash-checked.
+# - Changed-code r9 re-gates: ALL nine chem queries (chem/mol.py
+#   gained Hückel 4n+2 perception + the E/Z reference-uniqueness fix;
+#   chem_pharma_profile's golden was re-derived) and events_ewma (its
+#   with_group_rows_frame operator gained the last-segment context
+#   cap).
+# - Then the OLDEST r5-stale entries (last driver-green r5), 28 of 39.
+#   11 defer to the r10 window lead — chosen lowest-risk: the three
+#   setops + skew_salted_status_counts (trivial, suite-covered) and
+#   q2/q4/q8/q9/q11/q12/q15 (TPC-H mainline, in-suite full-registry
+#   sweep + untouched since r5): setop_intersect_nations,
+#   setop_union_nations, setop_except_nations,
+#   skew_salted_status_counts, q2_min_cost_supplier, q4_order_priority,
+#   q8_market_share, q9_product_profit, q11_important_parts,
+#   q12_ship_priority, q15_top_supplier.
+# Rotated out: the 50 r8-green window rows (all untouched this round
+# except the chem/ewma re-gates above, which stay in).
 _PRIORITY = [
-    # ---- r7 debuts: first driver rows ----
-    "customer_spend_exact_percentiles",
-    "priority_ship_delay_percentiles",
-    "source_length_deciles",
-    "events_latency_percentiles",
-    # ---- grouped-ranking operator changed this round ----
-    "doc_pack_offsets",
-    "source_token_budget",
-    "events_ewma",
-    # ---- chem/mol.py aromatic gate changed this round ----
+    # ---- never driver-checked (post-window r8 debuts) ----
+    "graph_adamic_adar",
+    "doc_priority_sample",
+    "dedup_cross_source_matrix",
+    # ---- r8 funnel-sweep rewrites: first driver gate post-rewrite ----
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
+    "approx_distinct_parts",
+    "doc_repetition_suite",     # also r5-stale
+    "quantiles_price_by_flag",
+    "approx_quantiles_price",   # also r5-stale
+    "profile_lineitem",         # last r4-stale row
+    "graph_triangle_count",     # re-changed r9: size dispatch
+    # ---- first round with a value-hash oracle ----
+    "graph_kcore_summary",
+    # ---- chem/mol.py changed (Hückel + E/Z uniqueness) ----
     "chem_nearest_molecule",
     "chem_pharma_profile",
     "chem_edit_expansion",
     "chem_exact_ged_pairs",
-    "chem_pharma_overlap",      # also r4-stale
-    "chem_subgraph_display",    # also r4-stale
-    "chem_subgraph_counts",     # also r4-stale
-    "chem_tanimoto_pairs",      # also r4-stale
-    "chem_subgraph_catalog_hist",  # also r4-stale
-    # ---- the full remaining r4-stale tail ----
-    "mm_frame_sample",
-    "mm_chunk_windows",
-    "dedup_clusters",
-    "events_hourly_counts",
-    "events_tumbling_window",
-    "events_json_extract",
-    "events_sessionize",
-    "events_lag_lead_delta",
-    "events_ohlc_resample",
-    "events_asof_join",
-    "events_range_join",
-    "events_gap_fill",
-    "events_sliding_window",
-    "events_rolling_hour_avg",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_language_id",
-    "doc_fingerprint",
-    "doc_ngram_topk",
-    "doc_tfidf_top_terms",
-    "doc_content_filter",
-    "doc_decontaminate_overlap",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    # ---- r8 debuts (new queries must enter through the window) ----
-    "doc_bm25_topk",
-    "retrieval_rrf_hybrid",
-    "doc_quality_classifier",
-    "source_temperature_weights",
+    "chem_pharma_overlap",
+    "chem_subgraph_display",
+    "chem_subgraph_counts",
+    "chem_tanimoto_pairs",
+    "chem_subgraph_catalog_hist",
+    # ---- ranking frame operator changed (context cap) ----
+    "events_ewma",
+    # ---- oldest r5-stale tail (28 of 39; 11 defer to r10) ----
+    "graph_pagerank_top",
+    "dedup_exact",
+    "dedup_incremental_flags",
+    "neardup_jaccard_pairs",
+    "dedup_lsh_verified",
+    "dedup_keep_best",
+    "neardup_containment_pairs",
+    "events_funnel",
+    "events_twap",
+    "events_anomaly_outliers",
+    "events_winsorized_stats",
+    "vocab_bpe_merge_pairs",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "source_token_divergence",
+    "doc_gopher_repetition",
+    "doc_pii_redact",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "doc_mixture_sample",
+    "orders_retention_cohorts",
+    "doc_split_assign",
+    "fuzzy_name_pairs",
+    "fuzzy_name_clusters",
+    "doc_dup_span_stats",
+    "doc_dup_span_removal",
 ]
 
 
