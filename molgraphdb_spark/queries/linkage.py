@@ -168,12 +168,81 @@ ORDER BY nn.canonical_name
 """
 
 
+#: Sorted-neighborhood sliding-window size: pairs within this many
+#: rank positions of each other become candidates.
+SN_WINDOW = 8
+
+
+def fuzzy_name_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND standard ER blocking strategy (Hernández & Stolfo
+    1995, "The merge/purge problem for large databases"): sort the
+    dictionary by the blocking key (the name itself) and compare only
+    records within a sliding window of SN_WINDOW positions — the
+    complement of token blocking (which misses pairs sharing no whole
+    word; sorted-neighborhood instead misses pairs differing in their
+    PREFIX, catching typo tails token blocking drops). Production ER
+    runs both and unions the candidates (multi-pass SN).
+
+    Scale shape: the global rank is the exact two-pass distributed
+    rank (operators/ranking.py — NO partitionless window over the
+    dictionary); the window pairing is the segmented-scan idiom
+    (with_group_rows_frame's): block b = rank div W, each row also
+    copied into block b+1 as context, pairs generated ONLY against a
+    block's own rows under (0 < Δrank < W) — every qualifying pair
+    found exactly once (same block, or across the boundary via the
+    context copy), per-block work ≤ 2W², and the whole pairing is one
+    equi-join on the block key. Verification (levenshtein ≤ 3) stays
+    in codegen."""
+    from molgraphdb_spark.operators.ranking import exact_div, with_order_stats
+
+    w = SN_WINDOW
+    names = _name_dict(spark, sf_dir)
+    ranked, _tot = with_order_stats(names, [F.asc("name")], rank_col="i")
+    pos = F.col("i") - 1
+    blk = exact_div(pos, w)
+    rows = ranked.withColumn("_b", F.explode(F.array(blk, blk + 1))).withColumn(
+        "_own", (F.col("_b") == blk).cast("int")
+    )
+    x = rows.select(
+        F.col("_b").alias("b"), F.col("name").alias("name_a"), F.col("i").alias("ia")
+    )
+    y = rows.filter(F.col("_own") == 1).select(
+        F.col("_b").alias("b"), F.col("name").alias("name_b"), F.col("i").alias("ib")
+    )
+    return (
+        x.join(y, "b")
+        .filter(
+            (F.col("ib") > F.col("ia")) & (F.col("ib") - F.col("ia") < F.lit(w))
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= MAX_EDIT_DIST)
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_SN_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+r AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS i FROM names)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+FROM r a JOIN r b ON b.i > a.i AND b.i - a.i < {SN_WINDOW}
+WHERE levenshtein(a.name, b.name) <= {MAX_EDIT_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "fuzzy_name_sorted_neighborhood": fuzzy_name_sorted_neighborhood,
     "fuzzy_name_clusters": fuzzy_name_clusters,
 }
 
 ORACLES = {
     "fuzzy_name_pairs": FUZZY_NAME_PAIRS_SQL,
+    "fuzzy_name_sorted_neighborhood": FUZZY_SN_SQL,
     "fuzzy_name_clusters": FUZZY_NAME_CLUSTERS_SQL,
 }

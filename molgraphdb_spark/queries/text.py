@@ -1525,8 +1525,118 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+#: Collocation count floor: bigrams rarer than this are PMI noise
+#: (Church & Hanks 1990 recommend exactly this kind of floor — PMI of
+#: a hapax pair is unboundedly inflated).
+COLLOC_MIN_COUNT = 5
+
+
+def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token collocations by pointwise mutual information
+    (Church & Hanks 1990, "Word association norms, mutual information,
+    and lexicography") — PMI(a,b) = ln(p(ab)/(p(a)p(b))) over adjacent
+    token pairs, the classic corpus-linguistics statistic a tokenizer/
+    vocabulary pipeline reads to find multi-word units worth merging
+    (the statistical cousin of the BPE merge table's raw counts).
+
+    Determinism: counts are exact integers; the PMI argument is ONE
+    double expression with a pinned operation order over those
+    integers — (n_ab·N1·N1)/(N2·c_a·c_b) — and the score floors to
+    milli units (+0.5) through the proven F.log↔ln cross-engine pair
+    (doc_bm25_topk discipline). Ordering is (pmi_milli desc, ta, tb).
+
+    Scale shape: corpus totals N1/N2 ride ONE bounded stats collect
+    (2 longs — the BM25 pass-1 rule); unigram and bigram counts are
+    map-side-combined groupBys (a hot token arrives pre-collapsed to
+    ~one row per map task); the unigram dictionary localCheckpoints
+    once (referenced twice — the single-execution rule) and joins the
+    bigram relation on each endpoint token: two vocabulary-keyed
+    shuffles, nothing ever broadcast or driver-sized. The
+    COLLOC_MIN_COUNT floor prunes the bigram tail BEFORE the joins."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = _tokens()
+    stats = docs.select(F.size(toks).alias("l")).agg(
+        F.coalesce(F.sum("l"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.greatest(F.col("l") - 1, F.lit(0))), F.lit(0)).alias("n2"),
+    ).first()
+    n1, n2 = int(stats["n1"]), int(stats["n2"])
+    uni = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    pair = F.zip_with(
+        F.expr("slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) - 1)"),
+        F.expr("slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text), '\\\\s+')) - 1)"),
+        lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+    )
+    big = (
+        docs.select(F.explode(pair).alias("p"))
+        .select("p.ta", "p.tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= COLLOC_MIN_COUNT)
+    )
+    joined = (
+        big.join(uni.select(F.col("t").alias("ta"), F.col("c").alias("c_a")), "ta")
+        .join(uni.select(F.col("t").alias("tb"), F.col("c").alias("c_b")), "tb")
+    )
+    pmi = F.expr(
+        f"CAST(floor(1000 * ln((CAST(n_ab AS DOUBLE) * {n1} * {n1})"
+        f" / (CAST({n2} AS DOUBLE) * c_a * c_b)) + 0.5) AS BIGINT)"
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "ta", "tb").alias("bigram"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            pmi.alias("pmi_milli"),
+        )
+        .orderBy(F.desc("pmi_milli"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+DOC_COLLOC_SQL = f"""
+WITH dd AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT CAST(SUM(len(t)) AS BIGINT) AS n1,
+         CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS n2
+  FROM dd
+),
+uni AS (
+  SELECT u.tok AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dd, UNNEST(dd.t) AS u(tok) GROUP BY u.tok
+),
+big AS (
+  SELECT bg.ta, bg.tb, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM dd, UNNEST(list_transform(range(1, len(dd.t)),
+                  i -> struct_pack(ta := dd.t[i], tb := dd.t[i+1]))) AS b(bg)
+  GROUP BY bg.ta, bg.tb
+  HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+)
+SELECT big.ta || ' ' || big.tb AS bigram,
+       big.n_ab, ua.c AS c_a, ub.c AS c_b,
+       CAST(floor(1000 * ln((CAST(big.n_ab AS DOUBLE) * stats.n1 * stats.n1)
+                  / (CAST(stats.n2 AS DOUBLE) * ua.c * ub.c)) + 0.5) AS BIGINT)
+         AS pmi_milli
+FROM big
+JOIN uni ua ON ua.t = big.ta
+JOIN uni ub ON ub.t = big.tb
+CROSS JOIN stats
+ORDER BY pmi_milli DESC, bigram ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
+    "doc_collocation_pmi": doc_collocation_pmi,
     "doc_quality_classifier": doc_quality_classifier,
     "doc_token_stats": doc_token_stats,
     "vocab_bpe_merge_pairs": vocab_bpe_merge_pairs,
@@ -1552,6 +1662,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_bm25_topk": DOC_BM25_SQL,
+    "doc_collocation_pmi": DOC_COLLOC_SQL,
     "doc_quality_classifier": DOC_QC_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "vocab_bpe_merge_pairs": VOCAB_BPE_SQL,

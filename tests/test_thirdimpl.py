@@ -199,3 +199,109 @@ def test_adamic_adar_matches_python_and_networkx(spark, tmp_path_factory):
     for a, b, sh, aa in got:
         # flooring loses < 1 micro-unit per shared customer
         assert abs(aa / 1_000_000 - nx_scores[(a, b)]) < sh * 1e-6 + 1e-9
+
+
+def test_collocation_pmi_matches_python_reference(spark, tmp_path_factory):
+    # PMI over adjacent token pairs, count floor 5 — recomputed with
+    # dict loops and math.log on a corpus where "new york" is a real
+    # collocation and "the the" is frequent but uninformative.
+    from molgraphdb_spark.queries.text import (
+        COLLOC_MIN_COUNT,
+        doc_collocation_pmi,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_colloc"))
+    rng = random.Random(3)
+    filler = ["the", "of", "a", "data", "table", "fast", "row"]
+    rows = []
+    for did in range(60):
+        toks = [rng.choice(filler) for _ in range(rng.randrange(5, 15))]
+        if did % 4 == 0:
+            toks[2:2] = ["new", "york"]  # planted collocation
+        rows.append((did, " ".join(toks), "en", "web"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = [
+        (r.bigram, r.n_ab, r.c_a, r.c_b, r.pmi_milli)
+        for r in doc_collocation_pmi(spark, path).collect()
+    ]
+
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    n1 = n2 = 0
+    for _did, text, _l, _s in rows:
+        toks = text.split()
+        n1 += len(toks)
+        n2 += max(len(toks) - 1, 0)
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    expect = []
+    for (a, b), n_ab in big.items():
+        if n_ab < COLLOC_MIN_COUNT:
+            continue
+        pmi = math.floor(
+            1000 * math.log((n_ab * n1 * n1) / (n2 * uni[a] * uni[b])) + 0.5
+        )
+        expect.append((f"{a} {b}", n_ab, uni[a], uni[b], pmi))
+    expect.sort(key=lambda t: (-t[4], t[0]))
+    assert got == expect[:20]
+    # the planted collocation outranks every filler bigram
+    assert got[0][0] == "new york"
+
+
+def _edit_dist(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_matches_python_reference(spark, tmp_path_factory):
+    # Hernández–Stolfo sliding window over the sorted dictionary,
+    # recomputed with a plain sort + window scan + DP edit distance.
+    from molgraphdb_spark.queries.linkage import (
+        MAX_EDIT_DIST,
+        SN_WINDOW,
+        fuzzy_name_sorted_neighborhood,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_sn"))
+    rng = random.Random(5)
+    base = [
+        f"{a} {b} {c}"
+        for a in ["almond", "azure", "beige", "blush", "coral"]
+        for b in ["metallic", "polished", "dim"]
+        for c in ["steel", "tin", "brass"]
+    ]
+    names = set(base)
+    for n in base[::3]:  # planted typos sort-adjacent to their source
+        names.add(n[:-1] + chr(ord(n[-1]) + 1))
+    rows = [(i, n) for i, n in enumerate(sorted(names))]
+    spark.createDataFrame(rows, "p_partkey long, p_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/part.parquet")
+
+    got = [
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in fuzzy_name_sorted_neighborhood(spark, path).collect()
+    ]
+    ordered = sorted(names)
+    expect = sorted(
+        (a, b, d)
+        for i, a in enumerate(ordered)
+        for b in ordered[i + 1 : i + SN_WINDOW]
+        if (d := _edit_dist(a, b)) <= MAX_EDIT_DIST
+    )
+    assert got == expect
+    assert len(got) >= len(base) // 3  # every planted typo is caught
