@@ -502,6 +502,7 @@ def triangle_count(
     *,
     n_vertices: int | None = None,
     broadcast_max_vertices: int = TRIANGLE_BROADCAST_MAX_VERTICES,
+    materialized: bool = False,
 ) -> DataFrame:
     """Exact triangle count over a canonical undirected edge list
     (columns ``x < y``, deduplicated) via compact-forward adjacency
@@ -521,9 +522,15 @@ def triangle_count(
     knows the bound (a dimension-table count) to skip the counting job.
     Diagnostics: ``triangle_count.last_strategy`` records which path
     ran ('broadcast' | 'copartition'). Returns one row
-    ``(n_triangles bigint)``."""
+    ``(n_triangles bigint)``. Pass ``materialized=True`` when the
+    caller already localCheckpointed/cached ``edges`` — the operator
+    references the edge list twice (adjacency build + stream side), so
+    it materializes once itself otherwise; double-checkpointing an
+    already-materialized projection costs a wasted pass (r9 bench)."""
     spark = edges.sparkSession
-    proj = edges.select("x", "y").localCheckpoint()
+    proj = edges.select("x", "y")
+    if not materialized:
+        proj = proj.localCheckpoint()
     if n_vertices is None:
         n_vertices = (
             proj.select(F.explode(F.array("x", "y")).alias("v")).distinct().count()

@@ -307,9 +307,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cust").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
     ).localCheckpoint()
     # Vertex bound from the supplier DIMENSION (tiny metadata-cheap
-    # count), not a job over the projection.
+    # count), not a job over the projection; proj is already
+    # checkpointed above, so the operator must not re-materialize it.
     n_sup = load_table(spark, sf_dir, "supplier").count()
-    tri = triangle_count(proj, n_vertices=n_sup)
+    tri = triangle_count(proj, n_vertices=n_sup, materialized=True)
     return tri.crossJoin(proj.agg(F.count(F.lit(1)).alias("n_proj_edges")))
 
 
