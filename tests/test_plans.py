@@ -530,3 +530,59 @@ def test_embedding_cosine_dedup_stream_side_parallel(spark, sf_dir):
     p = formatted_plan(dedup_embedding_cosine(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p
     assert "RoundRobinPartitioning" in p  # formatted mode: Arguments line
+
+
+def test_collocation_pmi_scale_shape(spark, sf_dir):
+    # r9: corpus totals came from a bounded pre-collect (2 longs), so
+    # the final plan has NO driver-feeding aggregate; unigram counts
+    # localCheckpoint once (Scan ExistingRDD) and join the floored
+    # bigram relation — vocabulary-keyed shuffle joins, nothing
+    # broadcast-nested-loop, no Python worker; the scans read only
+    # text.
+    from molgraphdb_spark.queries.text import doc_collocation_pmi
+
+    df = doc_collocation_pmi(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert set(s["read_columns"]) <= {"text"}
+    assert "Scan ExistingRDD" in s["plan"]  # the checkpointed dictionary
+    assert "TakeOrderedAndProject" in s["plan"]  # top-20, no global sort
+
+
+def test_sorted_neighborhood_scale_shape(spark, sf_dir):
+    # r9: the rank is the two-pass distributed rank (bucket-keyed
+    # window — never partitionless) and the pairing is ONE equi-join
+    # on the block key; levenshtein stays in codegen (no Python).
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.linkage import fuzzy_name_sorted_neighborhood
+
+    df = fuzzy_name_sorted_neighborhood(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert n_partitionless_windows(df) == 0
+    assert set(s["read_columns"]) <= {"p_name"}
+
+
+def test_triangle_count_dispatch_plan_shapes(spark, sf_dir):
+    # r9: under the vertex ceiling both adjacency joins broadcast; past
+    # it neither does — the co-partition path must show shuffle joins
+    # (shuffle-hash or sort-merge), no broadcast of the adjacency.
+    from molgraphdb_spark.operators.graph import triangle_count
+
+    proj = (
+        spark.range(500)
+        .selectExpr("id as x", "id + 1 as y")
+        .localCheckpoint()
+    )
+    sb = plan_summary(triangle_count(proj, n_vertices=501, materialized=True))
+    assert sb["n_broadcast_joins"] >= 2
+    sc = plan_summary(
+        triangle_count(
+            proj, n_vertices=501, broadcast_max_vertices=10, materialized=True
+        )
+    )
+    assert sc["n_broadcast_joins"] == 0
+    assert "ShuffledHashJoin" in sc["plan"] or "SortMergeJoin" in sc["plan"]
