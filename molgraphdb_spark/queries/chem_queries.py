@@ -98,6 +98,70 @@ ORDER BY name
 """
 
 
+#: Substructure screen queries (name, fragment SMILES). Fragments must
+#: fit the enumeration bound of the catalog they probe (≤ the fixture
+#: molecules' own size here; PHARMA_MAX_SUBGRAPH for a drug catalog).
+SUBSTRUCTURE_QUERIES = [
+    ("butyl_chain", "CCCC"),
+    ("cyclobutane_ring", "C1CCC1"),
+    ("isobutyl_branch", "CC(C)C"),
+    ("propyl_chain", "CCC"),
+]
+
+
+def chem_substructure_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE molecular-database query: which catalog molecules CONTAIN a
+    given fragment — answered entirely from the WL subgraph-hash
+    catalog (the reference's hash-set machinery, mcs.py:310-314, used
+    as a substructure index): a molecule contains the fragment iff the
+    fragment's WL key appears among the molecule's enumerated induced
+    connected subgraph hashes. No per-pair isomorphism test at query
+    time — the screen is one hash equi-join, the classic
+    fingerprint-screen shape every chemical registry runs.
+
+    Induced-subgraph semantics is part of the contract (and the
+    golden): a 4-path is NOT contained in cyclobutane — the 4 ring
+    atoms induce the ring, not the path — while a 3-path is (3 ring
+    atoms induce a path). Matches substructure-as-induced-subgraph;
+    monomorphism-style containment would need non-induced enumeration.
+
+    Scale shape: fragments are a bounded literal dictionary (their WL
+    keys computed driver-side — ≤ |queries| tiny parses), broadcast
+    into the catalog's hash column; for a 100 TB catalog the subgraph
+    relation is the stored populate_database output and the screen
+    stays one map-side hash join."""
+    from molgraphdb_spark.chem.mol import mol_key, parse_smiles
+    from molgraphdb_spark.functions.literals import literal_df
+
+    sg = _fixture_subgraphs(spark)
+    qk = [(q, mol_key(parse_smiles(smi))) for q, smi in SUBSTRUCTURE_QUERIES]
+    qdf = literal_df(spark, qk, ["query", "qkey"])
+    return (
+        sg.join(F.broadcast(qdf), sg.subgraph_hash == qdf.qkey)
+        .select("query", F.col("parent").alias("name"))
+        .distinct()
+        .orderBy("query", "name")
+    )
+
+
+#: Golden hand-derived from the enumeration semantics (and re-derived
+#: by the plain-Python recompute in tests/test_thirdimpl.py): butyl in
+#: Butane/Hexane/Isopentane (NOT cyclobutane — induced), isobutyl in
+#: the two branched alkanes, propyl in all five.
+CHEM_SUBSTRUCTURE_SQL = """
+SELECT * FROM (VALUES
+  ('butyl_chain', 'Butane'), ('butyl_chain', 'Hexane'),
+  ('butyl_chain', 'Isopentane'),
+  ('cyclobutane_ring', 'Cyclobutane'),
+  ('isobutyl_branch', 'Isopentane'), ('isobutyl_branch', 'Neopentane'),
+  ('propyl_chain', 'Butane'), ('propyl_chain', 'Cyclobutane'),
+  ('propyl_chain', 'Hexane'), ('propyl_chain', 'Isopentane'),
+  ('propyl_chain', 'Neopentane')
+) AS t(query, name)
+ORDER BY query, name
+"""
+
+
 def chem_tanimoto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tanimoto + approx GED for all C(5,2)=10 fixture pairs (the
     reference's all-pairs demo, mcs.py:744-751) via the join/agg
@@ -489,6 +553,7 @@ QUERIES = {
     "chem_pharma_overlap": chem_pharma_overlap,
     "chem_subgraph_display": chem_subgraph_display,
     "chem_subgraph_counts": chem_subgraph_counts,
+    "chem_substructure_search": chem_substructure_search,
     "chem_tanimoto_pairs": chem_tanimoto_pairs,
     "chem_nearest_molecule": chem_nearest_molecule,
     "chem_subgraph_catalog_hist": chem_subgraph_catalog_hist,
@@ -526,6 +591,7 @@ ORACLES = {
     "chem_pharma_overlap": CHEM_PHARMA_OVERLAP_SQL,
     "chem_subgraph_display": CHEM_DISPLAY_SQL,
     "chem_subgraph_counts": CHEM_SUBGRAPH_COUNTS_SQL,
+    "chem_substructure_search": CHEM_SUBSTRUCTURE_SQL,
     "chem_tanimoto_pairs": CHEM_TANIMOTO_SQL,
     "chem_nearest_molecule": CHEM_NEAREST_SQL,
     "chem_subgraph_catalog_hist": CHEM_CATALOG_SQL,

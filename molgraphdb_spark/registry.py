@@ -56,11 +56,12 @@ _QUERY_MODULES = [
 #   chem_pharma_profile's golden was re-derived) and events_ewma (its
 #   with_group_rows_frame operator gained the last-segment context
 #   cap).
-# - The two r9 debuts (doc_collocation_pmi — Church & Hanks PMI
+# - The three r9 debuts (doc_collocation_pmi — Church & Hanks PMI
 #   collocations; fuzzy_name_sorted_neighborhood — Hernández–Stolfo
-#   merge/purge blocking) enter through the window, per the rule.
-# - Then the OLDEST r5-stale entries (last driver-green r5), 26 of 39.
-#   13 defer to the r10 window lead — chosen lowest-risk: the three
+#   merge/purge blocking; chem_substructure_search — WL-catalog
+#   substructure screen) enter through the window, per the rule.
+# - Then the OLDEST r5-stale entries (last driver-green r5), 25 of 39.
+#   14 defer to the r10 window lead — chosen lowest-risk: the three
 #   setops + skew_salted_status_counts (trivial, suite-covered) and
 #   q2/q4/q8/q9/q11/q12/q15/q16/q17 (TPC-H mainline, in-suite
 #   full-registry sweep + untouched since r5): setop_intersect_nations,
@@ -68,7 +69,7 @@ _QUERY_MODULES = [
 #   skew_salted_status_counts, q2_min_cost_supplier, q4_order_priority,
 #   q8_market_share, q9_product_profit, q11_important_parts,
 #   q12_ship_priority, q15_top_supplier, q16_part_supplier_counts,
-#   q17_small_qty_revenue.
+#   q17_small_qty_revenue, q20_excess_suppliers.
 # Rotated out: the 50 r8-green window rows (all untouched this round
 # except the chem/ewma re-gates above, which stay in).
 _PRIORITY = [
@@ -102,7 +103,8 @@ _PRIORITY = [
     # ---- r9 debuts (new queries enter through the window) ----
     "doc_collocation_pmi",
     "fuzzy_name_sorted_neighborhood",
-    # ---- oldest r5-stale tail (26 of 39; 13 defer to r10) ----
+    "chem_substructure_search",
+    # ---- oldest r5-stale tail (25 of 39; 14 defer to r10) ----
     "graph_pagerank_top",
     "dedup_exact",
     "dedup_incremental_flags",
@@ -120,7 +122,6 @@ _PRIORITY = [
     "source_token_divergence",
     "doc_gopher_repetition",
     "doc_pii_redact",
-    "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "doc_mixture_sample",
     "orders_retention_cohorts",

@@ -305,3 +305,31 @@ def test_sorted_neighborhood_matches_python_reference(spark, tmp_path_factory):
     )
     assert got == expect
     assert len(got) >= len(base) // 3  # every planted typo is caught
+
+
+def test_substructure_search_matches_python_reference(spark):
+    # containment = fragment WL key ∈ the molecule's enumerated induced
+    # connected subgraph hashes — recomputed with the pure-Python
+    # enumeration directly (no Spark catalog, no literal golden).
+    from molgraphdb_spark.chem.mol import mol_key, parse_smiles
+    from molgraphdb_spark.chem.subgraphs import subgraph_hashes
+    from molgraphdb_spark.queries.chem_queries import (
+        EXAMPLES,
+        SUBSTRUCTURE_QUERIES,
+        chem_substructure_search,
+    )
+
+    got = [
+        (r.query, r.name)
+        for r in chem_substructure_search(spark, "unused").collect()
+    ]
+    cat = {name: subgraph_hashes(parse_smiles(smi)) for name, smi in EXAMPLES}
+    expect = sorted(
+        (q, name)
+        for q, qsmi in SUBSTRUCTURE_QUERIES
+        for name, hs in cat.items()
+        if mol_key(parse_smiles(qsmi)) in hs
+    )
+    assert got == expect
+    # the induced-subgraph subtlety stays pinned: no 4-path in the ring
+    assert ("butyl_chain", "Cyclobutane") not in got
