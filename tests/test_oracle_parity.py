@@ -45,10 +45,13 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     assert value_hash(scols, srows) == value_hash(dcols, drows)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_no_rows_only_queries_remain():
+    # r9: every registry query has a value-hash oracle (the k-core
+    # peel was the last rows-only entry; it gained a recursive-CTE
+    # oracle). This replaces the old parametrized rows-only smoke
+    # test, whose parameter set is now empty — a NEW oracle-less query
+    # fails test_registry_smoke's missing-oracle gate, not this one.
+    assert sorted(set(QUERIES) - set(ORACLES)) == []
 
 
 def test_entry_smoke(spark):
