@@ -69,6 +69,9 @@ REPRESENTATIVE = [
     "graph_adamic_adar",         # degree-weighted pairs over zero edges
     "doc_priority_sample",       # top-k over zero priorities
     "dedup_cross_source_matrix", # hash-source rollup over zero docs
+    "doc_collocation_pmi",       # corpus totals + PMI joins over zero docs
+    "fuzzy_name_sorted_neighborhood",  # rank + window pairs over zero names
+    "graph_kcore_summary",       # peel over zero edges
 ]
 
 
