@@ -79,6 +79,9 @@ AT_RISK = [
     "graph_adamic_adar",         # integer micro-weight sums + pair ties
     "doc_priority_sample",       # micro-floored priorities + id ties
     "dedup_cross_source_matrix", # verified-pair rollup — integer bp sums
+    "doc_collocation_pmi",       # vocab-keyed counts + milli-floored ln ties
+    "fuzzy_name_sorted_neighborhood",  # rank blocks at bucket seams
+    "graph_kcore_summary",       # H-operator fixpoint — layout-free peel
 ]
 
 
