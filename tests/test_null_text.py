@@ -40,6 +40,7 @@ TEXT_FAMILY = [
     "doc_lang_confusion",
     "doc_ngram_novelty",
     "vocab_zipf_slope",
+    "doc_collocation_pmi",  # r9: NULL text must not reach the bigram zip
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the
