@@ -15,19 +15,22 @@ brackets ([Na+], [Fe+2], [Au]; aromatic [se]/[as]) — non-organic
 elements carry no valence bound, matching RDKit's default model.
 
 Kekulé-written aromatic rings are normalized to aromatic form via
-Hückel 4n+2 π-electron counting over all simple 5/6-cycles iterated
+Hückel 4n+2 π-electron counting over all simple 5/6/7-cycles iterated
 to fixpoint (perception below, r9), so ``C1=CC=CC=C1`` and
 ``c1ccccc1`` share one identity — as do the fused/non-benzenoid
 forms RDKit's SanitizeMol unifies for the reference (main.py:94–95):
 Kekulé caffeine's pyrimidinedione ring (exocyclic C=O carbons
-contribute 0 electrons, pyrrole-type N its lone pair) now equals its
-lowercase form. PRECISE perception boundary (pinned by
-tests/test_chem.py): rings of size 5 and 6 only — 7-ring aromatics
-(tropylium, azulene's heptagon) keep distinct Kekulé vs lowercase
-identities; anti-aromatic counts (quinone 4, 1,4-dioxine 8) and
-sp³-interrupted rings stay Kekulé; a ring holding any
-non-aromatic-capable element ([Na+]) stays Kekulé regardless of bond
-alternation.
+contribute 0 electrons, pyrrole-type N its lone pair) equals its
+lowercase form, tropylium's 7-ring qualifies (r9b), and fused
+systems whose individual rings fail Hückel are re-counted as one
+π system (azulene's 10 electrons — both Kekulé writings unify).
+PRECISE perception boundary (pinned by tests/test_chem.py): rings
+of size 5/6/7 and their fused systems — larger monocycles
+([8]annulene and up) keep distinct Kekulé vs lowercase identities;
+anti-aromatic counts (quinone 4, 1,4-dioxine 8, pentalene 8,
+heptalene 12) and sp³-interrupted rings stay Kekulé; a ring holding
+any non-aromatic-capable element ([Na+]) stays Kekulé regardless of
+bond alternation.
 The parser is TOTAL: any string outside the subset raises
 ``SmilesError`` (never another exception — fuzz-verified over
 arbitrary token soup and a grammar-valid generator), and anything
@@ -568,27 +571,22 @@ _PI_DONOR_ELECTRONS = {"N": 2, "O": 2, "S": 2, "Se": 2, "P": 2, "As": 2, "B": 0}
 _EXO_ELECTRONEGATIVE = frozenset({"O", "N", "S"})
 
 
-def _pi_contribution(
+def _no_pi_contribution(
     mol: MolGraph,
     atom: int,
-    prev_o: float,
-    next_o: float,
-    cycle_edges: frozenset[tuple[int, int]],
+    in_edges: frozenset[tuple[int, int]],
 ) -> int | None:
-    """π-electron contribution of ``atom`` to a candidate ring whose
-    two cycle edges at the atom have orders ``prev_o``/``next_o``, or
-    None when the atom makes the ring non-aromatizable (sp³ carbon,
-    exocyclic double to a non-electronegative atom)."""
-    # An in-ring π edge (double, or aromatic from an already-perceived
-    # fused ring) contributes exactly one electron.
-    if 2.0 in (prev_o, next_o) or AROMATIC_ORDER in (prev_o, next_o):
-        return 1
-    # Both cycle edges single: look for an exocyclic double bond.
+    """π-electron contribution of ``atom`` when NONE of its bonds
+    inside the candidate ring/system (``in_edges``) is a π bond:
+    an exocyclic double to O/N/S keeps it in the system at 0 e⁻
+    (carbonyl carbon), an exocyclic double to anything else rejects
+    (fulvene), otherwise lone-pair donors give 2, boron 0, charged
+    carbon 2/0, and neutral carbon rejects (sp³)."""
     exo_partners = [
         x
         for x in mol.neighbors(atom)
         if mol.bonds.get((min(atom, x), max(atom, x))) == 2.0
-        and (min(atom, x), max(atom, x)) not in cycle_edges
+        and (min(atom, x), max(atom, x)) not in in_edges
     ]
     if exo_partners:
         if all(mol.elements[x] in _EXO_ELECTRONEGATIVE for x in exo_partners):
@@ -610,6 +608,25 @@ def _pi_contribution(
     return 0 if q > 0 else base
 
 
+def _pi_contribution(
+    mol: MolGraph,
+    atom: int,
+    prev_o: float,
+    next_o: float,
+    cycle_edges: frozenset[tuple[int, int]],
+) -> int | None:
+    """π-electron contribution of ``atom`` to a candidate ring whose
+    two cycle edges at the atom have orders ``prev_o``/``next_o``, or
+    None when the atom makes the ring non-aromatizable (sp³ carbon,
+    exocyclic double to a non-electronegative atom)."""
+    # An in-ring π edge (double, or aromatic from an already-perceived
+    # fused ring) contributes exactly one electron.
+    if 2.0 in (prev_o, next_o) or AROMATIC_ORDER in (prev_o, next_o):
+        return 1
+    # Both cycle edges single: no in-ring π at this atom.
+    return _no_pi_contribution(mol, atom, cycle_edges)
+
+
 def _perceive_aromatic_rings(mol: MolGraph) -> None:
     """Normalize Kekulé-written aromatic rings to aromatic form via
     Hückel 4n+2 π-electron counting, so ``C1=CC=CC=C1`` and
@@ -618,7 +635,7 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
     caffeine's pyrimidinedione ring — share one WL identity.
 
     Rule, iterated to fixpoint for fused systems (naphthalene, pyrene,
-    Kekulé indole/purine): a 5/6-cycle of aromatic-CAPABLE elements
+    Kekulé indole/purine): a 5/6/7-cycle of aromatic-CAPABLE elements
     (AROMATIC_ELEMENTS gate — a ring holding [Na+] stays Kekulé no
     matter how its bonds alternate) qualifies when every cycle edge is
     single/double/aromatic, no atom joins two double cycle edges
@@ -627,62 +644,139 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
     O/N/S → 0, lone-pair donor → 2, boron → 0, charged carbon → 2/0;
     sp³ carbon or an exocyclic double to carbon reject the ring), and
     the ring total satisfies 4n+2 (quinone's 4 and 1,4-dioxine's 8
-    stay Kekulé). Rings larger than 6 (azulene, tropylium) remain
-    outside the documented subset — their Kekulé and lowercase forms
-    keep distinct identities."""
+    stay Kekulé). 7-rings joined r9b: tropylium's 6 electrons qualify,
+    azepine/oxepine's 8 do not, and tropone aromatizes — the same
+    exocyclic-C=O-contributes-0 rule that unifies caffeine, applied
+    without a ring-size carve-out.
+
+    Second pass for fused systems whose INDIVIDUAL rings fail Hückel
+    but whose union passes (RDKit counts ring systems, not just rings
+    — azulene: the 5-ring and 7-ring alone never total 4n+2 in any
+    Kekulé writing, the 10-atom system always totals 10): per-ATOM
+    contributions over the union of the member rings' edges (π bond
+    anywhere inside the system → 1, else the same no-π table), total
+    ≡ 2 (mod 4) aromatizes every system edge — so both azulene
+    Kekulé forms (transannular bond single or double) unify with the
+    lowercase form. Pentalene (8), heptalene (12) and s-indacene (12)
+    systems stay Kekulé; acenaphthylene's 5-ring keeps its localized
+    double (ring 5 e⁻, system 12 e⁻ — both fail, matching RDKit)."""
     g = nx.Graph(list(mol.bonds))
-    # All simple 5/6-cycles, not a cycle basis: nx.cycle_basis returns a
-    # FUNDAMENTAL basis, which for peri-fused polycyclics (pyrene:
-    # [6,6,6,12]) omits some hexagonal faces entirely and would silently
-    # split the WL identity of Kekulé vs lowercase forms. length_bound
-    # enumeration is exact and cheap on molecular graphs (≤ tens of
-    # atoms; ring count is bounded by the cyclomatic number).
+    # All simple 5/6/7-cycles, not a cycle basis: nx.cycle_basis
+    # returns a FUNDAMENTAL basis, which for peri-fused polycyclics
+    # (pyrene: [6,6,6,12]) omits some hexagonal faces entirely and
+    # would silently split the WL identity of Kekulé vs lowercase
+    # forms. length_bound enumeration is exact and cheap on molecular
+    # graphs (≤ tens of atoms; ring count is bounded by the
+    # cyclomatic number).
     try:
-        cycles = nx.simple_cycles(g, length_bound=6)
-        rings = [c for c in cycles if len(c) in (5, 6)]
+        cycles = nx.simple_cycles(g, length_bound=7)
+        rings = [c for c in cycles if len(c) in (5, 6, 7)]
     except nx.NetworkXError:
         return
-    changed = True
-    while changed:
-        changed = False
-        for cyc in rings:
-            n = len(cyc)
-            # Aromaticity is an ELEMENT property before it is a bond
-            # property: a ring holding any non-aromatic-capable atom
-            # ([Na+], [Fe], …) keeps its Kekulé form, no matter how its
-            # bonds alternate (fuzz counterexample
-            # ``CCCC1=[Na+]2N(C1(=C3))23`` — aromatizing it made
-            # to_smiles emit ``[na+]``, which parse_smiles rejects).
-            if any(mol.elements[a] not in AROMATIC_ELEMENTS for a in cyc):
+    ring_edges: list[frozenset[tuple[int, int]]] = [
+        frozenset(
+            (min(c[k], c[(k + 1) % len(c)]), max(c[k], c[(k + 1) % len(c)]))
+            for k in range(len(c))
+        )
+        for c in rings
+    ]
+    outer = True
+    while outer:
+        outer = False
+        changed = True
+        while changed:
+            changed = False
+            for cyc in rings:
+                n = len(cyc)
+                # Aromaticity is an ELEMENT property before it is a bond
+                # property: a ring holding any non-aromatic-capable atom
+                # ([Na+], [Fe], …) keeps its Kekulé form, no matter how its
+                # bonds alternate (fuzz counterexample
+                # ``CCCC1=[Na+]2N(C1(=C3))23`` — aromatizing it made
+                # to_smiles emit ``[na+]``, which parse_smiles rejects).
+                if any(mol.elements[a] not in AROMATIC_ELEMENTS for a in cyc):
+                    continue
+                edges = [
+                    (min(cyc[k], cyc[(k + 1) % n]), max(cyc[k], cyc[(k + 1) % n]))
+                    for k in range(n)
+                ]
+                orders = [mol.bonds.get(e) for e in edges]
+                if any(o not in (1.0, 2.0, AROMATIC_ORDER) for o in orders):
+                    continue
+                if all(o == AROMATIC_ORDER for o in orders):
+                    continue  # already aromatic
+                # Cumulated doubles (an atom joining two double cycle
+                # edges) cannot be part of a planar π system.
+                if any(orders[k - 1] == 2.0 and orders[k] == 2.0 for k in range(n)):
+                    continue
+                edge_set = frozenset(edges)
+                pi = 0
+                ok = True
+                for k in range(n):
+                    c = _pi_contribution(mol, cyc[k], orders[k - 1], orders[k], edge_set)
+                    if c is None:
+                        ok = False
+                        break
+                    pi += c
+                if not ok or pi % 4 != 2:  # Hückel 4n+2
+                    continue
+                for e in edges:
+                    mol.bonds[e] = AROMATIC_ORDER
+                mol.aromatic.update(cyc)
+                changed = True
+                outer = True
+        # Phase 2: fused ring SYSTEMS (union-find over rings sharing an
+        # edge). Only systems of ≥2 rings with a non-aromatic edge left
+        # are candidates — single rings were fully decided above.
+        parent = list(range(len(rings)))
+
+        def _find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(rings)):
+            for j in range(i + 1, len(rings)):
+                if ring_edges[i] & ring_edges[j]:
+                    parent[_find(i)] = _find(j)
+        systems: dict[int, list[int]] = {}
+        for i in range(len(rings)):
+            systems.setdefault(_find(i), []).append(i)
+        for members in systems.values():
+            if len(members) < 2:
                 continue
-            edges = [
-                (min(cyc[k], cyc[(k + 1) % n]), max(cyc[k], cyc[(k + 1) % n]))
-                for k in range(n)
-            ]
-            orders = [mol.bonds.get(e) for e in edges]
-            if any(o not in (1.0, 2.0, AROMATIC_ORDER) for o in orders):
-                continue
-            if all(o == AROMATIC_ORDER for o in orders):
+            sys_edges = frozenset().union(*(ring_edges[i] for i in members))
+            sys_atoms = sorted({a for e in sys_edges for a in e})
+            orders = {e: mol.bonds.get(e) for e in sys_edges}
+            if all(o == AROMATIC_ORDER for o in orders.values()):
                 continue  # already aromatic
-            # Cumulated doubles (an atom joining two double cycle
-            # edges) cannot be part of a planar π system.
-            if any(orders[k - 1] == 2.0 and orders[k] == 2.0 for k in range(n)):
+            if any(mol.elements[a] not in AROMATIC_ELEMENTS for a in sys_atoms):
                 continue
-            edge_set = frozenset(edges)
+            if any(o not in (1.0, 2.0, AROMATIC_ORDER) for o in orders.values()):
+                continue
             pi = 0
             ok = True
-            for k in range(n):
-                c = _pi_contribution(mol, cyc[k], orders[k - 1], orders[k], edge_set)
+            for a in sys_atoms:
+                incident = [e for e in sys_edges if a in e]
+                doubles = sum(1 for e in incident if orders[e] == 2.0)
+                if doubles > 1:  # cumulated inside the system
+                    ok = False
+                    break
+                if doubles or any(orders[e] == AROMATIC_ORDER for e in incident):
+                    pi += 1
+                    continue
+                c = _no_pi_contribution(mol, a, sys_edges)
                 if c is None:
                     ok = False
                     break
                 pi += c
-            if not ok or pi % 4 != 2:  # Hückel 4n+2
+            if not ok or pi % 4 != 2:
                 continue
-            for e in edges:
+            for e in sys_edges:
                 mol.bonds[e] = AROMATIC_ORDER
-            mol.aromatic.update(cyc)
-            changed = True
+            mol.aromatic.update(sys_atoms)
+            outer = True
 
 
 def from_adjacency(elements: list[str], adjacency: list[list[int]]) -> MolGraph:

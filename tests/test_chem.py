@@ -395,8 +395,8 @@ def test_huckel_unifies_nonbenzenoid_kekule_forms():
 
 
 def test_huckel_perception_boundary():
-    # The PRECISE r9 boundary (module docstring): 4n+2 gate and ring
-    # sizes 5/6 only.
+    # The PRECISE r9 boundary (module docstring): 4n+2 gate over
+    # 5/6/7-rings and their fused systems.
     # 2-pyridone: N lone pair 2 + C(=O) 0 + 4 ring doubles → 6 ✓
     assert mol_key(parse_smiles("O=C1C=CC=CN1")) == mol_key(
         parse_smiles("O=c1cccc[nH]1")
@@ -411,13 +411,50 @@ def test_huckel_perception_boundary():
     assert not parse_smiles("B1C=CC=C1").aromatic
     # thiophene-1,1-dioxide: sulfone S contributes 0 → 4, not aromatic
     assert not parse_smiles("O=S1(=O)C=CC=C1").aromatic
-    # 7-rings are outside the subset: Kekulé tropone stays Kekulé
-    assert not parse_smiles("O=C1C=CC=CC=C1").aromatic
     # Kekulé purine (no methyls): imidazole perceives via its donor N,
     # then the pyrimidine ring rides the now-aromatic fusion edge
     assert mol_key(parse_smiles("C1=NC2=C(N1)N=CN=C2")) == mol_key(
         parse_smiles("c1nc2c([nH]1)ncnc2")
     )
+
+
+def test_huckel_seven_rings_and_fused_systems():
+    # r9b: the r9 verdict's remaining chem boundary (7-rings) closed.
+    # Tropylium cation: 3 ring doubles (6 e⁻) + C⁺ empty orbital (0)
+    # → 6 = 4·1+2; Kekulé and lowercase forms share one identity.
+    assert mol_key(parse_smiles("C1=CC=CC=C[CH+]1")) == mol_key(
+        parse_smiles("[cH+]1cccccc1")
+    )
+    # Tropone: the SAME exocyclic-C=O-contributes-0 rule that unifies
+    # caffeine, with no ring-size carve-out → 6 e⁻, aromatic (flipped
+    # from the r9 pin when 7-rings entered the subset).
+    assert len(parse_smiles("O=C1C=CC=CC=C1").aromatic) == 7
+    # Azepine / oxepine: lone pair (2) + 3 doubles (6) = 8 — reject.
+    assert not parse_smiles("N1C=CC=CC=C1").aromatic
+    assert not parse_smiles("O1C=CC=CC=C1").aromatic
+    # Cycloheptatriene: sp³ CH₂ interrupts the π system — reject.
+    assert not parse_smiles("C1=CC=CC=CC1").aromatic
+    # Azulene (the fused-SYSTEM pass): neither the 5-ring nor the
+    # 7-ring alone totals 4n+2 in any Kekulé writing, the 10-atom
+    # system always totals 10 — BOTH Kekulé forms (transannular bond
+    # single or double) unify with the lowercase form, and the
+    # transannular bond itself goes aromatic (RDKit parity).
+    k_low = mol_key(parse_smiles("c1ccc2cccc2cc1"))
+    assert mol_key(parse_smiles("C1=CC2=CC=CC=CC2=C1")) == k_low
+    assert mol_key(parse_smiles("C1=CC=C2C1=CC=CC=C2")) == k_low
+    assert len(parse_smiles("C1=CC2=CC=CC=CC2=C1").aromatic) == 10
+    # Antiaromatic fused systems stay Kekulé: pentalene 8 e⁻,
+    # heptalene 12, s-indacene 12.
+    assert not parse_smiles("C1=CC2=CC=CC2=C1").aromatic
+    assert not parse_smiles("C1=CC=C2C=CC=CC=C2C=C1").aromatic
+    assert not parse_smiles("C1=CC2=CC3=CC=CC3=CC2=C1").aromatic
+    # [8]annulene (cyclooctatetraene) is past the size bound AND 8 e⁻.
+    assert not parse_smiles("C1=CC=CC=CC=C1").aromatic
+    # Acenaphthylene: the naphthalene core aromatizes, the 5-ring's
+    # CH=CH stays a localized double (ring 5 e⁻, system 12 e⁻ — both
+    # fail Hückel, matching RDKit).
+    m = parse_smiles("C1=Cc2cccc3cccc1c23")
+    assert len(m.aromatic) == 10
 
 
 @pytest.mark.parametrize("bad", REJECTED_SMILES)
