@@ -1634,9 +1634,278 @@ LIMIT 20
 """
 
 
+#: DSIR hashed-feature dimensionality (Xie et al. 2023 use 10k buckets
+#: over hashed {1,2}-grams; 1024 matches the classifier's QC_DIMS scale
+#: for this corpus — the bucket-count dial, not a structural choice).
+DSIR_DIMS = 1024
+
+#: Fraction selected, in percent: DSIR resamples a target-sized subset;
+#: top-20% by importance weight is the deterministic stand-in for the
+#: paper's Gumbel-perturbed top-k.
+DSIR_TOP_PCT = 20
+
+
+def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    NeurIPS — DSIR): score every raw document by how much more likely
+    its hashed n-gram features are under a TARGET distribution than
+    under the raw pool's own distribution, then keep the global top
+    fraction. Target here = the ``lang = 'en'`` slice (the paper's
+    Wikipedia/books stand-in); features = md5-hashed unigrams AND
+    bigrams in [0, DSIR_DIMS) (the paper's hashed n-gram model);
+    importance weight w(doc) = Σ_features (ln p_target(b) − ln
+    p_raw(b)) with add-one smoothing over buckets.
+
+    Determinism engineering: the per-BUCKET log-ratio is floored to
+    integer milli-nats ONCE in the 1024-row model (one pinned double
+    expression over exact integer counts — the proven F.log↔ln
+    cross-engine pair), and per-doc weights are integer SUMS of those
+    milli-nats — partition-order free. Selection is the exact global
+    top-⌊N·20%⌋ by (weight desc, doc_id) via the distributed ranking
+    operator — no partitionless window.
+
+    Scale shape: the feature stream is map-only (explode of a JVM-side
+    transform — no Python worker); the model groupBy has DSIR_DIMS
+    keys (map-side combine collapses every hot bucket to one row per
+    task); corpus totals ride ONE bounded collect (2 longs — the BM25
+    pass-1 rule); the λ-model joins back as a 1024-row broadcast; the
+    per-doc sum is doc-keyed; ranking is range-partitioned two-pass
+    (operators/ranking.with_order_stats); the rollup is ≤|sources|
+    rows."""
+    from molgraphdb_spark.operators.ranking import with_order_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = _tokens()
+    n = F.size(toks)
+    w1s = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    w2s = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    bigrams = F.zip_with(w1s, w2s, lambda a, b: F.concat(a, F.lit(" "), b))
+
+    def bucket(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % DSIR_DIMS
+
+    feats = F.concat(F.transform(toks, bucket), F.transform(bigrams, bucket))
+    occ = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang") == "en", F.lit(False)).cast("long").alias("is_t"),
+        F.explode(feats).alias("b"),
+    )
+    model = (
+        occ.groupBy("b")
+        .agg(F.sum("is_t").alias("tc"), F.count(F.lit(1)).alias("rc"))
+        .localCheckpoint()  # referenced by the totals agg AND the join
+    )
+    tot = model.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rr")).first()
+    t_tot, r_tot = int(tot["tt"] or 0), int(tot["rr"] or 0)
+    lam = model.select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("tc") + 1.0) * F.lit(r_tot + DSIR_DIMS))
+                / ((F.col("rc") + 1.0) * F.lit(t_tot + DSIR_DIMS))
+            )
+            * 1000
+            + 0.5
+        )
+        .cast("long")
+        .alias("lam"),
+    )
+    per_doc = (
+        occ.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lam").alias("w"))
+    )
+    scored = (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", "source", F.coalesce("w", F.lit(0)).cast("long").alias("w"))
+    )
+    ranked, totals = with_order_stats(
+        scored, [F.desc("w"), F.asc("doc_id")], rank_col="rk"
+    )
+    k = totals["n"] * DSIR_TOP_PCT // 100
+    sel = (F.col("rk") <= F.lit(k)).cast("long")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(sel).alias("n_selected"),
+            F.sum("w").alias("sum_weight_milli"),
+            F.sum(F.when(sel == 1, F.col("w")).otherwise(F.lit(0)))
+            .alias("sum_selected_weight_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_DSIR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         COALESCE(lang = 'en', FALSE) AS is_t,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), feat AS (
+  SELECT doc_id, CAST(is_t AS BIGINT) AS is_t, t FROM (
+    SELECT doc_id, is_t, u.tok AS t FROM d, UNNEST(d.toks) AS u(tok)
+    UNION ALL
+    SELECT doc_id, is_t, d.toks[i] || ' ' || d.toks[i+1] AS t
+    FROM d, UNNEST(range(1, len(d.toks))) AS u(i)
+  )
+), occ AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % {DSIR_DIMS} AS BIGINT) AS b
+  FROM feat
+), model AS (
+  SELECT b, CAST(SUM(is_t) AS BIGINT) AS tc, CAST(COUNT(*) AS BIGINT) AS rc
+  FROM occ GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rr FROM model
+), lam AS (
+  SELECT b,
+         CAST(floor(ln(((tc + 1.0) * (rr + {DSIR_DIMS}))
+                       / ((rc + 1.0) * (tt + {DSIR_DIMS}))) * 1000 + 0.5) AS BIGINT)
+           AS lam
+  FROM model CROSS JOIN tot
+), per_doc AS (
+  SELECT o.doc_id, CAST(SUM(l.lam) AS BIGINT) AS w
+  FROM occ o JOIN lam l USING (b) GROUP BY o.doc_id
+), scored AS (
+  SELECT dd.doc_id, dd.source, COALESCE(p.w, 0) AS w
+  FROM (SELECT doc_id, source FROM documents WHERE text IS NOT NULL) dd
+  LEFT JOIN per_doc p USING (doc_id)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rk,
+         COUNT(*) OVER () AS nn
+  FROM scored
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(CAST(rk <= nn * {DSIR_TOP_PCT} // 100 AS BIGINT)) AS BIGINT)
+         AS n_selected,
+       CAST(SUM(w) AS BIGINT) AS sum_weight_milli,
+       CAST(SUM(CASE WHEN rk <= nn * {DSIR_TOP_PCT} // 100 THEN w ELSE 0 END)
+            AS BIGINT) AS sum_selected_weight_milli
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: per
+    language, cut the corpus into head/middle/tail thirds by LM
+    perplexity; the head third feeds pretraining first). The LM here
+    is the corpus's own per-LANGUAGE add-one-smoothed unigram model
+    (doc_unigram_logprob's determinism discipline: per-token −ln p
+    floored to integer milli-nats, summed as integers); a doc's score
+    is its mean milli-nat, and buckets are exact rank thirds —
+    bucket = min(2, ⌊3·(rank−1)/n⌋) over (score asc, doc_id) within
+    the language, so head gets the LOWEST-perplexity third.
+
+    Scale shape: the per-language model is a (lang, token) groupBy
+    (map-side combined); per-language totals broadcast (≤|langs|
+    rows); per-doc scores are one doc-keyed groupBy. The per-language
+    ranking deliberately does NOT use Window.partitionBy(lang) —
+    languages are few and huge, the partitioned window funnels each
+    into one task — but the grouped two-pass ranking operator
+    (operators/ranking.with_grouped_order_stats: one global range
+    order, broadcast per-group offsets). Output is ≤ 3·|langs| rows."""
+    from molgraphdb_spark.operators.ranking import with_grouped_order_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tok = docs.select("lang", "doc_id", F.explode(_tokens()).alias("tok"))
+    model = (
+        tok.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # referenced by the totals agg AND the join
+    )
+    ntot = model.groupBy("lang").agg(
+        F.sum("tf").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = (
+        tok.join(model, ["lang", "tok"])
+        .join(F.broadcast(ntot), "lang")
+        .select(
+            "lang",
+            "doc_id",
+            F.floor(
+                -F.log((F.col("tf") + 1.0) / (F.col("n_tokens") + F.col("vocab")))
+                * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("nlp"),
+        )
+    )
+    per_doc = scored.groupBy("lang", "doc_id").agg(
+        F.floor(F.sum("nlp") / F.count(F.lit(1))).cast("long").alias("mean_nlp")
+    )
+    ranked = with_grouped_order_stats(
+        per_doc,
+        ["lang"],
+        [F.asc("mean_nlp"), F.asc("doc_id")],
+        rank_col="r",
+        count_col="n",
+    )
+    bucket_ix = F.least(
+        F.lit(2), F.expr("CAST(3 * (r - 1) DIV n AS BIGINT)")
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (bucket_ix + 1).cast("int"),
+    )
+    return (
+        ranked.select("lang", "mean_nlp", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("mean_nlp").alias("min_mean_nlp_milli"),
+            F.max("mean_nlp").alias("max_mean_nlp_milli"),
+            F.sum("mean_nlp").alias("sum_mean_nlp_milli"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+DOC_PPL_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT lang, doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), model AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY lang, tok
+), ntot AS (
+  SELECT lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM model GROUP BY lang
+), scored AS (
+  SELECT t.lang, t.doc_id,
+         CAST(floor(-ln((m.tf + 1.0) / (n.n_tokens + n.vocab)) * 1000 + 0.5)
+              AS BIGINT) AS nlp
+  FROM tok t JOIN model m USING (lang, tok) JOIN ntot n USING (lang)
+), per_doc AS (
+  SELECT lang, doc_id,
+         CAST(floor(SUM(nlp) * 1.0 / COUNT(*)) AS BIGINT) AS mean_nlp
+  FROM scored GROUP BY lang, doc_id
+), ranked AS (
+  SELECT lang, mean_nlp,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY mean_nlp, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM per_doc
+)
+SELECT lang,
+       CASE LEAST(2, 3 * (r - 1) // n)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(MIN(mean_nlp) AS BIGINT) AS min_mean_nlp_milli,
+       CAST(MAX(mean_nlp) AS BIGINT) AS max_mean_nlp_milli,
+       CAST(SUM(mean_nlp) AS BIGINT) AS sum_mean_nlp_milli
+FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "doc_collocation_pmi": doc_collocation_pmi,
+    "doc_dsir_selection": doc_dsir_selection,
+    "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_quality_classifier": doc_quality_classifier,
     "doc_token_stats": doc_token_stats,
     "vocab_bpe_merge_pairs": vocab_bpe_merge_pairs,
@@ -1663,6 +1932,8 @@ QUERIES = {
 ORACLES = {
     "doc_bm25_topk": DOC_BM25_SQL,
     "doc_collocation_pmi": DOC_COLLOC_SQL,
+    "doc_dsir_selection": DOC_DSIR_SQL,
+    "doc_perplexity_buckets": DOC_PPL_BUCKETS_SQL,
     "doc_quality_classifier": DOC_QC_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "vocab_bpe_merge_pairs": VOCAB_BPE_SQL,

@@ -56,12 +56,16 @@ _QUERY_MODULES = [
 #   chem_pharma_profile's golden was re-derived) and events_ewma (its
 #   with_group_rows_frame operator gained the last-segment context
 #   cap).
-# - The three r9 debuts (doc_collocation_pmi — Church & Hanks PMI
+# - The five r9 debuts (doc_collocation_pmi — Church & Hanks PMI
 #   collocations; fuzzy_name_sorted_neighborhood — Hernández–Stolfo
 #   merge/purge blocking; chem_substructure_search — WL-catalog
-#   substructure screen) enter through the window, per the rule.
-# - Then the OLDEST r5-stale entries (last driver-green r5), 25 of 39.
-#   14 defer to the r10 window lead — chosen lowest-risk: the three
+#   substructure screen; doc_dsir_selection — DSIR importance
+#   resampling; doc_perplexity_buckets — CCNet head/middle/tail)
+#   enter through the window, per the rule.
+# - Then the OLDEST r5-stale entries (last driver-green r5), 23 of 39.
+#   16 defer to the r10 window lead (incl. doc_dup_span_stats /
+#   doc_dup_span_removal, displaced by the two late debuts; both
+#   suite-covered + property-tested) — chosen lowest-risk: the three
 #   setops + skew_salted_status_counts (trivial, suite-covered) and
 #   q2/q4/q8/q9/q11/q12/q15/q16/q17 (TPC-H mainline, in-suite
 #   full-registry sweep + untouched since r5): setop_intersect_nations,
@@ -104,6 +108,8 @@ _PRIORITY = [
     "doc_collocation_pmi",
     "fuzzy_name_sorted_neighborhood",
     "chem_substructure_search",
+    "doc_dsir_selection",
+    "doc_perplexity_buckets",
     # ---- oldest r5-stale tail (25 of 39; 14 defer to r10) ----
     "graph_pagerank_top",
     "dedup_exact",
@@ -128,8 +134,6 @@ _PRIORITY = [
     "doc_split_assign",
     "fuzzy_name_pairs",
     "fuzzy_name_clusters",
-    "doc_dup_span_stats",
-    "doc_dup_span_removal",
 ]
 
 

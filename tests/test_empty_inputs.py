@@ -72,6 +72,8 @@ REPRESENTATIVE = [
     "doc_collocation_pmi",       # corpus totals + PMI joins over zero docs
     "fuzzy_name_sorted_neighborhood",  # rank + window pairs over zero names
     "graph_kcore_summary",       # peel over zero edges
+    "doc_dsir_selection",        # model totals + global rank over zero docs
+    "doc_perplexity_buckets",    # per-lang model + grouped ranks over zero docs
 ]
 
 

@@ -41,6 +41,8 @@ TEXT_FAMILY = [
     "doc_ngram_novelty",
     "vocab_zipf_slope",
     "doc_collocation_pmi",  # r9: NULL text must not reach the bigram zip
+    "doc_dsir_selection",   # r9b: NULL text must not reach the feature zip
+    "doc_perplexity_buckets",  # r9b: NULL text must not reach the model
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the

@@ -82,6 +82,8 @@ AT_RISK = [
     "doc_collocation_pmi",       # vocab-keyed counts + milli-floored ln ties
     "fuzzy_name_sorted_neighborhood",  # rank blocks at bucket seams
     "graph_kcore_summary",       # H-operator fixpoint — layout-free peel
+    "doc_dsir_selection",        # integer milli-nat sums + global rank ties
+    "doc_perplexity_buckets",    # per-lang milli means + grouped rank thirds
 ]
 
 

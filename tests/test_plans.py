@@ -586,3 +586,43 @@ def test_triangle_count_dispatch_plan_shapes(spark, sf_dir):
     )
     assert sc["n_broadcast_joins"] == 0
     assert "ShuffledHashJoin" in sc["plan"] or "SortMergeJoin" in sc["plan"]
+
+
+def test_dsir_selection_scale_shape(spark, sf_dir):
+    # r9b: the λ-model is a DSIR_DIMS-row broadcast (never a shuffle
+    # join against the occurrence stream); corpus totals and the
+    # ranking offsets rode bounded collects at plan-build time, so the
+    # final plan has no driver-feeding aggregate; the feature fold is
+    # JVM-side (no Python worker); ranking is the two-pass operator
+    # (bucket-keyed window, never partitionless).
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.text import doc_dsir_selection
+
+    df = doc_dsir_selection(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    # the scoring joins ran at the ranking operator's checkpoint; the
+    # final plan is the rollup over the checkpointed ranked relation
+    assert "Scan ExistingRDD" in s["plan"]
+    assert n_partitionless_windows(df) == 0
+
+
+def test_perplexity_buckets_scale_shape(spark, sf_dir):
+    # r9b: the per-language model localCheckpoints once (Scan
+    # ExistingRDD — referenced by totals AND the score join); language
+    # totals broadcast (≤|langs| rows); the per-language thirds come
+    # from the grouped two-pass ranking operator, so no partitionless
+    # OR lang-partitioned window funnels the corpus.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.text import doc_perplexity_buckets
+
+    df = doc_perplexity_buckets(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert "Scan ExistingRDD" in s["plan"]  # the checkpointed model
+    assert n_partitionless_windows(df) == 0
+    assert set(s["read_columns"]) <= {"doc_id", "text", "lang"}

@@ -333,3 +333,157 @@ def test_substructure_search_matches_python_reference(spark):
     assert got == expect
     # the induced-subgraph subtlety stays pinned: no 4-path in the ring
     assert ("butyl_chain", "Cyclobutane") not in got
+
+
+def _md5_bucket(t: str, dims: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dims
+
+
+def test_dsir_selection_matches_python_reference(spark, tmp_path_factory):
+    # DSIR importance weights (Xie et al. 2023) recomputed with
+    # hashlib + math on a corpus with a planted target vocabulary:
+    # 'en' docs draw from TARGET_WORDS, others from CRAWL_WORDS, so
+    # target-like docs must dominate the selected fifth.
+    from molgraphdb_spark.queries.text import (
+        DSIR_DIMS,
+        DSIR_TOP_PCT,
+        doc_dsir_selection,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_dsir"))
+    rng = random.Random(11)
+    target_words = ["theorem", "proof", "lemma", "axiom", "corollary"]
+    crawl_words = ["click", "buy", "now", "free", "offer", "deal"]
+    rows = []
+    for did in range(100):
+        if did % 2 == 0:
+            lang, src = "en", "wiki"
+            toks = [rng.choice(target_words) for _ in range(rng.randrange(6, 12))]
+        else:
+            lang = rng.choice(["de", "fr"])
+            src = "crawl"
+            toks = [rng.choice(crawl_words) for _ in range(rng.randrange(6, 12))]
+        rows.append((did, " ".join(toks), lang, src))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = [
+        (r.source, r.n_docs, r.n_selected, r.sum_weight_milli,
+         r.sum_selected_weight_milli)
+        for r in doc_dsir_selection(spark, path).collect()
+    ]
+
+    # model: hashed unigram+bigram bucket counts, target vs raw
+    tc = [0] * DSIR_DIMS
+    rc = [0] * DSIR_DIMS
+    feats: dict[int, list[int]] = {}
+    for did, text, lang, _src in rows:
+        toks = text.split()
+        bs = [_md5_bucket(t, DSIR_DIMS) for t in toks] + [
+            _md5_bucket(f"{a} {b}", DSIR_DIMS) for a, b in zip(toks, toks[1:])
+        ]
+        feats[did] = bs
+        for b in bs:
+            rc[b] += 1
+            if lang == "en":
+                tc[b] += 1
+    t_tot, r_tot = sum(tc), sum(rc)
+    lam = [
+        math.floor(
+            math.log(
+                ((tc[b] + 1.0) * (r_tot + DSIR_DIMS))
+                / ((rc[b] + 1.0) * (t_tot + DSIR_DIMS))
+            )
+            * 1000
+            + 0.5
+        )
+        for b in range(DSIR_DIMS)
+    ]
+    w = {did: sum(lam[b] for b in feats[did]) for did, *_ in rows}
+    order = sorted(w, key=lambda d: (-w[d], d))
+    k = len(order) * DSIR_TOP_PCT // 100
+    selected = set(order[:k])
+    expect = []
+    for src in sorted({r[3] for r in rows}):
+        dids = [did for did, _t, _l, s in rows if s == src]
+        expect.append(
+            (
+                src,
+                len(dids),
+                sum(1 for d in dids if d in selected),
+                sum(w[d] for d in dids),
+                sum(w[d] for d in dids if d in selected),
+            )
+        )
+    assert got == expect
+    # the planted effect: every selected doc is a target-vocabulary doc
+    by_src = {r[0]: r for r in got}
+    assert by_src["wiki"][2] == k and by_src["crawl"][2] == 0
+
+
+def test_perplexity_buckets_match_python_reference(spark, tmp_path_factory):
+    # CCNet head/middle/tail thirds recomputed with dict loops: the
+    # per-language unigram model, integer milli-nat means, and exact
+    # rank thirds bucket = min(2, 3(r-1)//n).
+    from molgraphdb_spark.queries.text import doc_perplexity_buckets
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_ppl"))
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "rare1", "rare2", "rare3"]
+    # Zipf-ish draw so mean scores actually spread
+    weights = [20, 12, 8, 5, 1, 1, 1]
+    rows = []
+    for did in range(90):
+        lang = ["en", "de", "fr"][did % 3]
+        toks = rng.choices(vocab, weights=weights, k=rng.randrange(4, 20))
+        rows.append((did, " ".join(toks), lang, f"src{did % 4}"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = [
+        (r.lang, r.bucket, r.n_docs, r.min_mean_nlp_milli,
+         r.max_mean_nlp_milli, r.sum_mean_nlp_milli)
+        for r in doc_perplexity_buckets(spark, path).collect()
+    ]
+
+    # per-language unigram model
+    model: dict[str, dict[str, int]] = {}
+    for _did, text, lang, _s in rows:
+        m = model.setdefault(lang, {})
+        for t in text.split():
+            m[t] = m.get(t, 0) + 1
+    mean_nlp: dict[int, tuple[str, int]] = {}
+    for did, text, lang, _s in rows:
+        m = model[lang]
+        n_tok, v = sum(m.values()), len(m)
+        nlps = [
+            math.floor(-math.log((m[t] + 1.0) / (n_tok + v)) * 1000 + 0.5)
+            for t in text.split()
+        ]
+        mean_nlp[did] = (lang, math.floor(sum(nlps) / len(nlps)))
+    expect_rows = []
+    for lang in sorted({r[2] for r in rows}):
+        docs = sorted(
+            ((s, d) for d, (lg, s) in mean_nlp.items() if lg == lang)
+        )
+        n = len(docs)
+        by_bucket: dict[str, list[int]] = {}
+        for r_, (s, _d) in enumerate(docs, 1):
+            b = ["head", "middle", "tail"][min(2, 3 * (r_ - 1) // n)]
+            by_bucket.setdefault(b, []).append(s)
+        for b in sorted(by_bucket):
+            ss = by_bucket[b]
+            expect_rows.append((lang, b, len(ss), min(ss), max(ss), sum(ss)))
+    assert got == expect_rows
+    # thirds differ by at most one doc within each language
+    for lang in ("en", "de", "fr"):
+        sizes = [r[2] for r in got if r[0] == lang]
+        assert max(sizes) - min(sizes) <= 1
