@@ -271,6 +271,48 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame, n_iter: int = 4, cut_every: int = 2
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), the deterministic fixed-iteration variant GraphFrames
+    ships as ``labelPropagation``: labels start as vertex ids; each
+    round every vertex adopts the most frequent label among its
+    neighbors, ties broken by MINIMUM label — both choices make the
+    result a pure function of (graph, n_iter), where the classic
+    asynchronous/randomized variant is run-dependent. Synchronous
+    updates can oscillate on bipartite structure (the GraphFrames
+    caveat), which is why the round count is a fixed parameter rather
+    than a convergence test. Returns (id, label).
+
+    Scale: each round is ONE labels⋈edges join (co-partitioned by
+    bucketing on a real cluster) + a (vertex, label) vote groupBy with
+    map-side combine + an argmax groupBy — the aggregateMessages shape.
+    The vote argmax is ``min_by(label, struct(-count, label))``: no
+    per-vertex window, no skew beyond the vertex's own degree. Lineage
+    is cut every ``cut_every`` rounds (the measured pagerank cadence —
+    per-round cuts pay more materialization than they save)."""
+    e = edges.select("src", "dst").localCheckpoint()
+    labels = vertices(e).withColumn("label", F.col("id")).localCheckpoint()
+    for i in range(n_iter):
+        votes = (
+            labels.join(e, labels.id == e.src)
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winner = votes.groupBy("id").agg(
+            F.min_by("label", F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias(
+                "new_label"
+            )
+        )
+        labels = labels.join(winner, "id", "left").select(
+            "id", F.coalesce("new_label", "label").alias("label")
+        )
+        if (i + 1) % cut_every == 0 or i == n_iter - 1:
+            labels = labels.localCheckpoint()
+    return labels
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components by iterative min-label propagation over the
     (bidirectional) edge table; returns (id, component) with component =

@@ -204,6 +204,86 @@ FROM sizes ORDER BY component
 """
 
 
+#: Fixed LPA round count — the result is a pure function of
+#: (graph, N_LPA_ITER); see operators.graph.label_propagation.
+N_LPA_ITER = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community summary via synchronous label propagation (Raghavan
+    et al. 2007; the GraphFrames ``labelPropagation`` variant —
+    deterministic: most-frequent neighbor label, ties to the minimum,
+    exactly N_LPA_ITER rounds). Emits one row per surviving community:
+    its label (display id), size, and customer/supplier split —
+    communities in a co-purchase graph are market segments."""
+    edges = purchase_edges(spark, sf_dir)
+    from molgraphdb_spark.operators.graph import label_propagation
+
+    labels = label_propagation(edges, n_iter=N_LPA_ITER)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum((F.col("id") % 2 == 0).cast("long")).alias("n_customers"),
+            F.sum((F.col("id") % 2 == 1).cast("long")).alias("n_suppliers"),
+        )
+        .select(
+            _fmt_id(F.col("label")).alias("community"),
+            "n_vertices",
+            "n_customers",
+            "n_suppliers",
+        )
+        .orderBy("community")
+    )
+
+
+def _lpa_sql(n_iter: int) -> str:
+    """DuckDB twin of the fixed-round synchronous LPA: the BPE-table
+    pattern (one chained CTE block per round — iterative algorithms
+    with a FIXED round count unroll into a single statement). Each
+    round: neighbor-label vote counts, per-vertex argmax by
+    (count desc, label asc) via ROW_NUMBER, left-join back so a vertex
+    with no votes keeps its label."""
+    blocks = [
+        "verts AS (SELECT DISTINCT src AS v FROM edges)",
+        "l0 AS (SELECT v, v AS label FROM verts)",
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(
+            f"""c{i} AS (
+  SELECT e.dst AS v, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{i - 1} l ON l.v = e.src GROUP BY e.dst, l.label
+), w{i} AS (
+  SELECT v, label,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+  FROM c{i}
+), l{i} AS (
+  SELECT p.v, COALESCE(w.label, p.label) AS label
+  FROM l{i - 1} p LEFT JOIN (SELECT v, label FROM w{i} WHERE rn = 1) w
+  USING (v)
+)"""
+        )
+    return (
+        f"WITH {_EDGES_CTE.strip().rstrip()}, "
+        + ",\n".join(blocks)
+        + f""",
+sizes AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(CAST(v % 2 = 0 AS BIGINT)) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(v % 2 = 1 AS BIGINT)) AS BIGINT) AS n_suppliers
+  FROM l{n_iter} GROUP BY label
+)
+SELECT {_FMT_SQL.format(col="label")} AS community,
+       n_vertices, n_customers, n_suppliers
+FROM sizes ORDER BY community
+"""
+    )
+
+
+GRAPH_LPA_SQL = _lpa_sql(N_LPA_ITER)
+
+
 def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vertices by PageRank on the purchase graph (10 power
     iterations). DuckDB cannot run damped power iteration, so the
@@ -868,6 +948,7 @@ QUERIES = {
     "graph_degree_histogram": graph_degree_histogram,
     "graph_common_suppliers": graph_common_suppliers,
     "graph_connected_components_summary": graph_connected_components_summary,
+    "graph_label_propagation": graph_label_propagation,
     "graph_closeness_sample": graph_closeness_sample,
     "graph_supplier_pmi": graph_supplier_pmi,
     "graph_assortativity": graph_assortativity,
@@ -944,6 +1025,7 @@ ORACLES = {
     "graph_degree_histogram": GRAPH_DEGREE_SQL,
     "graph_common_suppliers": GRAPH_COMMON_SQL,
     "graph_connected_components_summary": GRAPH_CC_SQL,
+    "graph_label_propagation": GRAPH_LPA_SQL,
     "graph_closeness_sample": GRAPH_CLOSENESS_SQL,
     "graph_supplier_pmi": GRAPH_SUPPLIER_PMI_SQL,
     "graph_assortativity": GRAPH_ASSORT_SQL,

@@ -74,6 +74,7 @@ REPRESENTATIVE = [
     "graph_kcore_summary",       # peel over zero edges
     "doc_dsir_selection",        # model totals + global rank over zero docs
     "doc_perplexity_buckets",    # per-lang model + grouped ranks over zero docs
+    "graph_label_propagation",   # LPA rounds over zero edges
 ]
 
 

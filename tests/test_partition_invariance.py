@@ -84,6 +84,7 @@ AT_RISK = [
     "graph_kcore_summary",       # H-operator fixpoint — layout-free peel
     "doc_dsir_selection",        # integer milli-nat sums + global rank ties
     "doc_perplexity_buckets",    # per-lang milli means + grouped rank thirds
+    "graph_label_propagation",   # argmax votes — integer counts + min ties
 ]
 
 

@@ -626,3 +626,20 @@ def test_perplexity_buckets_scale_shape(spark, sf_dir):
     assert "Scan ExistingRDD" in s["plan"]  # the checkpointed model
     assert n_partitionless_windows(df) == 0
     assert set(s["read_columns"]) <= {"doc_id", "text", "lang"}
+
+
+def test_label_propagation_scale_shape(spark, sf_dir):
+    # r9b: each LPA round is one join + two map-side-combinable
+    # groupBys; lineage is cut on the pagerank cadence, so the final
+    # plan is the rollup over the checkpointed label relation — no
+    # window at all, no Python worker, no cross join.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.graph_queries import graph_label_propagation
+
+    df = graph_label_propagation(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert "Scan ExistingRDD" in s["plan"]  # the checkpointed labels
+    assert n_partitionless_windows(df) == 0

@@ -487,3 +487,79 @@ def test_perplexity_buckets_match_python_reference(spark, tmp_path_factory):
     for lang in ("en", "de", "fr"):
         sizes = [r[2] for r in got if r[0] == lang]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_label_propagation_matches_python_reference(spark, tmp_path_factory):
+    # Synchronous LPA (most-frequent neighbor label, ties to minimum,
+    # exactly N_LPA_ITER rounds) recomputed with dict loops on a
+    # planted two-community purchase graph: customers 1-3 buy only
+    # from suppliers 1-2, customers 11-13 only from suppliers 11-12,
+    # one bridge order ties them weakly.
+    from molgraphdb_spark.queries.graph_queries import (
+        N_LPA_ITER,
+        graph_label_propagation,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_lpa"))
+    # (orderkey, custkey) and (orderkey, suppkey) rows
+    purchases = []
+    ok = 0
+    for c in (1, 2, 3):
+        for s in (1, 2):
+            ok += 1
+            purchases.append((ok, c, s))
+    for c in (11, 12, 13):
+        for s in (11, 12):
+            ok += 1
+            purchases.append((ok, c, s))
+    ok += 1
+    purchases.append((ok, 3, 11))  # the bridge
+    spark.createDataFrame(
+        [(o, c) for o, c, _s in purchases], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        [(o, s) for o, _c, s in purchases], "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+    got = [
+        (r.community, r.n_vertices, r.n_customers, r.n_suppliers)
+        for r in graph_label_propagation(spark, path).collect()
+    ]
+
+    # plain-Python sync LPA over the bidirectional projection
+    adj: dict[int, list[int]] = {}
+    for _o, c, s in purchases:
+        u, v = 2 * c, 2 * s + 1
+        if v not in adj.setdefault(u, []):
+            adj[u].append(v)
+        if u not in adj.setdefault(v, []):
+            adj[v].append(u)
+    label = {v: v for v in adj}
+    for _ in range(N_LPA_ITER):
+        new = {}
+        for v, nbrs in adj.items():
+            votes: dict[int, int] = {}
+            for n in nbrs:
+                votes[label[n]] = votes.get(label[n], 0) + 1
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        label = new
+    comm: dict[int, list[int]] = {}
+    for v, l in label.items():
+        comm.setdefault(l, []).append(v)
+
+    def fmt(x: int) -> str:
+        return f"c:{x // 2}" if x % 2 == 0 else f"s:{(x - 1) // 2}"
+
+    expect = sorted(
+        (
+            fmt(l),
+            len(vs),
+            sum(1 for v in vs if v % 2 == 0),
+            sum(1 for v in vs if v % 2 == 1),
+        )
+        for l, vs in comm.items()
+    )
+    assert got == expect
+    # the planted structure survives: the two cliques never merge into
+    # one community (the bridge is outvoted in every round)
+    assert len(got) >= 2
