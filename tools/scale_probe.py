@@ -1199,6 +1199,126 @@ def probe_retrieval(spark, sf_dir: str) -> dict:
     }
 
 
+
+
+def probe_curation(spark, sf_dir: str) -> dict:
+    """Planted-invariant probes for the r9b curation/community debuts
+    at 10x (the every-family-measures-its-scale-claim rule):
+
+    * DSIR: 500 planted docs of an exclusive target vocabulary (lang
+      en, 200 tokens) and 500 anti-target docs (exclusive vocabulary,
+      never in en) join the 50k corpus. Target-exclusive buckets get
+      lambda = ln((R+B)/(T+B)) > 0 while shared-vocabulary buckets sit
+      near ln(1) = 0, so every planted target doc must be selected and
+      every anti doc rejected - closed form, no tolerance.
+    * perplexity buckets: per language the three buckets partition the
+      docs with sizes differing by at most 1, and score ranges are
+      monotone head <= middle <= tail (rank-third construction).
+    * LPA: 20k disjoint bipartite cliques (10 customers x 3
+      suppliers). Synchronous LPA with min tie-break is PERIODIC on
+      bipartite structure (the documented GraphFrames caveat): after
+      the fixed 4 rounds each clique lands on exactly two communities
+      - its customer side (size 10) and its supplier side (size 3).
+      The probe pins that closed form: 20k communities of each shape,
+      nothing merged across cliques.
+    """
+    from molgraphdb_spark.queries.graph_queries import graph_label_propagation
+    from molgraphdb_spark.queries.text import (
+        doc_dsir_selection,
+        doc_perplexity_buckets,
+    )
+
+    out = f"{BASE}/curation"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target_words = "theorem proof lemma axiom corollary manifold functor".split()
+    anti_words = "clickbait promo unsubscribe casino jackpot".split()
+    planted = []
+    for i in range(500):
+        toks = [target_words[(i + j) % len(target_words)] for j in range(200)]
+        planted.append((3_000_000_000 + i, " ".join(toks), "en", "probe_target"))
+    for i in range(500):
+        toks = [anti_words[(i + j) % len(anti_words)] for j in range(200)]
+        planted.append((3_100_000_000 + i, " ".join(toks), "de", "probe_anti"))
+    extra = spark.createDataFrame(
+        planted, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    docs.unionByName(extra).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
+
+    t0 = time.time()
+    rows = {r.source: r for r in doc_dsir_selection(spark, out).collect()}
+    t_dsir = round(time.time() - t0, 2)
+    dsir_ok = (
+        rows["probe_target"].n_selected == 500
+        and rows["probe_anti"].n_selected == 0
+    )
+
+    t0 = time.time()
+    ppl = doc_perplexity_buckets(spark, out).collect()
+    t_ppl = round(time.time() - t0, 2)
+    by_lang: dict = {}
+    for r in ppl:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    ppl_ok = True
+    for lang, bs in by_lang.items():
+        sizes = [b.n_docs for b in bs.values()]
+        if max(sizes) - min(sizes) > 1:
+            ppl_ok = False
+        order = [bs[k] for k in ("head", "middle", "tail") if k in bs]
+        for a, b in zip(order, order[1:]):
+            if a.max_mean_nlp_milli > b.min_mean_nlp_milli:
+                ppl_ok = False
+
+    # LPA: planted disjoint bipartite cliques
+    n_cliq, nc, ns = 20_000, 10, 3
+    lpa_dir = f"{out}/lpa"
+    os.makedirs(lpa_dir, exist_ok=True)
+    base = spark.range(n_cliq).select(F.col("id").alias("q"))
+    cs = base.select(
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(nc - 1))).alias("c"),
+    ).select(
+        "q", "c", F.explode(F.sequence(F.lit(0), F.lit(ns - 1))).alias("s")
+    )
+    pairs = cs.select(
+        (F.col("q") * (nc * ns) + F.col("c") * ns + F.col("s")).alias("ok"),
+        (F.col("q") * nc + F.col("c")).alias("ck"),
+        (F.col("q") * ns + F.col("s")).alias("sk"),
+    )
+    pairs.select(F.col("ok").alias("o_orderkey"), F.col("ck").alias("o_custkey")) \
+        .repartition(32).write.mode("overwrite").parquet(f"{lpa_dir}/orders.parquet")
+    pairs.select(F.col("ok").alias("l_orderkey"), F.col("sk").alias("l_suppkey")) \
+        .repartition(32).write.mode("overwrite").parquet(f"{lpa_dir}/lineitem.parquet")
+    t0 = time.time()
+    shapes = {
+        (r.n_vertices, r.n_customers, r.n_suppliers): r["count"]
+        for r in graph_label_propagation(spark, lpa_dir)
+        .groupBy("n_vertices", "n_customers", "n_suppliers")
+        .count()
+        .collect()
+    }
+    t_lpa = round(time.time() - t0, 2)
+    lpa_ok = shapes == {(nc, nc, 0): n_cliq, (ns, 0, ns): n_cliq}
+
+    return {
+        "probe": "curation",
+        "docs": n_docs,
+        "dsir_planted_exact": dsir_ok,
+        "dsir_sec": t_dsir,
+        "ppl_thirds_invariants": ppl_ok,
+        "ppl_sec": t_ppl,
+        "lpa_vertices": n_cliq * (nc + ns),
+        "lpa_planted_exact": lpa_ok,
+        "lpa_shapes": {str(k): v for k, v in shapes.items()},
+        "lpa_sec": t_lpa,
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])  # probe-name filter, e.g. "copurchase_hotkey"
@@ -1210,6 +1330,7 @@ def main() -> None:
             "copurchase_hotkey": lambda: probe_copurchase_hotkey(spark),
             "triangle_dispatch": lambda: probe_triangle_dispatch(spark),
             "retrieval": lambda: probe_retrieval(spark, build_corpus(spark, k)),
+            "curation": lambda: probe_curation(spark, build_corpus(spark, k)),
         }
         for name in sys.argv[2:]:
             print(json.dumps(fns[name]()))
@@ -1247,6 +1368,8 @@ def main() -> None:
     print(json.dumps(probe_copurchase_hotkey(spark)))
     print(json.dumps(probe_triangle_dispatch(spark)))
     print(json.dumps(probe_retrieval(spark, sf_dir)))
+    # r9b: DSIR / perplexity-bucket / LPA planted invariants
+    print(json.dumps(probe_curation(spark, sf_dir)))
 
 
 if __name__ == "__main__":
