@@ -1634,6 +1634,89 @@ LIMIT 20
 """
 
 
+#: RAG chunking geometry: fixed-size token windows with overlap —
+#: the retrieval-index preparation step (every RAG pipeline's
+#: "chunk_size=..., chunk_overlap=..." pass). Stride = size − overlap.
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for retrieval indexing: each
+    document becomes ⌈(n−size)/stride⌉+1 chunks (one chunk when
+    n ≤ size) of [start_tok, end_tok) spans with an md5 content hash
+    per chunk — the text twin of ``mm_chunk_windows`` (binary
+    payloads) and the upstream of chunk-level dedup (identical
+    boilerplate chunks across documents collide on chunk_md5).
+
+    Determinism: the chunk count is pure integer arithmetic
+    ((n−size+stride−1) DIV stride + 1, positive operands on both
+    engines) and the hash is md5 over the space-joined token slice —
+    no floats anywhere.
+
+    Scale shape: map-only (tokenize → sequence → explode → slice →
+    md5 inside whole-stage codegen; no Python worker, no shuffle
+    before the final presentation sort); chunk rows ≈ corpus tokens /
+    stride, a bounded expansion of the input."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = _tokens()
+    n = F.size(toks)
+    m = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.expr(
+            f"CAST((size(split(trim(text), '\\\\s+')) - {CHUNK_SIZE}"
+            f" + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE} AS INT) + 1"
+        )
+    )
+    chunks = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), m - 1)).alias("chunk_ix"),
+    )
+    start = F.col("chunk_ix") * CHUNK_STRIDE
+    end = F.least(start + CHUNK_SIZE, F.col("n_tokens"))
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_ix").cast("long").alias("chunk_ix"),
+            start.cast("long").alias("start_tok"),
+            end.cast("long").alias("end_tok"),
+            (end - start).cast("long").alias("n_chunk_toks"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), start + 1, end - start))
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_ix")
+    )
+
+
+DOC_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {CHUNK_SIZE} THEN 1
+              ELSE (len(toks) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} + 1 END AS m
+  FROM d
+), chunks AS (
+  SELECT doc_id, toks, n, u.i AS chunk_ix,
+         u.i * {CHUNK_STRIDE} AS start_tok,
+         LEAST(u.i * {CHUNK_STRIDE} + {CHUNK_SIZE}, n) AS end_tok
+  FROM sized, UNNEST(range(0, m)) AS u(i)
+)
+SELECT doc_id,
+       CAST(chunk_ix AS BIGINT) AS chunk_ix,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(end_tok AS BIGINT) AS end_tok,
+       CAST(end_tok - start_tok AS BIGINT) AS n_chunk_toks,
+       md5(array_to_string(toks[start_tok + 1 : end_tok], ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_ix
+"""
+
+
 #: DSIR hashed-feature dimensionality (Xie et al. 2023 use 10k buckets
 #: over hashed {1,2}-grams; 1024 matches the classifier's QC_DIMS scale
 #: for this corpus — the bucket-count dial, not a structural choice).
@@ -1903,6 +1986,7 @@ FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
 
 QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
+    "doc_chunk_spans": doc_chunk_spans,
     "doc_collocation_pmi": doc_collocation_pmi,
     "doc_dsir_selection": doc_dsir_selection,
     "doc_perplexity_buckets": doc_perplexity_buckets,
@@ -1931,6 +2015,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_bm25_topk": DOC_BM25_SQL,
+    "doc_chunk_spans": DOC_CHUNK_SQL,
     "doc_collocation_pmi": DOC_COLLOC_SQL,
     "doc_dsir_selection": DOC_DSIR_SQL,
     "doc_perplexity_buckets": DOC_PPL_BUCKETS_SQL,

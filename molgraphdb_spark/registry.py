@@ -61,13 +61,13 @@ _QUERY_MODULES = [
 #   merge/purge blocking; chem_substructure_search — WL-catalog
 #   substructure screen; doc_dsir_selection — DSIR importance
 #   resampling; doc_perplexity_buckets — CCNet head/middle/tail;
-#   graph_label_propagation — sync LPA communities)
-#   enter through the window, per the rule.
-# - Then the OLDEST r5-stale entries (last driver-green r5), 22 of 39.
-#   17 defer to the r10 window lead (incl. doc_dup_span_stats /
-#   doc_dup_span_removal / fuzzy_name_clusters, displaced by the three
-#   late debuts; all suite-covered + property-tested) — chosen
-#   lowest-risk: the three
+#   graph_label_propagation — sync LPA communities; doc_chunk_spans —
+#   RAG token-window chunking) enter through the window, per the rule.
+# - Then the OLDEST r5-stale entries (last driver-green r5), 21 of 39.
+#   18 defer to the r10 window lead (incl. doc_dup_span_stats /
+#   doc_dup_span_removal / fuzzy_name_clusters / fuzzy_name_pairs,
+#   displaced by the four late debuts; all suite-covered +
+#   property-tested) — chosen lowest-risk: the three
 #   setops + skew_salted_status_counts (trivial, suite-covered) and
 #   q2/q4/q8/q9/q11/q12/q15/q16/q17 (TPC-H mainline, in-suite
 #   full-registry sweep + untouched since r5): setop_intersect_nations,
@@ -113,6 +113,7 @@ _PRIORITY = [
     "doc_dsir_selection",
     "doc_perplexity_buckets",
     "graph_label_propagation",
+    "doc_chunk_spans",
     # ---- oldest r5-stale tail (25 of 39; 14 defer to r10) ----
     "graph_pagerank_top",
     "dedup_exact",
@@ -135,7 +136,6 @@ _PRIORITY = [
     "doc_mixture_sample",
     "orders_retention_cohorts",
     "doc_split_assign",
-    "fuzzy_name_pairs",
 ]
 
 

@@ -75,6 +75,7 @@ REPRESENTATIVE = [
     "doc_dsir_selection",        # model totals + global rank over zero docs
     "doc_perplexity_buckets",    # per-lang model + grouped ranks over zero docs
     "graph_label_propagation",   # LPA rounds over zero edges
+    "doc_chunk_spans",           # chunk geometry over zero docs
 ]
 
 

@@ -43,6 +43,7 @@ TEXT_FAMILY = [
     "doc_collocation_pmi",  # r9: NULL text must not reach the bigram zip
     "doc_dsir_selection",   # r9b: NULL text must not reach the feature zip
     "doc_perplexity_buckets",  # r9b: NULL text must not reach the model
+    "doc_chunk_spans",      # r9b: NULL text must not reach the slicer
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the

@@ -643,3 +643,14 @@ def test_label_propagation_scale_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in s["plan"]
     assert "Scan ExistingRDD" in s["plan"]  # the checkpointed labels
     assert n_partitionless_windows(df) == 0
+
+
+def test_chunk_spans_map_only(spark, sf_dir):
+    # r9b: tokenize → sequence → explode → slice → md5 all inside
+    # whole-stage codegen; the only exchange is the presentation sort.
+    from molgraphdb_spark.queries.text import doc_chunk_spans
+
+    s = plan_summary(doc_chunk_spans(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert s["n_exchanges"] <= 1
+    assert set(s["read_columns"]) <= {"doc_id", "text"}

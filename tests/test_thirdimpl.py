@@ -563,3 +563,60 @@ def test_label_propagation_matches_python_reference(spark, tmp_path_factory):
     # the planted structure survives: the two cliques never merge into
     # one community (the bridge is outvoted in every round)
     assert len(got) >= 2
+
+
+def test_chunk_spans_match_python_reference(spark, tmp_path_factory):
+    # RAG chunk geometry + md5 content hashes recomputed with plain
+    # Python slices on docs straddling every boundary case: shorter
+    # than one chunk, exactly one chunk, exact multiple of the stride,
+    # and one token past it.
+    from molgraphdb_spark.queries.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunk_spans,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_chunks"))
+    rng = random.Random(5)
+    vocab = ["tok%d" % i for i in range(50)]
+    lengths = [1, 5, CHUNK_SIZE - 1, CHUNK_SIZE, CHUNK_SIZE + 1,
+               CHUNK_SIZE + CHUNK_STRIDE, CHUNK_SIZE + CHUNK_STRIDE + 1,
+               CHUNK_SIZE + 2 * CHUNK_STRIDE, 300]
+    rows = [
+        (did, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s0")
+        for did, n in enumerate(lengths)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = [
+        (r.doc_id, r.chunk_ix, r.start_tok, r.end_tok, r.n_chunk_toks,
+         r.chunk_md5)
+        for r in doc_chunk_spans(spark, path).collect()
+    ]
+
+    import hashlib
+
+    expect = []
+    for did, text, _l, _s in rows:
+        toks = text.split()
+        n = len(toks)
+        m = 1 if n <= CHUNK_SIZE else (n - CHUNK_SIZE + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        for i in range(m):
+            start = i * CHUNK_STRIDE
+            end = min(start + CHUNK_SIZE, n)
+            expect.append(
+                (did, i, start, end, end - start,
+                 hashlib.md5(" ".join(toks[start:end]).encode()).hexdigest())
+            )
+    assert got == expect
+    # every token is covered and consecutive chunks overlap by
+    # size − stride (except a shorter final chunk)
+    for did, text, _l, _s in rows:
+        spans = [(s, e) for d, _i, s, e, _n, _h in expect if d == did]
+        assert spans[0][0] == 0 and spans[-1][1] == len(text.split())
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert s2 == s1 + CHUNK_STRIDE and s2 < e1  # genuine overlap
