@@ -1659,6 +1659,13 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final presentation sort); chunk rows ≈ corpus tokens /
     stride, a bounded expansion of the input."""
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return chunk_rows(docs).orderBy("doc_id", "chunk_ix")
+
+
+def chunk_rows(docs: DataFrame) -> DataFrame:
+    """The chunk projection shared by the batch query and its
+    streaming twin (stateless map-only — it streams per micro-batch
+    unchanged; single code path for the geometry and the hash)."""
     toks = _tokens()
     n = F.size(toks)
     m = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
@@ -1675,18 +1682,15 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     start = F.col("chunk_ix") * CHUNK_STRIDE
     end = F.least(start + CHUNK_SIZE, F.col("n_tokens"))
-    return (
-        chunks.select(
-            "doc_id",
-            F.col("chunk_ix").cast("long").alias("chunk_ix"),
-            start.cast("long").alias("start_tok"),
-            end.cast("long").alias("end_tok"),
-            (end - start).cast("long").alias("n_chunk_toks"),
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("toks"), start + 1, end - start))
-            ).alias("chunk_md5"),
-        )
-        .orderBy("doc_id", "chunk_ix")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        start.cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - start).cast("long").alias("n_chunk_toks"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), start + 1, end - start))
+        ).alias("chunk_md5"),
     )
 
 

@@ -664,6 +664,19 @@ def quality_classifier_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_spans_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of queries.text.doc_chunk_spans: the RAG chunker
+    is STATELESS map-only (tokenize → sequence → explode → slice →
+    md5), so it streams per micro-batch unchanged in append mode — the
+    shared queries.text.chunk_rows is the single code path for the
+    geometry and the content hash. This is the continuously-chunked
+    retrieval-index feed: chunks land as documents arrive, no state,
+    no watermark."""
+    from molgraphdb_spark.queries.text import chunk_rows
+
+    return chunk_rows(docs.filter(F.col("text").isNotNull()))
+
+
 def source_token_counts_stream(docs: DataFrame) -> DataFrame:
     """Streaming twin of source_token_divergence's corpus pass: running
     (source, token) counts via a streaming aggregation (update/complete

@@ -723,3 +723,27 @@ def test_quality_classifier_stream_equals_batch(spark, sf_dir, tmp_path_factory)
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_chunk_spans_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The stateless RAG chunker must emit exactly the batch
+    doc_chunk_spans rows across micro-batches (append mode, no state,
+    shared chunk_rows code path)."""
+    from molgraphdb_spark.queries.text import doc_chunk_spans
+    from molgraphdb_spark.streaming.windows import (
+        chunk_spans_stream,
+        read_documents_stream,
+    )
+
+    d = tmp_path_factory.mktemp("docs_chunk_stream")
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        3
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    docs = read_documents_stream(spark, str(d / "documents.parquet"))
+    q = run_to_memory(chunk_spans_stream(docs), "t_chunk_spans", "append")
+    try:
+        got = sorted(tuple(r) for r in spark.table("t_chunk_spans").collect())
+        want = sorted(tuple(r) for r in doc_chunk_spans(spark, sf_dir).collect())
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
