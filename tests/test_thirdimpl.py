@@ -620,3 +620,138 @@ def test_chunk_spans_match_python_reference(spark, tmp_path_factory):
         assert spans[0][0] == 0 and spans[-1][1] == len(text.split())
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert s2 == s1 + CHUNK_STRIDE and s2 < e1  # genuine overlap
+
+
+def test_gini_matches_python_reference(spark, tmp_path_factory):
+    # Sorted-cumulative Gini recomputed with plain Python on (a) a
+    # perfectly equal corpus — closed form EXACTLY 0 — and (b) a
+    # concentrated one, exact float-for-float replication of the one
+    # final IEEE expression.
+    from molgraphdb_spark.queries.relational import customer_spend_gini
+
+    def run(prices):
+        path = str(tmp_path_factory.mktemp("thirdimpl_gini"))
+        rows = [(i, i % 97, float(p)) for i, p in enumerate(prices)]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+        (r,) = customer_spend_gini(spark, path).collect()
+        return r.n_customers, r.gini_milli
+
+    # equal spend: every customer one order of 100.00
+    n_cust, g = run([100.0] * 97)
+    assert (n_cust, g) == (97, 0)
+
+    # concentrated: customer k spends (k+1)² dollars, recompute
+    prices = [float((i % 97 + 1) ** 2) for i in range(300)]
+    n_cust, g = run(prices)
+    spend: dict[int, int] = {}
+    for i, p in enumerate(prices):
+        spend[i % 97] = spend.get(i % 97, 0) + math.floor(p * 100 + 0.5)
+    xs = [s for _c, s in sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, sx = len(xs), sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = math.floor(
+        (2.0 * six / float(n * sx) - float(n + 1) / float(n)) * 1000 + 0.5
+    )
+    assert (n_cust, g) == (n, expect)
+    assert g > 0  # concentration is visible
+
+
+def test_zipf_slope_matches_python_reference(spark, tmp_path_factory):
+    # Plant an exact Zipf corpus (token k appears ⌊400/k⌋ times) and
+    # recompute the milli-floored OLS slope with plain Python — integer
+    # moments, one final division. The slope must sit near −1000.
+    from molgraphdb_spark.queries.text import vocab_zipf_slope
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_zipf"))
+    toks = []
+    for k in range(1, 60):
+        toks.extend([f"w{k:03d}"] * (400 // k))
+    rng = random.Random(2)
+    rng.shuffle(toks)
+    # split into docs of ~40 tokens
+    rows = [
+        (i, " ".join(toks[i * 40 : (i + 1) * 40]), "en", "s0")
+        for i in range((len(toks) + 39) // 40)
+        if toks[i * 40 : (i + 1) * 40]
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    (r,) = vocab_zipf_slope(spark, path).collect()
+
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(math.log(float(i + 1)) * 1000 + 0.5) for i in range(len(ranked))]
+    ys = [math.floor(math.log(float(c)) * 1000 + 0.5) for _t, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num = (n * sxy - sx * sy) * 1000
+    den = n * sxx - sx * sx
+    expect = math.floor(float(num) / float(den))
+    assert (r.n_types, r.n_tokens, r.zipf_slope_milli) == (n, len(toks), expect)
+    assert -1150 <= r.zipf_slope_milli <= -850  # the Zipf line
+
+
+def test_assortativity_matches_python_and_networkx(spark, tmp_path_factory):
+    # Degree assortativity recomputed two independent ways: exact
+    # integer Pearson moments in plain Python, and networkx's
+    # degree_assortativity_coefficient on the same bipartite graph.
+    import networkx as nx
+
+    from molgraphdb_spark.queries.graph_queries import graph_assortativity
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_assort"))
+    rng = random.Random(13)
+    purchases = set()
+    # one hub supplier + a spread of leaves: hub-and-spoke (negative)
+    for c in range(40):
+        purchases.add((c, 0))
+        if rng.random() < 0.4:
+            purchases.add((c, 1 + rng.randrange(12)))
+    purchases = sorted(purchases)
+    rows = [(i, c, s) for i, (c, s) in enumerate(purchases)]
+    spark.createDataFrame(
+        [(o, c) for o, c, _s in rows], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        [(o, s) for o, _c, s in rows], "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+    (r,) = graph_assortativity(spark, path).collect()
+
+    # python recompute over the directed both-direction edge list
+    deg: dict[int, int] = {}
+    edges = []
+    for _o, c, s in rows:
+        u, v = 2 * c, 2 * s + 1
+        edges.append((u, v))
+        edges.append((v, u))
+    for u, _v in edges:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(edges)
+    xs = [deg[u] for u, _v in edges]
+    ys = [deg[v] for _u, v in edges]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    expect = math.floor(float(num) / math.sqrt(float(dx) * float(dy)) * 1000 + 0.5)
+    assert (r.n_edges, r.assortativity_milli) == (n, expect)
+    assert r.assortativity_milli < 0  # hub-and-spoke is disassortative
+
+    # independent formula check: networkx on the undirected graph
+    g = nx.Graph()
+    g.add_edges_from((u, v) for u, v in edges if u < v)
+    nx_val = nx.degree_assortativity_coefficient(g)
+    assert abs(nx_val - expect / 1000.0) < 2e-3
