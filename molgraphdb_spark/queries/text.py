@@ -1721,6 +1721,101 @@ ORDER BY doc_id, chunk_ix
 """
 
 
+#: Content-defined chunking divisor: a token ENDS a chunk when its
+#: md5 bucket ≡ 0 (mod CDC_DIVISOR), so expected chunk length is
+#: CDC_DIVISOR tokens. Divisor-only CDC (the core of Rabin/FastCDC
+#: chunking without the min/max clamps — documented simplification).
+CDC_DIVISOR = 16
+
+
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the Rabin-fingerprint/FastCDC family,
+    Muthitacharoen et al. 2001 LBFS; Xia et al. 2016 FastCDC):
+    chunk boundaries come from the CONTENT (a token whose hash ≡ 0 mod
+    CDC_DIVISOR ends a chunk), not from fixed offsets — so text shared
+    between documents chunks identically regardless of where it sits,
+    and shared-chunk hashes collide across docs even when the shared
+    region is SHIFTED. This is the dedup-friendly complement of
+    ``doc_chunk_spans`` (fixed windows never align across a shift) and
+    the storage-dedup standard brought to corpus curation.
+
+    Determinism: boundaries are md5-bucket tests, chunk ids an integer
+    running count — no floats anywhere; the per-chunk hash is md5 over
+    the pos-ordered token join.
+
+    Scale shape: posexplode is map-side; the running boundary count is
+    a window partitioned by doc_id — millions of SMALL groups, the
+    regime where a partitioned window is already parallel (the grouped
+    two-pass operator is for few-and-huge groups); the chunk rollup
+    groups on (doc_id, chunk_ix) with a pos-ordered fold. Two
+    doc-keyed exchanges, both linear."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    ).withColumn(
+        "flag",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % CDC_DIVISOR
+            == 0
+        ).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = tok.withColumn("chunk_ix", F.sum("flag").over(w) - F.col("flag"))
+    return (
+        tok.groupBy("doc_id", "chunk_ix")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + 1).cast("long").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_chunk_toks"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_ix").cast("long").alias("chunk_ix"),
+            "start_tok",
+            "end_tok",
+            "n_chunk_toks",
+            "chunk_md5",
+        )
+        .orderBy("doc_id", "chunk_ix")
+    )
+
+
+DOC_CDC_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, u.i - 1 AS pos, toks[i] AS tok,
+         CAST(('0x' || substr(md5(toks[i]), 1, 8))::UBIGINT
+              % {CDC_DIVISOR} = 0 AS BIGINT) AS flag
+  FROM d, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), marked AS (
+  SELECT doc_id, pos, tok,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) - flag AS chunk_ix
+  FROM tok
+)
+SELECT doc_id,
+       CAST(chunk_ix AS BIGINT) AS chunk_ix,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + 1 AS BIGINT) AS end_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_chunk_toks,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM marked
+GROUP BY doc_id, chunk_ix
+ORDER BY doc_id, chunk_ix
+"""
+
+
 #: DSIR hashed-feature dimensionality (Xie et al. 2023 use 10k buckets
 #: over hashed {1,2}-grams; 1024 matches the classifier's QC_DIMS scale
 #: for this corpus — the bucket-count dial, not a structural choice).
@@ -1991,6 +2086,7 @@ FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
 QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "doc_chunk_spans": doc_chunk_spans,
+    "doc_cdc_chunks": doc_cdc_chunks,
     "doc_collocation_pmi": doc_collocation_pmi,
     "doc_dsir_selection": doc_dsir_selection,
     "doc_perplexity_buckets": doc_perplexity_buckets,
@@ -2020,6 +2116,7 @@ QUERIES = {
 ORACLES = {
     "doc_bm25_topk": DOC_BM25_SQL,
     "doc_chunk_spans": DOC_CHUNK_SQL,
+    "doc_cdc_chunks": DOC_CDC_SQL,
     "doc_collocation_pmi": DOC_COLLOC_SQL,
     "doc_dsir_selection": DOC_DSIR_SQL,
     "doc_perplexity_buckets": DOC_PPL_BUCKETS_SQL,

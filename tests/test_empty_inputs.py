@@ -76,6 +76,7 @@ REPRESENTATIVE = [
     "doc_perplexity_buckets",    # per-lang model + grouped ranks over zero docs
     "graph_label_propagation",   # LPA rounds over zero edges
     "doc_chunk_spans",           # chunk geometry over zero docs
+    "doc_cdc_chunks",            # boundary windows over zero docs
 ]
 
 

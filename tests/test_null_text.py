@@ -44,6 +44,7 @@ TEXT_FAMILY = [
     "doc_dsir_selection",   # r9b: NULL text must not reach the feature zip
     "doc_perplexity_buckets",  # r9b: NULL text must not reach the model
     "doc_chunk_spans",      # r9b: NULL text must not reach the slicer
+    "doc_cdc_chunks",       # r9b: NULL text must not reach the boundary scan
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the

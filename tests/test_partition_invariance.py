@@ -85,6 +85,7 @@ AT_RISK = [
     "doc_dsir_selection",        # integer milli-nat sums + global rank ties
     "doc_perplexity_buckets",    # per-lang milli means + grouped rank thirds
     "graph_label_propagation",   # argmax votes — integer counts + min ties
+    "doc_cdc_chunks",            # doc-keyed window + ordered fold
 ]
 
 

@@ -654,3 +654,18 @@ def test_chunk_spans_map_only(spark, sf_dir):
     assert not s["has_python_worker"]
     assert s["n_exchanges"] <= 1
     assert set(s["read_columns"]) <= {"doc_id", "text"}
+
+
+def test_cdc_chunks_scale_shape(spark, sf_dir):
+    # r9b: posexplode map-side; the boundary count is a doc-keyed
+    # window (millions of SMALL groups — already parallel; the grouped
+    # two-pass operator is for few-and-huge groups); rollup groups on
+    # (doc_id, chunk_ix). Doc-keyed exchanges only, no Python worker.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.text import doc_cdc_chunks
+
+    s = plan_summary(doc_cdc_chunks(spark, sf_dir))
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert n_partitionless_windows(doc_cdc_chunks(spark, sf_dir)) == 0
+    assert set(s["read_columns"]) <= {"doc_id", "text"}

@@ -755,3 +755,61 @@ def test_assortativity_matches_python_and_networkx(spark, tmp_path_factory):
     g.add_edges_from((u, v) for u, v in edges if u < v)
     nx_val = nx.degree_assortativity_coefficient(g)
     assert abs(nx_val - expect / 1000.0) < 2e-3
+
+
+def test_cdc_chunks_match_python_reference(spark, tmp_path_factory):
+    # Content-defined chunking recomputed with hashlib + loops, and
+    # the CDC selling point pinned: a long region SHARED between two
+    # docs at DIFFERENT offsets must produce identical interior chunk
+    # hashes (fixed-stride windows cannot align across a shift).
+    from molgraphdb_spark.queries.text import CDC_DIVISOR, doc_cdc_chunks
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_cdc"))
+    rng = random.Random(17)
+    vocab = ["v%d" % i for i in range(200)]
+    shared = [rng.choice(vocab) for _ in range(120)]  # the shared region
+    doc_a = [rng.choice(vocab) for _ in range(7)] + shared
+    doc_b = [rng.choice(vocab) for _ in range(30)] + shared
+    doc_c = [rng.choice(vocab) for _ in range(50)]
+    rows = [
+        (0, " ".join(doc_a), "en", "s0"),
+        (1, " ".join(doc_b), "en", "s0"),
+        (2, " ".join(doc_c), "en", "s0"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = [
+        (r.doc_id, r.chunk_ix, r.start_tok, r.end_tok, r.n_chunk_toks,
+         r.chunk_md5)
+        for r in doc_cdc_chunks(spark, path).collect()
+    ]
+
+    import hashlib
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % CDC_DIVISOR
+
+    expect = []
+    hashes: dict[int, set[str]] = {}
+    for did, text, _l, _s in rows:
+        toks = text.split()
+        chunks: list[list[tuple[int, str]]] = [[]]
+        for pos, t in enumerate(toks):
+            chunks[-1].append((pos, t))
+            if bucket(t) == 0:
+                chunks.append([])
+        if not chunks[-1]:
+            chunks.pop()
+        for ix, ch in enumerate(chunks):
+            h = hashlib.md5(" ".join(t for _p, t in ch).encode()).hexdigest()
+            expect.append((did, ix, ch[0][0], ch[-1][0] + 1, len(ch), h))
+            hashes.setdefault(did, set()).add(h)
+    assert got == expect
+    # shift invariance: docs 0 and 1 share interior chunks despite the
+    # 7- vs 30-token prefixes; the unrelated doc 2 shares none
+    assert len(hashes[0] & hashes[1]) >= 2
+    assert not (hashes[0] & hashes[2])
