@@ -282,6 +282,89 @@ def with_group_rows_frame(
     )
 
 
+def with_grouped_running_min(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    value_col: str,
+    out_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Inclusive per-group running MIN of ``value_col`` in ``order`` —
+    the scan that turns max-plus recurrences (CUSUM's
+    ``s_i = max(0, s_{i-1} + δ_i)``) into a closed form
+    (``s_i = g_i − min_{j≤i} g_j`` over prefix sums g), without a
+    per-group partitioned window: the target regime is FEW and LARGE
+    groups (per-event-type monitors), where ``Window.partitionBy(g)``
+    funnels each group through one task.
+
+    Same two-pass recipe as :func:`with_order_stats`, with the min
+    algebra instead of sums — and unlike grouped running SUMS (which
+    derive per-group values by subtracting a pre-group offset from the
+    GLOBAL cumsum), min has no inverse, so the driver folds prefix
+    mins PER GROUP: range buckets on (group asc, order) keep each
+    group's rows contiguous and bucket-ordered; the per-(bucket, group)
+    partial mins collect bounded by n_buckets × |groups|; the
+    within-bucket leg is a (bucket, group)-keyed ROWS window; ``least``
+    merges (NULL-skipping, so the group's first bucket keeps the local
+    leg). Exact for every orderable type — min is associative, no
+    float-order caveat."""
+    n_buckets = _buckets_for(df, n_buckets)
+    spark = df.sparkSession
+    gorder = [F.asc(c) for c in group_cols] + list(order)
+    part = (
+        df.repartitionByRange(n_buckets, *gorder)
+        .withColumn(_BUCKET, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    agg = part.groupBy(_BUCKET, *group_cols).agg(F.min(value_col).alias("_mn"))
+    mn_type = next(f.dataType for f in agg.schema.fields if f.name == "_mn")
+    gtypes = {f.name: f.dataType for f in part.schema.fields}
+    rows = agg.collect()  # bounded: n_buckets × |groups| (few groups)
+    per_group: dict[tuple, list] = {}
+    for r in rows:
+        per_group.setdefault(tuple(r[g] for g in group_cols), []).append(r)
+    offs = []
+    for key, rs in per_group.items():
+        rs.sort(key=lambda r: r[_BUCKET])
+        run = None
+        for r in rs:
+            offs.append((int(r[_BUCKET]), *key, run))
+            if r["_mn"] is not None:
+                run = r["_mn"] if run is None else min(run, r["_mn"])
+    gk = {g: f"_gmkey_{i}" for i, g in enumerate(group_cols)}
+    off_df = spark.createDataFrame(
+        offs,
+        T.StructType(
+            [T.StructField(_BUCKET, T.IntegerType(), False)]
+            + [T.StructField(gk[g], gtypes[g], True) for g in group_cols]
+            + [T.StructField("_premin", mn_type, True)]
+        ),
+    )
+    local = (
+        Window.partitionBy(_BUCKET, *group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(off_df.withColumnRenamed(_BUCKET, "_gmb")),
+                  (part[_BUCKET] == F.col("_gmb"))
+                  & _nullsafe_all(part, gk),
+                  )
+        .withColumn(
+            out_col, F.least(F.min(value_col).over(local), F.col("_premin"))
+        )
+        .drop(_BUCKET, "_gmb", "_premin", *gk.values())
+    )
+
+
+def _nullsafe_all(part: DataFrame, gk: dict[str, str]):
+    cond = F.lit(True)
+    for g, a in gk.items():
+        cond = cond & part[g].eqNullSafe(F.col(a))
+    return cond
+
+
 def with_running_max_before(
     df: DataFrame,
     key_col: str,

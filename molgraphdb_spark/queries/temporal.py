@@ -746,7 +746,107 @@ ORDER BY user_id
 """
 
 
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point monitoring (Page 1954) per event type: the
+    one-sided upward CUSUM ``s_i = max(0, s_{i−1} + (x_i − μ − k))``
+    with reference μ = the type's own mean, slack k = μ/20, alarm
+    threshold h = 5k — the classic drift detector an event pipeline
+    runs on latency/value streams.
+
+    The sequential max-plus recurrence is NOT computed sequentially:
+    with g_i = Σ_{j≤i}(x_j − μ − k) it closes to
+    ``s_i = g_i − min(0, min_{j≤i} g_j)``, so the whole monitor is one
+    grouped running SUM (the two-pass distributed cumsum) plus one
+    grouped running MIN (:func:`operators.ranking.
+    with_grouped_running_min` — min has no inverse, so its driver fold
+    is per-group rather than offset-subtracted). Event types are few
+    and huge — exactly the regime where ``Window.partitionBy(type)``
+    funnels each type through one task and the two-pass operators do
+    not.
+
+    Determinism: readings floor to integer micro-units; μ and k are
+    positive-operand integer DIVs (truncate == floor cross-engine);
+    every running statistic is integer — no float anywhere. Output:
+    one row per type (events, alarms, max CUSUM, the μ/h used)."""
+    from molgraphdb_spark.operators.ranking import (
+        with_grouped_order_stats,
+        with_grouped_running_min,
+    )
+
+    ev = _events(spark, sf_dir)
+    x = F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+    base = ev.select("event_type", "ts", "event_id", x.alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    m = base.groupBy("event_type").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    p = m.select(
+        "event_type",
+        F.expr("sx DIV n + (sx DIV n) DIV 20").alias("d"),
+        F.expr("(sx DIV n) DIV 20 * 5").alias("h"),
+        F.expr("sx DIV n").alias("mu_micro"),
+    )
+    j = base.join(F.broadcast(p), "event_type").withColumn(
+        "xd", F.col("x") - F.col("d")
+    )
+    order = [F.asc("ts"), F.asc("event_id")]
+    g = with_grouped_order_stats(j, ["event_type"], order, cumsum={"xd": "g"})
+    r = with_grouped_running_min(g, ["event_type"], order, "g", "gmin")
+    s = r.withColumn("s", F.col("g") - F.least(F.col("gmin"), F.lit(0).cast("long")))
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("s") > F.col("h")).cast("long")).alias("n_alarms"),
+            F.max("s").alias("max_cusum_micro"),
+            F.max("mu_micro").alias("mu_micro"),
+            F.max("h").alias("alarm_threshold_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type
+), p AS (
+  SELECT event_type,
+         sx // n + (sx // n) // 20 AS d,
+         (sx // n) // 20 * 5 AS h,
+         sx // n AS mu_micro
+  FROM m
+), g AS (
+  SELECT e.event_type, e.ts, e.event_id, p.h, p.mu_micro,
+         SUM(e.x - p.d) OVER (
+           PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+           ROWS UNBOUNDED PRECEDING) AS g
+  FROM e JOIN p USING (event_type)
+), s AS (
+  SELECT event_type, h, mu_micro,
+         g - LEAST(MIN(g) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), 0) AS s
+  FROM g
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(s > h AS BIGINT)) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_cusum_micro,
+       CAST(MAX(mu_micro) AS BIGINT) AS mu_micro,
+       CAST(MAX(h) AS BIGINT) AS alarm_threshold_micro
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_cusum_alarms": events_cusum_alarms,
     "events_ohlc_resample": events_ohlc_resample,
     "events_ewma": events_ewma,
     "events_asof_join": events_asof_join,
@@ -762,6 +862,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cusum_alarms": EVENTS_CUSUM_SQL,
     "events_ohlc_resample": EVENTS_OHLC_SQL,
     "events_ewma": EVENTS_EWMA_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,

@@ -63,12 +63,14 @@ _QUERY_MODULES = [
 #   resampling; doc_perplexity_buckets — CCNet head/middle/tail;
 #   graph_label_propagation — sync LPA communities; doc_chunk_spans —
 #   RAG token-window chunking; doc_cdc_chunks — content-defined
-#   chunking) enter through the window, per the rule.
-# - Then the OLDEST r5-stale entries (last driver-green r5), 20 of 39.
-#   19 defer to the r10 window lead (incl. doc_dup_span_stats /
+#   chunking; events_cusum_alarms — Page CUSUM via grouped
+#   cumsum + grouped running min) enter through the window.
+# - Then the OLDEST r5-stale entries (last driver-green r5), 19 of 39.
+#   20 defer to the r10 window lead (incl. doc_dup_span_stats /
 #   doc_dup_span_removal / fuzzy_name_clusters / fuzzy_name_pairs /
-#   doc_split_assign, displaced by the five late debuts; all
-#   suite-covered + property-tested) — chosen lowest-risk: the three
+#   doc_split_assign / orders_retention_cohorts, displaced by the six
+#   late debuts; all suite-covered + property-tested) — chosen
+#   lowest-risk: the three
 #   setops + skew_salted_status_counts (trivial, suite-covered) and
 #   q2/q4/q8/q9/q11/q12/q15/q16/q17 (TPC-H mainline, in-suite
 #   full-registry sweep + untouched since r5): setop_intersect_nations,
@@ -116,6 +118,7 @@ _PRIORITY = [
     "graph_label_propagation",
     "doc_chunk_spans",
     "doc_cdc_chunks",
+    "events_cusum_alarms",
     # ---- oldest r5-stale tail (25 of 39; 14 defer to r10) ----
     "graph_pagerank_top",
     "dedup_exact",
@@ -136,7 +139,6 @@ _PRIORITY = [
     "doc_pii_redact",
     "q21_waiting_suppliers",
     "doc_mixture_sample",
-    "orders_retention_cohorts",
 ]
 
 

@@ -77,6 +77,7 @@ REPRESENTATIVE = [
     "graph_label_propagation",   # LPA rounds over zero edges
     "doc_chunk_spans",           # chunk geometry over zero docs
     "doc_cdc_chunks",            # boundary windows over zero docs
+    "events_cusum_alarms",       # CUSUM passes over zero events
 ]
 
 

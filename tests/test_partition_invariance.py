@@ -86,6 +86,7 @@ AT_RISK = [
     "doc_perplexity_buckets",    # per-lang milli means + grouped rank thirds
     "graph_label_propagation",   # argmax votes — integer counts + min ties
     "doc_cdc_chunks",            # doc-keyed window + ordered fold
+    "events_cusum_alarms",       # grouped cumsum + running min seams
 ]
 
 

@@ -669,3 +669,19 @@ def test_cdc_chunks_scale_shape(spark, sf_dir):
     assert "CartesianProduct" not in s["plan"]
     assert n_partitionless_windows(doc_cdc_chunks(spark, sf_dir)) == 0
     assert set(s["read_columns"]) <= {"doc_id", "text"}
+
+
+def test_cusum_scale_shape(spark, sf_dir):
+    # r9b: both running statistics ride the two-pass operators
+    # (bucket-keyed windows only), so the final plan is the per-type
+    # rollup over the checkpointed scan relation — no partitionless
+    # window, no type-partitioned window funnel, no Python worker.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.temporal import events_cusum_alarms
+
+    df = events_cusum_alarms(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "Scan ExistingRDD" in s["plan"]  # the checkpointed passes
+    assert n_partitionless_windows(df) == 0

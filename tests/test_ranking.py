@@ -494,3 +494,45 @@ def test_group_rows_frame_exact_segment_multiple(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_grouped_running_min_matches_window(spark):
+    # random signed values, NULL group keys included, 2 vs 17 buckets —
+    # must equal the plain per-group window min exactly.
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from molgraphdb_spark.operators.ranking import with_grouped_running_min
+
+    rng = random.Random(23)
+    rows = [
+        (
+            rng.choice(["a", "b", "c", None]),
+            i,
+            rng.randrange(-1000, 1000),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        (tuple(r) for r in df.withColumn("m", F.min("v").over(w)).collect()),
+        key=lambda t: (t[0] or "", t[1:]),
+    )
+    for nb in (2, 17):
+        got = sorted(
+            (
+                tuple(r)
+                for r in with_grouped_running_min(
+                    df, ["g"], [F.asc("i")], "v", "m", n_buckets=nb
+                ).collect()
+            ),
+            key=lambda t: (t[0] or "", t[1:]),
+        )
+        assert got == want

@@ -813,3 +813,71 @@ def test_cdc_chunks_match_python_reference(spark, tmp_path_factory):
     # 7- vs 30-token prefixes; the unrelated doc 2 shares none
     assert len(hashes[0] & hashes[1]) >= 2
     assert not (hashes[0] & hashes[2])
+
+
+def test_cusum_matches_sequential_python_reference(spark, tmp_path_factory):
+    # The distributed CUSUM uses the prefix-min closed form
+    # s_i = g_i - min(0, min_{j<=i} g_j); the third implementation runs
+    # Page's recurrence DIRECTLY (s = max(0, s + x - mu - k)) - an
+    # independent derivation, so a closed-form algebra bug cannot hide.
+    # Planted drift: type "drift" doubles its level halfway through,
+    # which MUST alarm; type "flat" stays at its mean and must not.
+    from molgraphdb_spark.queries.temporal import events_cusum_alarms
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_cusum"))
+    rng = random.Random(29)
+    rows = []
+    eid = 0
+    for i in range(400):
+        for typ in ("flat", "drift"):
+            base = 10.0 if typ == "flat" or i < 200 else 20.0
+            rows.append(
+                (
+                    eid,
+                    1_600_000_000_000_000 + i * 60_000_000,
+                    eid % 7,
+                    typ,
+                    round(base + rng.uniform(-1, 1), 2),
+                    None,
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    got = {
+        r.event_type: (r.n_events, r.n_alarms, r.max_cusum_micro,
+                       r.mu_micro, r.alarm_threshold_micro)
+        for r in events_cusum_alarms(spark, path).collect()
+    }
+
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for eid_, ts_us, _u, typ, v, _p in rows:
+        by_type.setdefault(typ, []).append((ts_us, eid_, math.floor(v * 1e6 + 0.5)))
+    expect = {}
+    for typ, evs in by_type.items():
+        evs.sort()
+        xs = [x for _t, _e, x in evs]
+        mu = sum(xs) // len(xs)
+        k = mu // 20
+        d, h = mu + k, k * 5
+        s = 0
+        alarms = 0
+        mx = None
+        for x in xs:
+            s = max(0, s + (x - d))
+            mx = s if mx is None else max(mx, s)
+            if s > h:
+                alarms += 1
+        expect[typ] = (len(xs), alarms, mx, mu, h)
+    assert got == expect
+    assert got["drift"][1] > 0      # the planted level shift alarms
+    assert got["flat"][1] == 0      # in-control stream stays silent
