@@ -1816,6 +1816,82 @@ ORDER BY doc_id, chunk_ix
 """
 
 
+def source_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-dedup diagnostic over content-defined chunks: per
+    source, what share of CDC chunk OCCURRENCES carry a hash that
+    appears in more than one document (basis points), plus the
+    distinct-chunk and total counts — the number that says how much of
+    a crawl is shifted boilerplate that fixed-window dedup misses.
+    Single-token chunks are excluded (a lone boundary token is not
+    shared content; the CDC literature's min-size clamp, applied at
+    the diagnostic instead of the chunker).
+
+    Scale shape: rides the CDC chunker (doc-keyed passes), then one
+    chunk_md5-keyed groupBy for the document-frequency dictionary
+    (map-side combined) joined back hash-to-hash, and a ≤|sources|
+    rollup. No pairs are ever materialized — dup detection is
+    df(chunk) > 1, the exact-dedup trick at chunk grain."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    chunks = (
+        doc_cdc_chunks(spark, sf_dir)
+        .filter(F.col("n_chunk_toks") > 1)
+        .select("doc_id", "chunk_md5")
+        .localCheckpoint()  # referenced by the df dictionary AND the join
+    )
+    dfreq = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    occ = chunks.join(dfreq, "chunk_md5").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        occ.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_chunks"),
+            F.expr(
+                "CAST(SUM(CAST(df > 1 AS BIGINT)) * 10000 DIV COUNT(1) AS BIGINT)"
+            ).alias("dup_rate_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_CHUNK_DUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, u.i - 1 AS pos, toks[i] AS tok,
+         CAST(('0x' || substr(md5(toks[i]), 1, 8))::UBIGINT
+              % {CDC_DIVISOR} = 0 AS BIGINT) AS flag
+  FROM d, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), marked AS (
+  SELECT doc_id, pos, tok,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) - flag AS chunk_ix
+  FROM tok
+), chunks AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+  FROM marked GROUP BY doc_id, chunk_ix
+  HAVING COUNT(*) > 1
+), dfreq AS (
+  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk_md5
+)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT c.chunk_md5) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(CAST(f.df > 1 AS BIGINT)) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CAST(f.df > 1 AS BIGINT)) * 10000 // COUNT(*) AS BIGINT)
+         AS dup_rate_bp
+FROM chunks c
+JOIN dfreq f USING (chunk_md5)
+JOIN (SELECT doc_id, source FROM documents WHERE text IS NOT NULL) s
+  USING (doc_id)
+GROUP BY s.source ORDER BY s.source
+"""
+
+
 #: DSIR hashed-feature dimensionality (Xie et al. 2023 use 10k buckets
 #: over hashed {1,2}-grams; 1024 matches the classifier's QC_DIMS scale
 #: for this corpus — the bucket-count dial, not a structural choice).
@@ -2087,6 +2163,7 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "doc_chunk_spans": doc_chunk_spans,
     "doc_cdc_chunks": doc_cdc_chunks,
+    "source_chunk_dup_rate": source_chunk_dup_rate,
     "doc_collocation_pmi": doc_collocation_pmi,
     "doc_dsir_selection": doc_dsir_selection,
     "doc_perplexity_buckets": doc_perplexity_buckets,
@@ -2117,6 +2194,7 @@ ORACLES = {
     "doc_bm25_topk": DOC_BM25_SQL,
     "doc_chunk_spans": DOC_CHUNK_SQL,
     "doc_cdc_chunks": DOC_CDC_SQL,
+    "source_chunk_dup_rate": SOURCE_CHUNK_DUP_SQL,
     "doc_collocation_pmi": DOC_COLLOC_SQL,
     "doc_dsir_selection": DOC_DSIR_SQL,
     "doc_perplexity_buckets": DOC_PPL_BUCKETS_SQL,

@@ -64,13 +64,15 @@ _QUERY_MODULES = [
 #   graph_label_propagation — sync LPA communities; doc_chunk_spans —
 #   RAG token-window chunking; doc_cdc_chunks — content-defined
 #   chunking; events_cusum_alarms — Page CUSUM via grouped
-#   cumsum + grouped running min) enter through the window.
-# - Then the OLDEST r5-stale entries (last driver-green r5), 19 of 39.
-#   20 defer to the r10 window lead (incl. doc_dup_span_stats /
+#   cumsum + grouped running min; source_chunk_dup_rate — the
+#   shifted-boilerplate diagnostic over CDC chunks) enter through the
+#   window.
+# - Then the OLDEST r5-stale entries (last driver-green r5), 18 of 39.
+#   21 defer to the r10 window lead (incl. doc_dup_span_stats /
 #   doc_dup_span_removal / fuzzy_name_clusters / fuzzy_name_pairs /
-#   doc_split_assign / orders_retention_cohorts, displaced by the six
-#   late debuts; all suite-covered + property-tested) — chosen
-#   lowest-risk: the three
+#   doc_split_assign / orders_retention_cohorts / doc_mixture_sample,
+#   displaced by the seven late debuts; all suite-covered +
+#   property-tested) — chosen lowest-risk: the three
 #   setops + skew_salted_status_counts (trivial, suite-covered) and
 #   q2/q4/q8/q9/q11/q12/q15/q16/q17 (TPC-H mainline, in-suite
 #   full-registry sweep + untouched since r5): setop_intersect_nations,
@@ -119,6 +121,7 @@ _PRIORITY = [
     "doc_chunk_spans",
     "doc_cdc_chunks",
     "events_cusum_alarms",
+    "source_chunk_dup_rate",
     # ---- oldest r5-stale tail (25 of 39; 14 defer to r10) ----
     "graph_pagerank_top",
     "dedup_exact",
@@ -138,7 +141,6 @@ _PRIORITY = [
     "doc_gopher_repetition",
     "doc_pii_redact",
     "q21_waiting_suppliers",
-    "doc_mixture_sample",
 ]
 
 

@@ -78,6 +78,7 @@ REPRESENTATIVE = [
     "doc_chunk_spans",           # chunk geometry over zero docs
     "doc_cdc_chunks",            # boundary windows over zero docs
     "events_cusum_alarms",       # CUSUM passes over zero events
+    "source_chunk_dup_rate",     # chunk-df join over zero docs
 ]
 
 

@@ -45,6 +45,7 @@ TEXT_FAMILY = [
     "doc_perplexity_buckets",  # r9b: NULL text must not reach the model
     "doc_chunk_spans",      # r9b: NULL text must not reach the slicer
     "doc_cdc_chunks",       # r9b: NULL text must not reach the boundary scan
+    "source_chunk_dup_rate",  # r9b: NULL text joins must stay aligned
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the

@@ -881,3 +881,68 @@ def test_cusum_matches_sequential_python_reference(spark, tmp_path_factory):
     assert got == expect
     assert got["drift"][1] > 0      # the planted level shift alarms
     assert got["flat"][1] == 0      # in-control stream stays silent
+
+
+def test_chunk_dup_rate_matches_python_reference(spark, tmp_path_factory):
+    # Shifted boilerplate planted across sources: src "mirror" docs
+    # embed the same 80-token block behind different-length prefixes,
+    # src "fresh" docs share nothing. Recompute with hashlib loops and
+    # assert the planted asymmetry (mirror dup rate high, fresh 0).
+    from molgraphdb_spark.queries.text import (
+        CDC_DIVISOR,
+        source_chunk_dup_rate,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_chunkdup"))
+    rng = random.Random(31)
+    vocab = ["u%d" % i for i in range(300)]
+    boiler = [rng.choice(vocab) for _ in range(80)]
+    rows = []
+    for did in range(24):
+        if did % 2 == 0:
+            toks = [rng.choice(vocab) for _ in range(did + 3)] + boiler
+            src = "mirror"
+        else:
+            toks = [rng.choice(vocab) for _ in range(60)]
+            src = "fresh"
+        rows.append((did, " ".join(toks), "en", src))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = {
+        r.source: (r.n_chunks, r.n_distinct_chunks, r.n_dup_chunks,
+                   r.dup_rate_bp)
+        for r in source_chunk_dup_rate(spark, path).collect()
+    }
+
+    import hashlib
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % CDC_DIVISOR
+
+    occ = []  # (source, doc_id, chunk_md5)
+    for did, text, _l, src in rows:
+        chunk: list[str] = []
+        for t in text.split():
+            chunk.append(t)
+            if bucket(t) == 0:
+                if len(chunk) > 1:
+                    occ.append((src, did, hashlib.md5(" ".join(chunk).encode()).hexdigest()))
+                chunk = []
+        if len(chunk) > 1:
+            occ.append((src, did, hashlib.md5(" ".join(chunk).encode()).hexdigest()))
+    df_docs: dict[str, set[int]] = {}
+    for _s, did, h in occ:
+        df_docs.setdefault(h, set()).add(did)
+    expect = {}
+    for src in ("fresh", "mirror"):
+        rows_s = [(d, h) for s, d, h in occ if s == src]
+        n = len(rows_s)
+        dup = sum(1 for _d, h in rows_s if len(df_docs[h]) > 1)
+        expect[src] = (n, len({h for _d, h in rows_s}), dup, dup * 10000 // n)
+    assert got == expect
+    assert got["mirror"][3] > 5000  # the shifted boilerplate dominates
+    assert got["fresh"][2] == 0
