@@ -919,6 +919,88 @@ def probe_ranking_skew(spark, n: int = 4_000_000) -> dict:
     }
 
 
+def probe_runmin_skew(spark, n: int = 4_000_000) -> dict:
+    """Grouped running-MIN under the 90/5/3/2% group skew (r9b: the
+    operator behind events_cusum_alarms). Same planted permutation as
+    probe_ranking_skew — each group's members are a contiguous p-range
+    ordered by p — with TWO analytic value columns:
+
+      * v_desc = n − p  (strictly decreasing): running min ≡ n − p
+      * v_asc  = p      (strictly increasing): running min ≡ lo_g
+
+    Both the two-pass grouped operator and the plain partitioned
+    window are checked against the closed forms and each other
+    (mod-prime checksums); walls recorded — under this skew the window
+    sorts 90% of the relation in ONE task, the two-pass shape never
+    holds more than n/buckets rows."""
+    from pyspark.sql.window import Window
+
+    from molgraphdb_spark.operators.ranking import with_grouped_running_min
+
+    a = 2654435761
+    lo1, lo2, lo3 = int(0.90 * n), int(0.95 * n), int(0.98 * n)
+    df = spark.range(n).select(((F.col("id") * a) % n).alias("p")).select(
+        "p",
+        (F.lit(n) - F.col("p")).alias("v_desc"),
+        F.col("p").alias("v_asc"),
+        F.when(F.col("p") < lo1, 0)
+        .when(F.col("p") < lo2, 1)
+        .when(F.col("p") < lo3, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("g"),
+    )
+    lo = (
+        F.when(F.col("g") == 0, 0)
+        .when(F.col("g") == 1, lo1)
+        .when(F.col("g") == 2, lo2)
+        .otherwise(lo3)
+        .cast("long")
+    )
+    order = [F.asc("p")]
+    P = 1_000_003
+
+    def run(make):
+        t0 = time.time()
+        out = make()
+        bad = out.filter(
+            (F.col("m_desc") != F.lit(n) - F.col("p")) | (F.col("m_asc") != lo)
+        ).count()
+        cs = out.agg(
+            F.sum(F.col("m_desc") % P).alias("cd"),
+            F.sum(F.col("m_asc") % P).alias("ca"),
+        ).first()
+        return round(time.time() - t0, 2), bad, (int(cs["cd"]), int(cs["ca"]))
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t_win, bad_win, cs_win = run(
+        lambda: df.select(
+            "p", "g",
+            F.min("v_desc").over(w).alias("m_desc"),
+            F.min("v_asc").over(w).alias("m_asc"),
+        )
+    )
+    t_two, bad_two, cs_two = run(
+        lambda: with_grouped_running_min(
+            with_grouped_running_min(df, ["g"], order, "v_desc", "m_desc"),
+            ["g"], order, "v_asc", "m_asc",
+        )
+    )
+    return {
+        "probe": "runmin_skew",
+        "n": n,
+        "window_sec": t_win,
+        "grouped_sec": t_two,
+        "window_violations": bad_win,
+        "grouped_violations": bad_two,
+        "checksums_equal": cs_win == cs_two,
+    }
+
+
 def probe_copurchase_hotkey(spark, n_sup: int = 8_000, n_cust: int = 200_000) -> dict:
     """Hot-key probe for the co-purchase inverted-index family (r8
     verdict item 3): the pair join is bounded by Σ deg(c)² with no
@@ -1331,6 +1413,7 @@ def main() -> None:
             "triangle_dispatch": lambda: probe_triangle_dispatch(spark),
             "retrieval": lambda: probe_retrieval(spark, build_corpus(spark, k)),
             "curation": lambda: probe_curation(spark, build_corpus(spark, k)),
+            "runmin_skew": lambda: probe_runmin_skew(spark),
         }
         for name in sys.argv[2:]:
             print(json.dumps(fns[name]()))
@@ -1370,6 +1453,8 @@ def main() -> None:
     print(json.dumps(probe_retrieval(spark, sf_dir)))
     # r9b: DSIR / perplexity-bucket / LPA planted invariants
     print(json.dumps(probe_curation(spark, sf_dir)))
+    # r9b: grouped running-min under group skew (the CUSUM operator)
+    print(json.dumps(probe_runmin_skew(spark)))
 
 
 if __name__ == "__main__":
