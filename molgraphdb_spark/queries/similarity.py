@@ -508,6 +508,102 @@ ORDER BY vec_id
 # --------------------------------------------------------------------------
 # Similarity histogram: same-label vs cross-label pair counts by band.
 # --------------------------------------------------------------------------
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training (Schroff et al. 2015,
+    FaceNet): per anchor, the HARD NEGATIVE (most-similar vector with
+    a different label) and the HARD POSITIVE (least-similar vector
+    with the same label), plus the margin between them — negative
+    margins are triplet violations, the examples a metric-learning
+    batch builder feeds first.
+
+    This is the exact quadratic baseline (guarded like
+    dedup_embedding_cosine, stream side repartitioned by WORK —
+    the single-split funnel rule); the 100 TB path swaps the cross
+    join for the ANN shortlist (similarity_ivf_topk's assign+probe)
+    with identical downstream aggregation. Ties break to the smallest
+    neighbor id via min_by/max_by struct keys — integer cosine
+    micro-bp, engine-portable."""
+    _guard_quadratic(sf_dir, "embedding_hard_negatives")
+    emb = _emb(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("label").alias("la")
+    ).repartition(n_part)
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("label").alias("lb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "la", "ib", "lb",
+            _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"),
+        )
+        .localCheckpoint()  # referenced by BOTH the neg and pos legs
+    )
+    neg = (
+        pairs.filter(F.col("la") != F.col("lb"))
+        .groupBy("ia", "la")
+        .agg(
+            F.max("cos_ubp").alias("hard_neg_cos_ubp"),
+            F.max_by(
+                "ib", F.struct(F.col("cos_ubp").alias("c"), (-F.col("ib")).alias("t"))
+            ).alias("hard_neg_id"),
+        )
+    )
+    pos = (
+        pairs.filter(F.col("la") == F.col("lb"))
+        .groupBy("ia")
+        .agg(
+            F.min("cos_ubp").alias("hard_pos_cos_ubp"),
+            F.min_by(
+                "ib", F.struct(F.col("cos_ubp").alias("c"), F.col("ib").alias("t"))
+            ).alias("hard_pos_id"),
+        )
+    )
+    return (
+        neg.join(pos, "ia", "full_outer")
+        .select(
+            F.col("ia").alias("vec_id"),
+            F.col("la").alias("label"),
+            "hard_neg_id",
+            "hard_neg_cos_ubp",
+            "hard_pos_id",
+            "hard_pos_cos_ubp",
+            (F.col("hard_pos_cos_ubp") - F.col("hard_neg_cos_ubp")).alias("margin_ubp"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMB_HARD_NEG_SQL = f"""
+WITH {_EMB_CTE},
+pairs AS (
+  SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
+         CAST(floor(({_COS_SQL}) * 1000000 + 0.5) AS BIGINT) AS cos_ubp
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), neg AS (
+  SELECT ia, la, ib AS hard_neg_id, cos_ubp AS hard_neg_cos_ubp
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY cos_ubp DESC, ib) AS rn
+    FROM pairs WHERE la <> lb
+  ) WHERE rn = 1
+), pos AS (
+  SELECT ia, ib AS hard_pos_id, cos_ubp AS hard_pos_cos_ubp
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY cos_ubp ASC, ib) AS rn
+    FROM pairs WHERE la = lb
+  ) WHERE rn = 1
+)
+SELECT COALESCE(n.ia, p.ia) AS vec_id, n.la AS label,
+       n.hard_neg_id, n.hard_neg_cos_ubp,
+       p.hard_pos_id, p.hard_pos_cos_ubp,
+       p.hard_pos_cos_ubp - n.hard_neg_cos_ubp AS margin_ubp
+FROM neg n FULL OUTER JOIN pos p ON n.ia = p.ia
+ORDER BY vec_id
+"""
+
+
 def similarity_label_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional check on a vec_id<150 sample: pair counts per
     0.1-cosine band, split by same/different label. Integer counting
@@ -1642,6 +1738,7 @@ QUERIES = {
     "similarity_ivf_recall": similarity_ivf_recall,
     "similarity_label_bands": similarity_label_bands,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_hard_negatives": embedding_hard_negatives,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "embedding_norm_stats": embedding_norm_stats,
@@ -1664,6 +1761,7 @@ ORACLES = {
     "similarity_ivf_topk": SIM_IVF_SQL,
     "similarity_label_bands": SIM_BANDS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
+    "embedding_hard_negatives": EMB_HARD_NEG_SQL,
     "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
     "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
     "embedding_norm_stats": EMB_NORM_SQL,

@@ -79,6 +79,7 @@ REPRESENTATIVE = [
     "doc_cdc_chunks",            # boundary windows over zero docs
     "events_cusum_alarms",       # CUSUM passes over zero events
     "source_chunk_dup_rate",     # chunk-df join over zero docs
+    "embedding_hard_negatives",  # triplet legs over zero vectors
 ]
 
 

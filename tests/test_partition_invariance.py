@@ -87,6 +87,7 @@ AT_RISK = [
     "graph_label_propagation",   # argmax votes — integer counts + min ties
     "doc_cdc_chunks",            # doc-keyed window + ordered fold
     "events_cusum_alarms",       # grouped cumsum + running min seams
+    "embedding_hard_negatives",  # argmax struct ties — layout-free
 ]
 
 

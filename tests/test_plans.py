@@ -685,3 +685,20 @@ def test_cusum_scale_shape(spark, sf_dir):
     assert "CartesianProduct" not in s["plan"]
     assert "Scan ExistingRDD" in s["plan"]  # the checkpointed passes
     assert n_partitionless_windows(df) == 0
+
+
+def test_hard_negatives_scale_shape(spark, sf_dir):
+    # r9b: the pair relation localCheckpoints once (both the negative
+    # and positive legs read the materialized scan — without it the
+    # quadratic cross join executes twice), so the final plan is the
+    # two aggregates + outer join over Scan ExistingRDD; no Python
+    # worker, no window at all.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.similarity import embedding_hard_negatives
+
+    df = embedding_hard_negatives(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "Scan ExistingRDD" in s["plan"]  # the checkpointed pairs
+    assert "BroadcastNestedLoopJoin" not in s["plan"]  # ran at checkpoint
+    assert n_partitionless_windows(df) == 0

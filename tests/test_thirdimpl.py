@@ -946,3 +946,64 @@ def test_chunk_dup_rate_matches_python_reference(spark, tmp_path_factory):
     assert got == expect
     assert got["mirror"][3] > 5000  # the shifted boilerplate dominates
     assert got["fresh"][2] == 0
+
+
+def test_hard_negatives_match_python_reference(spark, tmp_path_factory):
+    # FaceNet-style triplet mining recomputed with plain-Python loops
+    # on planted clusters: two tight label clusters plus one "imposter"
+    # vector sitting INSIDE the other cluster — it must surface as the
+    # hard negative with a violating (negative) margin for its hosts.
+    from molgraphdb_spark.queries.similarity import embedding_hard_negatives
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_hardneg"))
+    rng = random.Random(37)
+    dim = 8
+    vecs = []
+    # label 0 around +e0, label 1 around +e1; vec 99 has label 1 but
+    # sits in cluster 0 (the imposter)
+    for vid in range(40):
+        lab = vid % 2
+        base = [0.0] * dim
+        base[lab] = 1.0
+        v = [base[j] + rng.uniform(-0.05, 0.05) for j in range(dim)]
+        vecs.append((vid, v, lab))
+    imposter = [1.0] + [0.0] * (dim - 1)
+    vecs.append((99, [x + rng.uniform(-0.01, 0.01) for x in imposter], 1))
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in vecs],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    got = {
+        r.vec_id: (r.label, r.hard_neg_id, r.hard_neg_cos_ubp,
+                   r.hard_pos_id, r.hard_pos_cos_ubp, r.margin_ubp)
+        for r in embedding_hard_negatives(spark, path).collect()
+    }
+
+    # python recompute — NOTE: cosines must replicate the engine float
+    # path: float32 storage, DOUBLE arithmetic
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    stored = {i: ([f32(x) for x in v], l) for i, v, l in vecs}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(y * y for y in b))
+        return math.floor(num / (da * db) * 1_000_000 + 0.5)
+
+    expect = {}
+    for i, (vi, li) in stored.items():
+        negs = [(cos(vi, vj), j) for j, (vj, lj) in stored.items() if j != i and lj != li]
+        poss = [(cos(vi, vj), j) for j, (vj, lj) in stored.items() if j != i and lj == li]
+        nc, nid = max(((c, -j) for c, j in negs))
+        pc, pid = min(((c, j) for c, j in poss))
+        expect[i] = (li, -nid, nc, pid, pc, pc - nc)
+    assert got == expect
+    # the imposter is SOME cluster-0 anchor's hard negative, and every
+    # cluster-0 anchor that picked it has a violating margin
+    hosts = [i for i, t in got.items() if t[1] == 99]
+    assert hosts and all(got[i][5] < 0 for i in hosts)
