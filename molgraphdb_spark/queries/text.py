@@ -1816,6 +1816,66 @@ ORDER BY doc_id, chunk_ix
 """
 
 
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the mT5/XGLM comparison
+    metric (subword tokens per whitespace word; also chars per
+    subword): languages whose fertility runs high are under-served by
+    the vocabulary and get fewer effective context tokens, the number
+    a multilingual-mixture designer reads next to the temperature
+    weights. The 'subword' here is the corpus's BPE-ish regex
+    pre-tokenization (BPE_PATTERN — the same proxy the vocab_bpe
+    family induces from).
+
+    Integer rollup: fertility in basis points and chars-per-subword
+    in milli via positive-operand DIV. Map-only scoring, ≤|langs|
+    rollup — one shuffle."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = _tokens()
+    scored = docs.select(
+        "lang",
+        F.size(toks).alias("ws"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("bpe"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("chars"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_ws_tokens"),
+            F.sum("bpe").alias("n_bpe_tokens"),
+            F.sum("chars").alias("n_chars"),
+            F.expr("CAST(SUM(bpe) * 10000 DIV SUM(ws) AS BIGINT)").alias(
+                "fertility_bp"
+            ),
+            F.expr("CAST(SUM(chars) * 1000 DIV SUM(bpe) AS BIGINT)").alias(
+                "chars_per_bpe_milli"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+LANG_FERTILITY_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS ws,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS chars
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(SUM(bpe) * 10000 // SUM(ws) AS BIGINT) AS fertility_bp,
+       CAST(SUM(chars) * 1000 // SUM(bpe) AS BIGINT) AS chars_per_bpe_milli
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
 def source_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The storage-dedup diagnostic over content-defined chunks: per
     source, what share of CDC chunk OCCURRENCES carry a hash that
@@ -2164,6 +2224,7 @@ QUERIES = {
     "doc_chunk_spans": doc_chunk_spans,
     "doc_cdc_chunks": doc_cdc_chunks,
     "source_chunk_dup_rate": source_chunk_dup_rate,
+    "lang_token_fertility": lang_token_fertility,
     "doc_collocation_pmi": doc_collocation_pmi,
     "doc_dsir_selection": doc_dsir_selection,
     "doc_perplexity_buckets": doc_perplexity_buckets,
@@ -2195,6 +2256,7 @@ ORACLES = {
     "doc_chunk_spans": DOC_CHUNK_SQL,
     "doc_cdc_chunks": DOC_CDC_SQL,
     "source_chunk_dup_rate": SOURCE_CHUNK_DUP_SQL,
+    "lang_token_fertility": LANG_FERTILITY_SQL,
     "doc_collocation_pmi": DOC_COLLOC_SQL,
     "doc_dsir_selection": DOC_DSIR_SQL,
     "doc_perplexity_buckets": DOC_PPL_BUCKETS_SQL,

@@ -80,6 +80,7 @@ REPRESENTATIVE = [
     "events_cusum_alarms",       # CUSUM passes over zero events
     "source_chunk_dup_rate",     # chunk-df join over zero docs
     "embedding_hard_negatives",  # triplet legs over zero vectors
+    "lang_token_fertility",      # DIV rollup over zero docs
 ]
 
 

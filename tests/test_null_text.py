@@ -46,6 +46,7 @@ TEXT_FAMILY = [
     "doc_chunk_spans",      # r9b: NULL text must not reach the slicer
     "doc_cdc_chunks",       # r9b: NULL text must not reach the boundary scan
     "source_chunk_dup_rate",  # r9b: NULL text joins must stay aligned
+    "lang_token_fertility",   # r9b: NULL text must not reach the regex
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the

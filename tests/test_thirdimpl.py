@@ -1007,3 +1007,52 @@ def test_hard_negatives_match_python_reference(spark, tmp_path_factory):
     # cluster-0 anchor that picked it has a violating margin
     hosts = [i for i, t in got.items() if t[1] == 99]
     assert hosts and all(got[i][5] < 0 for i in hosts)
+
+
+def test_fertility_matches_python_reference(spark, tmp_path_factory):
+    # Fertility recomputed with Python re on a corpus where one
+    # language is deliberately high-fertility (punctuation-riddled
+    # words split into many subwords) and one is 1:1.
+    import re
+
+    from molgraphdb_spark.queries.text import (
+        BPE_PATTERN,
+        lang_token_fertility,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_fert"))
+    rows = [
+        (0, "plain words stay whole here", "en", "s0"),
+        (1, "more plain words", "en", "s0"),
+        (2, "don't-split, über-words: e.g. 'quoted'", "de", "s0"),
+        (3, "x1,y2;z3 a.b.c", "de", "s0"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = {
+        r.lang: (r.n_docs, r.n_ws_tokens, r.n_bpe_tokens, r.n_chars,
+                 r.fertility_bp, r.chars_per_bpe_milli)
+        for r in lang_token_fertility(spark, path).collect()
+    }
+
+    agg: dict[str, list[int]] = {}
+    for _d, text, lang, _s in rows:
+        ws = len(text.strip().split())
+        bpe = len(re.findall(BPE_PATTERN, text))
+        chars = len(re.sub(r"\s+", "", text))
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += ws
+        a[2] += bpe
+        a[3] += chars
+    expect = {
+        lang: (n, ws, bpe, ch, bpe * 10000 // ws, ch * 1000 // bpe)
+        for lang, (n, ws, bpe, ch) in agg.items()
+    }
+    assert got == expect
+    # the punctuation-heavy language runs hotter
+    assert got["de"][4] > got["en"][4] >= 10000
