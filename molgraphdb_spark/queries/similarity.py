@@ -172,6 +172,178 @@ ORDER BY query_id
 """
 
 
+def _probe_buckets(bucket: Column, dims: int = LSH_SIGN_DIMS) -> Column:
+    """The multi-probe set: the bucket itself plus its ``dims``
+    Hamming-1 flips (Lv et al. 2007, multi-probe LSH — query the
+    buckets MOST LIKELY to hold near misses instead of building more
+    tables). 9 deterministic probe strings for the 8-bit sign bucket."""
+    flips = []
+    for i in range(dims):
+        ch = F.substring(bucket, i + 1, 1)
+        flipped = F.when(ch == "0", F.lit("1")).otherwise(F.lit("0"))
+        flips.append(
+            F.concat(
+                F.substring(bucket, 1, i),
+                flipped,
+                F.substring(bucket, i + 2, dims - i - 1),
+            )
+        )
+    return F.array(bucket, *flips)
+
+
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 of sign-bucket LSH, single-probe vs Hamming-1
+    MULTI-PROBE (Lv et al. 2007), measured in-engine against the exact
+    answer — the number that justifies probing 9 buckets instead of
+    building 9 tables. A query is CORRECT when its method's top-1
+    cosine equals the exact top-1 cosine (tie-insensitive recall).
+
+    Scale shape: the exact leg broadcasts the 50 bounded queries
+    against the corpus (the similarity_cosine_topk shape — linear, one
+    corpus pass); the LSH legs are bucket equi-joins (multi-probe
+    explodes 9 probe keys per query — candidate volume ≈ 9·N/256,
+    still ≪ N²); per-query top-1s are bounded-key windows. Output is
+    2 rows."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cands = emb.select(F.col("vec_id").alias("neighbor_id"), "v",
+                       F.col("bucket").alias("cbucket"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_ubp"), F.asc("neighbor_id")
+    )
+
+    def top1(pairs: DataFrame, out: str) -> DataFrame:
+        scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).select(
+            "query_id",
+            "neighbor_id",
+            _ubp(_cosine(F.col("qv"), F.col("v"))).alias("cosine_ubp"),
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("query_id", F.col("cosine_ubp").alias(out))
+        )
+
+    exact = top1(F.broadcast(queries).crossJoin(cands), "exact_ubp")
+    single = top1(
+        queries.join(cands, queries["bucket"] == cands["cbucket"]), "single_ubp"
+    )
+    multi = top1(
+        queries.withColumn("probe", F.explode(_probe_buckets(F.col("bucket"))))
+        .join(cands, F.col("probe") == cands["cbucket"]),
+        "multi_ubp",
+    )
+    joined = (
+        exact.join(single, "query_id", "left").join(multi, "query_id", "left")
+    ).localCheckpoint()  # referenced once per output method row
+    rows = []
+    for method, col in (("single_probe", "single_ubp"), ("multi_probe", "multi_ubp")):
+        rows.append(
+            joined.agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum(F.col(col).isNotNull().cast("long")).alias("n_found"),
+                # NULL-safe: a query with NO candidate contributes 0,
+                # not NULL (all-NULL sums would erase the zero recall)
+                F.sum(
+                    F.coalesce(
+                        (F.col(col) == F.col("exact_ubp")).cast("long"), F.lit(0)
+                    )
+                ).alias("n_correct"),
+                F.expr(
+                    f"CAST(SUM(COALESCE(CAST({col} = exact_ubp AS BIGINT), 0))"
+                    " * 10000 DIV COUNT(1) AS BIGINT)"
+                ).alias("recall_bp"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("method")
+
+
+def _flip_sql(i: int, dims: int = LSH_SIGN_DIMS) -> str:
+    return (
+        f"substr(bucket, 1, {i}) || "
+        f"(CASE substr(bucket, {i + 1}, 1) WHEN '0' THEN '1' ELSE '0' END)"
+        f" || substr(bucket, {i + 2}, {dims - i - 1})"
+    )
+
+
+SIM_LSH_RECALL_SQL = f"""
+WITH {_EMB_CTE},
+bucketed AS (SELECT vec_id, v, {_SIGN_SQL} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < 50),
+exact AS (
+  SELECT query_id, cosine_ubp AS exact_ubp FROM (
+    SELECT query_id, cosine_ubp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_ubp DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             CAST(floor((list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))))
+               * 1000000 + 0.5) AS BIGINT) AS cosine_ubp
+      FROM q CROSS JOIN bucketed b WHERE b.vec_id != q.query_id
+    )
+  ) WHERE rk = 1
+),
+single AS (
+  SELECT query_id, cosine_ubp AS single_ubp FROM (
+    SELECT query_id, cosine_ubp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_ubp DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             CAST(floor((list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))))
+               * 1000000 + 0.5) AS BIGINT) AS cosine_ubp
+      FROM q JOIN bucketed b ON b.bucket = q.bucket AND b.vec_id != q.query_id
+    )
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qv, unnest([bucket,
+    {", ".join(_flip_sql(i) for i in range(LSH_SIGN_DIMS))}]) AS probe
+  FROM q
+),
+multi AS (
+  SELECT query_id, cosine_ubp AS multi_ubp FROM (
+    SELECT query_id, cosine_ubp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_ubp DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             CAST(floor((list_dot_product(p.qv, b.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(b.v, b.v))))
+               * 1000000 + 0.5) AS BIGINT) AS cosine_ubp
+      FROM probes p JOIN bucketed b ON b.bucket = p.probe AND b.vec_id != p.query_id
+    )
+  ) WHERE rk = 1
+),
+joined AS (
+  SELECT e.query_id, e.exact_ubp, s.single_ubp, m.multi_ubp
+  FROM exact e LEFT JOIN single s USING (query_id) LEFT JOIN multi m USING (query_id)
+)
+SELECT method,
+       CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       CAST(n_correct * 10000 // n_queries AS BIGINT) AS recall_bp
+FROM (
+  SELECT 'single_probe' AS method, COUNT(*) AS n_queries,
+         SUM(CAST(single_ubp IS NOT NULL AS BIGINT)) AS n_found,
+         SUM(COALESCE(CAST(single_ubp = exact_ubp AS BIGINT), 0)) AS n_correct
+  FROM joined
+  UNION ALL
+  SELECT 'multi_probe', COUNT(*),
+         SUM(CAST(multi_ubp IS NOT NULL AS BIGINT)),
+         SUM(COALESCE(CAST(multi_ubp = exact_ubp AS BIGINT), 0))
+  FROM joined
+)
+ORDER BY method
+"""
+
+
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN GRAPH construction (k=3) — every vector is a query. This is
     the workload the bounded-candidate machinery exists for: at one
@@ -1739,6 +1911,7 @@ QUERIES = {
     "similarity_label_bands": similarity_label_bands,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_hard_negatives": embedding_hard_negatives,
+    "similarity_lsh_recall": similarity_lsh_recall,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "embedding_norm_stats": embedding_norm_stats,
@@ -1762,6 +1935,7 @@ ORACLES = {
     "similarity_label_bands": SIM_BANDS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "embedding_hard_negatives": EMB_HARD_NEG_SQL,
+    "similarity_lsh_recall": SIM_LSH_RECALL_SQL,
     "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
     "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
     "embedding_norm_stats": EMB_NORM_SQL,

@@ -81,6 +81,7 @@ REPRESENTATIVE = [
     "source_chunk_dup_rate",     # chunk-df join over zero docs
     "embedding_hard_negatives",  # triplet legs over zero vectors
     "lang_token_fertility",      # DIV rollup over zero docs
+    "similarity_lsh_recall",     # three legs over zero vectors
 ]
 
 
@@ -100,6 +101,10 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
 #: zero counts (the report a monitoring job still wants).
 GENERATED_SPINE = {"dedup_threshold_curve"}
 
+#: Queries emitting one row per METHOD (a comparison report): on empty
+#: input the method spine survives with zero query counts.
+METHOD_SPINE = {"similarity_lsh_recall"}
+
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_query_survives_empty_tables(name, spark, empty_sf_dir):
@@ -107,6 +112,9 @@ def test_query_survives_empty_tables(name, spark, empty_sf_dir):
     rows = df.collect()
     if name in GENERATED_SPINE:
         assert rows and all(r.n_pairs == 0 for r in rows)
+        return
+    if name in METHOD_SPINE:
+        assert rows and all(r.n_queries == 0 for r in rows)
         return
     # aggregates without GROUP BY legitimately emit one (null/zero) row;
     # everything else must be empty — either way, no exception

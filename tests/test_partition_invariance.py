@@ -88,6 +88,7 @@ AT_RISK = [
     "doc_cdc_chunks",            # doc-keyed window + ordered fold
     "events_cusum_alarms",       # grouped cumsum + running min seams
     "embedding_hard_negatives",  # argmax struct ties — layout-free
+    "similarity_lsh_recall",     # probe joins + top-1 ties — layout-free
 ]
 
 

@@ -1056,3 +1056,52 @@ def test_fertility_matches_python_reference(spark, tmp_path_factory):
     assert got == expect
     # the punctuation-heavy language runs hotter
     assert got["de"][4] > got["en"][4] >= 10000
+
+
+def test_lsh_multiprobe_finds_hamming1_twin(spark, tmp_path_factory):
+    # The multi-probe selling point as a closed form: a near-identical
+    # twin whose ONLY difference is a tiny sign flip in one bucket
+    # dimension lands in a Hamming-1 bucket — single-probe structurally
+    # misses it, multi-probe must recover it as the exact top-1.
+    from molgraphdb_spark.queries.similarity import similarity_lsh_recall
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_multiprobe"))
+    dim = 16
+    rng = random.Random(41)
+    vecs = []
+    # query 0: positive in all 8 bucket dims
+    q = [0.5] * 8 + [rng.uniform(-1, 1) for _ in range(dim - 8)]
+    vecs.append((0, q, 0))
+    # its twin: sign of dim 3 flipped by a hair — cosine ≈ 0.99+,
+    # bucket differs in exactly one bit
+    twin = list(q)
+    twin[3] = -0.001
+    vecs.append((100, twin, 1))
+    # 30 far-away distractors that share NO bucket with the query
+    # (negative in every bucket dim, so Hamming distance 8)
+    for i in range(30):
+        v = [-0.5] * 8 + [rng.uniform(-1, 1) for _ in range(dim - 8)]
+        vecs.append((200 + i, v, 2))
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in vecs],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    got = {r.method: (r.n_queries, r.n_found, r.n_correct, r.recall_bp)
+           for r in similarity_lsh_recall(spark, path).collect()}
+    # only vec_id 0 is a query (< 50). Single-probe: its bucket holds
+    # nothing else -> no candidate at all. Multi-probe: the twin sits
+    # one flip away and IS the exact top-1.
+    assert got["single_probe"] == (1, 0, 0, 0)
+    assert got["multi_probe"] == (1, 1, 1, 10000)
+
+
+def test_lsh_multiprobe_dominates_single_on_corpus(spark, sf_dir):
+    # On the real corpus the 9-bucket probe set must never do worse
+    # than its own single-bucket subset - both in coverage and recall.
+    from molgraphdb_spark.queries.similarity import similarity_lsh_recall
+
+    got = {r.method: r for r in similarity_lsh_recall(spark, sf_dir).collect()}
+    s, m = got["single_probe"], got["multi_probe"]
+    assert m.n_found >= s.n_found
+    assert m.n_correct >= s.n_correct
