@@ -1816,6 +1816,169 @@ ORDER BY doc_id, chunk_ix
 """
 
 
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as one funnel report — the
+    composed run a corpus owner actually executes, with per-stage
+    in/out/dropped counts (the number every data-curation paper's
+    Table 1 reports):
+
+      1. quality    — hashed-feature classifier score ≥ 0
+                      (doc_quality_classifier's model)
+      2. exact_dedup — md5 over normalized text, keep the minimum
+                      doc_id of each group AMONG STAGE-1 SURVIVORS
+                      (sequential semantics: dedup what quality kept)
+      3. eval_holdout — drop the held-out benchmark slice
+                      (doc_id % DECONTAM_EVAL_MOD == 0)
+      4. decontamination — drop survivors sharing
+                      ≥ DECONTAM_MIN_OVERLAP distinct word-3-grams
+                      with ANY eval doc (doc_decontaminate_overlap's
+                      rule; the eval side is the FULL corpus slice —
+                      benchmarks exist independently of the funnel)
+
+    Emits 4 rows (stage_ix, stage, docs_in, docs_out, dropped).
+
+    Scale shape: every stage is a boolean flag assembled in one pass —
+    the classifier is a map-side fold, the dedup window partitions on
+    the content hash (corpus-keyed), contamination reuses the
+    broadcast-eval-grams join, and the survivor sets join back on
+    doc_id. One final 5-sum aggregate; the stage rows come from a
+    stack over that single row."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    base = docs.select(
+        "doc_id",
+        (quality_score_col() >= 0).alias("pass_q"),
+        F.md5(norm).alias("h"),
+    ).localCheckpoint()  # referenced by the dedup window AND the flags
+    # stage-2 canonicals among stage-1 survivors
+    w = Window.partitionBy("h")
+    s2 = (
+        base.filter(F.col("pass_q"))
+        .withColumn("canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", F.lit(1).alias("in_s2"))
+    )
+    # contamination flags against the full-corpus eval slice
+    grams = F.expr(
+        "transform(sequence(0, size(t) - 3),"
+        " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    )
+    with_grams = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    exploded = with_grams.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    ev = exploded.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0).select("gram")
+    contaminated = (
+        exploded.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+        .join(F.broadcast(ev.distinct()), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECONTAM_MIN_OVERLAP)
+        .select("doc_id", F.lit(1).alias("contam"))
+    )
+    flags = (
+        base.join(s2, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            F.col("pass_q").cast("long").alias("f1"),
+            F.coalesce("in_s2", F.lit(0)).cast("long").alias("f2"),
+            (
+                F.coalesce("in_s2", F.lit(0))
+                * (F.col("doc_id") % DECONTAM_EVAL_MOD != 0).cast("long")
+            ).alias("f3"),
+            (
+                F.coalesce("in_s2", F.lit(0))
+                * (F.col("doc_id") % DECONTAM_EVAL_MOD != 0).cast("long")
+                * (F.lit(1) - F.coalesce(F.col("contam"), F.lit(0)))
+            ).alias("f4"),
+        )
+    )
+    # coalesce: an empty corpus reports zeros, not NULLs (DuckDB's
+    # COUNT(*) subqueries are 0 on empty — match them)
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.coalesce(F.sum("f1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("f2"), F.lit(0)).alias("n2"),
+        F.coalesce(F.sum("f3"), F.lit(0)).alias("n3"),
+        F.coalesce(F.sum("f4"), F.lit(0)).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 1L, 'quality',         n0, n1,"
+            " 2L, 'exact_dedup',     n1, n2,"
+            " 3L, 'eval_holdout',    n2, n3,"
+            " 4L, 'decontamination', n3, n4"
+            ") AS (stage_ix, stage, docs_in, docs_out)"
+        )
+    ).select(
+        "stage_ix",
+        "stage",
+        F.col("docs_in").cast("long").alias("docs_in"),
+        F.col("docs_out").cast("long").alias("docs_out"),
+        (F.col("docs_in") - F.col("docs_out")).cast("long").alias("dropped"),
+    ).orderBy("stage_ix")
+
+
+PIPELINE_FUNNEL_SQL = f"""
+WITH ing AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), scored AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h,
+         CAST(list_sum(list_transform(
+           regexp_split_to_array(trim(text), '\\s+'),
+           t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT)
+                % {QC_DIMS} * {QC_MIX} % 2147483648 % 2001 - 1000
+         )) AS BIGINT) AS score
+  FROM ing
+), s1 AS (
+  SELECT doc_id, h FROM scored WHERE score >= 0
+), s2 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS canon FROM s1
+  ) WHERE doc_id = canon
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM ing
+), grams AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), contaminated AS (
+  SELECT tr.doc_id FROM grams tr
+  JOIN (SELECT DISTINCT gram FROM grams
+        WHERE doc_id % {DECONTAM_EVAL_MOD} = 0) ev USING (gram)
+  WHERE tr.doc_id % {DECONTAM_EVAL_MOD} != 0
+  GROUP BY tr.doc_id
+  HAVING COUNT(*) >= {DECONTAM_MIN_OVERLAP}
+), s3 AS (
+  SELECT doc_id FROM s2 WHERE doc_id % {DECONTAM_EVAL_MOD} != 0
+), s4 AS (
+  SELECT doc_id FROM s3
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), c AS (
+  SELECT (SELECT COUNT(*) FROM ing) AS n0,
+         (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3,
+         (SELECT COUNT(*) FROM s4) AS n4
+)
+SELECT stage_ix, stage,
+       CAST(docs_in AS BIGINT) AS docs_in,
+       CAST(docs_out AS BIGINT) AS docs_out,
+       CAST(docs_in - docs_out AS BIGINT) AS dropped
+FROM (
+  SELECT 1 AS stage_ix, 'quality' AS stage, n0 AS docs_in, n1 AS docs_out FROM c
+  UNION ALL SELECT 2, 'exact_dedup', n1, n2 FROM c
+  UNION ALL SELECT 3, 'eval_holdout', n2, n3 FROM c
+  UNION ALL SELECT 4, 'decontamination', n3, n4 FROM c
+)
+ORDER BY stage_ix
+"""
+
+
 def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language — the mT5/XGLM comparison
     metric (subword tokens per whitespace word; also chars per
@@ -2225,6 +2388,7 @@ QUERIES = {
     "doc_cdc_chunks": doc_cdc_chunks,
     "source_chunk_dup_rate": source_chunk_dup_rate,
     "lang_token_fertility": lang_token_fertility,
+    "pipeline_curation_funnel": pipeline_curation_funnel,
     "doc_collocation_pmi": doc_collocation_pmi,
     "doc_dsir_selection": doc_dsir_selection,
     "doc_perplexity_buckets": doc_perplexity_buckets,
@@ -2257,6 +2421,7 @@ ORACLES = {
     "doc_cdc_chunks": DOC_CDC_SQL,
     "source_chunk_dup_rate": SOURCE_CHUNK_DUP_SQL,
     "lang_token_fertility": LANG_FERTILITY_SQL,
+    "pipeline_curation_funnel": PIPELINE_FUNNEL_SQL,
     "doc_collocation_pmi": DOC_COLLOC_SQL,
     "doc_dsir_selection": DOC_DSIR_SQL,
     "doc_perplexity_buckets": DOC_PPL_BUCKETS_SQL,

@@ -68,15 +68,16 @@ _QUERY_MODULES = [
 #   shifted-boilerplate diagnostic over CDC chunks;
 #   embedding_hard_negatives — FaceNet triplet mining;
 #   lang_token_fertility — mT5/XGLM subword fertility;
-#   similarity_lsh_recall — multi-probe vs single-probe recall@1)
+#   similarity_lsh_recall — multi-probe vs single-probe recall@1;
+#   pipeline_curation_funnel — the composed end-to-end curation run)
 #   enter through the window.
-# - Then the OLDEST r5-stale entries (last driver-green r5), 15 of 39.
-#   24 defer to the r10 window lead (incl. doc_dup_span_stats /
+# - Then the OLDEST r5-stale entries (last driver-green r5), 14 of 39.
+#   25 defer to the r10 window lead (incl. doc_dup_span_stats /
 #   doc_dup_span_removal / fuzzy_name_clusters / fuzzy_name_pairs /
 #   doc_split_assign / orders_retention_cohorts / doc_mixture_sample /
-#   q21_waiting_suppliers / doc_pii_redact / doc_gopher_repetition,
-#   displaced by the ten late debuts; all suite-covered +
-#   property-tested) — chosen lowest-risk: the three
+#   q21_waiting_suppliers / doc_pii_redact / doc_gopher_repetition /
+#   source_token_divergence, displaced by the eleven late debuts; all
+#   suite-covered + property-tested) — chosen lowest-risk: the three
 #   setops + skew_salted_status_counts (trivial, suite-covered) and
 #   q2/q4/q8/q9/q11/q12/q15/q16/q17 (TPC-H mainline, in-suite
 #   full-registry sweep + untouched since r5): setop_intersect_nations,
@@ -129,6 +130,7 @@ _PRIORITY = [
     "embedding_hard_negatives",
     "lang_token_fertility",
     "similarity_lsh_recall",
+    "pipeline_curation_funnel",
     # ---- oldest r5-stale tail (25 of 39; 14 defer to r10) ----
     "graph_pagerank_top",
     "dedup_exact",
@@ -144,7 +146,6 @@ _PRIORITY = [
     "vocab_bpe_merge_pairs",
     "doc_unigram_logprob",
     "doc_bigram_logprob",
-    "source_token_divergence",
 ]
 
 

@@ -82,6 +82,7 @@ REPRESENTATIVE = [
     "embedding_hard_negatives",  # triplet legs over zero vectors
     "lang_token_fertility",      # DIV rollup over zero docs
     "similarity_lsh_recall",     # three legs over zero vectors
+    "pipeline_curation_funnel",  # stage flags over zero docs
 ]
 
 
@@ -105,6 +106,10 @@ GENERATED_SPINE = {"dedup_threshold_curve"}
 #: input the method spine survives with zero query counts.
 METHOD_SPINE = {"similarity_lsh_recall"}
 
+#: Queries emitting one row per pipeline STAGE: on empty input the
+#: stage spine survives with zero doc counts.
+STAGE_SPINE = {"pipeline_curation_funnel"}
+
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_query_survives_empty_tables(name, spark, empty_sf_dir):
@@ -115,6 +120,9 @@ def test_query_survives_empty_tables(name, spark, empty_sf_dir):
         return
     if name in METHOD_SPINE:
         assert rows and all(r.n_queries == 0 for r in rows)
+        return
+    if name in STAGE_SPINE:
+        assert rows and all(r.docs_in == 0 and r.docs_out == 0 for r in rows)
         return
     # aggregates without GROUP BY legitimately emit one (null/zero) row;
     # everything else must be empty — either way, no exception

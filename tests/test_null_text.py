@@ -47,6 +47,7 @@ TEXT_FAMILY = [
     "doc_cdc_chunks",       # r9b: NULL text must not reach the boundary scan
     "source_chunk_dup_rate",  # r9b: NULL text joins must stay aligned
     "lang_token_fertility",   # r9b: NULL text must not reach the regex
+    "pipeline_curation_funnel",  # r9b: NULL text stops at the ingest gate
 ]
 
 #: Multimodal family — payload = encode(text), so a NULL text reaches the

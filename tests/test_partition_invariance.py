@@ -89,6 +89,7 @@ AT_RISK = [
     "events_cusum_alarms",       # grouped cumsum + running min seams
     "embedding_hard_negatives",  # argmax struct ties — layout-free
     "similarity_lsh_recall",     # probe joins + top-1 ties — layout-free
+    "pipeline_curation_funnel",  # stage windows + joins — layout-free
 ]
 
 

@@ -1105,3 +1105,95 @@ def test_lsh_multiprobe_dominates_single_on_corpus(spark, sf_dir):
     s, m = got["single_probe"], got["multi_probe"]
     assert m.n_found >= s.n_found
     assert m.n_correct >= s.n_correct
+
+
+def test_curation_funnel_matches_python_reference(spark, tmp_path_factory):
+    # The composed pipeline recomputed stage by stage in plain Python,
+    # on a corpus engineered so EVERY stage drops something: token
+    # weights are derived from the md5 formula at test time to build
+    # known-positive and known-negative texts; exact dups share
+    # normalized text; doc_ids 0/97 are the eval slice; one survivor
+    # copies an eval doc's 3-grams (contaminated).
+    import hashlib
+
+    from molgraphdb_spark.queries.text import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_MIN_OVERLAP,
+        QC_DIMS,
+        QC_MIX,
+        pipeline_curation_funnel,
+    )
+
+    def w(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % QC_DIMS
+        return b * QC_MIX % 2147483648 % 2001 - 1000
+
+    cands = [f"tok{i}" for i in range(400)]
+    pos = [t for t in cands if w(t) > 200][:6]
+    neg = [t for t in cands if w(t) < -200][:6]
+    assert len(pos) == 6 and len(neg) == 6
+
+    good = " ".join(pos)           # strongly positive score
+    bad = " ".join(neg)            # strongly negative score
+    eval_text = " ".join(pos[:3] + ["evalmark1", "evalmark2", "evalmark3"])
+    # contaminated: shares >= 2 word-3-grams with eval_text's tail
+    contam_text = " ".join(["evalmark1", "evalmark2", "evalmark3"] + pos[:3])
+
+    rows = [
+        (0, eval_text, "en", "s0"),        # eval slice member
+        (1, good, "en", "s0"),             # survives everything
+        (2, good, "en", "s0"),             # exact dup of 1 -> dropped at dedup
+        (3, "  " + good + "  ", "en", "s0"),  # normalized dup of 1
+        (4, bad, "en", "s0"),              # fails quality
+        (5, contam_text, "en", "s0"),      # contaminated survivor
+        (97, good + " extra", "en", "s0"),  # eval member that would survive
+        (6, " ".join(pos[3:]) , "en", "s0"),  # independent survivor
+    ]
+    path = str(tmp_path_factory.mktemp("thirdimpl_funnel"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = [
+        (r.stage_ix, r.stage, r.docs_in, r.docs_out, r.dropped)
+        for r in pipeline_curation_funnel(spark, path).collect()
+    ]
+
+    # plain-Python funnel
+    def score(text: str) -> int:
+        return sum(w(t) for t in text.strip().split())
+
+    def norm(text: str) -> str:
+        import re
+        return re.sub(r"\s+", " ", text.strip()).lower()
+
+    def grams(text: str) -> set:
+        t = text.strip().split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    ing = [(d, t) for d, t, _l, _s in rows]
+    s1 = [(d, t) for d, t in ing if score(t) >= 0]
+    by_hash: dict[str, int] = {}
+    for d, t in sorted(s1):
+        by_hash.setdefault(norm(t), d)
+    s2 = [(d, t) for d, t in s1 if by_hash[norm(t)] == d]
+    s3 = [(d, t) for d, t in s2 if d % DECONTAM_EVAL_MOD != 0]
+    ev_grams = set().union(
+        *(grams(t) for d, t in ing if d % DECONTAM_EVAL_MOD == 0 and len(t.split()) >= 3)
+    )
+    s4 = [
+        (d, t) for d, t in s3
+        if len(grams(t) & ev_grams) < DECONTAM_MIN_OVERLAP
+    ]
+    n0, n1, n2, n3, n4 = len(ing), len(s1), len(s2), len(s3), len(s4)
+    expect = [
+        (1, "quality", n0, n1, n0 - n1),
+        (2, "exact_dedup", n1, n2, n1 - n2),
+        (3, "eval_holdout", n2, n3, n2 - n3),
+        (4, "decontamination", n3, n4, n3 - n4),
+    ]
+    assert got == expect
+    # every stage visibly drops at least one document
+    assert all(r[4] >= 1 for r in got)
