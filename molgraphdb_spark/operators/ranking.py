@@ -307,8 +307,21 @@ def with_grouped_running_min(
     partial mins collect bounded by n_buckets × |groups|; the
     within-bucket leg is a (bucket, group)-keyed ROWS window; ``least``
     merges (NULL-skipping, so the group's first bucket keeps the local
-    leg). Exact for every orderable type — min is associative, no
-    float-order caveat."""
+    leg). Exact for every orderable type EXCEPT float/double, which are
+    rejected with a typed error (the cumsum precedent): Spark's window
+    min ranks NaN LARGEST while the driver fold's Python ``min`` lets a
+    NaN partial win on first-argument compare — an all-NaN bucket would
+    poison later buckets' offsets. Integer/decimal/string/date callers
+    (every current one) are unaffected; float callers pre-scale to a
+    fixed point first."""
+    in_type = dict(df.dtypes).get(value_col, "")
+    if in_type in ("float", "double"):
+        raise TypeError(
+            f"with_grouped_running_min value column {value_col!r} is "
+            f"{in_type}: NaN ordering differs between Spark's window min "
+            "(NaN ranks largest) and the driver prefix fold — cast to "
+            "decimal or a scaled long first"
+        )
     n_buckets = _buckets_for(df, n_buckets)
     spark = df.sparkSession
     gorder = [F.asc(c) for c in group_cols] + list(order)

@@ -692,9 +692,13 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding_cosine, stream side repartitioned by WORK —
     the single-split funnel rule); the 100 TB path swaps the cross
     join for the ANN shortlist (similarity_ivf_topk's assign+probe)
-    with identical downstream aggregation. Ties break to the smallest
-    neighbor id via min_by/max_by struct keys — integer cosine
-    micro-bp, engine-portable."""
+    with identical downstream aggregation. BOTH legs ride ONE
+    groupBy(anchor) with conditional aggregates (max_by/min_by skip
+    NULL keys, so the same-label and different-label legs coexist in
+    one pass — no pair materialization, no outer join, and the
+    anchor's label is always carried). Ties break to the smallest
+    neighbor id via struct keys — integer cosine micro-bp,
+    engine-portable."""
     _guard_quadratic(sf_dir, "embedding_hard_negatives")
     emb = _emb(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -711,41 +715,30 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ia", "la", "ib", "lb",
             _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"),
         )
-        .localCheckpoint()  # referenced by BOTH the neg and pos legs
     )
-    neg = (
-        pairs.filter(F.col("la") != F.col("lb"))
-        .groupBy("ia", "la")
-        .agg(
-            F.max("cos_ubp").alias("hard_neg_cos_ubp"),
-            F.max_by(
-                "ib", F.struct(F.col("cos_ubp").alias("c"), (-F.col("ib")).alias("t"))
-            ).alias("hard_neg_id"),
-        )
+    diff = F.col("la") != F.col("lb")
+    same = F.col("la") == F.col("lb")
+    out = pairs.groupBy("ia", "la").agg(
+        F.max_by(
+            "ib",
+            F.when(diff, F.struct(F.col("cos_ubp").alias("c"), (-F.col("ib")).alias("t"))),
+        ).alias("hard_neg_id"),
+        F.max(F.when(diff, F.col("cos_ubp"))).alias("hard_neg_cos_ubp"),
+        F.min_by(
+            "ib",
+            F.when(same, F.struct(F.col("cos_ubp").alias("c"), F.col("ib").alias("t"))),
+        ).alias("hard_pos_id"),
+        F.min(F.when(same, F.col("cos_ubp"))).alias("hard_pos_cos_ubp"),
     )
-    pos = (
-        pairs.filter(F.col("la") == F.col("lb"))
-        .groupBy("ia")
-        .agg(
-            F.min("cos_ubp").alias("hard_pos_cos_ubp"),
-            F.min_by(
-                "ib", F.struct(F.col("cos_ubp").alias("c"), F.col("ib").alias("t"))
-            ).alias("hard_pos_id"),
-        )
-    )
-    return (
-        neg.join(pos, "ia", "full_outer")
-        .select(
-            F.col("ia").alias("vec_id"),
-            F.col("la").alias("label"),
-            "hard_neg_id",
-            "hard_neg_cos_ubp",
-            "hard_pos_id",
-            "hard_pos_cos_ubp",
-            (F.col("hard_pos_cos_ubp") - F.col("hard_neg_cos_ubp")).alias("margin_ubp"),
-        )
-        .orderBy("vec_id")
-    )
+    return out.select(
+        F.col("ia").alias("vec_id"),
+        F.col("la").alias("label"),
+        "hard_neg_id",
+        "hard_neg_cos_ubp",
+        "hard_pos_id",
+        "hard_pos_cos_ubp",
+        (F.col("hard_pos_cos_ubp") - F.col("hard_neg_cos_ubp")).alias("margin_ubp"),
+    ).orderBy("vec_id")
 
 
 EMB_HARD_NEG_SQL = f"""
@@ -754,24 +747,24 @@ pairs AS (
   SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
          CAST(floor(({_COS_SQL}) * 1000000 + 0.5) AS BIGINT) AS cos_ubp
   FROM e a JOIN e b ON a.vec_id <> b.vec_id
-), neg AS (
-  SELECT ia, la, ib AS hard_neg_id, cos_ubp AS hard_neg_cos_ubp
-  FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY cos_ubp DESC, ib) AS rn
-    FROM pairs WHERE la <> lb
-  ) WHERE rn = 1
-), pos AS (
-  SELECT ia, ib AS hard_pos_id, cos_ubp AS hard_pos_cos_ubp
-  FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY cos_ubp ASC, ib) AS rn
-    FROM pairs WHERE la = lb
-  ) WHERE rn = 1
 )
-SELECT COALESCE(n.ia, p.ia) AS vec_id, n.la AS label,
-       n.hard_neg_id, n.hard_neg_cos_ubp,
-       p.hard_pos_id, p.hard_pos_cos_ubp,
-       p.hard_pos_cos_ubp - n.hard_neg_cos_ubp AS margin_ubp
-FROM neg n FULL OUTER JOIN pos p ON n.ia = p.ia
+SELECT ia AS vec_id, la AS label,
+       arg_max(CASE WHEN la <> lb THEN ib END,
+               CASE WHEN la <> lb THEN
+                 lpad(CAST(cos_ubp + 1000000 AS VARCHAR), 9, '0')
+                 || lpad(CAST(999999999999 - ib AS VARCHAR), 12, '0') END)
+         AS hard_neg_id,
+       MAX(cos_ubp) FILTER (WHERE la <> lb) AS hard_neg_cos_ubp,
+       arg_min(CASE WHEN la = lb THEN ib END,
+               CASE WHEN la = lb THEN
+                 lpad(CAST(cos_ubp + 1000000 AS VARCHAR), 9, '0')
+                 || lpad(CAST(ib AS VARCHAR), 12, '0') END)
+         AS hard_pos_id,
+       MIN(cos_ubp) FILTER (WHERE la = lb) AS hard_pos_cos_ubp,
+       MIN(cos_ubp) FILTER (WHERE la = lb)
+         - MAX(cos_ubp) FILTER (WHERE la <> lb) AS margin_ubp
+FROM pairs
+GROUP BY ia, la
 ORDER BY vec_id
 """
 

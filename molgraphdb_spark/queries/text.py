@@ -602,6 +602,21 @@ DECONTAM_NGRAM = 3  #: word n-gram order for the overlap check
 DECONTAM_MIN_OVERLAP = 2  #: shared distinct n-grams to flag contamination
 
 
+def _gram_rows(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, word-3-gram) rows — the contamination grain
+    shared by ``doc_decontaminate_overlap`` and the curation funnel
+    (one definition, so the funnel can never silently diverge from
+    the rule it composes)."""
+    grams = F.expr(
+        "transform(sequence(0, size(t) - 3),"
+        " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    )
+    with_grams = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    return with_grams.select("doc_id", F.explode(grams).alias("gram")).distinct()
+
+
 def doc_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — flag training documents sharing
     ≥ DECONTAM_MIN_OVERLAP distinct word-3-grams with a held-out eval
@@ -613,15 +628,7 @@ def doc_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded 5-gram set BROADCASTs; the train side is a map-only
     explode that never shuffles full text — only matched (train, eval)
     gram hits reach the final groupBy."""
-    docs = _docs(spark, sf_dir)
-    grams = F.expr(
-        "transform(sequence(0, size(t) - 3),"
-        " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-    )
-    with_grams = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 3)
-    exploded = with_grams.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    exploded = _gram_rows(_docs(spark, sf_dir))
     ev = exploded.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
     )
@@ -1666,13 +1673,15 @@ def chunk_rows(docs: DataFrame) -> DataFrame:
     """The chunk projection shared by the batch query and its
     streaming twin (stateless map-only — it streams per micro-batch
     unchanged; single code path for the geometry and the hash)."""
+    from molgraphdb_spark.operators.ranking import exact_div
+
     toks = _tokens()
     n = F.size(toks)
+    # m derives from the SAME n column the chunk spans use (a second
+    # stringly-typed tokenization here could silently diverge from
+    # _tokens()); positive operands, so DIV == DuckDB's //.
     m = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
-        F.expr(
-            f"CAST((size(split(trim(text), '\\\\s+')) - {CHUNK_SIZE}"
-            f" + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE} AS INT) + 1"
-        )
+        (exact_div(n - CHUNK_SIZE + CHUNK_STRIDE - 1, CHUNK_STRIDE) + 1).cast("int")
     )
     chunks = docs.select(
         "doc_id",
@@ -1858,23 +1867,24 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("canon"))
         .select("doc_id", F.lit(1).alias("in_s2"))
     )
-    # contamination flags against the full-corpus eval slice
-    grams = F.expr(
-        "transform(sequence(0, size(t) - 3),"
-        " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    # contamination flags against the full-corpus eval slice — the
+    # EXACT doc_decontaminate_overlap rule (shared _gram_rows grain,
+    # overlap counted PER (train, eval-doc) PAIR, not against the
+    # pooled eval-gram set: two single-gram hits on two different
+    # eval docs do not contaminate)
+    exploded = _gram_rows(docs)
+    ev = exploded.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
     )
-    with_grams = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 3)
-    exploded = with_grams.select("doc_id", F.explode(grams).alias("gram")).distinct()
-    ev = exploded.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0).select("gram")
     contaminated = (
         exploded.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
-        .join(F.broadcast(ev.distinct()), "gram")
-        .groupBy("doc_id")
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= DECONTAM_MIN_OVERLAP)
-        .select("doc_id", F.lit(1).alias("contam"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(1))
     )
     flags = (
         base.join(s2, "doc_id", "left")
@@ -1947,11 +1957,11 @@ WITH ing AS (
   FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 3
 ), contaminated AS (
-  SELECT tr.doc_id FROM grams tr
-  JOIN (SELECT DISTINCT gram FROM grams
+  SELECT DISTINCT tr.doc_id FROM grams tr
+  JOIN (SELECT doc_id AS eval_doc_id, gram FROM grams
         WHERE doc_id % {DECONTAM_EVAL_MOD} = 0) ev USING (gram)
   WHERE tr.doc_id % {DECONTAM_EVAL_MOD} != 0
-  GROUP BY tr.doc_id
+  GROUP BY tr.doc_id, ev.eval_doc_id
   HAVING COUNT(*) >= {DECONTAM_MIN_OVERLAP}
 ), s3 AS (
   SELECT doc_id FROM s2 WHERE doc_id % {DECONTAM_EVAL_MOD} != 0

@@ -56,7 +56,7 @@ _QUERY_MODULES = [
 #   chem_pharma_profile's golden was re-derived) and events_ewma (its
 #   with_group_rows_frame operator gained the last-segment context
 #   cap).
-# - The five r9 debuts (doc_collocation_pmi — Church & Hanks PMI
+# - The fourteen r9/r9b debuts (doc_collocation_pmi — Church & Hanks PMI
 #   collocations; fuzzy_name_sorted_neighborhood — Hernández–Stolfo
 #   merge/purge blocking; chem_substructure_search — WL-catalog
 #   substructure screen; doc_dsir_selection — DSIR importance

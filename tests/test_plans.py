@@ -688,17 +688,21 @@ def test_cusum_scale_shape(spark, sf_dir):
 
 
 def test_hard_negatives_scale_shape(spark, sf_dir):
-    # r9b: the pair relation localCheckpoints once (both the negative
-    # and positive legs read the materialized scan — without it the
-    # quadratic cross join executes twice), so the final plan is the
-    # two aggregates + outer join over Scan ExistingRDD; no Python
-    # worker, no window at all.
-    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    # r9b: BOTH triplet legs ride ONE groupBy with conditional
+    # aggregates over the (guarded) quadratic pair stream — the pair
+    # relation is never materialized and there is no outer join; the
+    # stream side is round-robin repartitioned (the single-split
+    # funnel rule) and the whole plan has no window and no Python.
+    from molgraphdb_spark.plans.explain import (
+        formatted_plan,
+        n_partitionless_windows,
+    )
     from molgraphdb_spark.queries.similarity import embedding_hard_negatives
 
     df = embedding_hard_negatives(spark, sf_dir)
     s = plan_summary(df)
     assert not s["has_python_worker"]
-    assert "Scan ExistingRDD" in s["plan"]  # the checkpointed pairs
-    assert "BroadcastNestedLoopJoin" not in s["plan"]  # ran at checkpoint
+    assert "BroadcastNestedLoopJoin" in s["plan"]  # the guarded pairs, live
+    p = formatted_plan(df)
+    assert "RoundRobinPartitioning" in p  # work-partitioned stream side
     assert n_partitionless_windows(df) == 0

@@ -536,3 +536,17 @@ def test_grouped_running_min_matches_window(spark):
             key=lambda t: (t[0] or "", t[1:]),
         )
         assert got == want
+
+
+def test_grouped_running_min_rejects_float(spark):
+    # NaN ranks LARGEST under Spark's window min but wins Python's
+    # first-argument min in the driver fold — float columns are a
+    # typed error (the cumsum precedent), not a silent divergence.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from molgraphdb_spark.operators.ranking import with_grouped_running_min
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, i long, v double")
+    with pytest.raises(TypeError, match="NaN ordering"):
+        with_grouped_running_min(df, ["g"], [F.asc("i")], "v", "m")

@@ -1180,12 +1180,15 @@ def test_curation_funnel_matches_python_reference(spark, tmp_path_factory):
         by_hash.setdefault(norm(t), d)
     s2 = [(d, t) for d, t in s1 if by_hash[norm(t)] == d]
     s3 = [(d, t) for d, t in s2 if d % DECONTAM_EVAL_MOD != 0]
-    ev_grams = set().union(
-        *(grams(t) for d, t in ing if d % DECONTAM_EVAL_MOD == 0 and len(t.split()) >= 3)
-    )
+    # the doc_decontaminate_overlap rule: overlap counted PER
+    # (train, eval-doc) PAIR, never against the pooled eval grams
+    ev_docs = [
+        grams(t) for d, t in ing
+        if d % DECONTAM_EVAL_MOD == 0 and len(t.split()) >= 3
+    ]
     s4 = [
         (d, t) for d, t in s3
-        if len(grams(t) & ev_grams) < DECONTAM_MIN_OVERLAP
+        if not any(len(grams(t) & eg) >= DECONTAM_MIN_OVERLAP for eg in ev_docs)
     ]
     n0, n1, n2, n3, n4 = len(ing), len(s1), len(s2), len(s3), len(s4)
     expect = [
@@ -1197,3 +1200,22 @@ def test_curation_funnel_matches_python_reference(spark, tmp_path_factory):
     assert got == expect
     # every stage visibly drops at least one document
     assert all(r[4] >= 1 for r in got)
+
+
+def test_hard_negatives_single_label_keeps_anchor_label(spark, tmp_path_factory):
+    # An anchor with NO different-label counterpart must still report
+    # its own (known) label with NULL negative columns — the one-pass
+    # conditional-aggregate form carries the label through; the old
+    # two-leg outer join lost it.
+    from molgraphdb_spark.queries.similarity import embedding_hard_negatives
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_hn_onelabel"))
+    spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)], 7) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    rows = embedding_hard_negatives(spark, path).collect()
+    assert len(rows) == 5
+    assert all(r.label == 7 for r in rows)
+    assert all(r.hard_neg_id is None and r.hard_neg_cos_ubp is None for r in rows)
+    assert all(r.hard_pos_id is not None for r in rows)
