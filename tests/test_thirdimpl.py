@@ -1219,3 +1219,131 @@ def test_hard_negatives_single_label_keeps_anchor_label(spark, tmp_path_factory)
     assert all(r.label == 7 for r in rows)
     assert all(r.hard_neg_id is None and r.hard_neg_cos_ubp is None for r in rows)
     assert all(r.hard_pos_id is not None for r in rows)
+
+
+def test_kl_divergence_matches_python_reference(spark, tmp_path_factory):
+    # KL(source || corpus) in integer micro-nats recomputed with dict
+    # loops and math.log on a corpus with one deliberately drifted
+    # source (its vocabulary is disjoint from the blend), which must
+    # carry the largest divergence.
+    from molgraphdb_spark.queries.text import source_token_divergence
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_kl"))
+    rng = random.Random(43)
+    blend = ["the", "data", "table", "row", "fast"]
+    drift = ["zq1", "zq2", "zq3"]
+    rows = []
+    for did in range(80):
+        if did % 4 == 3:
+            src, words = "drifted", drift
+        else:
+            src, words = f"src{did % 3}", blend
+        toks = [rng.choice(words) for _ in range(rng.randrange(5, 15))]
+        rows.append((did, " ".join(toks), "en", src))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = {
+        r.source: (r.n_distinct_tokens, r.kl_micro)
+        for r in source_token_divergence(spark, path).collect()
+    }
+
+    st: dict[tuple, int] = {}
+    for _d, text, _l, src in rows:
+        for t in text.split():
+            st[(src, t)] = st.get((src, t), 0) + 1
+    ns: dict[str, int] = {}
+    gt: dict[str, int] = {}
+    for (src, t), c in st.items():
+        ns[src] = ns.get(src, 0) + c
+        gt[t] = gt.get(t, 0) + c
+    n_g = sum(ns.values())
+    expect: dict[str, list] = {}
+    for (src, t), c in st.items():
+        term = math.floor(
+            (c / ns[src]) * math.log((c * n_g) / (ns[src] * gt[t])) * 1e6 + 0.5
+        )
+        e = expect.setdefault(src, [0, 0])
+        e[0] += 1
+        e[1] += term
+    assert got == {s: tuple(v) for s, v in expect.items()}
+    # the drifted source dominates the divergence table
+    assert got["drifted"][1] == max(v[1] for v in got.values())
+
+
+def test_hhi_matches_python_reference(spark, tmp_path_factory):
+    # Herfindahl-Hirschman in integer basis points: a monopoly corpus
+    # must score the closed-form 10000^2 and an equal split n*(10000//n)^2.
+    from molgraphdb_spark.queries.relational import supplier_concentration_hhi
+
+    def run(rows):
+        path = str(tmp_path_factory.mktemp("thirdimpl_hhi"))
+        spark.createDataFrame(
+            rows, "l_suppkey long, l_extendedprice double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+        (r,) = supplier_concentration_hhi(spark, path).collect()
+        return r.n_suppliers, r.hhi, r.top_share_bp
+
+    # monopoly: one supplier
+    assert run([(1, 500.0)]) == (1, 10000 * 10000, 10000)
+    # four equal suppliers: shares 2500bp, hhi = 4 * 2500^2
+    assert run([(s, 100.0) for s in range(4)]) == (4, 4 * 2500 * 2500, 2500)
+    # python recompute on a skewed book
+    rows = [(s, float((s % 7 + 1) * 10)) for s in range(20) for _ in range(s % 3 + 1)]
+    got = run(rows)
+    rev: dict[int, int] = {}
+    for s, p in rows:
+        rev[s] = rev.get(s, 0) + math.floor(p * 100 + 0.5)
+    total = sum(rev.values())
+    shares = [r * 10000 // total for r in rev.values()]
+    assert got == (len(shares), sum(x * x for x in shares), max(shares))
+
+
+def test_lorenz_deciles_match_python_reference(spark, tmp_path_factory):
+    # NTILE(10) Lorenz table recomputed with the standard NTILE size
+    # rule (first n%k tiles get one extra row) over spend ranked
+    # descending - cumulative top-down shares in basis points.
+    from molgraphdb_spark.queries.relational import customer_lorenz_deciles
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_lorenz"))
+    rng = random.Random(47)
+    rows = [(i, i % 73, round(rng.uniform(10, 5000), 2)) for i in range(300)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+    got = [
+        (r.decile, r.n_customers, r.share_bp, r.cum_share_bp)
+        for r in customer_lorenz_deciles(spark, path).collect()
+    ]
+
+    spend: dict[int, int] = {}
+    for _o, c, p in rows:
+        spend[c] = spend.get(c, 0) + math.floor(p * 100 + 0.5)
+    ranked = sorted(spend.items(), key=lambda kv: (-kv[1], kv[0]))
+    n, k = len(ranked), 10
+    base, rem = n // k, n % k
+
+    def tile(r):  # 1-based rank -> 1-based NTILE
+        if r <= (base + 1) * rem:
+            return (r + base) // (base + 1)
+        return rem + (r - (base + 1) * rem + base - 1) // base
+
+    total = sum(spend.values())
+    agg: dict[int, list] = {}
+    for r_, (_c, s) in enumerate(ranked, 1):
+        e = agg.setdefault(tile(r_), [0, 0])
+        e[0] += 1
+        e[1] += s
+    expect = []
+    cum = 0
+    for d in sorted(agg):
+        nc, rev = agg[d]
+        cum += rev
+        expect.append((d, nc, rev * 10000 // total, cum * 10000 // total))
+    assert got == expect
+    # Lorenz sanity: decile 1 (top spenders) holds the largest share
+    assert got[0][2] == max(r[2] for r in got)
