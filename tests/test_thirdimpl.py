@@ -1347,3 +1347,85 @@ def test_lorenz_deciles_match_python_reference(spark, tmp_path_factory):
     assert got == expect
     # Lorenz sanity: decile 1 (top spenders) holds the largest share
     assert got[0][2] == max(r[2] for r in got)
+
+
+def test_twap_matches_python_reference(spark, mini_events_dir):
+    # Hold-until-next TWAP recomputed with sorted lists: per user,
+    # weight each reading by the duration to its successor (last
+    # reading weightless); integer micro-unit products, one final
+    # float division replicated float-for-float.
+    from molgraphdb_spark.queries.temporal import events_twap
+
+    path, rows = mini_events_dir
+    got = [
+        (r.user_id, r.n_intervals, r.total_dur_us, r.twap_u)
+        for r in events_twap(spark, path).collect()
+    ]
+
+    by_user: dict[int, list] = {}
+    for eid, ts_us, uid, _t, v, _p in rows:
+        by_user.setdefault(uid, []).append((ts_us, eid, math.floor(v * 1e6 + 0.5)))
+    expect = []
+    for uid in sorted(by_user):
+        evs = sorted(by_user[uid])
+        if len(evs) < 2:
+            continue
+        durs = [
+            (evs[i + 1][0] - evs[i][0], evs[i][2]) for i in range(len(evs) - 1)
+        ]
+        total = sum(d for d, _v in durs)
+        sp = sum(d * v for d, v in durs)
+        expect.append(
+            (uid, len(durs), total, math.floor(float(sp) / total))
+        )
+    assert got == expect
+
+
+def test_ngram_novelty_matches_python_reference(spark, tmp_path_factory):
+    # First-occurrence shingle attribution recomputed with dict loops:
+    # doc 0 is fully novel, a verbatim copy at doc 5 is fully stale,
+    # and a half-remix scores in between.
+    from molgraphdb_spark.queries.dedup import doc_ngram_novelty
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_novelty"))
+    rng = random.Random(53)
+    vocab = ["n%d" % i for i in range(60)]
+    texts = {}
+    texts[0] = " ".join(rng.choice(vocab) for _ in range(30))
+    texts[1] = " ".join(rng.choice(vocab) for _ in range(30))
+    texts[5] = texts[0]                       # verbatim restatement
+    half = texts[1].split()[:15]
+    texts[7] = " ".join(half + [rng.choice(vocab) + "x" for _ in range(15)])
+    rows = [(d, t, "en", "s0") for d, t in sorted(texts.items())]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = [
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty_bp)
+        for r in doc_ngram_novelty(spark, path).collect()
+    ]
+
+    import re
+
+    def shingles(text: str) -> set:
+        toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        cnt = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(cnt)}
+
+    sh = {d: shingles(t) for d, t, _l, _s in rows}
+    first: dict[str, int] = {}
+    for d in sorted(sh):
+        for g in sh[d]:
+            first.setdefault(g, d)
+    expect = []
+    for d in sorted(sh):
+        n = len(sh[d])
+        novel = sum(1 for g in sh[d] if first[g] == d)
+        expect.append((d, n, novel, novel * 10000 // n))
+    assert got == expect
+    by_doc = {r[0]: r for r in got}
+    assert by_doc[0][3] == 10000 and by_doc[5][3] == 0
+    assert 0 < by_doc[7][3] < 10000
