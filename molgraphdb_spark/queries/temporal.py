@@ -765,9 +765,16 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     not.
 
     Determinism: readings floor to integer micro-units; μ and k are
-    positive-operand integer DIVs (truncate == floor cross-engine);
-    every running statistic is integer — no float anywhere. Output:
-    one row per type (events, alarms, max CUSUM, the μ/h used)."""
+    FLOOR divisions pinned explicitly on BOTH engines — Spark's ``DIV``
+    and DuckDB's ``//`` each truncate toward zero (verified: DuckDB
+    ``-7 // 2 = -3``), while the plain-Python reference's ``//`` floors,
+    so a negative value sum would silently split the three
+    implementations. Both engines therefore compute
+    ``(a - pmod(a, b)) DIV b`` (pmod non-negative → the numerator is
+    exactly divisible → the trailing DIV is sign-safe), keeping parity
+    for event types whose value sum is negative; every running
+    statistic is integer — no float anywhere. Output: one row per type
+    (events, alarms, max CUSUM, the μ/h used)."""
     from molgraphdb_spark.operators.ranking import (
         with_grouped_order_stats,
         with_grouped_running_min,
@@ -781,11 +788,15 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = base.groupBy("event_type").agg(
         F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
     )
+    # Floor-division (matches DuckDB `//` for signed operands; Spark's
+    # bare DIV truncates toward zero and would diverge on negative sums).
+    mu = "((sx - pmod(sx, n)) DIV n)"
+    k = f"(({mu} - pmod({mu}, 20)) DIV 20)"
     p = m.select(
         "event_type",
-        F.expr("sx DIV n + (sx DIV n) DIV 20").alias("d"),
-        F.expr("(sx DIV n) DIV 20 * 5").alias("h"),
-        F.expr("sx DIV n").alias("mu_micro"),
+        F.expr(f"{mu} + {k}").alias("d"),
+        F.expr(f"{k} * 5").alias("h"),
+        F.expr(mu).alias("mu_micro"),
     )
     j = base.join(F.broadcast(p), "event_type").withColumn(
         "xd", F.col("x") - F.col("d")
@@ -816,12 +827,18 @@ WITH e AS (
   SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM e GROUP BY event_type
+), p0 AS (
+  -- floor division (DuckDB // truncates toward zero; pmod-style
+  -- remainder makes the numerator exactly divisible, sign-safe)
+  SELECT event_type,
+         (sx - ((sx % n) + n) % n) // n AS mu_micro
+  FROM m
 ), p AS (
   SELECT event_type,
-         sx // n + (sx // n) // 20 AS d,
-         (sx // n) // 20 * 5 AS h,
-         sx // n AS mu_micro
-  FROM m
+         mu_micro + (mu_micro - ((mu_micro % 20) + 20) % 20) // 20 AS d,
+         (mu_micro - ((mu_micro % 20) + 20) % 20) // 20 * 5 AS h,
+         mu_micro
+  FROM p0
 ), g AS (
   SELECT e.event_type, e.ts, e.event_id, p.h, p.mu_micro,
          SUM(e.x - p.d) OVER (

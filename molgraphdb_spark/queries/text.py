@@ -2000,8 +2000,12 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     family induces from).
 
     Integer rollup: fertility in basis points and chars-per-subword
-    in milli via positive-operand DIV. Map-only scoring, ≤|langs|
-    rollup — one shuffle."""
+    in milli via positive-operand DIV. Divisors are GREATEST(·,1)-
+    guarded on BOTH engines: a language whose documents are all
+    whitespace-only yields SUM(bpe)=0 (BPE_PATTERN matches nothing),
+    which would be NULL on Spark's DIV but a hard division-by-zero on
+    DuckDB — the guard pins one cross-engine answer (ratio 0).
+    Map-only scoring, ≤|langs| rollup — one shuffle."""
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     toks = _tokens()
     scored = docs.select(
@@ -2019,12 +2023,12 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws").alias("n_ws_tokens"),
             F.sum("bpe").alias("n_bpe_tokens"),
             F.sum("chars").alias("n_chars"),
-            F.expr("CAST(SUM(bpe) * 10000 DIV SUM(ws) AS BIGINT)").alias(
-                "fertility_bp"
-            ),
-            F.expr("CAST(SUM(chars) * 1000 DIV SUM(bpe) AS BIGINT)").alias(
-                "chars_per_bpe_milli"
-            ),
+            F.expr(
+                "CAST(SUM(bpe) * 10000 DIV GREATEST(SUM(ws), 1) AS BIGINT)"
+            ).alias("fertility_bp"),
+            F.expr(
+                "CAST(SUM(chars) * 1000 DIV GREATEST(SUM(bpe), 1) AS BIGINT)"
+            ).alias("chars_per_bpe_milli"),
         )
         .orderBy("lang")
     )
@@ -2043,8 +2047,8 @@ SELECT lang,
        CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
        CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
        CAST(SUM(chars) AS BIGINT) AS n_chars,
-       CAST(SUM(bpe) * 10000 // SUM(ws) AS BIGINT) AS fertility_bp,
-       CAST(SUM(chars) * 1000 // SUM(bpe) AS BIGINT) AS chars_per_bpe_milli
+       CAST(SUM(bpe) * 10000 // GREATEST(SUM(ws), 1) AS BIGINT) AS fertility_bp,
+       CAST(SUM(chars) * 1000 // GREATEST(SUM(bpe), 1) AS BIGINT) AS chars_per_bpe_milli
 FROM scored GROUP BY lang ORDER BY lang
 """
 
