@@ -2,12 +2,15 @@
 opaque ``binary`` payloads with typed metadata structs, processed by
 Arrow-batched pandas transforms over ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake (byte-level features) behind the same plumbing a
-real decoder would use — schema, partitioning, UDF signature, and
-batch shape are real and oracle-checked; ``decode_image_stub`` marks
-the codec boundary explicitly (NotImplementedError), per the build
-contract.
+The container has no image/audio codec LIBRARIES, but uncompressed
+formats need none: ``mm_decoded_features`` synthesizes valid PPM (P6)
+and WAV-PCM payloads from the document bytes and decodes them with the
+genuine pure-Python parsers in functions/codecs.py — dimensions,
+sample rate, and bit depth come from the file headers, features from
+the decoded raster/samples. Compressed formats (JPEG/PNG/MP3) remain
+behind ``decode_image_stub`` (NotImplementedError), the documented
+residual codec boundary; the byte-level fake features in
+``mm_feature_extract`` stay as the format-agnostic fallback leg.
 
 Payloads are derived deterministically from ``documents.text``
 (UTF-8 bytes — the corpus is ASCII) so DuckDB can recompute every
@@ -29,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from molgraphdb_spark.functions.codecs import WAV_SAMPLE_RATE
 from molgraphdb_spark.session import tune
 from molgraphdb_spark.sources.tables import load_table
 
@@ -40,12 +44,15 @@ FRAME_STRIDE = 16
 
 
 def decode_image_stub(payload: bytes, fmt: str) -> "object":
-    """The real-codec boundary. In production this dispatches to an
-    image/audio decoder on the executor; this container ships none, so
-    calling it is an explicit error — the feature pipeline uses the
-    deterministic byte-level fake instead."""
+    """The COMPRESSED-codec boundary. In production this dispatches to
+    a JPEG/PNG/MP3/H.264 decoder on the executor; this container ships
+    none, so calling it is an explicit error. Uncompressed formats do
+    NOT hit this boundary: PPM and WAV-PCM decode genuinely via
+    functions/codecs.py (see mm_decoded_features)."""
     raise NotImplementedError(
-        f"no codec for {fmt!r} in this environment; use mm_feature_extract's byte features"
+        f"no compressed codec for {fmt!r} in this environment; "
+        "uncompressed PPM/WAV decode via functions.codecs, and "
+        "mm_feature_extract's byte features cover the rest"
     )
 
 
@@ -498,6 +505,139 @@ ORDER BY id_a, id_b
 
 
 
+def _decoded_feature_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The REAL decode leg: per row, synthesize a valid uncompressed
+    media file from the payload bytes (PPM P6 for image-modality docs,
+    WAV PCM-16 for audio-modality docs — pixel/sample data cycles the
+    document bytes), then DECODE it with the genuine parsers in
+    functions/codecs.py and compute every feature from the decoded
+    raster/samples only. Dimensions and sample rate are read back from
+    the file headers the parser scanned — nothing is smuggled around
+    the decode. Video-modality rows stay at the compressed-codec
+    boundary (decode_image_stub) and are not emitted here."""
+    import numpy as np
+
+    from molgraphdb_spark.functions.codecs import (
+        WAV_SAMPLE_RATE,
+        encode_ppm,
+        encode_wav,
+        ppm_luminance_features,
+        wav_signal_features,
+    )
+
+    cols = [
+        "doc_id", "modality", "width", "height", "sample_rate",
+        "n_units", "duration_ms", "luma_milli", "energy", "peak",
+    ]
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue  # crawl error: nothing to synthesize/decode
+            b = bytes(payload)
+            n = len(b)
+            if n == 0:
+                continue  # empty payload: no pixels/samples to cycle
+            doc_id = int(doc_id)
+            if doc_id % 3 == 0:  # image → PPM
+                w, h = n % 64 + 1, n % 48 + 1
+                npix = w * h
+                reps = (3 * npix + n - 1) // n
+                raster = (b * reps)[: 3 * npix]
+                dw, dh, luma, peak = ppm_luminance_features(
+                    encode_ppm(w, h, raster)
+                )
+                out.append(
+                    (doc_id, "image", dw, dh, None, npix, None, luma, None, peak)
+                )
+            elif doc_id % 3 == 1:  # audio → WAV
+                codes = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+                samples = ((codes - 128) * 256).astype("<i2")
+                rate, ns, dur, energy, peak = wav_signal_features(
+                    encode_wav(WAV_SAMPLE_RATE, samples)
+                )
+                out.append(
+                    (doc_id, "audio", None, None, rate, ns, dur, None, energy, peak)
+                )
+        df = pd.DataFrame(out, columns=cols)
+        for c in ("width", "height", "sample_rate", "peak"):
+            df[c] = df[c].astype("Int32")
+        for c in ("n_units", "duration_ms", "luma_milli", "energy"):
+            df[c] = df[c].astype("Int64")
+        yield df
+
+
+def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuinely-decoded media features per modality: mean Rec.709
+    luminance (milli) + peak channel over the PPM-decoded raster for
+    images; sample rate, duration, energy Σs² and peak |s| over the
+    WAV-decoded PCM samples for audio. One mapInPandas pass (the
+    justified Python boundary: byte → media decode); integer-exact, so
+    the DuckDB oracle recomputes every feature from the same closed
+    form over the document bytes."""
+    m = multimodal_manifest(spark, sf_dir).filter(
+        F.col("metadata.format").isin("image", "audio")
+    )
+    return (
+        m.select("doc_id", "payload")
+        .mapInPandas(
+            _decoded_feature_rows,
+            schema=(
+                "doc_id long, modality string, width int, height int, "
+                "sample_rate int, n_units long, duration_ms long, "
+                "luma_milli long, energy long, peak int"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MM_DECODED_SQL = f"""
+WITH img AS (
+  SELECT doc_id, length(text) AS n,
+         length(text) % 64 + 1 AS w,
+         length(text) % 48 + 1 AS h,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0
+), img_feat AS (
+  SELECT doc_id, 'image' AS modality,
+         CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         CAST(NULL AS INT) AS sample_rate,
+         CAST(w * h AS BIGINT) AS n_units,
+         CAST(NULL AS BIGINT) AS duration_ms,
+         CAST(list_sum(list_transform(range(0, w * h),
+              k -> (2126 * codes[(3 * k) % n + 1]
+                  + 7152 * codes[(3 * k + 1) % n + 1]
+                  +  722 * codes[(3 * k + 2) % n + 1]) // 10000
+         )) * 1000 // (w * h) AS BIGINT) AS luma_milli,
+         CAST(NULL AS BIGINT) AS energy,
+         CAST(list_max(list_transform(range(0, least(3 * w * h, n)),
+              i -> codes[i + 1])) AS INT) AS peak
+  FROM img
+), aud AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL AND length(text) > 0
+), aud_feat AS (
+  SELECT doc_id, 'audio' AS modality,
+         CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+         CAST({WAV_SAMPLE_RATE} AS INT) AS sample_rate,
+         CAST(n AS BIGINT) AS n_units,
+         CAST(n * 1000 // {WAV_SAMPLE_RATE} AS BIGINT) AS duration_ms,
+         CAST(NULL AS BIGINT) AS luma_milli,
+         CAST(list_sum(list_transform(codes,
+              c -> CAST((c - 128) * 256 AS BIGINT) * CAST((c - 128) * 256 AS BIGINT)
+         )) AS BIGINT) AS energy,
+         CAST(list_max(list_transform(codes, c -> abs((c - 128) * 256))) AS INT) AS peak
+  FROM aud
+)
+SELECT * FROM img_feat
+UNION ALL
+SELECT * FROM aud_feat
+ORDER BY doc_id
+"""
+
+
 #: Resize target: RESIZE_DIM x RESIZE_DIM nearest-neighbor grid.
 RESIZE_DIM = 8
 
@@ -582,6 +722,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "mm_metadata_summary": mm_metadata_summary,
+    "mm_decoded_features": mm_decoded_features,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_chunk_windows": mm_chunk_windows,
@@ -591,6 +732,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_metadata_summary": MM_METADATA_SQL,
+    "mm_decoded_features": MM_DECODED_SQL,
     "mm_phash_neardup": MM_PHASH_SQL,
     "mm_resize_grid": MM_RESIZE_SQL,
     "mm_feature_extract": MM_FEATURES_SQL,

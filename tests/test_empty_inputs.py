@@ -83,6 +83,7 @@ REPRESENTATIVE = [
     "lang_token_fertility",      # DIV rollup over zero docs
     "similarity_lsh_recall",     # three legs over zero vectors
     "pipeline_curation_funnel",  # stage flags over zero docs
+    "mm_decoded_features",       # PPM/WAV decode pass over zero docs
 ]
 
 

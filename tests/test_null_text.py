@@ -57,6 +57,7 @@ TEXT_FAMILY = [
 #: filters).
 MM_FAMILY = [
     "mm_metadata_summary",
+    "mm_decoded_features",
     "mm_feature_extract",
     "mm_frame_sample",
     "mm_chunk_windows",

@@ -1429,3 +1429,56 @@ def test_ngram_novelty_matches_python_reference(spark, tmp_path_factory):
     by_doc = {r[0]: r for r in got}
     assert by_doc[0][3] == 10000 and by_doc[5][3] == 0
     assert 0 < by_doc[7][3] < 10000
+
+
+def test_decoded_features_match_python_reference(spark, tmp_path_factory):
+    # mm_decoded_features goes text -> synthesized PPM/WAV -> REAL
+    # decode -> features. The third implementation here computes the
+    # same features STRAIGHT from the text bytes with plain Python
+    # loops (no codecs module, no numpy) — if the encode/decode pair
+    # lost or shifted a single byte, these numbers split.
+    from molgraphdb_spark.queries.multimodal_queries import mm_decoded_features
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_decoded"))
+    rows = [
+        (0, "abc", "en", "s0"),                      # image, tiny: raster cycles a lot
+        (1, "audio sample text with spread", "en", "s0"),
+        (3, "x" * 100, "en", "s0"),                  # image, uniform bytes
+        (4, "mixed 123 PUNCT!?", "en", "s0"),        # audio
+        (6, "The quick brown fox jumps over the lazy dog", "en", "s0"),
+        (2, "video modality must not appear", "en", "s0"),
+        (7, "another audio doc", "en", "s0"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = {r.doc_id: tuple(r)[1:] for r in mm_decoded_features(spark, path).collect()}
+
+    expect = {}
+    for doc_id, text, _l, _s in rows:
+        b = text.encode()
+        n = len(b)
+        if doc_id % 3 == 0:
+            w, h = n % 64 + 1, n % 48 + 1
+            npix = w * h
+            lum_sum = 0
+            peak = 0
+            for k in range(npix):
+                r_, g_, b_ = b[(3 * k) % n], b[(3 * k + 1) % n], b[(3 * k + 2) % n]
+                lum_sum += (2126 * r_ + 7152 * g_ + 722 * b_) // 10000
+                peak = max(peak, r_, g_, b_)
+            expect[doc_id] = (
+                "image", w, h, None, npix, None,
+                lum_sum * 1000 // npix, None, peak,
+            )
+        elif doc_id % 3 == 1:
+            samples = [(c - 128) * 256 for c in b]
+            expect[doc_id] = (
+                "audio", None, None, 8000, n, n * 1000 // 8000, None,
+                sum(s * s for s in samples), max(abs(s) for s in samples),
+            )
+    assert got == expect
+    assert 2 not in got  # video stays at the compressed-codec boundary
