@@ -769,6 +769,179 @@ ORDER BY vec_id
 """
 
 
+def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-shortlist twin of :func:`embedding_hard_negatives` —
+    the 100 TB path the exact twin's docstring promises: IVF coarse
+    quantization (same deterministic centroids as similarity_ivf_topk)
+    replaces the all-pairs cross join, and the IDENTICAL one-groupBy
+    conditional-aggregate tail mines the triplet from the shortlist.
+
+    Per anchor: assign every corpus vector to its nearest of IVF_K
+    cells (map-only literal-centroid fold — no shuffle), pick the
+    anchor's IVF_NPROBE nearest cells with a map-only array sort (no
+    window — the cell count is a literal), equi-join anchor probes to
+    cell members, and run the exact twin's max_by/min_by aggregates
+    over the shortlist. Semantics are shortlist-relative by design:
+    the hard negative is the most-similar different-label vector IN
+    THE PROBED CELLS (what ANN mining gives a real batch builder), and
+    the hard positive is the least-similar same-label vector there —
+    anchors whose probed cells hold no same/different-label candidate
+    carry NULLs, exactly like the probe-miss rows of an ANN service.
+    Agreement with the exact twin is measured by the planted probe
+    (tools/scale_probe.py hard_negatives) and recorded in BASELINE.md.
+
+    Scale shape: candidate volume is ~nprobe/K of the cross join. The
+    constants here are test-scale (K=8); production sizes K ~ O(√n) so
+    per-anchor work is O(nprobe·n/K) = O(√n) and the cid equi-join is
+    balanced across thousands of cells — the plan shape (assign →
+    probe → equi-join → one groupBy) is unchanged. The input guard
+    stays because with FIXED K the worst case is still a constant
+    fraction of quadratic."""
+    _guard_quadratic(sf_dir, "embedding_hard_negatives_ann")
+    emb = _emb(spark, sf_dir)
+    cents = sorted(
+        emb.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if cents:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r.vec_id)).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+                )
+                for r in cents
+            ]
+        )
+    else:
+        cent_arr = F.array(
+            F.struct(
+                F.lit(-1).alias("cid"),
+                F.array().cast("array<double>").alias("cv"),
+            )
+        )
+
+    def cell_score(c: Column, v: Column) -> Column:
+        return _ubp(
+            _dot(v, c["cv"]) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c["cv"], c["cv"])))
+        )
+
+    init = F.struct(F.lit(-(2**62)).cast("long").alias("s"), F.lit(-1).alias("cid"))
+    best = F.aggregate(
+        cent_arr,
+        init,
+        lambda acc, c: F.when(
+            cell_score(c, F.col("v")) > acc["s"],
+            F.struct(cell_score(c, F.col("v")).alias("s"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    assign = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("label").alias("lb"),
+        best["cid"].alias("cid"),
+    )
+    # Map-only probe selection: sort the literal cell array by
+    # (score desc, cid asc) per anchor and take the first NPROBE —
+    # no window, no shuffle (ORDER BY on a struct sorts its fields
+    # ascending, so negate the integer score).
+    scored_cells = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (-cell_score(c, F.col("v"))).alias("negs"), c["cid"].alias("cid")
+        ),
+    )
+    probes = F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE)
+    anchors = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("label").alias("la"),
+        F.explode(probes).alias("p"),
+    ).select("ia", "va", "la", F.col("p.cid").alias("cid"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        anchors.repartition(n_part, "cid", "ia")
+        .join(assign, "cid")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "la", "ib", "lb",
+            _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"),
+        )
+    )
+    diff = F.col("la") != F.col("lb")
+    same = F.col("la") == F.col("lb")
+    out = pairs.groupBy("ia", "la").agg(
+        F.max_by(
+            "ib",
+            F.when(diff, F.struct(F.col("cos_ubp").alias("c"), (-F.col("ib")).alias("t"))),
+        ).alias("hard_neg_id"),
+        F.max(F.when(diff, F.col("cos_ubp"))).alias("hard_neg_cos_ubp"),
+        F.min_by(
+            "ib",
+            F.when(same, F.struct(F.col("cos_ubp").alias("c"), F.col("ib").alias("t"))),
+        ).alias("hard_pos_id"),
+        F.min(F.when(same, F.col("cos_ubp"))).alias("hard_pos_cos_ubp"),
+    )
+    return out.select(
+        F.col("ia").alias("vec_id"),
+        F.col("la").alias("label"),
+        "hard_neg_id",
+        "hard_neg_cos_ubp",
+        "hard_pos_id",
+        "hard_pos_cos_ubp",
+        (F.col("hard_pos_cos_ubp") - F.col("hard_neg_cos_ubp")).alias("margin_ubp"),
+    ).orderBy("vec_id")
+
+
+EMB_HARD_NEG_ANN_SQL = f"""
+WITH {_EMB_CTE},
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K}),
+cell_scored AS (
+  SELECT e.vec_id, e.v, e.label, c.cid,
+         CAST(floor((list_dot_product(e.v, c.cv)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))))
+              * 1000000 + 0.5) AS BIGINT) AS cs
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id AS ib, v AS vb, label AS lb, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+    FROM cell_scored) WHERE rk = 1
+),
+probe AS (
+  SELECT vec_id AS ia, v AS va, label AS la, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+    FROM cell_scored) WHERE rk <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.ia, p.la, a.ib, a.lb,
+         CAST(floor((list_dot_product(p.va, a.vb)
+              / (sqrt(list_dot_product(p.va, p.va)) * sqrt(list_dot_product(a.vb, a.vb))))
+              * 1000000 + 0.5) AS BIGINT) AS cos_ubp
+  FROM probe p JOIN assign a USING (cid)
+  WHERE p.ia <> a.ib
+)
+SELECT ia AS vec_id, la AS label,
+       arg_max(CASE WHEN la <> lb THEN ib END,
+               CASE WHEN la <> lb THEN
+                 lpad(CAST(cos_ubp + 1000000 AS VARCHAR), 9, '0')
+                 || lpad(CAST(999999999999 - ib AS VARCHAR), 12, '0') END)
+         AS hard_neg_id,
+       MAX(cos_ubp) FILTER (WHERE la <> lb) AS hard_neg_cos_ubp,
+       arg_min(CASE WHEN la = lb THEN ib END,
+               CASE WHEN la = lb THEN
+                 lpad(CAST(cos_ubp + 1000000 AS VARCHAR), 9, '0')
+                 || lpad(CAST(ib AS VARCHAR), 12, '0') END)
+         AS hard_pos_id,
+       MIN(cos_ubp) FILTER (WHERE la = lb) AS hard_pos_cos_ubp,
+       MIN(cos_ubp) FILTER (WHERE la = lb)
+         - MAX(cos_ubp) FILTER (WHERE la <> lb) AS margin_ubp
+FROM pairs
+GROUP BY ia, la
+ORDER BY vec_id
+"""
+
+
 def similarity_label_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional check on a vec_id<150 sample: pair counts per
     0.1-cosine band, split by same/different label. Integer counting
@@ -1904,6 +2077,7 @@ QUERIES = {
     "similarity_label_bands": similarity_label_bands,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_hard_negatives": embedding_hard_negatives,
+    "embedding_hard_negatives_ann": embedding_hard_negatives_ann,
     "similarity_lsh_recall": similarity_lsh_recall,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_semantic_clusters": dedup_semantic_clusters,
@@ -1928,6 +2102,7 @@ ORACLES = {
     "similarity_label_bands": SIM_BANDS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "embedding_hard_negatives": EMB_HARD_NEG_SQL,
+    "embedding_hard_negatives_ann": EMB_HARD_NEG_ANN_SQL,
     "similarity_lsh_recall": SIM_LSH_RECALL_SQL,
     "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
     "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,

@@ -80,6 +80,7 @@ REPRESENTATIVE = [
     "events_cusum_alarms",       # CUSUM passes over zero events
     "source_chunk_dup_rate",     # chunk-df join over zero docs
     "embedding_hard_negatives",  # triplet legs over zero vectors
+    "embedding_hard_negatives_ann",  # centroid literal + probe over zero vectors
     "lang_token_fertility",      # DIV rollup over zero docs
     "similarity_lsh_recall",     # three legs over zero vectors
     "pipeline_curation_funnel",  # stage flags over zero docs

@@ -351,6 +351,86 @@ def probe_ann(spark, k: int) -> dict:
     }
 
 
+def probe_hard_negatives(spark, n_plant: int = 20, k_scale: int = 10) -> dict:
+    """Exact vs ANN-shortlist triplet mining (r9 verdict item 3).
+
+    Plants ``n_plant`` DIFFERENT-label near-twins (per-dim +(i%7−3)·1e−5
+    on anchors vec_id 200..) into the sf0.1 embeddings — each planted
+    anchor's true hard negative is its twin at cosine ≈ 1, and since
+    the corpus has no natural pair above cosine 0.999 the expectation
+    is unambiguous. Invariants: BOTH twins report the planted twin as
+    hard_neg_id with a NEGATIVE margin for every planted anchor (the
+    perturbation is tiny, so anchor and twin share a coarse cell and
+    the rk=1 self-probe always sees it). Measurements: hard-negative
+    agreement (ANN hard_neg_id == exact hard_neg_id over all anchors —
+    the shortlist recall of the true hard negative), both wall-times,
+    and the ANN leg's wall at ``k_scale``× vectors where the exact
+    twin is out of its comfort zone."""
+    from molgraphdb_spark.queries.similarity import (
+        embedding_hard_negatives,
+        embedding_hard_negatives_ann,
+    )
+
+    out = f"{BASE}/emb_hardneg"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    planted = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 200 + n_plant)
+    ).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x.cast("double") + ((i % 7) - 3).cast("double") * 1e-5).cast("float"),
+        ).alias("embedding"),
+        (F.col("label") + 100).alias("label"),  # guaranteed different label
+    )
+    emb.unionByName(planted).repartition(8).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
+    t0 = time.time()
+    exact = {r.vec_id: r for r in embedding_hard_negatives(spark, out).collect()}
+    t_exact = time.time() - t0
+    t0 = time.time()
+    ann = {r.vec_id: r for r in embedding_hard_negatives_ann(spark, out).collect()}
+    t_ann = time.time() - t0
+
+    plant_ok_exact = sum(
+        1
+        for a in range(200, 200 + n_plant)
+        if exact[a].hard_neg_id == a + 900_000 and exact[a].margin_ubp < 0
+    )
+    plant_ok_ann = sum(
+        1
+        for a in range(200, 200 + n_plant)
+        if ann[a].hard_neg_id == a + 900_000 and ann[a].margin_ubp < 0
+    )
+    common = [v for v in exact if v in ann]
+    agree = sum(1 for v in common if ann[v].hard_neg_id == exact[v].hard_neg_id)
+
+    # scale leg: ANN alone at k_scale× (the exact twin's guard regime)
+    emb_dir = build_embeddings(spark, k_scale)
+    t0 = time.time()
+    n_rows_10x = embedding_hard_negatives_ann(spark, emb_dir).count()
+    t_ann_10x = time.time() - t0
+
+    return {
+        "probe": "hard_negatives",
+        "vectors": 2000 + n_plant,
+        "planted": n_plant,
+        "plant_ok_exact": plant_ok_exact,
+        "plant_ok_ann": plant_ok_ann,
+        "anchors": len(common),
+        "hard_neg_agreement": round(agree / len(common), 4),
+        "t_exact_s": round(t_exact, 1),
+        "t_ann_s": round(t_ann, 1),
+        "vectors_10x": 2000 * k_scale,
+        "ann_rows_10x": n_rows_10x,
+        "t_ann_10x_s": round(t_ann_10x, 1),
+    }
+
+
 def probe_pq(spark, k: int, n_queries: int = 5) -> dict:
     """IVF-PQ at k× vectors: train coarse (k=8) + PQ (8×16) on the
     BASE vectors only (replica-0 rows — training never needs the full
@@ -1414,6 +1494,7 @@ def main() -> None:
             "retrieval": lambda: probe_retrieval(spark, build_corpus(spark, k)),
             "curation": lambda: probe_curation(spark, build_corpus(spark, k)),
             "runmin_skew": lambda: probe_runmin_skew(spark),
+            "hard_negatives": lambda: probe_hard_negatives(spark),
         }
         for name in sys.argv[2:]:
             print(json.dumps(fns[name]()))
@@ -1434,6 +1515,8 @@ def main() -> None:
     print(json.dumps(probe_cc(spark, k=25, n_orig=5000)))       # 1.5M edges
     # ANN at k× vectors: exact brute force vs IVF, with recall.
     print(json.dumps(probe_ann(spark, k)))
+    # r10: exact vs ANN-shortlist triplet mining with planted twins
+    print(json.dumps(probe_hard_negatives(spark)))
     print(json.dumps(probe_pq(spark, k)))
     # Iterative graph operators (r5 verdict item 6): planted invariants
     # at ~10× the sf0.1 graph family, rounds + wall-per-wave recorded.
