@@ -818,6 +818,28 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_reference_params(spark: SparkSession, sf_dir: str) -> dict[str, tuple[int, int]]:
+    """Calibration pass for the streaming CUSUM twin: event_type →
+    (d, h) with the SAME floor-division arithmetic as the batch query
+    (Python ``//`` floors, matching the engines' pinned pmod
+    formulation). One tiny aggregate — |types| rows to the driver."""
+    ev = _events(spark, sf_dir)
+    x = F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+    rows = (
+        ev.select("event_type", x.alias("x"))
+        .filter(F.col("x").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        mu = r.sx // r.n
+        k = mu // 20
+        out[r.event_type] = (mu + k, 5 * k)
+    return out
+
+
 EVENTS_CUSUM_SQL = """
 WITH e AS (
   SELECT event_type, ts, event_id,

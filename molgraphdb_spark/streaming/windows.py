@@ -457,6 +457,93 @@ def value_trend_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_CUSUM_STATE = "s long, n long, alarms long, mx long"
+_CUSUM_OUT = (
+    "event_type string, n_events long, n_alarms long, "
+    "max_cusum_micro long, cusum_micro long"
+)
+
+
+def make_cusum_state_fn(params: dict[str, tuple[int, int]]):
+    """Build the per-type CUSUM state function (twin of
+    queries/temporal.py::events_cusum_alarms). Page's one-sided upward
+    recurrence ``s_i = max(0, s_{i−1} + (x_i − d))`` is exactly ONE
+    integer state cell per event type (plus the running n/alarms/max
+    counters) — the batch twin's prefix-sum-minus-running-min closed
+    form exists precisely because this recurrence is sequential; the
+    stream runs it directly.
+
+    ``params`` maps event_type → (d, h): the drift offset d = μ + k
+    and alarm threshold h = 5k from a CALIBRATION pass (a deployed
+    CUSUM always monitors against a known in-control reference — the
+    batch twin's self-μ is its calibration; see
+    queries/temporal.py::cusum_reference_params). Types absent from
+    the calibration have no reference mean and emit nothing.
+
+    ORDER CONTRACT (pinned, not shift-invariant): CUSUM is
+    order-DEFINED — s_i depends on the full prefix. Rows sort by
+    (ts, event_id) within each micro-batch, and batches must arrive
+    in time order per type (the file source's mtime order in tests;
+    a real deployment resequences upstream or accepts
+    detection-latency skew). This is the documented exception to the
+    module's shift-invariant-identity discipline."""
+
+    def _cusum_state_fn(key, pdf_iter, state: GroupState):
+        (event_type,) = key
+        ref = params.get(event_type)
+        if state.exists:
+            s, n, alarms, mx = state.get
+        else:
+            s, n, alarms, mx = 0, 0, 0, 0
+        for pdf in pdf_iter:
+            if ref is None:
+                continue  # no calibration reference for this type
+            d, h = ref
+            sub = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
+            xs = np.floor(sub["value"].to_numpy() * 1_000_000 + 0.5).astype("int64")
+            for x in xs:
+                s = max(0, s + int(x) - d)
+                n += 1
+                mx = max(mx, s)
+                if s > h:
+                    alarms += 1
+        state.update((s, n, alarms, mx))
+        if ref is not None and n:
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_events": [n],
+                    "n_alarms": [alarms],
+                    "max_cusum_micro": [mx],
+                    "cusum_micro": [s],
+                }
+            )
+
+    return _cusum_state_fn
+
+
+def cusum_stream(events: DataFrame, params: dict[str, tuple[int, int]]) -> DataFrame:
+    """Streaming CUSUM change-point monitor per event type via
+    applyInPandasWithState; update mode emits each type's latest
+    (n, alarms, max, current) per micro-batch. ``params`` comes from a
+    calibration pass (cusum_reference_params)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "event_type", F.unix_micros("ts").alias("ts"), "event_id", "value"
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            make_cusum_state_fn(params),
+            outputStructType=_CUSUM_OUT,
+            stateStructType=_CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def click_purchase_join(
     events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -747,3 +747,69 @@ def test_chunk_spans_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_cusum_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    """The streaming CUSUM (one integer state cell per type, running
+    Page's recurrence directly) must reproduce the batch
+    events_cusum_alarms counters exactly, given the same calibration
+    reference (the batch twin's self-mu)."""
+    from molgraphdb_spark.queries.temporal import (
+        cusum_reference_params,
+        events_cusum_alarms,
+    )
+    from molgraphdb_spark.streaming.windows import cusum_stream
+
+    params = cusum_reference_params(spark, sf_dir)
+    ev = read_events_stream(spark, events_stream_dir)
+    q = run_to_memory(cusum_stream(ev, params), "t_cusum", output_mode="update")
+    try:
+        got = {
+            r.event_type: (r.n_events, r.n_alarms, r.max_cusum_micro)
+            for r in spark.table("t_cusum").collect()
+        }
+        want = {
+            r.event_type: (r.n_events, r.n_alarms, r.max_cusum_micro)
+            for r in events_cusum_alarms(spark, sf_dir).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_cusum_stream_multibatch_carries_state(spark, sf_dir, split_events_dir):
+    """CUSUM is order-DEFINED: s_i depends on the whole prefix, so the
+    current cusum value must survive the micro-batch boundary (the
+    in-order arrival contract pinned in make_cusum_state_fn). Two
+    time-ordered micro-batches; final per-type rows (argmax by
+    n_events across update-mode emissions) must equal batch."""
+    from molgraphdb_spark.queries.temporal import (
+        cusum_reference_params,
+        events_cusum_alarms,
+    )
+    from molgraphdb_spark.streaming.windows import cusum_stream
+
+    params = cusum_reference_params(spark, sf_dir)
+    ev = read_events_stream(spark, split_events_dir)  # maxFilesPerTrigger=1
+    q = run_to_memory(cusum_stream(ev, params), "t_cusum_mb", output_mode="update")
+    try:
+        final = (
+            spark.table("t_cusum_mb")
+            .groupBy("event_type")
+            .agg(F.max(F.struct("n_events", "n_alarms", "max_cusum_micro")).alias("s"))
+            .select("event_type", "s.n_events", "s.n_alarms", "s.max_cusum_micro")
+        )
+        got = {
+            r.event_type: (r.n_events, r.n_alarms, r.max_cusum_micro)
+            for r in final.collect()
+        }
+        want = {
+            r.event_type: (r.n_events, r.n_alarms, r.max_cusum_micro)
+            for r in events_cusum_alarms(spark, sf_dir).collect()
+        }
+        assert got == want and len(want) > 0
+        # the split actually produced 2+ batches (state carry exercised)
+        n_types = len(want)
+        assert spark.table("t_cusum_mb").count() > n_types
+    finally:
+        q.stop()
