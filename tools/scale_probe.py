@@ -686,6 +686,105 @@ def probe_pagerank(spark, n: int = 1_000_000, n_iter: int = 10) -> dict:
     }
 
 
+def probe_graph_skew(spark, n: int = 2_000_000, n_iter: int = 10) -> dict:
+    """PageRank + LPA under planted POWER-LAW-grade degree skew (r9
+    verdict item 5 — the 1M-vertex pagerank probe is a uniform ring;
+    real graphs have hot vertices). Hub-and-fans star: vertex 0 ↔ each
+    of n/10 fans (hot degree = 2·n/10 ≈ |edges|/3), remaining vertices
+    as isolated mutual pairs. Invariants are EXACT closed forms:
+
+    - PageRank: by symmetry the graph has three rank values — hub,
+      fan, pair — and the power-iteration trajectory from the uniform
+      init is a 2-variable Python recurrence (pairs stay at 1.0
+      exactly, the ring argument). Spark must match it per class to
+      1e-9 relative after n_iter rounds; the hot groupBy(dst=hub)
+      aggregates n/10 equal contributions via map-side combine — the
+      thing this probe measures.
+    - LPA (4 rounds, the registered default): bipartite period-2
+      oscillation is DETERMINISTIC and pinned (the probe_curation
+      precedent): after an even round the hub holds its own label 0
+      (bounced hub→fans→hub), every fan holds 1 (the min fan label
+      the hub adopted in round 1, re-adopted from the hub in even
+      rounds... traced: r1 hub=1/fans=0, r2 hub=0/fans=1, r3
+      hub=1/fans=0, r4 hub=0/fans=1), and each pair vertex holds its
+      own id (period-2 identity)."""
+    from molgraphdb_spark.operators.graph import label_propagation, pagerank
+
+    m = n // 10
+    fans = spark.range(1, m + 1).select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+    hub_out = spark.range(1, m + 1).select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    # isolated mutual pairs over [m+1, n): (u, u+1) both directions
+    pair_base = spark.range(m + 1, n - 1, 2)
+    pairs_f = pair_base.select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    pairs_b = pair_base.select((F.col("id") + 1).alias("src"), F.col("id").alias("dst"))
+    edges = fans.unionByName(hub_out).unionByName(pairs_f).unionByName(pairs_b)
+    edges = edges.repartition(32).localCheckpoint()
+    n_edges = edges.count()
+
+    # --- PageRank: Spark vs the exact 2-variable trajectory ---
+    t0 = time.time()
+    ranks = pagerank(edges, n_iter=n_iter)
+    got = {
+        r["cls"]: (r["n"], r["mn"], r["mx"])
+        for r in ranks.groupBy(
+            F.when(F.col("id") == 0, "hub")
+            .when(F.col("id") <= m, "fan")
+            .otherwise("pair")
+            .alias("cls")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.min("rank").alias("mn"), F.max("rank").alias("mx"))
+        .collect()
+    }
+    t_pr = time.time() - t0
+    r_h, r_f = 1.0, 1.0
+    for _ in range(n_iter):
+        r_h, r_f = 0.15 + 0.85 * (m * r_f), 0.15 + 0.85 * (r_h / m)
+    def _close(a, b):
+        return abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
+    pr_ok = (
+        got["hub"][0] == 1 and _close(got["hub"][1], r_h) and _close(got["hub"][2], r_h)
+        and got["fan"][0] == m
+        and _close(got["fan"][1], r_f) and _close(got["fan"][2], r_f)
+        and _close(got["pair"][1], 1.0) and _close(got["pair"][2], 1.0)
+    )
+
+    # --- LPA: period-2 oscillation pinned after 4 (even) rounds ---
+    t0 = time.time()
+    labels = label_propagation(edges, n_iter=4)
+    lp = labels.agg(
+        F.sum(F.when((F.col("id") == 0) & (F.col("label") == 0), 1).otherwise(0)).alias("hub_ok"),
+        F.sum(
+            F.when((F.col("id") >= 1) & (F.col("id") <= m) & (F.col("label") == 1), 1).otherwise(0)
+        ).alias("fan_ok"),
+        F.sum(
+            F.when((F.col("id") > m) & (F.col("label") == F.col("id")), 1).otherwise(0)
+        ).alias("pair_ok"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).first()
+    t_lpa = time.time() - t0
+    n_pairs_v = ((n - 1 - (m + 1)) // 2) * 2
+    lpa_ok = (
+        lp["hub_ok"] + lp["fan_ok"] + lp["pair_ok"] == lp["n_total"]
+        and lp["n_total"] == 1 + m + n_pairs_v
+    )
+
+    return {
+        "probe": "graph_skew",
+        "vertices": 1 + m + n_pairs_v,
+        "edges": n_edges,
+        "hot_degree": 2 * m,
+        "pr_iters": n_iter,
+        "pr_trajectory_exact": bool(pr_ok),
+        "hub_rank": got["hub"][1],
+        "t_pagerank_s": round(t_pr, 1),
+        "t_pr_per_iter_s": round(t_pr / n_iter, 2),
+        "lpa_rounds": 4,
+        "lpa_labels_exact": bool(lpa_ok),
+        "t_lpa_s": round(t_lpa, 1),
+        "t_lpa_per_round_s": round(t_lpa / 4, 2),
+    }
+
+
 def probe_kcore(spark, n_cliq: int = 10_000, cliq: int = 9, tendril: int = 12) -> dict:
     """K-core on planted clique+tendril components: each component is a
     ``cliq``-clique (every member has core cliq-1 — including the
@@ -1495,6 +1594,7 @@ def main() -> None:
             "curation": lambda: probe_curation(spark, build_corpus(spark, k)),
             "runmin_skew": lambda: probe_runmin_skew(spark),
             "hard_negatives": lambda: probe_hard_negatives(spark),
+            "graph_skew": lambda: probe_graph_skew(spark),
         }
         for name in sys.argv[2:]:
             print(json.dumps(fns[name]()))
@@ -1523,6 +1623,8 @@ def main() -> None:
     print(json.dumps(probe_bfs(spark)))
     print(json.dumps(probe_multi_bfs(spark)))
     print(json.dumps(probe_pagerank(spark)))
+    # r10: pagerank + LPA under planted hot-vertex degree skew
+    print(json.dumps(probe_graph_skew(spark)))
     print(json.dumps(probe_kcore(spark)))
     # Ranking family (r6 verdict item 4): partitionless window vs the
     # exact two-pass distributed rank, planted permutation invariants.
