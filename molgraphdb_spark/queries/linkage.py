@@ -173,6 +173,38 @@ ORDER BY nn.canonical_name
 SN_WINDOW = 8
 
 
+def _sn_candidates(names: DataFrame, key, w: int) -> DataFrame:
+    """Sorted-neighborhood candidate pairs for ONE blocking key: rank
+    the dictionary by ``key`` (name as tiebreak), block b = rank div w
+    with each row copied into block b+1 as context, pair only rows
+    within (0 < Δrank < w). Returns (name_a, name_b) in rank order of
+    ``key``. The segmented-scan idiom — per-block work ≤ 2w², one
+    equi-join on the block key, NO partitionless window (the global
+    rank is the exact two-pass distributed rank)."""
+    from molgraphdb_spark.operators.ranking import exact_div, with_order_stats
+
+    keyed = names.withColumn("_k", key)
+    ranked, _tot = with_order_stats(
+        keyed, [F.asc("_k"), F.asc("name")], rank_col="i"
+    )
+    pos = F.col("i") - 1
+    blk = exact_div(pos, w)
+    rows = ranked.withColumn("_b", F.explode(F.array(blk, blk + 1))).withColumn(
+        "_own", (F.col("_b") == blk).cast("int")
+    )
+    x = rows.select(
+        F.col("_b").alias("b"), F.col("name").alias("name_a"), F.col("i").alias("ia")
+    )
+    y = rows.filter(F.col("_own") == 1).select(
+        F.col("_b").alias("b"), F.col("name").alias("name_b"), F.col("i").alias("ib")
+    )
+    return (
+        x.join(y, "b")
+        .filter((F.col("ib") > F.col("ia")) & (F.col("ib") - F.col("ia") < F.lit(w)))
+        .select("name_a", "name_b")
+    )
+
+
 def fuzzy_name_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SECOND standard ER blocking strategy (Hernández & Stolfo
     1995, "The merge/purge problem for large databases"): sort the
@@ -193,27 +225,9 @@ def fuzzy_name_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFram
     context copy), per-block work ≤ 2W², and the whole pairing is one
     equi-join on the block key. Verification (levenshtein ≤ 3) stays
     in codegen."""
-    from molgraphdb_spark.operators.ranking import exact_div, with_order_stats
-
-    w = SN_WINDOW
     names = _name_dict(spark, sf_dir)
-    ranked, _tot = with_order_stats(names, [F.asc("name")], rank_col="i")
-    pos = F.col("i") - 1
-    blk = exact_div(pos, w)
-    rows = ranked.withColumn("_b", F.explode(F.array(blk, blk + 1))).withColumn(
-        "_own", (F.col("_b") == blk).cast("int")
-    )
-    x = rows.select(
-        F.col("_b").alias("b"), F.col("name").alias("name_a"), F.col("i").alias("ia")
-    )
-    y = rows.filter(F.col("_own") == 1).select(
-        F.col("_b").alias("b"), F.col("name").alias("name_b"), F.col("i").alias("ib")
-    )
     return (
-        x.join(y, "b")
-        .filter(
-            (F.col("ib") > F.col("ia")) & (F.col("ib") - F.col("ia") < F.lit(w))
-        )
+        _sn_candidates(names, F.col("name"), SN_WINDOW)
         .select(
             "name_a",
             "name_b",
@@ -235,14 +249,98 @@ ORDER BY name_a, name_b
 """
 
 
+def fuzzy_name_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-pass sorted neighborhood — the form whose recall
+    Hernández & Stolfo actually published: several passes with
+    DIFFERENT sort keys, candidate sets unioned BEFORE one shared
+    verification. Pass 1 sorts by the name itself (misses pairs whose
+    PREFIX differs — they land far apart); pass 2 sorts by the
+    REVERSED name (prefix-differing, suffix-sharing pairs become
+    neighbors; misses suffix-differing ones) — each key's blind spot
+    is the other's sweet spot. Emits per-pass provenance flags
+    (in_forward / in_reverse) so the recall contribution of each pass
+    is visible in the result itself; pairs are normalized
+    least/greatest since the two passes rank in different orders.
+
+    Scale shape: two independent segmented-scan pairings (each the
+    single-pass shape: exact two-pass rank + one block equi-join, no
+    partitionless window), a pair-key groupBy for the union, one
+    codegen levenshtein verify — pass count multiplies candidate
+    volume linearly, never quadratically."""
+    names = _name_dict(spark, sf_dir)
+    fwd = _sn_candidates(names, F.col("name"), SN_WINDOW).select(
+        F.least("name_a", "name_b").alias("name_a"),
+        F.greatest("name_a", "name_b").alias("name_b"),
+        F.lit(1).alias("in_forward"),
+        F.lit(0).alias("in_reverse"),
+    )
+    rev = _sn_candidates(names, F.reverse(F.col("name")), SN_WINDOW).select(
+        F.least("name_a", "name_b").alias("name_a"),
+        F.greatest("name_a", "name_b").alias("name_b"),
+        F.lit(0).alias("in_forward"),
+        F.lit(1).alias("in_reverse"),
+    )
+    cand = (
+        fwd.unionByName(rev)
+        .groupBy("name_a", "name_b")
+        .agg(
+            F.max("in_forward").alias("in_forward"),
+            F.max("in_reverse").alias("in_reverse"),
+        )
+    )
+    return (
+        cand.select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            "in_forward",
+            "in_reverse",
+        )
+        .filter(F.col("edit_dist") <= MAX_EDIT_DIST)
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_MULTIPASS_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+rf AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS i FROM names),
+cf AS (
+  SELECT least(a.name, b.name) AS name_a, greatest(a.name, b.name) AS name_b,
+         1 AS in_forward, 0 AS in_reverse
+  FROM rf a JOIN rf b ON b.i > a.i AND b.i - a.i < {SN_WINDOW}
+),
+rr AS (SELECT name, ROW_NUMBER() OVER (ORDER BY reverse(name), name) AS i FROM names),
+cr AS (
+  SELECT least(a.name, b.name) AS name_a, greatest(a.name, b.name) AS name_b,
+         0 AS in_forward, 1 AS in_reverse
+  FROM rr a JOIN rr b ON b.i > a.i AND b.i - a.i < {SN_WINDOW}
+),
+cand AS (
+  SELECT name_a, name_b,
+         CAST(MAX(in_forward) AS INT) AS in_forward,
+         CAST(MAX(in_reverse) AS INT) AS in_reverse
+  FROM (SELECT * FROM cf UNION ALL SELECT * FROM cr)
+  GROUP BY name_a, name_b
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist,
+       in_forward, in_reverse
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {MAX_EDIT_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "fuzzy_name_multipass": fuzzy_name_multipass,
     "fuzzy_name_sorted_neighborhood": fuzzy_name_sorted_neighborhood,
     "fuzzy_name_clusters": fuzzy_name_clusters,
 }
 
 ORACLES = {
     "fuzzy_name_pairs": FUZZY_NAME_PAIRS_SQL,
+    "fuzzy_name_multipass": FUZZY_MULTIPASS_SQL,
     "fuzzy_name_sorted_neighborhood": FUZZY_SN_SQL,
     "fuzzy_name_clusters": FUZZY_NAME_CLUSTERS_SQL,
 }

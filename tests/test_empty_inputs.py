@@ -71,6 +71,7 @@ REPRESENTATIVE = [
     "dedup_cross_source_matrix", # hash-source rollup over zero docs
     "doc_collocation_pmi",       # corpus totals + PMI joins over zero docs
     "fuzzy_name_sorted_neighborhood",  # rank + window pairs over zero names
+    "fuzzy_name_multipass",      # two-key union pairing over zero names
     "graph_kcore_summary",       # peel over zero edges
     "doc_dsir_selection",        # model totals + global rank over zero docs
     "doc_perplexity_buckets",    # per-lang model + grouped ranks over zero docs

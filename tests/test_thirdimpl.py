@@ -1482,3 +1482,64 @@ def test_decoded_features_match_python_reference(spark, tmp_path_factory):
             )
     assert got == expect
     assert 2 not in got  # video stays at the compressed-codec boundary
+
+
+def test_multipass_sn_matches_python_and_beats_single_pass(spark, tmp_path_factory):
+    # Planted corpus: "zzz alpha widget" vs "aaa alpha widget" differ
+    # only in the FIRST token (edit distance 3) — the forward sort puts
+    # them at opposite ends of the dictionary (padding names fill the
+    # gap far beyond SN_WINDOW), so the single forward pass MUST miss
+    # the pair; the reverse-name sort makes them adjacent. Recompute
+    # the full multipass result with plain Python sorting + a textbook
+    # DP Levenshtein.
+    from molgraphdb_spark.queries.linkage import (
+        MAX_EDIT_DIST,
+        SN_WINDOW,
+        fuzzy_name_multipass,
+        fuzzy_name_sorted_neighborhood,
+    )
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_multipass"))
+    names = ["aaa alpha widget", "zzz alpha widget"]
+    # 30 middle-alphabet fillers, mutually distant (> ED 3) and far
+    # from both planted names in both sort orders' WINDOWED sense
+    names += [f"m{i:02d} filler item number {i * 37}" for i in range(30)]
+    rows = [(i, n, "B1", "M1") for i, n in enumerate(names)]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_mfgr string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/part.parquet")
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def sn_pairs(keyed):
+        order = [n for _k, n in sorted(keyed)]
+        out = set()
+        for i, a in enumerate(order):
+            for j in range(i + 1, min(i + SN_WINDOW, len(order))):
+                out.add((min(a, order[j]), max(a, order[j])))
+        return out
+
+    fwd = sn_pairs([(n, n) for n in names])
+    rev = sn_pairs([(n[::-1], n) for n in names])
+    expect = sorted(
+        (a, b, lev(a, b), int((a, b) in fwd), int((a, b) in rev))
+        for (a, b) in fwd | rev
+        if lev(a, b) <= MAX_EDIT_DIST
+    )
+    got = sorted(tuple(r) for r in fuzzy_name_multipass(spark, path).collect())
+    assert got == expect
+
+    planted = ("aaa alpha widget", "zzz alpha widget")
+    by_pair = {(a, b): (f, r) for a, b, _d, f, r in got}
+    assert by_pair[planted] == (0, 1)  # reverse-only: the pass-2 catch
+    # and the single forward pass really does miss it
+    single = {(r.name_a, r.name_b) for r in
+              fuzzy_name_sorted_neighborhood(spark, path).collect()}
+    assert planted not in single
