@@ -1543,3 +1543,137 @@ def test_multipass_sn_matches_python_and_beats_single_pass(spark, tmp_path_facto
     single = {(r.name_a, r.name_b) for r in
               fuzzy_name_sorted_neighborhood(spark, path).collect()}
     assert planted not in single
+
+
+@pytest.fixture(scope="module")
+def tie_events_dir(spark, tmp_path_factory):
+    """600 events, 7 users, 4 types, values in [-20, 80] (negatives
+    included), timestamps in 3-event groups sharing one ts and types in
+    2-event runs — so same-(bar, type) timestamp TIES exist (eids 6m
+    and 6m+1) and the (ts, event_id) ordering keys actually decide."""
+    path = str(tmp_path_factory.mktemp("thirdimpl_ties"))
+    rng = random.Random(1234)
+    rows = []
+    for eid in range(600):
+        rows.append(
+            (
+                eid,
+                1_600_000_000_000_000 + (eid // 3) * 60_000_000,
+                eid % 7,
+                ["click", "view", "error", "purchase"][(eid // 2) % 4],
+                round(rng.uniform(-20, 80), 1),
+                None,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    return path, rows
+
+
+def test_markov_transitions_match_python_reference(spark, tie_events_dir):
+    # dict-loop recompute: per-user (ts, event_id) sort, lag pairs,
+    # (from, to) counts, row-normalized basis points by integer //.
+    from molgraphdb_spark.queries.events import events_markov_transitions
+
+    path, rows = tie_events_dir
+    got = [tuple(r) for r in events_markov_transitions(spark, path).collect()]
+
+    by_user: dict[int, list] = {}
+    for eid, ts_us, uid, typ, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts_us, eid, typ))
+    counts: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_t1, _e1, a), (_t2, _e2, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    row_tot: dict[str, int] = {}
+    for (a, _b), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    expect = sorted(
+        (a, b, n, n * 10000 // row_tot[a]) for (a, b), n in counts.items()
+    )
+    assert got == expect
+    # every non-first event contributes exactly one transition
+    assert sum(n for _a, _b, n, _p in expect) == 600 - 7
+    assert len(expect) >= 8  # the deterministic type cycle's 8 kinds
+
+
+def test_ohlc_resample_matches_python_reference(spark, tie_events_dir):
+    # 15-minute bars recomputed with dict loops; open/close pick by the
+    # same (ts, event_id) scalar key, so the planted same-(bar, type)
+    # ts ties are decided by event_id on both implementations.
+    from molgraphdb_spark.queries.temporal import events_ohlc_resample
+
+    path, rows = tie_events_dir
+    got = [tuple(r) for r in events_ohlc_resample(spark, path).collect()]
+
+    bars: dict[tuple, list] = {}
+    for eid, ts_us, _u, typ, v, _p in rows:
+        hour_us = (ts_us // 3_600_000_000) * 3_600_000_000
+        minute = (ts_us % 3_600_000_000) // 60_000_000
+        bar = hour_us + (minute // 15) * 15 * 60_000_000
+        bars.setdefault((bar, typ), []).append((ts_us, eid, v))
+    expect = []
+    for (bar, typ), evs in sorted(bars.items()):
+        evs.sort()
+        vals = [v for _t, _e, v in evs]
+        expect.append(
+            (bar, typ, round(evs[0][2], 2), round(max(vals), 2),
+             round(min(vals), 2), round(evs[-1][2], 2), len(evs))
+        )
+    assert got == expect
+    # the tie actually fired: some bar has two same-type events at one ts
+    assert any(
+        len({t for t, _e, _v in evs}) < len(evs) for evs in bars.values()
+    )
+
+
+def test_winsorized_stats_match_python_reference(spark, tie_events_dir):
+    # exact interpolated p05/p95 (lower + frac*(higher-lower), the
+    # same IEEE expression Spark's percentile evaluates), clamp, and
+    # integer micro-sums recomputed with sorted lists.
+    from molgraphdb_spark.queries.temporal import events_winsorized_stats
+
+    path, rows = tie_events_dir
+    got = {
+        r.event_type: (r.n, r.lo_u, r.hi_u, r.n_clip_low, r.n_clip_high,
+                       r.mean_clipped_u)
+        for r in events_winsorized_stats(spark, path).collect()
+    }
+
+    by_type: dict[str, list] = {}
+    for _e, _t, _u, typ, v, _p in rows:
+        by_type.setdefault(typ, []).append(v)
+
+    def pct(xs, q):
+        pos = q * (len(xs) - 1)
+        f = math.floor(pos)
+        if f + 1 >= len(xs):
+            return xs[-1]
+        return xs[f] + (pos - f) * (xs[f + 1] - xs[f])
+
+    expect = {}
+    for typ, vs in by_type.items():
+        vs.sort()
+        lo, hi = pct(vs, 0.05), pct(vs, 0.95)
+        clipped = [min(max(v, lo), hi) for v in vs]
+        s = sum(math.floor(c * 1_000_000 + 0.5) for c in clipped)
+        expect[typ] = (
+            len(vs),
+            math.floor(lo * 1_000_000 + 0.5),
+            math.floor(hi * 1_000_000 + 0.5),
+            sum(1 for v in vs if v < lo),
+            sum(1 for v in vs if v > hi),
+            math.floor(s / len(vs)),
+        )
+    assert got == expect
+    # negatives actually flowed through the clamp
+    assert any(e[1] < 0 for e in expect.values())
