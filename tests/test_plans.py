@@ -706,3 +706,50 @@ def test_hard_negatives_scale_shape(spark, sf_dir):
     p = formatted_plan(df)
     assert "RoundRobinPartitioning" in p  # work-partitioned stream side
     assert n_partitionless_windows(df) == 0
+
+
+def test_multipass_sn_scale_shape(spark, sf_dir):
+    # r10: two segmented-scan pairings (each bucket-keyed, never
+    # partitionless), unioned through one pair-key groupBy; the single
+    # levenshtein verify stays in codegen — no Python, no cartesian.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.linkage import fuzzy_name_multipass
+
+    df = fuzzy_name_multipass(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert n_partitionless_windows(df) == 0
+    assert set(s["read_columns"]) <= {"p_name"}
+
+
+def test_hard_negatives_ann_scale_shape(spark, sf_dir):
+    # r10: the ANN twin replaces the exact twin's guarded
+    # BroadcastNestedLoopJoin with centroid-literal map-only stages and
+    # ONE cid equi-join — no BNLJ, no cartesian, no window (the probe
+    # selection is an array sort, not a rank), no Python.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.similarity import embedding_hard_negatives_ann
+
+    df = embedding_hard_negatives_ann(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]  # the exact twin's shape, gone
+    assert n_partitionless_windows(df) == 0
+
+
+def test_decoded_features_scale_shape(spark, sf_dir):
+    # r10: one mapInPandas pass (the justified Python boundary: byte →
+    # media decode) over a pruned (doc_id, payload) projection —
+    # metadata-only modality filter, no join, no window.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.multimodal_queries import mm_decoded_features
+
+    df = mm_decoded_features(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]  # no row-at-a-time Eval nodes
+    assert s["plan"].count("MapInPandas") == 1  # the one Arrow decode pass
+    assert "Join" not in s["plan"]
+    assert n_partitionless_windows(df) == 0
+    assert set(s["read_columns"]) <= {"doc_id", "text"}
