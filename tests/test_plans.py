@@ -749,7 +749,8 @@ def test_decoded_features_scale_shape(spark, sf_dir):
     df = mm_decoded_features(spark, sf_dir)
     s = plan_summary(df)
     assert not s["has_python_worker"]  # no row-at-a-time Eval nodes
-    assert s["plan"].count("MapInPandas") == 1  # the one Arrow decode pass
+    # tree form counts each node once (details re-list it as "(n) Map…")
+    assert s["plan"].count("MapInPandas (") == 1  # the one Arrow decode pass
     assert "Join" not in s["plan"]
     assert n_partitionless_windows(df) == 0
     assert set(s["read_columns"]) <= {"doc_id", "text"}
