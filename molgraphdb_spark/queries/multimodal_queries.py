@@ -638,6 +638,106 @@ ORDER BY doc_id
 """
 
 
+def _decoded_phash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """dHash over DECODED pixel luminance: synthesize the PPM, decode
+    it with the real parser, reduce the raster to per-pixel Rec.709
+    luminance, then the standard 64-chunk gradient hash (the same
+    formula _phash_rows applies to raw bytes — here it sees actual
+    pixels, which is what image-dedup pipelines hash)."""
+    import numpy as np
+
+    from molgraphdb_spark.functions.codecs import decode_ppm, encode_ppm
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            b = bytes(payload)
+            n = len(b)
+            if n == 0:
+                continue
+            w, h = n % 64 + 1, n % 48 + 1
+            npix = w * h
+            reps = (3 * npix + n - 1) // n
+            dw, dh, _maxval, raster = decode_ppm(
+                encode_ppm(w, h, (b * reps)[: 3 * npix])
+            )
+            px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+            lum = (2126 * px[:, 0] + 7152 * px[:, 1] + 722 * px[:, 2]) // 10000
+            if npix >= PHASH_BITS:
+                idx = [(j * npix) // PHASH_BITS for j in range(PHASH_BITS)]
+                sums = np.add.reduceat(lum, idx)
+                nxt = np.roll(sums, -1)
+                bits = "".join("1" if x else "0" for x in (sums > nxt))
+            else:
+                ssum = [
+                    int(lum[(j * npix) // PHASH_BITS : ((j + 1) * npix) // PHASH_BITS].sum())
+                    for j in range(PHASH_BITS)
+                ]
+                bits = "".join(
+                    "1" if ssum[j] > ssum[(j + 1) % PHASH_BITS] else "0"
+                    for j in range(PHASH_BITS)
+                )
+            out.append((int(doc_id), int(dw), int(dh), bits))
+        yield pd.DataFrame(out, columns=["doc_id", "width", "height", "phash"])
+
+
+def mm_decoded_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprints over DECODED pixels (the real-image leg
+    of the multimodal dedup family): per image-modality doc, the
+    header-parsed dimensions and the 64-bit luminance dHash — the
+    signature an image-dedup pipeline bands and joins exactly as
+    mm_phash_neardup does over byte signatures. One mapInPandas pass
+    (decode + hash), map-only; the DuckDB oracle recomputes luminance
+    and chunk gradients in closed form from the document bytes."""
+    m = multimodal_manifest(spark, sf_dir).filter(
+        F.col("metadata.format") == "image"
+    )
+    return (
+        m.select("doc_id", "payload")
+        .mapInPandas(
+            _decoded_phash_rows,
+            schema="doc_id long, width int, height int, phash string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LUM_BITS_SQL = " || ".join(
+    f"CAST(CAST(sums[{j + 1}] > sums[{(j + 1) % PHASH_BITS + 1}] AS INT) AS VARCHAR)"
+    for j in range(PHASH_BITS)
+)
+
+MM_DECODED_PHASH_SQL = f"""
+WITH img AS (
+  SELECT doc_id, length(text) AS n,
+         length(text) % 64 + 1 AS w,
+         length(text) % 48 + 1 AS h,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0
+), lum AS (
+  SELECT doc_id, w, h, w * h AS npix,
+         list_transform(range(0, w * h),
+              k -> (2126 * codes[(3 * k) % n + 1]
+                  + 7152 * codes[(3 * k + 1) % n + 1]
+                  +  722 * codes[(3 * k + 2) % n + 1]) // 10000
+         ) AS lu
+  FROM img
+), sums AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, {PHASH_BITS}),
+             j -> COALESCE(list_sum(lu[(j * npix) // {PHASH_BITS} + 1 : ((j + 1) * npix) // {PHASH_BITS}]), 0)
+         ) AS sums
+  FROM lum
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       {_LUM_BITS_SQL} AS phash
+FROM sums
+ORDER BY doc_id
+"""
+
+
 #: Resize target: RESIZE_DIM x RESIZE_DIM nearest-neighbor grid.
 RESIZE_DIM = 8
 
@@ -723,6 +823,7 @@ ORDER BY doc_id
 QUERIES = {
     "mm_metadata_summary": mm_metadata_summary,
     "mm_decoded_features": mm_decoded_features,
+    "mm_decoded_phash": mm_decoded_phash,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_chunk_windows": mm_chunk_windows,
@@ -733,6 +834,7 @@ QUERIES = {
 ORACLES = {
     "mm_metadata_summary": MM_METADATA_SQL,
     "mm_decoded_features": MM_DECODED_SQL,
+    "mm_decoded_phash": MM_DECODED_PHASH_SQL,
     "mm_phash_neardup": MM_PHASH_SQL,
     "mm_resize_grid": MM_RESIZE_SQL,
     "mm_feature_extract": MM_FEATURES_SQL,

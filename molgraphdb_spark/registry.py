@@ -54,8 +54,9 @@ _QUERY_MODULES = [
 # Round-10 verification window (first 50), per the r9 verdict item 1.
 # Composition (assembled from the computed staleness ledger —
 # tools/gen_query_index.last_driver_green over all CORRECTNESS_r*.json):
-# - The 3 r10 debuts LEAD (never driver-checked):
+# - The 4 r10 debuts LEAD (never driver-checked):
 #   mm_decoded_features (real PPM/WAV decode leg),
+#   mm_decoded_phash (luminance dHash over DECODED pixels),
 #   embedding_hard_negatives_ann (IVF-shortlist triplet mining),
 #   fuzzy_name_multipass (two-key sorted-neighborhood union).
 # - 3 changed-code re-gates (r9-green but code touched in r10):
@@ -66,18 +67,20 @@ _QUERY_MODULES = [
 #   _sn_candidates helper; output hash-unchanged, re-gate anyway).
 # - ALL 25 r5-stale rows (the set the r9 window deferred; ledger
 #   last-green = r5 for every one).
-# - 19 of the 43 r6-stale rows fill the remaining slots, chosen
+# - 18 of the 43 r6-stale rows fill the remaining slots, chosen
 #   highest-risk-first: the mm family (module touched this round),
 #   the similarity/dedup signature family (module touched), and the
 #   iterative/sketch pipelines; the 24 deferred r6-stale rows
 #   (trivial relational scans/sorts/setops-adjacent, all
-#   suite-covered) lead the r11 window together with this round's
-#   post-window debuts, if any.
+#   suite-covered, ship_delay_stats displaced by the mm_decoded_phash
+#   debut) lead the r11 window together with this round's post-window
+#   debuts, if any.
 # Rotated out: the 50 r9-green window rows except the three
 # changed-code re-gates above (all three sat in the r9 window too).
 _PRIORITY = [
     # ---- r10 debuts (never driver-checked) ----
     "mm_decoded_features",
+    "mm_decoded_phash",
     "embedding_hard_negatives_ann",
     "fuzzy_name_multipass",
     # ---- changed-code re-gates ----
@@ -110,7 +113,7 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
-    # ---- 19 oldest r6-stale rows (highest-risk-first fill) ----
+    # ---- 18 oldest r6-stale rows (highest-risk-first fill) ----
     "mm_feature_extract",
     "mm_metadata_summary",
     "mm_phash_neardup",
@@ -129,7 +132,6 @@ _PRIORITY = [
     "doc_rare_token_ratio",
     "orders_monthly_revenue",
     "grouping_sets_revenue",
-    "ship_delay_stats",
 ]
 
 

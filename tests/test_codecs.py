@@ -145,3 +145,50 @@ def test_wav_signal_features_golden():
     assert energy == 9 + 16 + 0
     assert peak == 4
     assert WAV_BITS == 16
+
+
+# ------------------------- property tests ---------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        data=st.data(),
+    )
+    def test_ppm_roundtrip_property(w, h, data):
+        raster = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert decode_ppm(encode_ppm(w, h, raster)) == (w, h, 255, raster)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100]),
+        samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=500),
+    )
+    def test_wav_roundtrip_property(rate, samples):
+        arr = np.array(samples, dtype="<i2")
+        got_rate, got = decode_wav(encode_wav(rate, arr))
+        assert got_rate == rate
+        assert np.array_equal(got, arr)
+
+    @settings(max_examples=40, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=64))
+    def test_decoders_never_crash_on_junk(junk):
+        # malformed input must raise ValueError, never IndexError /
+        # struct.error / silent garbage
+        for dec in (decode_ppm, decode_wav):
+            try:
+                dec(junk)
+            except ValueError:
+                pass
+
+except ImportError:  # hypothesis is baked in; belt-and-braces gate
+    pass

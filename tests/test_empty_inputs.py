@@ -86,6 +86,7 @@ REPRESENTATIVE = [
     "similarity_lsh_recall",     # three legs over zero vectors
     "pipeline_curation_funnel",  # stage flags over zero docs
     "mm_decoded_features",       # PPM/WAV decode pass over zero docs
+    "mm_decoded_phash",          # decoded-luminance dHash over zero docs
 ]
 
 

@@ -58,6 +58,7 @@ TEXT_FAMILY = [
 MM_FAMILY = [
     "mm_metadata_summary",
     "mm_decoded_features",
+    "mm_decoded_phash",
     "mm_feature_extract",
     "mm_frame_sample",
     "mm_chunk_windows",

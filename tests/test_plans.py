@@ -754,3 +754,18 @@ def test_decoded_features_scale_shape(spark, sf_dir):
     assert "Join" not in s["plan"]
     assert n_partitionless_windows(df) == 0
     assert set(s["read_columns"]) <= {"doc_id", "text"}
+
+
+def test_decoded_phash_scale_shape(spark, sf_dir):
+    # r10: decode + luminance dHash in the one Arrow pass; map-only
+    # aside from the presentation sort, pruned (doc_id, text) read.
+    from molgraphdb_spark.plans.explain import n_partitionless_windows
+    from molgraphdb_spark.queries.multimodal_queries import mm_decoded_phash
+
+    df = mm_decoded_phash(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s["has_python_worker"]
+    assert s["plan"].count("MapInPandas (") == 1
+    assert "Join" not in s["plan"]
+    assert n_partitionless_windows(df) == 0
+    assert set(s["read_columns"]) <= {"doc_id", "text"}
