@@ -548,8 +548,64 @@ ORDER BY size, display_smiles
 """
 
 
+def chem_render_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RASTER leg of the reference's visualisation pipeline
+    (mcs.py:349–374: Compute2DCoords → MolToImage(300×300) →
+    matplotlib) — previously the one "headless-impossible" component,
+    now closed WITHOUT RDKit/matplotlib: chem/render.py lays every
+    fixture molecule out on an integer hex lattice (deterministic BFS
+    zig-zag), rasterizes bonds as Bresenham lines (double/triple as
+    parallel offsets) and atoms as 3×3 CPK blocks onto a 300×300 RGB
+    canvas, and serializes it as a real PPM file through
+    functions/codecs.encode_ppm. One Arrow mapInPandas pass; emits
+    per-molecule raster metrics + the PPM digest (the payload itself
+    stays executor-side, as an image pipeline would keep it in object
+    storage).
+
+    Every stage is integer arithmetic, so the digests are
+    bit-deterministic across platforms — pinned by the chem-family
+    constant-VALUES oracle, anchored by hand-derived goldens
+    (tests/test_render.py: methane's 9-pixel block; ethane's
+    291 = 277-pixel line ∪ two 3×3 blocks, counted from first
+    principles)."""
+    import pandas as pd
+
+    from molgraphdb_spark.functions.literals import literal_df
+
+    tune(spark)
+    mols = literal_df(
+        spark, list(EXAMPLES + PHARMA), ["name", "smiles"]
+    ).coalesce(1)
+
+    def gen(batches):
+        from molgraphdb_spark.chem.render import render_ppm
+
+        for pdf in batches:
+            rows = []
+            for name, smi in zip(pdf["name"], pdf["smiles"]):
+                na, nb, ink, nc, md5, _data = render_ppm(smi)
+                rows.append((name, na, nb, ink, nc, md5))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "name", "n_atoms", "n_bonds", "ink_px",
+                    "n_colors", "raster_md5",
+                ],
+            )
+
+    return mols.mapInPandas(
+        gen,
+        schema=(
+            "name string, n_atoms int, n_bonds int, ink_px int, "
+            "n_colors int, raster_md5 string"
+        ),
+    ).orderBy("name")
+
+
+
 QUERIES = {
     "chem_pharma_profile": chem_pharma_profile,
+    "chem_render_raster": chem_render_raster,
     "chem_pharma_overlap": chem_pharma_overlap,
     "chem_subgraph_display": chem_subgraph_display,
     "chem_subgraph_counts": chem_subgraph_counts,
@@ -584,8 +640,29 @@ FROM (VALUES (9, 32, 9)) AS t(unique_molecules, n_edges, n_vertices)
 """
 
 
+#: Constant golden (chem-family oracle discipline): integer-exact
+#: renders, digests bit-stable across platforms; methane/ethane
+#: anchors hand-verified in tests/test_render.py.
+CHEM_RENDER_SQL = """
+SELECT * FROM (VALUES
+  ('Butane', 4, 3, 487, 2, 'bfa4207efcd73db936828a938cc4a620'),
+  ('Cyclobutane', 4, 4, 1127, 2, '39381a3602b561ff104449962ca2a0ab'),
+  ('Hexane', 6, 5, 729, 2, '9a643a6d3d4fae5ad3392cfb71ae2485'),
+  ('Isopentane', 5, 4, 493, 2, '7d9decc4907f8169e831854f1b566357'),
+  ('Neopentane', 5, 4, 631, 2, '9b85d5cdc622f19332015002773a5695'),
+  ('aspirin', 13, 13, 1217, 3, 'a3d0dba6a359bfc33b4b47336fe57c41'),
+  ('ibuprofen', 15, 15, 938, 3, '8bec64636b31902e2feb9a565a12d6fb'),
+  ('sildenafil', 33, 36, 1751, 5, 'b984be280df4cbd20f8140ae0f8a55a7'),
+  ('tadalafil', 29, 34, 2344, 4, '1d52c59ad0e2b0b83c5f63d8069d6b16'),
+  ('vardenafil', 34, 37, 1995, 5, 'b1ab6e6d8c8497b024b63ca69ba3b40a')
+) AS t(name, n_atoms, n_bonds, ink_px, n_colors, raster_md5)
+ORDER BY name
+"""
+
+
 ORACLES = {
     "chem_pharma_profile": CHEM_PHARMA_SQL,
+    "chem_render_raster": CHEM_RENDER_SQL,
     "chem_exact_ged_pairs": CHEM_EXACT_GED_SQL,
     "chem_edit_expansion": CHEM_EDIT_EXPANSION_SQL,
     "chem_pharma_overlap": CHEM_PHARMA_OVERLAP_SQL,
