@@ -351,6 +351,80 @@ def probe_ann(spark, k: int) -> dict:
     }
 
 
+def probe_decode(spark, sf_dir: str) -> dict:
+    """Real-codec decode leg at 10× (r10): run mm_decoded_features +
+    mm_decoded_phash over the 50k-doc corpus and verify THREE sampled
+    docs' features against a plain-Python recompute straight from the
+    text bytes (independent of the codecs module) — the decode is
+    exercised at volume, correctness stays pinned per sample, and the
+    Arrow-pass throughput is recorded."""
+    import math
+
+    from molgraphdb_spark.queries.multimodal_queries import (
+        mm_decoded_features,
+        mm_decoded_phash,
+    )
+
+    t0 = time.time()
+    feats = mm_decoded_features(spark, sf_dir)
+    n_rows = feats.count()
+    t_feat = time.time() - t0
+    t0 = time.time()
+    n_ph = mm_decoded_phash(spark, sf_dir).count()
+    t_ph = time.time() - t0
+
+    docs = {
+        int(r["doc_id"]): r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") % 3 != 2) & F.col("text").isNotNull())
+        .limit(2000)
+        .collect()
+    }
+    sample_ids = sorted(docs)[:3] + sorted(docs)[-3:]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in feats.filter(F.col("doc_id").isin(sample_ids)).collect()
+    }
+    ok = 0
+    for did in sample_ids:
+        b = docs[did].encode()
+        n = len(b)
+        if n == 0 or did not in got:
+            continue
+        g = got[did]
+        if did % 3 == 0:
+            w, h = n % 64 + 1, n % 48 + 1
+            npix = w * h
+            lum_sum = sum(
+                (2126 * b[(3 * k) % n] + 7152 * b[(3 * k + 1) % n]
+                 + 722 * b[(3 * k + 2) % n]) // 10000
+                for k in range(npix)
+            )
+            ok += int(
+                g["width"] == w and g["height"] == h
+                and g["luma_milli"] == lum_sum * 1000 // npix
+            )
+        else:
+            samples = [(c - 128) * 256 for c in b]
+            ok += int(
+                g["sample_rate"] == 8000
+                and g["energy"] == sum(s * s for s in samples)
+                and g["peak"] == max(abs(s) for s in samples)
+                and g["duration_ms"] == n * 1000 // 8000
+            )
+    assert math.isfinite(t_feat)
+    return {
+        "probe": "decode",
+        "rows_features": n_rows,
+        "rows_phash": n_ph,
+        "sampled_exact": ok,
+        "sampled_total": len(sample_ids),
+        "t_features_s": round(t_feat, 1),
+        "t_phash_s": round(t_ph, 1),
+        "docs_per_s": int(n_rows / max(t_feat, 1e-9)),
+    }
+
+
 def probe_hard_negatives(spark, n_plant: int = 20, k_scale: int = 10) -> dict:
     """Exact vs ANN-shortlist triplet mining (r9 verdict item 3).
 
@@ -1595,6 +1669,7 @@ def main() -> None:
             "runmin_skew": lambda: probe_runmin_skew(spark),
             "hard_negatives": lambda: probe_hard_negatives(spark),
             "graph_skew": lambda: probe_graph_skew(spark),
+            "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
         }
         for name in sys.argv[2:]:
             print(json.dumps(fns[name]()))
@@ -1610,6 +1685,8 @@ def main() -> None:
     print(json.dumps(probe_prefix(spark, sf_dir)))
     print(json.dumps(probe_spans(spark, sf_dir)))
     print(json.dumps(probe_phash(spark, sf_dir)))
+    # r10: real-codec decode leg at 10×
+    print(json.dumps(probe_decode(spark, sf_dir)))
     # CC at both sides of the 1M-edge dispatch threshold.
     print(json.dumps(probe_cc(spark, k=10, n_orig=5000)))       # 225k edges
     print(json.dumps(probe_cc(spark, k=25, n_orig=5000)))       # 1.5M edges
