@@ -603,9 +603,71 @@ def chem_render_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def chem_render_subgraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's subgraph-grid visualisation
+    (mcs.py:414–460 ``draw_subgraphs_comparison``: rebuild each shared
+    subgraph as an RDKit mol and draw the grid) — re-expressed through
+    chem/render.py: take the catalog's canonical display
+    representative per unique subgraph (the chem_subgraph_display
+    contract: MIN display SMILES over per-parent representatives, so
+    isomorphic copies render identically), re-parse it, and raster it
+    exactly like chem_render_raster. One extra mapInPandas stage over
+    the (tiny) display relation; digests bit-deterministic (constant
+    VALUES oracle)."""
+    import pandas as pd
+
+    tune(spark)
+    disp = chem_subgraph_display(spark, sf_dir).select(
+        "size", "n_edges", "display_smiles"
+    )
+
+    def gen(batches):
+        from molgraphdb_spark.chem.render import render_ppm
+
+        for pdf in batches:
+            rows = []
+            for size, n_edges, smi in zip(
+                pdf["size"], pdf["n_edges"], pdf["display_smiles"]
+            ):
+                _na, _nb, ink, _nc, md5, _data = render_ppm(str(smi))
+                rows.append((int(size), int(n_edges), str(smi), ink, md5))
+            yield pd.DataFrame(
+                rows,
+                columns=["size", "n_edges", "display_smiles", "ink_px", "raster_md5"],
+            )
+
+    return disp.mapInPandas(
+        gen,
+        schema=(
+            "size int, n_edges int, display_smiles string, "
+            "ink_px int, raster_md5 string"
+        ),
+    ).orderBy("size", "display_smiles")
+
+
+#: Constant golden — renders of the canonical display representatives
+#: (the chem_subgraph_display VALUES rows re-rendered; butane and
+#: isobutane share ink counts but not digests: geometry differs).
+CHEM_RENDER_SUBGRAPHS_SQL = """
+SELECT * FROM (VALUES
+  (2, 1, 'CC', 291, '35c48ac69f90735e9b4909ef14b0e181'),
+  (3, 2, 'CCC', 573, '10d47829bb51811df3ac373144412213'),
+  (4, 4, 'C1CCC1', 1127, '39381a3602b561ff104449962ca2a0ab'),
+  (4, 3, 'CC(C)C', 487, '96e41f1ffc3749b16cf4208f7dd1c23e'),
+  (4, 3, 'CCCC', 487, 'bfa4207efcd73db936828a938cc4a620'),
+  (5, 4, 'CC(C)(C)C', 631, '9b85d5cdc622f19332015002773a5695'),
+  (5, 4, 'CCC(C)C', 493, '7d9decc4907f8169e831854f1b566357'),
+  (5, 4, 'CCCCC', 585, '0c09b71005e27c9d8c3e842316ec67a8'),
+  (6, 5, 'CCCCCC', 729, '9a643a6d3d4fae5ad3392cfb71ae2485')
+) AS t(size, n_edges, display_smiles, ink_px, raster_md5)
+ORDER BY size, display_smiles
+"""
+
+
 QUERIES = {
     "chem_pharma_profile": chem_pharma_profile,
     "chem_render_raster": chem_render_raster,
+    "chem_render_subgraphs": chem_render_subgraphs,
     "chem_pharma_overlap": chem_pharma_overlap,
     "chem_subgraph_display": chem_subgraph_display,
     "chem_subgraph_counts": chem_subgraph_counts,
@@ -663,6 +725,7 @@ ORDER BY name
 ORACLES = {
     "chem_pharma_profile": CHEM_PHARMA_SQL,
     "chem_render_raster": CHEM_RENDER_SQL,
+    "chem_render_subgraphs": CHEM_RENDER_SUBGRAPHS_SQL,
     "chem_exact_ged_pairs": CHEM_EXACT_GED_SQL,
     "chem_edit_expansion": CHEM_EDIT_EXPANSION_SQL,
     "chem_pharma_overlap": CHEM_PHARMA_OVERLAP_SQL,

@@ -54,13 +54,15 @@ _QUERY_MODULES = [
 # Round-10 verification window (first 50), per the r9 verdict item 1.
 # Composition (assembled from the computed staleness ledger —
 # tools/gen_query_index.last_driver_green over all CORRECTNESS_r*.json):
-# - The 5 r10 debuts LEAD (never driver-checked):
+# - The 6 r10 debuts LEAD (never driver-checked):
 #   mm_decoded_features (real PPM/WAV decode leg),
 #   mm_decoded_phash (luminance dHash over DECODED pixels),
 #   embedding_hard_negatives_ann (IVF-shortlist triplet mining),
 #   fuzzy_name_multipass (two-key sorted-neighborhood union),
 #   chem_render_raster (the raster leg closed: integer hex-lattice
-#   layout + Bresenham + PPM, bit-deterministic digests).
+#   layout + Bresenham + PPM, bit-deterministic digests),
+#   chem_render_subgraphs (the reference's subgraph-grid drawing:
+#   canonical display representatives re-rendered).
 # - 3 changed-code re-gates (r9-green but code touched in r10):
 #   events_cusum_alarms (floor-division pinned on both engines — the
 #   ADVICE negative-sum fix), lang_token_fertility (GREATEST-guarded
@@ -69,13 +71,14 @@ _QUERY_MODULES = [
 #   _sn_candidates helper; output hash-unchanged, re-gate anyway).
 # - ALL 25 r5-stale rows (the set the r9 window deferred; ledger
 #   last-green = r5 for every one).
-# - 17 of the 43 r6-stale rows fill the remaining slots, chosen
+# - 16 of the 43 r6-stale rows fill the remaining slots, chosen
 #   highest-risk-first: the mm family (module touched this round),
 #   the similarity/dedup signature family (module touched), and the
 #   iterative/sketch pipelines; the 24 deferred r6-stale rows
 #   (trivial relational scans/sorts/setops-adjacent, all
-#   suite-covered; ship_delay_stats and grouping_sets_revenue
-#   displaced by the mm_decoded_phash / chem_render_raster debuts)
+#   suite-covered; ship_delay_stats, grouping_sets_revenue and
+#   orders_monthly_revenue displaced by the mm_decoded_phash /
+#   chem_render_raster / chem_render_subgraphs debuts)
 #   lead the r11 window together with this round's post-window
 #   debuts, if any.
 # Rotated out: the 50 r9-green window rows except the three
@@ -87,6 +90,7 @@ _PRIORITY = [
     "embedding_hard_negatives_ann",
     "fuzzy_name_multipass",
     "chem_render_raster",
+    "chem_render_subgraphs",
     # ---- changed-code re-gates ----
     "events_cusum_alarms",
     "lang_token_fertility",
@@ -117,7 +121,7 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
-    # ---- 17 oldest r6-stale rows (highest-risk-first fill) ----
+    # ---- 16 oldest r6-stale rows (highest-risk-first fill) ----
     "mm_feature_extract",
     "mm_metadata_summary",
     "mm_phash_neardup",
@@ -134,7 +138,6 @@ _PRIORITY = [
     "pq_code_stats",
     "doc_line_dedup_ratio",
     "doc_rare_token_ratio",
-    "orders_monthly_revenue",
 ]
 
 
