@@ -90,6 +90,12 @@ AT_RISK = [
     "embedding_hard_negatives",  # argmax struct ties — layout-free
     "similarity_lsh_recall",     # probe joins + top-1 ties — layout-free
     "pipeline_curation_funnel",  # stage windows + joins — layout-free
+    "mm_decoded_features",       # Arrow decode pass — layout-free features
+    "mm_decoded_phash",          # decoded-luminance dHash — layout-free bits
+    "embedding_hard_negatives_ann",  # cell assign + probe + argmax ties
+    "fuzzy_name_multipass",      # two rank-block pairings at bucket seams
+    "chem_render_raster",        # integer layout + raster digests
+    "chem_render_subgraphs",     # display-representative renders
 ]
 
 
