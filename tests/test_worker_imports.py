@@ -41,3 +41,34 @@ def test_mapinpandas_query_from_foreign_cwd():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ROWS=" in proc.stdout
     assert "ModuleNotFoundError" not in proc.stderr
+
+
+_SNIPPET_R10 = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from molgraphdb_spark.registry import all_queries
+q = all_queries()
+a = q["mm_decoded_features"](spark, "/root/testdata/sf0.001").count()
+b = q["chem_render_raster"](spark, "/root/testdata/sf0.001").count()
+print("ROWS=%d/%d" % (a, b))
+"""
+
+
+def test_r10_decode_and_render_from_foreign_cwd():
+    # the r10 mapInPandas bodies import functions.codecs / chem.render
+    # INSIDE the worker — they must resolve via the shipped py-files
+    # zip, not the driver cwd
+    proc = subprocess.run(
+        [sys.executable, "-c", _SNIPPET_R10.format(repo=REPO)],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ROWS=334/10" in proc.stdout
+    assert "ModuleNotFoundError" not in proc.stderr
