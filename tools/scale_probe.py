@@ -425,6 +425,92 @@ def probe_decode(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_render(spark, n_mols: int = 20_000) -> dict:
+    """Raster leg at volume (r10): render ``n_mols`` deterministic
+    branched alkanes (sizes 2–12, LCG-driven attachment points — pure
+    Python, no Date/random state) through the same mapInPandas body
+    the registry query uses, TWICE, and require the (smiles, md5)
+    result sets to be IDENTICAL — bit-determinism of the integer
+    layout/rasterizer at volume, across executor processes and
+    partition layouts (run 2 uses a different partition count).
+    Throughput recorded; 3 sampled molecules re-rendered driver-side
+    and checked field-for-field."""
+    import pandas as pd
+
+    # deterministic branched-alkane corpus: attach each new carbon to
+    # an LCG-chosen existing position
+    smiles_list = []
+    state = 123456789
+    for i in range(n_mols):
+        size = 2 + (i % 11)
+        # build as nested parentheses over a parent array
+        parents = [0] * size
+        degree = [0] * size
+        for j in range(1, size):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # carbon valence: only attach to nodes with < 4 bonds
+            open_slots = [p for p in range(j) if degree[p] < 4]
+            parents[j] = open_slots[state % len(open_slots)]
+            degree[parents[j]] += 1
+            degree[j] += 1
+        children: dict[int, list[int]] = {}
+        for j in range(1, size):
+            children.setdefault(parents[j], []).append(j)
+
+        def emit(u: int) -> str:
+            parts = ["C"]
+            kids = children.get(u, [])
+            for k, v in enumerate(kids):
+                sub = emit(v)
+                parts.append(f"({sub})" if k < len(kids) - 1 else sub)
+            return "".join(parts)
+
+        smiles_list.append(emit(0))
+
+    def gen(batches):
+        from molgraphdb_spark.chem.render import render_ppm
+
+        for pdf in batches:
+            rows = []
+            for idx, smi in zip(pdf["idx"], pdf["smiles"]):
+                _na, _nb, ink, _nc, md5, _data = render_ppm(str(smi))
+                rows.append((int(idx), str(smi), ink, md5))
+            yield pd.DataFrame(rows, columns=["idx", "smiles", "ink_px", "md5"])
+
+    rows = [(i, s) for i, s in enumerate(smiles_list)]
+
+    def run(n_part):
+        df = spark.createDataFrame(rows, "idx long, smiles string").repartition(n_part)
+        out = df.mapInPandas(
+            gen, schema="idx long, smiles string, ink_px int, md5 string"
+        )
+        t0 = time.time()
+        got = {r["idx"]: (r["smiles"], r["ink_px"], r["md5"]) for r in out.collect()}
+        return got, time.time() - t0
+
+    got1, t1 = run(32)
+    got2, t2 = run(17)
+    identical = got1 == got2 and len(got1) == n_mols
+
+    from molgraphdb_spark.chem.render import render_ppm as rp
+    sampled_ok = 0
+    for i in (0, n_mols // 2, n_mols - 1):
+        smi = smiles_list[i]
+        _na, _nb, ink, _nc, md5, _d = rp(smi)
+        sampled_ok += int(got1[i] == (smi, ink, md5))
+
+    return {
+        "probe": "render",
+        "mols": n_mols,
+        "bit_identical_across_runs_and_layouts": bool(identical),
+        "distinct_digests": len({v[2] for v in got1.values()}),
+        "sampled_exact": sampled_ok,
+        "t_run1_s": round(t1, 1),
+        "t_run2_s": round(t2, 1),
+        "mols_per_s": int(n_mols / max(min(t1, t2), 1e-9)),
+    }
+
+
 def probe_hard_negatives(spark, n_plant: int = 20, k_scale: int = 10) -> dict:
     """Exact vs ANN-shortlist triplet mining (r9 verdict item 3).
 
@@ -1670,6 +1756,7 @@ def main() -> None:
             "hard_negatives": lambda: probe_hard_negatives(spark),
             "graph_skew": lambda: probe_graph_skew(spark),
             "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
+            "render": lambda: probe_render(spark),
         }
         for name in sys.argv[2:]:
             print(json.dumps(fns[name]()))
@@ -1687,6 +1774,8 @@ def main() -> None:
     print(json.dumps(probe_phash(spark, sf_dir)))
     # r10: real-codec decode leg at 10×
     print(json.dumps(probe_decode(spark, sf_dir)))
+    # r10: raster leg at volume (bit-determinism across layouts)
+    print(json.dumps(probe_render(spark)))
     # CC at both sides of the 1M-edge dispatch threshold.
     print(json.dumps(probe_cc(spark, k=10, n_orig=5000)))       # 225k edges
     print(json.dumps(probe_cc(spark, k=25, n_orig=5000)))       # 1.5M edges
