@@ -1677,3 +1677,55 @@ def test_winsorized_stats_match_python_reference(spark, tie_events_dir):
     assert got == expect
     # negatives actually flowed through the clamp
     assert any(e[1] < 0 for e in expect.values())
+
+
+def test_basket_rules_match_python_reference(spark, tmp_path_factory):
+    # Apriori trio (support / confidence / lift in integer bp)
+    # recomputed with set-and-dict loops on a planted basket corpus:
+    # parts 1+2 co-occur in 4 of 8 orders (strong lift), 1+3 in 1
+    # (dilution), 4 appears alone (no pair row).
+    from molgraphdb_spark.queries.relational import parts_basket_rules
+
+    path = str(tmp_path_factory.mktemp("thirdimpl_basket"))
+    baskets = {
+        100: [1, 2], 101: [1, 2, 3], 102: [1, 2], 103: [1, 2, 5],
+        104: [3, 5], 105: [4], 106: [2, 3, 5], 107: [1, 5],
+    }
+    rows = []
+    ln = 0
+    for ok, parts in baskets.items():
+        for pk in parts:
+            # duplicate one line to prove the DISTINCT in the query
+            for _ in range(2 if (ok == 100 and pk == 1) else 1):
+                ln += 1
+                rows.append((ok, ln, pk, 1.0, 100.0, 0.0, "N", "O", "1996-01-01", 0, 0))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_returnflag string, "
+        "l_orderstatus string, l_shipdate string, l_suppkey long, l_tax long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+    got = [tuple(r) for r in parts_basket_rules(spark, path).collect()]
+
+    n_orders = len(baskets)
+    n_pk: dict[int, int] = {}
+    sup: dict[tuple, int] = {}
+    for parts in baskets.values():
+        ps = sorted(set(parts))
+        for p in ps:
+            n_pk[p] = n_pk.get(p, 0) + 1
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                sup[(a, b)] = sup.get((a, b), 0) + 1
+    scored = [
+        (a, b, s, s * 10000 // n_pk[a], s * n_orders * 10000 // (n_pk[a] * n_pk[b]))
+        for (a, b), s in sup.items()
+    ]
+    scored.sort(key=lambda r: (-r[2], -r[4], r[0], r[1]))
+    assert got == scored[:10]
+    by_pair = {(a, b): (s, c, l) for a, b, s, c, l in got}
+    # hand checks: support(1,2)=4; n_1=5, n_2=5; conf=4*10000//5=8000;
+    # lift=4*8*10000//25=12800 (>10000: genuinely associated)
+    assert by_pair[(1, 2)] == (4, 8000, 12800)
+    assert (1, 4) not in by_pair and (4, 5) not in by_pair  # singleton part
