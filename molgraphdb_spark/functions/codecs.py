@@ -167,11 +167,17 @@ def decode_wav(data: bytes) -> tuple[int, "np.ndarray"]:
         pos += 8 + size + (size & 1)  # RIFF pads odd-size chunks
     if fmt_fields is None or pcm is None:
         raise ValueError("WAVE file missing fmt/data chunk")
-    audio_format, channels, rate, _byte_rate, _block, bits = fmt_fields
+    audio_format, channels, rate, byte_rate, block, bits = fmt_fields
     if audio_format != 1:
         raise ValueError(f"not PCM (format tag {audio_format})")
     if channels != 1 or bits != WAV_BITS:
         raise ValueError(f"decoder supports mono {WAV_BITS}-bit, got {channels}ch/{bits}-bit")
+    if rate == 0:
+        raise ValueError("fmt chunk declares sample rate 0")
+    if block != channels * bits // 8:
+        raise ValueError(f"block align {block} != channels*bits/8 = {channels * bits // 8}")
+    if byte_rate != rate * block:
+        raise ValueError(f"byte rate {byte_rate} != rate*block_align = {rate * block}")
     if len(pcm) % 2:
         raise ValueError("PCM data has odd byte length")
     return rate, np.frombuffer(pcm, dtype="<i2")

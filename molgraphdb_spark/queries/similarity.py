@@ -814,6 +814,17 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     else:
+        # No vec_id < IVF_K. Legitimate ONLY for an empty corpus (zero
+        # output either way); a NON-empty corpus here would assign every
+        # vector to one sentinel cell, degenerating the shortlist into
+        # an all-pairs join on a constant key — assert the dense-vec_id
+        # fixture invariant loudly instead of silently diverging.
+        if emb.select("vec_id").head(1):
+            raise ValueError(
+                "embedding_hard_negatives_ann: corpus is non-empty but no "
+                f"vec_id < IVF_K={IVF_K}; the deterministic-centroid fixture "
+                "invariant (dense vec_ids from 0) does not hold"
+            )
         cent_arr = F.array(
             F.struct(
                 F.lit(-1).alias("cid"),

@@ -481,12 +481,15 @@ def make_cusum_state_fn(params: dict[str, tuple[int, int]]):
     the calibration have no reference mean and emit nothing.
 
     ORDER CONTRACT (pinned, not shift-invariant): CUSUM is
-    order-DEFINED — s_i depends on the full prefix. Rows sort by
-    (ts, event_id) within each micro-batch, and batches must arrive
-    in time order per type (the file source's mtime order in tests;
-    a real deployment resequences upstream or accepts
-    detection-latency skew). This is the documented exception to the
-    module's shift-invariant-identity discipline."""
+    order-DEFINED — s_i depends on the full prefix. ALL of a type's
+    rows in a micro-batch are concatenated across Arrow chunks and
+    sorted ONCE by (ts, event_id) before the recurrence runs (a group
+    larger than arrow.maxRecordsPerBatch arrives as several chunks;
+    sorting per chunk would leave cross-chunk order at arrival order),
+    and batches must arrive in time order per type (the file source's
+    mtime order in tests; a real deployment resequences upstream or
+    accepts detection-latency skew). This is the documented exception
+    to the module's shift-invariant-identity discipline."""
 
     def _cusum_state_fn(key, pdf_iter, state: GroupState):
         (event_type,) = key
@@ -495,11 +498,12 @@ def make_cusum_state_fn(params: dict[str, tuple[int, int]]):
             s, n, alarms, mx = state.get
         else:
             s, n, alarms, mx = 0, 0, 0, 0
-        for pdf in pdf_iter:
-            if ref is None:
-                continue  # no calibration reference for this type
+        # Drain the iterator unconditionally (the contract requires it),
+        # concatenating chunks so the sort spans the WHOLE micro-batch.
+        chunks = [pdf[pdf["value"].notna()] for pdf in pdf_iter]
+        if ref is not None and chunks:
             d, h = ref
-            sub = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
+            sub = pd.concat(chunks).sort_values(["ts", "event_id"])
             xs = np.floor(sub["value"].to_numpy() * 1_000_000 + 0.5).astype("int64")
             for x in xs:
                 s = max(0, s + int(x) - d)

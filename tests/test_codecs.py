@@ -130,6 +130,16 @@ def test_wav_roundtrip():
         b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
         + struct.pack("<I", 16) + struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
         + b"data" + struct.pack("<I", 0),
+        # sample rate 0 — would divide-by-zero in wav_signal_features
+        _hand_wav(0, [1, 2]),
+        # block align inconsistent with channels*bits/8 (3 != 2)
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+        + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 16)
+        + b"data" + struct.pack("<I", 0),
+        # byte rate inconsistent with rate*block_align (999 != 16000)
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+        + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 999, 2, 16)
+        + b"data" + struct.pack("<I", 0),
     ],
 )
 def test_wav_rejects_malformed(bad):

@@ -321,3 +321,23 @@ def test_cross_source_matrix_hand_corpus(spark, tmp_path_factory):
         ("code", "web", 1, 10000),
         ("web", "web", 1, 10000),
     ]
+
+
+def test_hard_negatives_ann_rejects_sparse_vec_ids(spark, tmp_path_factory):
+    """r10 ADVICE: a NON-empty corpus with no vec_id < IVF_K must raise
+    loudly (the dense-vec_id centroid fixture invariant), never fall
+    through to the empty-centroid sentinel — that sentinel would assign
+    EVERY vector to one constant cell and degenerate the shortlist into
+    an all-pairs join."""
+    from molgraphdb_spark.queries.similarity import (
+        IVF_K,
+        embedding_hard_negatives_ann,
+    )
+
+    d = tmp_path_factory.mktemp("sparse_ids")
+    spark.createDataFrame(
+        [(IVF_K + i, [float(i), 1.0], "a") for i in range(5)],
+        "vec_id long, embedding array<float>, label string",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="vec_id < IVF_K"):
+        embedding_hard_negatives_ann(spark, str(d))

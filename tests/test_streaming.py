@@ -813,3 +813,43 @@ def test_cusum_stream_multibatch_carries_state(spark, sf_dir, split_events_dir):
         assert spark.table("t_cusum_mb").count() > n_types
     finally:
         q.stop()
+
+
+def test_cusum_state_fn_sorts_across_arrow_chunks():
+    """A micro-batch group larger than arrow.maxRecordsPerBatch arrives
+    as SEVERAL pandas chunks; the recurrence must sort by (ts, event_id)
+    across ALL of them, not per chunk (r10 ADVICE). Feed two chunks
+    whose global time order interleaves: a per-chunk sort would process
+    [1,3] then [2,4] and diverge on the max-cusum counter."""
+    import pandas as pd
+
+    from molgraphdb_spark.streaming.windows import make_cusum_state_fn
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.stored = None
+
+        def update(self, v):
+            self.stored = v
+
+    # d=0, h=10**9 (never alarms): s is the running prefix sum of x,
+    # clamped at 0. Values in micro: ts order is 1,2,3,4 with values
+    # +5, -3, -4, +2 → s path 5,2,0,2, max 5. Per-CHUNK sort order
+    # 1,3,2,4 gives path 5,1,0,2 but max 5 too — so use values that
+    # split the max: +1, +4, -5, +3 → global path 1,5,0,3 (max 5);
+    # chunk order 1,3,2,4 path 1,0,4,7 (max 7).
+    fn = make_cusum_state_fn({"t": (0, 10**9)})
+    mk = lambda ts, eid, v: pd.DataFrame(
+        {"ts": ts, "event_id": eid, "value": v}
+    )
+    chunk_a = mk([1_000_000, 3_000_000], [1, 3], [1.0, -5.0])
+    chunk_b = mk([2_000_000, 4_000_000], [2, 4], [4.0, 3.0])
+    state = FakeState()
+    out = list(fn(("t",), iter([chunk_a, chunk_b]), state))
+    assert state.stored is not None
+    s, n, alarms, mx = state.stored
+    assert (s, n, alarms) == (3_000_000, 4, 0)
+    assert mx == 5_000_000, "cross-chunk order was not globally sorted"
+    assert out[0]["max_cusum_micro"].iloc[0] == 5_000_000
