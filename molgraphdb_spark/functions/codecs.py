@@ -1,16 +1,21 @@
-"""Pure-Python uncompressed-media codecs: PPM (P6) images and WAV
+"""Pure-Python media codecs: PPM (P6) and PNG (RGB-8) images plus WAV
 PCM audio — the REAL decode leg at the multimodal codec boundary.
 
-The container ships no image/audio libraries, but uncompressed formats
-need none: a PPM P6 file is an ASCII header (magic, dims, maxval,
-comments) followed by a raw RGB raster, and a WAV PCM file is a RIFF
-container whose chunks a 30-line walker parses with ``struct``. These
-decoders genuinely parse headers — dimensions, sample rate, and bit
-depth come from the FILE, not from side-channel metadata — and reject
-malformed input loudly (wrong magic, truncated raster, non-PCM
+The container ships no image/audio libraries, but these formats need
+none: a PPM P6 file is an ASCII header (magic, dims, maxval, comments)
+followed by a raw RGB raster; a WAV PCM file is a RIFF container whose
+chunks a 30-line walker parses with ``struct``; and a PNG is a chunk
+stream (IHDR/IDAT/IEND with CRC-32) whose pixel data is a stdlib
+``zlib`` DEFLATE stream of per-scanline-filtered bytes — a genuinely
+COMPRESSED format decoded here end-to-end (signature, chunk walk with
+CRC verification, inflate, and the spec's five scanline unfilters:
+None/Sub/Up/Average/Paeth). All decoders genuinely parse headers —
+dimensions, sample rate, and bit depth come from the FILE, not from
+side-channel metadata — and reject malformed input loudly (wrong
+magic, truncated raster, bad CRC, unknown filter type, non-PCM
 format), so the pipeline behaves exactly as it would with a real
-decoder in the slot. Compressed formats (JPEG/PNG/MP3/H.264) remain
-behind the documented ``decode_image_stub`` boundary in
+decoder in the slot. The remaining compressed formats (JPEG/MP3/H.264)
+stay behind the documented ``decode_image_stub`` boundary in
 queries/multimodal_queries.py.
 
 Reference counterpart: the reference's own "decode media" analogue is
@@ -106,6 +111,217 @@ def ppm_luminance_features(data: bytes) -> tuple[int, int, int, int]:
     w, h, maxval, raster = decode_ppm(data)
     if maxval != 255:
         raise ValueError(f"luminance features need 8-bit PPM, got maxval {maxval}")
+    px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+    lum = (2126 * px[:, 0] + 7152 * px[:, 1] + 722 * px[:, 2]) // 10000
+    luma_milli = int(lum.sum()) * 1000 // (w * h)
+    return w, h, luma_milli, int(px.max())
+
+
+# --------------------------------------------------------------------
+# PNG (RGB, 8-bit, non-interlaced) — a real COMPRESSED image format,
+# decoded with nothing but stdlib zlib. Envelope: color type 2 (RGB),
+# bit depth 8, compression 0, filter method 0, interlace 0 — anything
+# else is a loud ValueError (the JPEG/MP3 boundary stays documented).
+# --------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    """Serialize one PNG chunk: length + type + body + CRC-32 over
+    (type || body), exactly per the spec."""
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG filter 4): pick whichever of left (a),
+    up (b), upper-left (c) is closest to a + b − c, ties in that order."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, raster: bytes) -> bytes:
+    """Serialize an RGB-8 raster as a PNG. Scanline r uses filter type
+    ``r % 5`` — deliberately cycling through ALL five spec filters so
+    every decoder unfilter path is exercised by real files, not just
+    the lazy all-None stream most toy encoders emit."""
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    stride = 3 * width
+    if len(raster) != stride * height:
+        raise ValueError(
+            f"raster is {len(raster)} bytes; {width}x{height} needs {stride * height}"
+        )
+    zero = bytes(stride)
+    filtered = bytearray()
+    for r in range(height):
+        row = raster[r * stride : (r + 1) * stride]
+        prior = raster[(r - 1) * stride : r * stride] if r else zero
+        ftype = r % 5
+        filtered.append(ftype)
+        if ftype == 0:  # None
+            filtered += row
+        elif ftype == 1:  # Sub
+            filtered += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:  # Up
+            filtered += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:  # Average
+            filtered += bytes(
+                (row[i] - ((row[i - 3] if i >= 3 else 0) + prior[i]) // 2) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            filtered += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prior[i],
+                        prior[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a PNG: returns (width, height, RGB raster bytes).
+
+    A genuine decode, stdlib-only: signature check; chunk walk
+    verifying each length and CRC-32; IHDR envelope validation (RGB-8,
+    non-interlaced); IDAT concatenation across chunks; ``zlib``
+    inflate; then per-scanline unfiltering of all five spec filter
+    types (None/Sub/Up/Average/Paeth). Raises ValueError on anything
+    malformed — bad magic, CRC mismatch, truncated chunk, unknown
+    filter type, or a pixel stream whose size disagrees with IHDR."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError(f"not a PNG (signature {data[:8]!r})")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("PNG chunk header truncated")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"PNG chunk {ctype!r} truncated: {len(body)} < {length}")
+        crc_end = pos + 8 + length + 4
+        if crc_end > len(data):
+            raise ValueError(f"PNG chunk {ctype!r} missing CRC")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : crc_end])
+        if crc != zlib.crc32(ctype + body) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("PNG has multiple IHDR chunks")
+            if length != 13:
+                raise ValueError(f"IHDR length {length} != 13")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat += body
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are CRC-checked and skipped
+        pos = crc_end
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not seen_end:
+        raise ValueError("PNG missing IEND")
+    w, h, depth, ctype_n, comp, filt, inter = ihdr
+    if w <= 0 or h <= 0:
+        raise ValueError(f"IHDR: invalid dimensions {w}x{h}")
+    if (depth, ctype_n, comp, filt, inter) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"decoder supports RGB-8 non-interlaced PNG only, got depth={depth} "
+            f"color={ctype_n} compression={comp} filter={filt} interlace={inter}"
+        )
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"IDAT inflate failed: {e}") from e
+    stride = 3 * w
+    if len(stream) != h * (1 + stride):
+        raise ValueError(
+            f"pixel stream is {len(stream)} bytes; {w}x{h} needs {h * (1 + stride)}"
+        )
+    out = bytearray(h * stride)
+    zero = bytes(stride)
+    for r in range(h):
+        ftype = stream[r * (1 + stride)]
+        row = bytearray(stream[r * (1 + stride) + 1 : (r + 1) * (1 + stride)])
+        prior = out[(r - 1) * stride : r * stride] if r else zero
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: left-neighbor prefix sum per channel
+            for i in range(3, stride):
+                row[i] = (row[i] + row[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            row = bytearray(
+                (np.frombuffer(bytes(row), dtype=np.uint8)
+                 + np.frombuffer(bytes(prior), dtype=np.uint8)).astype(np.uint8).tobytes()
+            )
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - 3] if i >= 3 else 0
+                row[i] = (row[i] + (left + prior[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                row[i] = (
+                    row[i]
+                    + _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prior[i],
+                        prior[i - 3] if i >= 3 else 0,
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on scanline {r}")
+        out[r * stride : (r + 1) * stride] = row
+    return w, h, bytes(out)
+
+
+def png_luminance_features(data: bytes) -> tuple[int, int, int, int]:
+    """Decode a PNG and compute integer-exact features from the
+    DECODED raster: (width, height, mean Rec.709 luminance in milli,
+    peak channel byte) — the same closed form as
+    :func:`ppm_luminance_features`, over a raster that went through a
+    real DEFLATE round and five-filter unfiltering to get here."""
+    w, h, raster = decode_png(data)
     px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
     lum = (2126 * px[:, 0] + 7152 * px[:, 1] + 722 * px[:, 2]) // 10000
     luma_milli = int(lum.sum()) * 1000 // (w * h)

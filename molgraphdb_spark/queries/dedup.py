@@ -357,7 +357,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id",
         F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(MINHASH_K)]).alias("signature"),
-    ).orderBy("doc_id")
+    )
 
 
 _MH_MIN_SQL = ",\n         ".join(
@@ -477,7 +477,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = F.concat(
         *[(F.col(f"s_{j}") * 2 > F.col("n")).cast("int").cast("string") for j in range(SIMHASH_BITS)]
     )
-    return agg.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+    return agg.select("doc_id", bits.alias("simhash"))
 
 
 _SIM_SUMS_SQL = ",\n         ".join(
@@ -906,7 +906,7 @@ def dedup_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.withColumn(
         "is_new",
         ((F.col("dup_of_corpus") == 0) & (F.col("dup_within_batch") == 0)).cast("int"),
-    ).orderBy("doc_id")
+    )
 
 
 DEDUP_INCREMENTAL_SQL = """
@@ -1297,7 +1297,6 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel",
             F.expr("n_novel * 10000 DIV n_shingles").cast("long").alias("novelty_bp"),
         )
-        .orderBy("doc_id")
     )
 
 

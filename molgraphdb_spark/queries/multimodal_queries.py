@@ -2,15 +2,18 @@
 opaque ``binary`` payloads with typed metadata structs, processed by
 Arrow-batched pandas transforms over ``mapInPandas``.
 
-The container has no image/audio codec LIBRARIES, but uncompressed
-formats need none: ``mm_decoded_features`` synthesizes valid PPM (P6)
-and WAV-PCM payloads from the document bytes and decodes them with the
+The container has no image/audio codec LIBRARIES, but most formats
+need none: ``mm_decoded_features`` synthesizes valid PPM (P6) and
+WAV-PCM payloads from the document bytes and decodes them with the
 genuine pure-Python parsers in functions/codecs.py — dimensions,
 sample rate, and bit depth come from the file headers, features from
-the decoded raster/samples. Compressed formats (JPEG/PNG/MP3) remain
-behind ``decode_image_stub`` (NotImplementedError), the documented
-residual codec boundary; the byte-level fake features in
-``mm_feature_extract`` stay as the format-agnostic fallback leg.
+the decoded raster/samples — and ``mm_decoded_png`` does the same for
+PNG, a real DEFLATE-compressed format decoded end-to-end with stdlib
+zlib (CRC-verified chunk walk + five-filter scanline unfiltering).
+The remaining compressed formats (JPEG/MP3) stay behind
+``decode_image_stub`` (NotImplementedError), the documented residual
+codec boundary; the byte-level fake features in ``mm_feature_extract``
+stay as the format-agnostic fallback leg.
 
 Payloads are derived deterministically from ``documents.text``
 (UTF-8 bytes — the corpus is ASCII) so DuckDB can recompute every
@@ -44,14 +47,16 @@ FRAME_STRIDE = 16
 
 
 def decode_image_stub(payload: bytes, fmt: str) -> "object":
-    """The COMPRESSED-codec boundary. In production this dispatches to
-    a JPEG/PNG/MP3/H.264 decoder on the executor; this container ships
-    none, so calling it is an explicit error. Uncompressed formats do
-    NOT hit this boundary: PPM and WAV-PCM decode genuinely via
-    functions/codecs.py (see mm_decoded_features)."""
+    """The residual COMPRESSED-codec boundary: JPEG and MP3 (Huffman+
+    IDCT / MDCT — genuinely heavy to reimplement). In production this
+    dispatches to a codec library on the executor; this container
+    ships none, so calling it is an explicit error. PPM, WAV-PCM AND
+    PNG do NOT hit this boundary: they decode genuinely via
+    functions/codecs.py (see mm_decoded_features / mm_decoded_png —
+    PNG included, stdlib-zlib DEFLATE + five-filter unfiltering)."""
     raise NotImplementedError(
-        f"no compressed codec for {fmt!r} in this environment; "
-        "uncompressed PPM/WAV decode via functions.codecs, and "
+        f"no JPEG/MP3 codec for {fmt!r} in this environment; "
+        "PPM/WAV/PNG decode via functions.codecs, and "
         "mm_feature_extract's byte features cover the rest"
     )
 
@@ -235,7 +240,6 @@ def mm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
             F.md5(chunk).alias("chunk_md5"),
         )
-        .orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -588,7 +592,6 @@ def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "luma_milli long, energy long, peak int"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -700,7 +703,6 @@ def mm_decoded_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             _decoded_phash_rows,
             schema="doc_id long, width int, height int, phash string",
         )
-        .orderBy("doc_id")
     )
 
 
@@ -735,6 +737,87 @@ SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        {_LUM_BITS_SQL} AS phash
 FROM sums
 ORDER BY doc_id
+"""
+
+
+def _decoded_png_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a PNG per video-modality doc (still-frame export —
+    the same bytes→raster rule as the PPM leg) and decode it with the
+    REAL stdlib-zlib PNG parser: signature, CRC-verified chunk walk,
+    DEFLATE inflate, and five-filter scanline unfiltering (the encoder
+    cycles filter types r%5, so every unfilter path runs on real
+    data). Features come from the DECODED raster."""
+    from molgraphdb_spark.functions.codecs import (
+        encode_png,
+        png_luminance_features,
+    )
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue  # crawl error: nothing to synthesize/decode
+            b = bytes(payload)
+            n = len(b)
+            if n == 0:
+                continue  # empty payload: no pixels to cycle
+            w, h = n % 64 + 1, n % 48 + 1
+            npix = w * h
+            reps = (3 * npix + n - 1) // n
+            raster = (b * reps)[: 3 * npix]
+            dw, dh, luma, peak = png_luminance_features(encode_png(w, h, raster))
+            out.append((int(doc_id), dw, dh, luma, peak))
+        df = pd.DataFrame(
+            out, columns=["doc_id", "width", "height", "luma_milli", "peak"]
+        )
+        df["width"] = df["width"].astype("Int32")
+        df["height"] = df["height"].astype("Int32")
+        df["luma_milli"] = df["luma_milli"].astype("Int64")
+        df["peak"] = df["peak"].astype("Int32")
+        yield df
+
+
+def mm_decoded_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-image decode leg: per video-modality doc, a PNG
+    still frame is synthesized and decoded through the genuine
+    stdlib-zlib PNG codec (functions/codecs.py::decode_png — CRC-
+    checked chunk walk, inflate, None/Sub/Up/Average/Paeth
+    unfiltering), and mean Rec.709 luminance (milli) + peak channel
+    are computed from the DECODED raster. One map-only mapInPandas
+    pass; the DuckDB oracle recomputes the features closed-form from
+    the document bytes, independent of the codec module (decode∘encode
+    correctness is pinned separately by hand-built-file goldens and
+    fuzzed roundtrips in tests/test_codecs.py). With this leg the
+    documented compressed-codec boundary shrinks to JPEG/MP3.
+
+    Reference counterpart: mcs.py:349–687's bytes→pixels render pipe
+    (the reference's only media decode analogue)."""
+    m = multimodal_manifest(spark, sf_dir).filter(
+        F.col("metadata.format") == "video"
+    )
+    return m.select("doc_id", "payload").mapInPandas(
+        _decoded_png_rows,
+        schema="doc_id long, width int, height int, luma_milli long, peak int",
+    )
+
+
+MM_DECODED_PNG_SQL = """
+WITH img AS (
+  SELECT doc_id, length(text) AS n,
+         length(text) % 64 + 1 AS w,
+         length(text) % 48 + 1 AS h,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, w * h),
+            k -> (2126 * codes[(3 * k) % n + 1]
+                + 7152 * codes[(3 * k + 1) % n + 1]
+                +  722 * codes[(3 * k + 2) % n + 1]) // 10000
+       )) * 1000 // (w * h) AS BIGINT) AS luma_milli,
+       CAST(list_max(list_transform(range(0, least(3 * w * h, n)),
+            i -> codes[i + 1])) AS INT) AS peak
+FROM img
 """
 
 
@@ -794,7 +877,6 @@ def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             _resize_rows,
             schema="doc_id long, src_w int, src_h int, grid_md5 string",
         )
-        .orderBy("doc_id")
     )
 
 
@@ -829,12 +911,14 @@ QUERIES = {
     "mm_chunk_windows": mm_chunk_windows,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_resize_grid": mm_resize_grid,
+    "mm_decoded_png": mm_decoded_png,
 }
 
 ORACLES = {
     "mm_metadata_summary": MM_METADATA_SQL,
     "mm_decoded_features": MM_DECODED_SQL,
     "mm_decoded_phash": MM_DECODED_PHASH_SQL,
+    "mm_decoded_png": MM_DECODED_PNG_SQL,
     "mm_phash_neardup": MM_PHASH_SQL,
     "mm_resize_grid": MM_RESIZE_SQL,
     "mm_feature_extract": MM_FEATURES_SQL,

@@ -204,7 +204,7 @@ def dup_span_stats(docs: DataFrame) -> DataFrame:
     ).withColumn(
         "keep",
         F.when(F.col("dup_token_bp") <= DUP_SPAN_MAX_BP, 1).otherwise(0),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,7 +373,7 @@ def dup_span_removal(docs: DataFrame) -> DataFrame:
         "n_tokens",
         covered.alias("n_removed"),
         F.array_join(kept, " ").alias("text_clean"),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +480,7 @@ def doc_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup5_char_bp") <= GOPHER_DUP5_MAX_BP),
             1,
         ).otherwise(0),
-    ).orderBy("doc_id")
+    )
 
 
 def _gram_cte(k: int) -> str:

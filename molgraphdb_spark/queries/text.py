@@ -365,7 +365,7 @@ def doc_line_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor((n_lines - n_uniq) * 10000.0 / n_lines + 0.5))
         .cast("long")
         .alias("dup_line_bp"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_LINE_DEDUP_SQL = """
@@ -416,7 +416,7 @@ def doc_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_rare") * 10000.0 / F.col("n_tokens") + 0.5)
         .cast("long")
         .alias("rare_bp"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_RARE_TOKEN_SQL = f"""
@@ -484,7 +484,6 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", F.col("tok").alias("term"), "tf", "df", "tfidf_milli")
-        .orderBy("doc_id", "rank")
     )
 
 
@@ -545,7 +544,7 @@ def doc_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (n_email == 0) & (n_ipv4 == 0) & (n_block <= BLOCKLIST_MAX_HITS)
         ).cast("int").alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_CONTENT_FILTER_SQL = f"""
@@ -579,7 +578,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_email + n_ipv4).alias("n_redactions"),
         F.length(red).alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_PII_REDACT_SQL = f"""
@@ -712,7 +711,6 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("mean_neglogp_milli"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -800,7 +798,6 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
             .alias("mean_neglogp_milli"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -998,7 +995,7 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_GOPHER_SQL = f"""
@@ -1666,7 +1663,7 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final presentation sort); chunk rows ≈ corpus tokens /
     stride, a bounded expansion of the input."""
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    return chunk_rows(docs).orderBy("doc_id", "chunk_ix")
+    return chunk_rows(docs)
 
 
 def chunk_rows(docs: DataFrame) -> DataFrame:
@@ -1795,7 +1792,6 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chunk_toks",
             "chunk_md5",
         )
-        .orderBy("doc_id", "chunk_ix")
     )
 
 

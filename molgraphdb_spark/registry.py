@@ -36,108 +36,91 @@ _QUERY_MODULES = [
 ]
 
 # ---------------------------------------------------------------
-# HISTORICAL RECORD, r9 (corrected per the r10 ADVICE item): the r9
-# window's final 14 slots actually gated graph_pagerank_top,
-# dedup_exact, dedup_incremental_flags, neardup_jaccard_pairs,
-# dedup_lsh_verified, dedup_keep_best, neardup_containment_pairs,
-# events_funnel, events_twap, events_anomaly_outliers,
-# events_winsorized_stats, vocab_bpe_merge_pairs, doc_unigram_logprob,
-# doc_bigram_logprob (14 of the 39 r5-stale rows; CORRECTNESS_r09
-# confirms all green). The block comment shipped with r9 wrongly
-# listed the setops/TPC-H set as the gated 14 — those 25 rows were in
-# fact DEFERRED and are exactly this r10 window's stale block below
-# (ledger-verified via tools/gen_query_index.last_driver_green: the
-# 25 rows still at last-green r5 are the setops + skew demo +
-# q2/q4/q8/q9/q11/q12/q15–q17/q20/q21 + span-dedup pair + fuzzy_name
-# pair + mixture/split/cohorts + pii/gopher/divergence).
+# HISTORICAL RECORD, r10 window composition: 6 r10 debuts
+# (mm_decoded_features, mm_decoded_phash, embedding_hard_negatives_ann,
+# fuzzy_name_multipass, chem_render_raster, chem_render_subgraphs) +
+# 3 changed-code re-gates (events_cusum_alarms, lang_token_fertility,
+# fuzzy_name_sorted_neighborhood) + all 25 r5-stale rows + 16 r6-stale
+# fills. CORRECTNESS_r10.json: 50/50 green, 0 errors; ledger floor
+# moved to r6 (27 rows), exactly the stale block below.
 #
-# Round-10 verification window (first 50), per the r9 verdict item 1.
-# Composition (assembled from the computed staleness ledger —
-# tools/gen_query_index.last_driver_green over all CORRECTNESS_r*.json):
-# - The 6 r10 debuts LEAD (never driver-checked):
-#   mm_decoded_features (real PPM/WAV decode leg),
-#   mm_decoded_phash (luminance dHash over DECODED pixels),
-#   embedding_hard_negatives_ann (IVF-shortlist triplet mining),
-#   fuzzy_name_multipass (two-key sorted-neighborhood union),
-#   chem_render_raster (the raster leg closed: integer hex-lattice
-#   layout + Bresenham + PPM, bit-deterministic digests),
-#   chem_render_subgraphs (the reference's subgraph-grid drawing:
-#   canonical display representatives re-rendered).
-# - 3 changed-code re-gates (r9-green but code touched in r10):
-#   events_cusum_alarms (floor-division pinned on both engines — the
-#   ADVICE negative-sum fix), lang_token_fertility (GREATEST-guarded
-#   divisors — the whitespace-only-language fix),
-#   fuzzy_name_sorted_neighborhood (pairing refactored into the shared
-#   _sn_candidates helper; output hash-unchanged, re-gate anyway).
-# - ALL 25 r5-stale rows (the set the r9 window deferred; ledger
-#   last-green = r5 for every one).
-# - 16 of the 43 r6-stale rows fill the remaining slots, chosen
-#   highest-risk-first: the mm family (module touched this round),
-#   the similarity/dedup signature family (module touched), and the
-#   iterative/sketch pipelines; the 24 deferred r6-stale rows
-#   (trivial relational scans/sorts/setops-adjacent, all
-#   suite-covered; ship_delay_stats, grouping_sets_revenue and
-#   orders_monthly_revenue displaced by the mm_decoded_phash /
-#   chem_render_raster / chem_render_subgraphs debuts)
-#   lead the r11 window together with this round's post-window
-#   debuts, if any.
-# Rotated out: the 50 r9-green window rows except the three
-# changed-code re-gates above (all three sat in the r9 window too).
+# Round-11 verification window (first 50), per the r10 verdict item 1.
+# Composition (staleness ledger = tools/gen_query_index
+# .last_driver_green over all ten CORRECTNESS_r*.json):
+# - The 1 r11 debut LEADS (never driver-checked): mm_decoded_png —
+#   the compressed-image decode leg (stdlib-zlib PNG: CRC-verified
+#   chunk walk + inflate + five-filter unfiltering), shrinking the
+#   documented codec boundary to JPEG/MP3.
+# - 22 changed-code re-gates:
+#   embedding_hard_negatives_ann (r10 ADVICE: loud rejection replaces
+#   the empty-centroid sentinel when the corpus is non-empty), and the
+#   21 queries whose terminal presentation sorts were dropped this
+#   round (r10 verdict item 3 — outputs hash-unchanged, the driver
+#   hash is order-insensitive, but the code changed so they re-gate):
+#   text ×10 (line_dedup/rare_token/tfidf/content_filter/pii/
+#   unigram/bigram/gopher/chunk_spans/cdc), dedup ×4 (minhash_
+#   signatures/simhash/incremental_flags/ngram_novelty), mm ×4
+#   (chunk_windows/decoded_features/decoded_phash/resize_grid; the
+#   decoded pair also re-gates the r11 WAV header-validation fix),
+#   spans ×3 (dup_span_stats/dup_span_removal/repetition_suite).
+# - ALL 27 r6-stale rows (the entire remaining staleness tail; 14 of
+#   them were judge-parity-green at sf0.01 in the r10 verdict session).
+# 1 + 22 + 27 = 50. Rotated out: every r10-green window row not
+# re-gated above. After this window the ledger floor is r10.
 _PRIORITY = [
-    # ---- r10 debuts (never driver-checked) ----
-    "mm_decoded_features",
-    "mm_decoded_phash",
+    # ---- r11 debut (never driver-checked) ----
+    "mm_decoded_png",
+    # ---- changed-code re-gates (ADVICE fix + presentation-sort drop) ----
     "embedding_hard_negatives_ann",
-    "fuzzy_name_multipass",
-    "chem_render_raster",
-    "chem_render_subgraphs",
-    # ---- changed-code re-gates ----
-    "events_cusum_alarms",
-    "lang_token_fertility",
-    "fuzzy_name_sorted_neighborhood",
-    # ---- the 25 r5-stale rows (deferred by r9, verified-oldest) ----
-    "doc_dup_span_stats",
-    "doc_dup_span_removal",
-    "fuzzy_name_pairs",
-    "fuzzy_name_clusters",
-    "doc_mixture_sample",
-    "doc_split_assign",
-    "orders_retention_cohorts",
-    "doc_pii_redact",
-    "doc_gopher_repetition",
-    "source_token_divergence",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "setop_except_nations",
-    "skew_salted_status_counts",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_ship_priority",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # ---- 16 oldest r6-stale rows (highest-risk-first fill) ----
-    "mm_feature_extract",
-    "mm_metadata_summary",
-    "mm_phash_neardup",
-    "mm_resize_grid",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "similarity_cosine_topk",
-    "similarity_ivf_recall",
-    "similarity_ivf_topk",
-    "graph_connected_components_summary",
-    "sample_stratified_docs",
-    "vocab_bpe_merge_table",
-    "pq_code_stats",
     "doc_line_dedup_ratio",
     "doc_rare_token_ratio",
+    "doc_tfidf_top_terms",
+    "doc_content_filter",
+    "doc_pii_redact",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "doc_gopher_repetition",
+    "doc_chunk_spans",
+    "doc_cdc_chunks",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_incremental_flags",
+    "doc_ngram_novelty",
+    "mm_chunk_windows",
+    "mm_decoded_features",
+    "mm_decoded_phash",
+    "mm_resize_grid",
+    "doc_dup_span_stats",
+    "doc_dup_span_removal",
+    "doc_repetition_suite",
+    # ---- the 27 r6-stale rows (the full remaining staleness tail) ----
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "agg_stats_lineitem",
+    "anti_join_customers_without_orders",
+    "case_bucket_orders",
+    "cross_pairs_nations",
+    "cube_status_priority",
+    "distinct_count_customers",
+    "filter_project_pushdown",
+    "full_outer_nation_profile",
+    "group_count_orderstatus",
+    "grouping_sets_revenue",
+    "multikey_sort_parts",
+    "null_handling_discounts",
+    "orders_above_customer_avg",
+    "orders_monthly_revenue",
+    "pivot_status_by_priority",
+    "rollup_region_nation",
+    "sample_systematic_orders",
+    "semi_join_customers_with_orders",
+    "ship_delay_stats",
+    "string_funcs_customers",
+    "supplier_part_sets",
+    "topk_orders_per_customer",
+    "unpivot_lineitem_measures",
+    "window_running_total",
 ]
 
 

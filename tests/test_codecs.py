@@ -202,3 +202,182 @@ try:
 
 except ImportError:  # hypothesis is baked in; belt-and-braces gate
     pass
+
+
+# ------------------------------- PNG --------------------------------
+
+from molgraphdb_spark.functions.codecs import (  # noqa: E402
+    decode_png,
+    encode_png,
+    png_luminance_features,
+)
+
+
+def _hand_png(w, h, filtered_stream, *, ihdr=None, extra_chunks=(),
+              split_idat=False, with_iend=True):
+    """Build a PNG BY HAND (struct + zlib, never via encode_png) so
+    decode_png is tested as a parser of foreign files."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = ihdr or struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    comp = zlib.compress(filtered_stream)
+    if split_idat:
+        mid = len(comp) // 2
+        idat = chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    else:
+        idat = chunk(b"IDAT", comp)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    for ct, body in extra_chunks:
+        out += chunk(ct, body)
+    out += idat
+    if with_iend:
+        out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_hand_built_golden_all_filters():
+    # 2x5 RGB image, one scanline per filter type, filtered bytes
+    # computed BY HAND from the spec's recurrences.
+    rows = [
+        bytes([10, 20, 30, 40, 50, 60]),     # r0: None
+        bytes([5, 5, 5, 6, 7, 8]),           # r1: Sub
+        bytes([5, 5, 5, 250, 250, 250]),     # r2: Up
+        bytes([100, 100, 100, 200, 0, 56]),  # r3: Average
+        bytes([100, 101, 102, 200, 201, 0]), # r4: Paeth
+    ]
+    raw = b"".join(rows)
+    # hand-filter: r0 None = raw
+    f0 = b"\x00" + rows[0]
+    # r1 Sub: first pixel unchanged, then delta vs left
+    f1 = b"\x01" + bytes([5, 5, 5, (6 - 5) & 255, (7 - 5) & 255, (8 - 5) & 255])
+    # r2 Up: delta vs r1 raw
+    f2 = b"\x02" + bytes([(5 - 5) & 255, 0, 0, (250 - 6) & 255, (250 - 7) & 255, (250 - 8) & 255])
+    # r3 Average: pred = (left + up)//2
+    p = rows[2]
+    f3 = b"\x03" + bytes([
+        (100 - (0 + p[0]) // 2) & 255, (100 - (0 + p[1]) // 2) & 255,
+        (100 - (0 + p[2]) // 2) & 255, (200 - (100 + p[3]) // 2) & 255,
+        (0 - (100 + p[4]) // 2) & 255, (56 - (100 + p[5]) // 2) & 255,
+    ])
+    # r4 Paeth: pred = paeth(left, up, upleft); first pixel: paeth(0, up, 0) = up
+    from molgraphdb_spark.functions.codecs import _paeth
+    p3, r4 = rows[3], rows[4]
+    f4 = b"\x04" + bytes(
+        [(r4[i] - _paeth(0, p3[i], 0)) & 255 for i in range(3)]
+        + [(r4[i] - _paeth(r4[i - 3], p3[i], p3[i - 3])) & 255 for i in range(3, 6)]
+    )
+    data = _hand_png(2, 5, f0 + f1 + f2 + f3 + f4)
+    w, h, raster = decode_png(data)
+    assert (w, h) == (2, 5)
+    assert raster == raw
+
+
+def test_png_multiple_idat_and_ancillary_chunks():
+    raw = bytes(range(6))
+    stream = b"\x00" + raw
+    data = _hand_png(2, 1, stream, extra_chunks=[(b"tEXt", b"k\x00v")],
+                     split_idat=True)
+    assert decode_png(data) == (2, 1, raw)
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    import zlib
+    raster = bytes((i * 37 + 11) % 256 for i in range(4 * 7 * 3))
+    data = encode_png(4, 7, raster)
+    assert decode_png(data) == (4, 7, raster)
+    # the encoder's r%5 cycle really put all five filter types on disk
+    sig_end = 8
+    # IHDR chunk is 8+13+4 bytes after the signature; IDAT follows
+    idat_body_off = sig_end + 25 + 8
+    (idat_len,) = struct.unpack(">I", data[sig_end + 25 : sig_end + 29])
+    stream = zlib.decompress(data[idat_body_off : idat_body_off + idat_len])
+    stride = 1 + 4 * 3
+    assert [stream[r * stride] for r in range(7)] == [0, 1, 2, 3, 4, 0, 1]
+
+
+def test_png_luminance_matches_ppm_closed_form():
+    raster = bytes([255, 0, 0, 128, 128, 128])
+    w, h, luma, peak = png_luminance_features(encode_png(2, 1, raster))
+    pw, ph, pluma, ppeak = ppm_luminance_features(encode_ppm(2, 1, raster))
+    assert (w, h, luma, peak) == (pw, ph, pluma, ppeak) == (2, 1, 91000, 255)
+
+
+def _corrupt_crc(data):
+    return data[:-1] + bytes([data[-1] ^ 0xFF])
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"\x88PNG\r\n\x1a\n" + b"\x00" * 30,               # wrong signature
+        _corrupt_crc(encode_png(1, 1, b"\x01\x02\x03")),    # IEND CRC flipped
+        encode_png(1, 1, b"\x01\x02\x03")[:-12],            # IEND missing
+        _hand_png(1, 1, b"\x05\x01\x02\x03"),               # unknown filter 5
+        _hand_png(1, 1, b"\x00\x01\x02"),                   # stream too short
+        _hand_png(1, 1, b"\x00\x01\x02\x03",                # 16-bit depth
+                  ihdr=struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)),
+        _hand_png(1, 1, b"\x00\x01\x02\x03",                # interlaced
+                  ihdr=struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)),
+        _hand_png(1, 1, b"\x00\x01\x02\x03",                # grayscale
+                  ihdr=struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)),
+        # IDAT bytes that are not a zlib stream
+        b"\x89PNG\r\n\x1a\n"
+        + _hand_png(1, 1, b"")[8:33]                        # reuse IHDR chunk
+        + struct.pack(">I", 4) + b"IDAT" + b"junk"
+        + struct.pack(">I", __import__("zlib").crc32(b"IDATjunk") & 0xFFFFFFFF)
+        + _hand_png(1, 1, b"")[-12:],
+    ],
+)
+def test_png_rejects_malformed(bad):
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_png_crc_corruption_in_idat_rejected():
+    data = encode_png(2, 2, bytes(12))
+    # flip one byte inside the IDAT body (after IHDR = 8+25 bytes)
+    i = 8 + 25 + 8 + 2
+    bad = data[:i] + bytes([data[i] ^ 0x55]) + data[i + 1 :]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bad)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=16),
+        data=st.data(),
+    )
+    def test_png_roundtrip_property(w, h, data):
+        raster = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+            )
+        )
+        assert decode_png(encode_png(w, h, raster)) == (w, h, raster)
+
+    @settings(max_examples=40, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=64))
+    def test_png_decoder_never_crashes_on_junk(junk):
+        try:
+            decode_png(junk)
+        except ValueError:
+            pass
+        # also junk APPENDED to a valid signature/IHDR prefix
+        try:
+            decode_png(encode_png(1, 1, b"abc")[:20] + junk)
+        except ValueError:
+            pass
+
+except ImportError:
+    pass

@@ -87,6 +87,7 @@ REPRESENTATIVE = [
     "pipeline_curation_funnel",  # stage flags over zero docs
     "mm_decoded_features",       # PPM/WAV decode pass over zero docs
     "mm_decoded_phash",          # decoded-luminance dHash over zero docs
+    "mm_decoded_png",            # PNG inflate+unfilter pass over zero docs
 ]
 
 

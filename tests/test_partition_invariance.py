@@ -96,6 +96,7 @@ AT_RISK = [
     "fuzzy_name_multipass",      # two rank-block pairings at bucket seams
     "chem_render_raster",        # integer layout + raster digests
     "chem_render_subgraphs",     # display-representative renders
+    "mm_decoded_png",            # PNG inflate+unfilter — layout-free features
 ]
 
 

@@ -57,14 +57,44 @@ def test_text_pipeline_stays_jvm_side(spark, sf_dir):
 def test_gopher_repetition_map_only(spark, sf_dir):
     # top-bigram count is a sorted-run-length fold per row — the
     # explode+groupBy formulation (two corpus-sized shuffles) must
-    # never creep back in. Final orderBy excluded by dropping the sort.
+    # never creep back in. The r11 presentation-sort removal means the
+    # WHOLE plan is now exchange-free, not just sort-prefixed.
     from molgraphdb_spark.queries.text import doc_gopher_repetition
 
     df = doc_gopher_repetition(spark, sf_dir)
-    s = plan_summary(df.limit(10**9))  # limit strips nothing; sort stays
+    s = plan_summary(df)
     assert not s["has_python_worker"]
-    # allow only the range-partition exchange of the final orderBy
-    assert s["n_exchanges"] <= 1
+    assert s["n_exchanges"] == 0
+
+
+#: The map-only transform family: per-doc signature/feature/scrub
+#: passes whose 100 TB plan is scan → project/fold (or one Arrow
+#: mapInPandas) → output, with ZERO shuffles. The r10 verdict flagged
+#: their terminal `.orderBy("doc_id")` presentation sorts as the one
+#: avoidable full-corpus range-shuffle left in these pipelines; the
+#: sorts are gone and this pin keeps them gone (the driver's value
+#: hash is order-insensitive, so the sort bought nothing).
+MAP_ONLY_ZERO_EXCHANGE = [
+    "doc_line_dedup_ratio",
+    "doc_content_filter",
+    "doc_pii_redact",
+    "doc_chunk_spans",
+    "dedup_minhash_signatures",
+    "mm_chunk_windows",
+    "mm_decoded_features",
+    "mm_decoded_phash",
+    "mm_decoded_png",
+    "mm_resize_grid",
+]
+
+
+def test_map_only_family_has_zero_exchanges(spark, sf_dir):
+    from molgraphdb_spark.registry import all_queries
+
+    q = all_queries()
+    for name in MAP_ONLY_ZERO_EXCHANGE:
+        s = plan_summary(q[name](spark, sf_dir))
+        assert s["n_exchanges"] == 0, f"{name}: {s['n_exchanges']} exchanges"
 
 
 def test_anomaly_outliers_single_user_shuffle(spark, sf_dir):

@@ -1403,10 +1403,10 @@ def test_ngram_novelty_matches_python_reference(spark, tmp_path_factory):
         "overwrite"
     ).parquet(f"{path}/documents.parquet")
 
-    got = [
+    got = sorted(  # output order is unspecified (presentation sorts dropped r11)
         (r.doc_id, r.n_shingles, r.n_novel, r.novelty_bp)
         for r in doc_ngram_novelty(spark, path).collect()
-    ]
+    )
 
     import re
 
