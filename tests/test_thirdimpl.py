@@ -1819,3 +1819,140 @@ def test_weighted_sample_matches_python_reference(spark, tmp_path_factory):
     assert got["giant"][2] >= WSAMPLE_TARGET * 2 // 5
     # total marks hit == WSAMPLE_TARGET (every mark crossed exactly once)
     assert sum(v[2] for v in got.values()) == WSAMPLE_TARGET
+
+
+# ---------------------------------------------------------------------------
+# BM25 + RRF on the REAL sf corpus (r10 verdict item 5): the two
+# retrieval flagships recomputed with plain Python reading the parquet
+# directly via pyarrow — fully independent of Spark AND of the DuckDB
+# oracle (which shares each query's SQL formula by design), so a
+# both-sides-wrong formula bug cannot survive. Unlike the mini-corpus
+# references in tests/test_retrieval.py, these run the production
+# tokenizer contract (split(trim(text), \s+)) against real documents.
+# ---------------------------------------------------------------------------
+def _pa_docs(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return [
+        (int(d), t_)
+        for d, t_ in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if t_ is not None
+    ]
+
+
+def test_bm25_matches_python_on_real_corpus(spark, sf_dir):
+    import re as _re
+
+    from molgraphdb_spark.queries.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        doc_bm25_topk,
+    )
+
+    docs = {d: _re.split(r"\s+", t.strip()) for d, t in _pa_docs(sf_dir)}
+    n = len(docs)
+    tot = max(sum(len(v) for v in docs.values()), 1)
+    terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    df = {t: sum(1 for v in docs.values() if t in v) for t in terms}
+    expect = []
+    for qid, qterms in BM25_QUERIES:
+        scored = []
+        for d, toks in docs.items():
+            s, hit = 0, False
+            for t in qterms:
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                hit = True
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * len(toks) * n / tot)
+                s += math.floor(1000 * idf * tf * (BM25_K1 + 1.0) / denom + 0.5)
+            if hit:
+                scored.append((d, s))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        expect.extend(
+            (qid, d, s, rk) for rk, (d, s) in enumerate(scored[:10], start=1)
+        )
+    got = [
+        (r.query_id, r.doc_id, r.score_milli, r.rank)
+        for r in doc_bm25_topk(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+    assert len(got) > 0
+
+
+def test_rrf_matches_python_on_real_corpus(spark, sf_dir):
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from molgraphdb_spark.queries.similarity import (
+        RRF_K,
+        RRF_LEG_K,
+        RRF_N_QUERIES,
+        RRF_TOPK,
+        retrieval_rrf_hybrid,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    embs = {
+        int(i): [float(x) for x in v]  # float32 -> float64, same as Spark's cast
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if v is not None
+    }
+
+    def cos_micro(a, b):
+        # sequential left-fold, same accumulation order as _dot
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1_000_000 + 0.5)
+
+    toksets = {
+        d: set(_re.split(r"\s+", txt.strip())) for d, txt in _pa_docs(sf_dir)
+    }
+    fused: dict[tuple[int, int], int] = {}
+    for q in range(RRF_N_QUERIES):
+        legs = []
+        if q in embs:
+            dense = sorted(
+                ((i, cos_micro(embs[q], v)) for i, v in embs.items() if i != q),
+                key=lambda p: (-p[1], p[0]),
+            )
+            legs.append(dense)
+        if q in toksets:
+            qt = toksets[q]
+            sparse = []
+            for i, s in toksets.items():
+                if i == q:
+                    continue
+                inter = len(qt & s)
+                if inter:
+                    sparse.append((i, inter * 1_000_000 // (len(qt) + len(s) - inter)))
+            sparse.sort(key=lambda p: (-p[1], p[0]))
+            legs.append(sparse)
+        for leg in legs:
+            for rk, (i, _) in enumerate(leg[:RRF_LEG_K], start=1):
+                fused[(q, i)] = fused.get((q, i), 0) + 1_000_000_000 // (RRF_K + rk)
+    expect = []
+    for q in range(RRF_N_QUERIES):
+        cands = sorted(
+            ((i, s) for (qq, i), s in fused.items() if qq == q),
+            key=lambda p: (-p[1], p[0]),
+        )
+        expect.extend(
+            (q, i, s, rk) for rk, (i, s) in enumerate(cands[:RRF_TOPK], start=1)
+        )
+    got = [
+        (r.query_id, r.neighbor_id, r.rrf_score_nano, r.rank)
+        for r in retrieval_rrf_hybrid(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+    assert len(got) == RRF_N_QUERIES * RRF_TOPK
