@@ -25,12 +25,14 @@ lowercase form, tropylium's 7-ring qualifies (r9b), and fused
 systems whose individual rings fail Hückel are re-counted as one
 π system (azulene's 10 electrons — both Kekulé writings unify).
 PRECISE perception boundary (pinned by tests/test_chem.py): rings
-of size 5/6/7 and their fused systems — larger monocycles
-([8]annulene and up) keep distinct Kekulé vs lowercase identities;
-anti-aromatic counts (quinone 4, 1,4-dioxine 8, pentalene 8,
+of size 5/6/7, their fused systems, AND pure monocycles of any size
+(r11 — [10]/[14]/[18]annulene unify Kekulé with lowercase; [8]/[12]/
+[16] fail 4n+2 and keep distinct identities, matching the electron
+count); anti-aromatic counts (quinone 4, 1,4-dioxine 8, pentalene 8,
 heptalene 12) and sp³-interrupted rings stay Kekulé; a ring holding
 any non-aromatic-capable element ([Na+]) stays Kekulé regardless of
-bond alternation.
+bond alternation. Fused systems keep the 5/6/7 ring-membership rule
+(a fused 8+-ring perimeter is counted only through the system pass).
 The parser is TOTAL: any string outside the subset raises
 ``SmilesError`` (never another exception — fuzz-verified over
 arbitrary token soup and a grammar-valid generator), and anything
@@ -673,6 +675,27 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
         rings = [c for c in cycles if len(c) in (5, 6, 7)]
     except nx.NetworkXError:
         return
+    # Large PURE monocycles ([10]/[14]/[18]annulene…, r10 verdict item
+    # 6): Hückel 4n+2 has no upper size bound for an isolated ring, so
+    # a Kekulé-written annulene with 4n+2 π electrons must unify with
+    # its lowercase form exactly like benzene does (RDKit's default
+    # electron-counting model agrees; [8]/[12]/[16] fail 4n+2 and stay
+    # Kekulé). Detection is LINEAR, no cycle enumeration: a biconnected
+    # component with |edges| == |atoms| IS a simple cycle, and being a
+    # maximal biconnected component it shares no edge with any other
+    # ring — so these never perturb the fused-system (5/6/7-membered)
+    # pass below.
+    for comp in nx.biconnected_components(g):
+        if len(comp) < 8 or g.subgraph(comp).number_of_edges() != len(comp):
+            continue
+        sub = g.subgraph(comp)
+        cyc = [next(iter(comp))]
+        prev = None
+        while len(cyc) < len(comp):
+            nxt = next(x for x in sub.neighbors(cyc[-1]) if x != prev)
+            prev = cyc[-1]
+            cyc.append(nxt)
+        rings.append(cyc)
     ring_edges: list[frozenset[tuple[int, int]]] = [
         frozenset(
             (min(c[k], c[(k + 1) % len(c)]), max(c[k], c[(k + 1) % len(c)]))

@@ -448,8 +448,27 @@ def test_huckel_seven_rings_and_fused_systems():
     assert not parse_smiles("C1=CC2=CC=CC2=C1").aromatic
     assert not parse_smiles("C1=CC=C2C=CC=CC=C2C=C1").aromatic
     assert not parse_smiles("C1=CC2=CC3=CC=CC3=CC2=C1").aromatic
-    # [8]annulene (cyclooctatetraene) is past the size bound AND 8 e⁻.
+    # [8]annulene (cyclooctatetraene): 8 e⁻ fails 4n+2 — stays Kekulé,
+    # as do [12] and [16]; 4n+2 PURE monocycles of any size aromatize
+    # (r11): [10]/[14]annulene Kekulé forms unify with lowercase.
     assert not parse_smiles("C1=CC=CC=CC=C1").aromatic
+    assert not parse_smiles("C1=CC=CC=CC=CC=CC=C1").aromatic
+    assert not parse_smiles("C1=CC=CC=CC=CC=CC=CC=CC=C1").aromatic
+    assert mol_key(parse_smiles("C1=CC=CC=CC=CC=C1")) == mol_key(
+        parse_smiles("c1ccccccccc1")
+    )
+    assert mol_key(parse_smiles("C1=CC=CC=CC=CC=CC=CC=C1")) == mol_key(
+        parse_smiles("c1ccccccccccccc1")
+    )
+    assert len(parse_smiles("C1=CC=CC=CC=CC=CC=CC=C1").aromatic) == 14
+    # a SUBSTITUTED pure monocycle still qualifies (exocyclic single
+    # bonds don't break isolation): methyl-[10]annulene
+    assert len(parse_smiles("CC1=CC=CC=CC=CC=C1").aromatic) == 10
+    # but a FUSED pair of 8-rings is not a pure monocycle — the
+    # biconnected component is bigger than one cycle (and the 14-atom
+    # perimeter is fused-system territory, where the 5/6/7 membership
+    # rule applies); stays Kekulé
+    assert not parse_smiles("C1=CC=CC=CC2=C1C=CC=CC=C2").aromatic
     # Acenaphthylene: the naphthalene core aromatizes, the 5-ring's
     # CH=CH stays a localized double (ring 5 e⁻, system 12 e⁻ — both
     # fail Hückel, matching RDKit).
