@@ -591,6 +591,228 @@ def probe_hard_negatives(spark, n_plant: int = 20, k_scale: int = 10) -> dict:
     }
 
 
+def probe_ann_production(
+    spark,
+    n_target: int = 2_000_000,
+    nprobe: int = 8,
+    n_anchor_base: int = 5,
+    n_plant: int = 20,
+) -> dict:
+    """The ANN shortlist at PRODUCTION shape (r10 verdict item 4):
+    every earlier probe ran the query's test-scale K=8; the
+    O(√n)-per-anchor claim in embedding_hard_negatives_ann's docstring
+    needs K ~ √n measured. This probe runs IVF assign → probe →
+    cell equi-join → argmax tail at n = 2M vectors with
+    K = ⌊√n⌋ = 1414 centroids and ``nprobe`` = 8.
+
+    Production-kernel note: at K in the thousands the literal-array
+    fold the query uses for K=8 is the wrong assignment kernel — the
+    real one is a BLAS matmul (what FAISS does), so assignment and
+    probe-selection here run as ONE Arrow mapInPandas pass computing
+    (batch × dim) @ (dim × K) + argpartition per row (the justified
+    dense-linear-algebra Python boundary; the rest of the pipeline —
+    explode, cid equi-join, JVM cosine fold, max_by — is exactly the
+    query's JVM-side plan shape).
+
+    Measured: per-stage walls (assign+probe materialized via eager
+    localCheckpoint, then join+argmax), cell-balance stats (mean/max
+    cell size — the equi-join skew check), candidate volume vs the
+    exact twin's all-pairs volume, and recall: ``n_plant`` planted
+    different-label near-twins (the probe_hard_negatives plant) must
+    each be recovered as their anchor's hard negative."""
+    import numpy as np
+    import pandas as pd
+
+    def _mark(msg):
+        print(f"[ann_production +{time.time() - _t_start:.0f}s] {msg}", file=sys.stderr)
+
+    _t_start = time.time()
+    k_scale = max(n_target // 2000, 1)
+    # Probe-local corpus: build_embeddings' ±rep·8e-3 drift is fine at
+    # k=10 but at k=1000 the drift term (up to ±8/dim vs unit-norm base
+    # vectors) dominates, and assignment collapses into ONE cell
+    # holding 86% of the corpus (measured: max cell 1.73M of 2M — the
+    # exact equi-join skew failure the r10 verdict told this probe to
+    # look for). Use a BOUNDED per-(rep, dim) perturbation (±0.022)
+    # instead: 2000 near-dup clusters of k replicas, measured cell
+    # balance max ≈ 3.9× mean — a realistic near-dup-heavy corpus.
+    out = f"{BASE}/emb_prod"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    src.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k_scale - 1))).alias("rep"),
+        "embedding", "label",
+    ).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + (((F.col("rep") * 31 + (i + 1) * 17) % 23) - 11).cast("double")
+                * 2e-3
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    emb_dir = out
+    _mark("corpus built")
+    # plant different-label near-twins for anchors = base ids 200..:
+    # ids far above any replica id (replicas top out at 999·1e6+1999)
+    emb0 = spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+    planted = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 200 + n_plant))
+        .select(
+            (F.col("vec_id") + 1_500_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double") + ((i % 7) - 3).cast("double") * 1e-5
+                ).cast("float"),
+            ).alias("embedding"),
+            (F.col("label") + 100).alias("label"),
+        )
+    )
+    planted.write.mode("append").parquet(f"{emb_dir}/embeddings.parquet")
+    emb = (
+        spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+    )
+    n = emb.count()
+    _mark(f"n={n}")
+    K = int(n ** 0.5)
+    # deterministic centroids: the replica-0 originals vec_id < K
+    cents_rows = sorted(
+        emb.filter(F.col("vec_id") < K).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cmat = np.array([r.v for r in cents_rows], dtype=np.float64)  # (K, d)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def _assign_probe(batches):
+        # one BLAS pass: per row, nearest cell (cid) AND top-nprobe
+        # probe cells (for the anchor side) — cosine = scores / norms.
+        # v and label pass straight through so NO post-hoc join is
+        # needed (a 2M ⋈ 2M vec_id join just to re-attach columns the
+        # pass already held would be the probe's own scale bug).
+        for pdf in batches:
+            V = np.array(list(pdf["v"]), dtype=np.float64)  # (b, d)
+            if V.size == 0:
+                continue
+            s = V @ cmat.T  # (b, K)
+            s /= np.sqrt((V * V).sum(axis=1))[:, None]
+            s /= cnorm[None, :]
+            cid = s.argmax(axis=1)
+            top = np.argpartition(-s, nprobe - 1, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "v": pdf["v"],
+                    # per-vector norm computed ONCE here so the JVM
+                    # mine tail pays one dot fold per pair, not three
+                    "nrm": np.sqrt((V * V).sum(axis=1)),
+                    "label": pdf["label"].astype("int64"),
+                    "cid": cid.astype("int64"),
+                    "probes": [row.astype("int64").tolist() for row in top],
+                }
+            )
+
+    t0 = time.time()
+    ap = (
+        emb.repartition(64)
+        .mapInPandas(
+            _assign_probe,
+            schema=(
+                "vec_id long, v array<double>, nrm double, label long, "
+                "cid long, probes array<long>"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_assign = time.time() - t0
+    _mark(f"assign done ({t_assign:.0f}s)")
+
+    cell = ap.groupBy("cid").count().agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.avg("count").alias("mean_sz"),
+        F.max("count").alias("max_sz"),
+    ).first()
+
+    # anchors: base ids < n_anchor_base across ALL replicas (k_scale ×
+    # n_anchor_base anchors) + the planted-pair base anchors 200..220
+    anchor_pred = (F.col("vec_id") % 1_000_000 < n_anchor_base) | (
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 200 + n_plant)
+    )
+    anchors = ap.filter(anchor_pred).select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("label").alias("la"),
+        F.explode("probes").alias("cid"),
+    )
+    n_anchors = k_scale * n_anchor_base + n_plant
+
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    t0 = time.time()
+    # broadcast the (k_scale·n_anchor_base + n_plant)-row probe side:
+    # the mine is then MAP-side over the corpus scan, and the 226M-row
+    # candidate stream collapses into the partial aggregate without
+    # ever shuffling wide vector rows (on a cluster the same plan
+    # shape holds with the probes broadcast to every executor).
+    mined = (
+        F.broadcast(anchors).join(
+            ap.select(
+                F.col("vec_id").alias("ib"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+                F.col("label").alias("lb"),
+                "cid",
+            ),
+            "cid",
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(F.col("la") != F.col("lb"))
+        .withColumn("s", cos)
+        .groupBy("ia")
+        .agg(F.max_by("ib", F.struct(F.col("s"), -F.col("ib"))).alias("hard_neg_id"),
+             F.max("s").alias("hard_neg_cos"))
+    )
+    hard = {r.ia: r for r in mined.collect()}
+    t_mine = time.time() - t0
+    _mark(f"mine done ({t_mine:.0f}s)")
+
+    plant_ok = sum(
+        1
+        for a in range(200, 200 + n_plant)
+        if a in hard and hard[a].hard_neg_id == a + 1_500_000_000
+    )
+    spark.catalog.clearCache()
+    candidates = n_anchors * nprobe * float(cell["mean_sz"])
+    return {
+        "probe": "ann_production",
+        "vectors": n,
+        "K": K,
+        "nprobe": nprobe,
+        "n_cells_used": int(cell["n_cells"]),
+        "cell_mean": round(float(cell["mean_sz"]), 1),
+        "cell_max": int(cell["max_sz"]),
+        "anchors": n_anchors,
+        "cand_per_anchor": int(candidates / n_anchors),
+        "cand_frac_of_allpairs": round(candidates / (n_anchors * float(n)), 5),
+        "plant_recall": round(plant_ok / n_plant, 4),
+        "t_assign_s": round(t_assign, 1),
+        "t_mine_s": round(t_mine, 1),
+    }
+
+
 def probe_pq(spark, k: int, n_queries: int = 5) -> dict:
     """IVF-PQ at k× vectors: train coarse (k=8) + PQ (8×16) on the
     BASE vectors only (replica-0 rows — training never needs the full
@@ -1754,6 +1976,7 @@ def main() -> None:
             "curation": lambda: probe_curation(spark, build_corpus(spark, k)),
             "runmin_skew": lambda: probe_runmin_skew(spark),
             "hard_negatives": lambda: probe_hard_negatives(spark),
+            "ann_production": lambda: probe_ann_production(spark),
             "graph_skew": lambda: probe_graph_skew(spark),
             "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
             "render": lambda: probe_render(spark),
@@ -1783,6 +2006,8 @@ def main() -> None:
     print(json.dumps(probe_ann(spark, k)))
     # r10: exact vs ANN-shortlist triplet mining with planted twins
     print(json.dumps(probe_hard_negatives(spark)))
+    # r11: the ANN shortlist at production shape (n=2M, K=√n)
+    print(json.dumps(probe_ann_production(spark)))
     print(json.dumps(probe_pq(spark, k)))
     # Iterative graph operators (r5 verdict item 6): planted invariants
     # at ~10× the sf0.1 graph family, rounds + wall-per-wave recorded.
