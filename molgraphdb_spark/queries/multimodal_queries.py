@@ -7,13 +7,16 @@ need none: ``mm_decoded_features`` synthesizes valid PPM (P6) and
 WAV-PCM payloads from the document bytes and decodes them with the
 genuine pure-Python parsers in functions/codecs.py — dimensions,
 sample rate, and bit depth come from the file headers, features from
-the decoded raster/samples — and ``mm_decoded_png`` does the same for
+the decoded raster/samples — ``mm_decoded_png`` does the same for
 PNG, a real DEFLATE-compressed format decoded end-to-end with stdlib
-zlib (CRC-verified chunk walk + five-filter scanline unfiltering).
-The remaining compressed formats (JPEG/MP3) stay behind
-``decode_image_stub`` (NotImplementedError), the documented residual
-codec boundary; the byte-level fake features in ``mm_feature_extract``
-stay as the format-agnostic fallback leg.
+zlib (CRC-verified chunk walk + five-filter scanline unfiltering) —
+and ``mm_decoded_jpeg`` closes the hardest image leg with a pure-
+Python BASELINE JPEG codec (functions/jpeg.py: marker walk, DQT/DHT/
+SOF0/SOS, canonical Huffman entropy decode with 0xFF00 unstuffing, DC
+prediction, dequantize + IDCT). The remaining compressed formats
+(MP3/H.264) stay behind ``decode_image_stub`` (NotImplementedError),
+the documented residual codec boundary; the byte-level fake features
+in ``mm_feature_extract`` stay as the format-agnostic fallback leg.
 
 Payloads are derived deterministically from ``documents.text``
 (UTF-8 bytes — the corpus is ASCII) so DuckDB can recompute every
@@ -47,17 +50,18 @@ FRAME_STRIDE = 16
 
 
 def decode_image_stub(payload: bytes, fmt: str) -> "object":
-    """The residual COMPRESSED-codec boundary: JPEG and MP3 (Huffman+
-    IDCT / MDCT — genuinely heavy to reimplement). In production this
-    dispatches to a codec library on the executor; this container
-    ships none, so calling it is an explicit error. PPM, WAV-PCM AND
-    PNG do NOT hit this boundary: they decode genuinely via
-    functions/codecs.py (see mm_decoded_features / mm_decoded_png —
-    PNG included, stdlib-zlib DEFLATE + five-filter unfiltering)."""
+    """The residual COMPRESSED-codec boundary: MP3/H.264 (MDCT +
+    psychoacoustic synthesis / motion compensation — genuinely heavy
+    to reimplement). In production this dispatches to a codec library
+    on the executor; this container ships none, so calling it is an
+    explicit error. PPM, WAV-PCM, PNG and baseline JPEG do NOT hit
+    this boundary: they decode genuinely via functions/codecs.py and
+    functions/jpeg.py (see mm_decoded_features / mm_decoded_png /
+    mm_decoded_jpeg)."""
     raise NotImplementedError(
-        f"no JPEG/MP3 codec for {fmt!r} in this environment; "
-        "PPM/WAV/PNG decode via functions.codecs, and "
-        "mm_feature_extract's byte features cover the rest"
+        f"no MP3/H.264 codec for {fmt!r} in this environment; "
+        "PPM/WAV/PNG/JPEG decode via functions.codecs + functions.jpeg, "
+        "and mm_feature_extract's byte features cover the rest"
     )
 
 
@@ -821,6 +825,102 @@ FROM img
 """
 
 
+def _decoded_jpeg_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a baseline JPEG per image-modality doc and decode it
+    with the REAL pure-Python codec (functions/jpeg.py): marker walk,
+    DQT/DHT parsed from the file, canonical Huffman entropy decode,
+    DC prediction, dequantize + IDCT. The synthesized image is the
+    EXACTNESS CLASS — a grid of constant-EVEN-valued 8x8 blocks, where
+    baseline JPEG with the Annex K luminance table is provably
+    bit-exact (jpeg.py module doc derives this; tests pin it
+    exhaustively over all 128 even values) — so features computed from
+    the DECODED pixels admit a closed-form oracle while the bytes
+    still travel through a genuine Huffman bitstream."""
+    import numpy as np
+
+    from molgraphdb_spark.functions.jpeg import (
+        encode_jpeg,
+        jpeg_luminance_features,
+    )
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue  # crawl error: nothing to synthesize/decode
+            b = bytes(payload)
+            n = len(b)
+            if n == 0:
+                continue  # empty payload: no blocks to derive
+            bw, bh = n % 8 + 1, n % 6 + 1
+            v = (
+                np.frombuffer((b * ((bw * bh + n - 1) // n))[: bw * bh], dtype=np.uint8)
+                // 2 * 2
+            )  # one EVEN value per 8x8 block
+            img = np.kron(v.reshape(bh, bw), np.ones((8, 8), dtype=np.uint8))
+            dw, dh, luma, peak = jpeg_luminance_features(
+                encode_jpeg(bw * 8, bh * 8, img.tobytes(), 1)
+            )
+            out.append((int(doc_id), dw, dh, luma, peak))
+        df = pd.DataFrame(
+            out, columns=["doc_id", "width", "height", "luma_milli", "peak"]
+        )
+        df["width"] = df["width"].astype("Int32")
+        df["height"] = df["height"].astype("Int32")
+        df["luma_milli"] = df["luma_milli"].astype("Int64")
+        df["peak"] = df["peak"].astype("Int32")
+        yield df
+
+
+def mm_decoded_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HARDEST compressed-image decode leg: per image-modality doc,
+    a baseline JPEG (Annex K tables, real DCT + canonical-Huffman
+    entropy coding) is synthesized and decoded through the genuine
+    pure-Python codec (functions/jpeg.py::decode_jpeg — marker walk,
+    file-carried DQT/DHT, 0xFF00 unstuffing, DC prediction, EXTEND,
+    dequantize, batch IDCT), and mean luminance (milli) + peak are
+    computed from the DECODED pixels. One map-only mapInPandas pass.
+
+    The synthesized images are constant-EVEN-block grids — the class
+    where baseline JPEG is bit-exact (derivation in jpeg.py's module
+    doc: DC = 8*(v-128) is a multiple of the Annex K DC quantizer 16,
+    ACs are zero) — so the DuckDB oracle recomputes the features
+    closed-form from the document bytes, fully independent of the
+    codec module; decode-of-foreign-bytes correctness is pinned
+    separately by hand-built-file goldens, a naive-DCT third
+    implementation, and fuzzed properties in tests/test_jpeg.py. With
+    this leg the documented codec boundary shrinks to MP3/H.264.
+
+    Reference counterpart: mcs.py:349–687's bytes→pixels render pipe
+    (the reference's only media decode analogue)."""
+    m = multimodal_manifest(spark, sf_dir).filter(
+        F.col("metadata.format") == "image"
+    )
+    return m.select("doc_id", "payload").mapInPandas(
+        _decoded_jpeg_rows,
+        schema="doc_id long, width int, height int, luma_milli long, peak int",
+    )
+
+
+MM_DECODED_JPEG_SQL = """
+WITH img AS (
+  SELECT doc_id, length(text) AS n,
+         length(text) % 8 + 1 AS bw,
+         length(text) % 6 + 1 AS bh,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, bw * bh),
+            k -> (codes[k % n + 1] // 2) * 2
+       )) * 1000 // (bw * bh) AS BIGINT) AS luma_milli,
+       CAST(list_max(list_transform(range(0, bw * bh),
+            k -> (codes[k % n + 1] // 2) * 2
+       )) AS INT) AS peak
+FROM img
+"""
+
+
 #: Resize target: RESIZE_DIM x RESIZE_DIM nearest-neighbor grid.
 RESIZE_DIM = 8
 
@@ -912,6 +1012,7 @@ QUERIES = {
     "mm_phash_neardup": mm_phash_neardup,
     "mm_resize_grid": mm_resize_grid,
     "mm_decoded_png": mm_decoded_png,
+    "mm_decoded_jpeg": mm_decoded_jpeg,
 }
 
 ORACLES = {
@@ -919,6 +1020,7 @@ ORACLES = {
     "mm_decoded_features": MM_DECODED_SQL,
     "mm_decoded_phash": MM_DECODED_PHASH_SQL,
     "mm_decoded_png": MM_DECODED_PNG_SQL,
+    "mm_decoded_jpeg": MM_DECODED_JPEG_SQL,
     "mm_phash_neardup": MM_PHASH_SQL,
     "mm_resize_grid": MM_RESIZE_SQL,
     "mm_feature_extract": MM_FEATURES_SQL,

@@ -47,11 +47,21 @@ _QUERY_MODULES = [
 # Round-11 verification window (first 50), per the r10 verdict item 1.
 # Composition (staleness ledger = tools/gen_query_index
 # .last_driver_green over all ten CORRECTNESS_r*.json):
-# - The 1 r11 debut LEADS (never driver-checked): mm_decoded_png —
-#   the compressed-image decode leg (stdlib-zlib PNG: CRC-verified
-#   chunk walk + inflate + five-filter unfiltering), shrinking the
-#   documented codec boundary to JPEG/MP3.
-# - 22 changed-code re-gates:
+# - The 2 r11 debuts LEAD (never driver-checked):
+#   mm_decoded_jpeg — the HARDEST compressed-image leg (pure-Python
+#   baseline JPEG, functions/jpeg.py: marker walk + file-carried
+#   DQT/DHT + canonical Huffman entropy decode + IDCT; the synthesized
+#   even-constant-block class is provably bit-exact, so the oracle is
+#   closed-form). Pre-verified hash-green at sf0.01 this session.
+#   mm_decoded_png — the stdlib-zlib PNG leg (CRC-verified chunk walk
+#   + inflate + five-filter unfiltering).
+#   With both, the documented codec boundary shrinks to MP3/H.264.
+# - 21 changed-code re-gates (mm_chunk_windows rotates to lead r12:
+#   the window holds 50 and its change is the identical one-line
+#   terminal-sort drop as its three in-window multimodal_queries.py
+#   siblings (mm_decoded_features/mm_decoded_phash/mm_resize_grid),
+#   pre-verified hash-green at sf0.01 and swept by the suite's
+#   full-registry sf0.001 oracle run):
 #   embedding_hard_negatives_ann (r10 ADVICE: loud rejection replaces
 #   the empty-centroid sentinel when the corpus is non-empty), and the
 #   21 queries whose terminal presentation sorts were dropped this
@@ -59,16 +69,18 @@ _QUERY_MODULES = [
 #   hash is order-insensitive, but the code changed so they re-gate):
 #   text ×10 (line_dedup/rare_token/tfidf/content_filter/pii/
 #   unigram/bigram/gopher/chunk_spans/cdc), dedup ×4 (minhash_
-#   signatures/simhash/incremental_flags/ngram_novelty), mm ×4
-#   (chunk_windows/decoded_features/decoded_phash/resize_grid; the
-#   decoded pair also re-gates the r11 WAV header-validation fix),
+#   signatures/simhash/incremental_flags/ngram_novelty), mm ×3
+#   (decoded_features/decoded_phash/resize_grid; the decoded pair also
+#   re-gates the r11 WAV header-validation fix),
 #   spans ×3 (dup_span_stats/dup_span_removal/repetition_suite).
 # - ALL 27 r6-stale rows (the entire remaining staleness tail; 14 of
 #   them were judge-parity-green at sf0.01 in the r10 verdict session).
-# 1 + 22 + 27 = 50. Rotated out: every r10-green window row not
-# re-gated above. After this window the ledger floor is r10.
+# 2 + 21 + 27 = 50. Rotated out: every r10-green window row not
+# re-gated above, plus mm_chunk_windows (leads r12). After this window
+# the ledger floor is r10.
 _PRIORITY = [
-    # ---- r11 debut (never driver-checked) ----
+    # ---- r11 debuts (never driver-checked) ----
+    "mm_decoded_jpeg",
     "mm_decoded_png",
     # ---- changed-code re-gates (ADVICE fix + presentation-sort drop) ----
     "embedding_hard_negatives_ann",
@@ -86,7 +98,6 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_incremental_flags",
     "doc_ngram_novelty",
-    "mm_chunk_windows",
     "mm_decoded_features",
     "mm_decoded_phash",
     "mm_resize_grid",

@@ -97,6 +97,7 @@ AT_RISK = [
     "chem_render_raster",        # integer layout + raster digests
     "chem_render_subgraphs",     # display-representative renders
     "mm_decoded_png",            # PNG inflate+unfilter — layout-free features
+    "mm_decoded_jpeg",           # Huffman+IDCT decode — layout-free features
 ]
 
 

@@ -84,6 +84,7 @@ MAP_ONLY_ZERO_EXCHANGE = [
     "mm_decoded_features",
     "mm_decoded_phash",
     "mm_decoded_png",
+    "mm_decoded_jpeg",
     "mm_resize_grid",
 ]
 

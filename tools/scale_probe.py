@@ -352,16 +352,18 @@ def probe_ann(spark, k: int) -> dict:
 
 
 def probe_decode(spark, sf_dir: str) -> dict:
-    """Real-codec decode leg at 10× (r10): run mm_decoded_features +
-    mm_decoded_phash over the 50k-doc corpus and verify THREE sampled
-    docs' features against a plain-Python recompute straight from the
-    text bytes (independent of the codecs module) — the decode is
-    exercised at volume, correctness stays pinned per sample, and the
-    Arrow-pass throughput is recorded."""
+    """Real-codec decode leg at 10× (r10; r11 adds the baseline-JPEG
+    pass): run mm_decoded_features + mm_decoded_phash + mm_decoded_jpeg
+    over the 50k-doc corpus and verify sampled docs' features against a
+    plain-Python recompute straight from the text bytes (independent of
+    the codec modules) — the decode is exercised at volume, correctness
+    stays pinned per sample, and the Arrow-pass throughput is
+    recorded."""
     import math
 
     from molgraphdb_spark.queries.multimodal_queries import (
         mm_decoded_features,
+        mm_decoded_jpeg,
         mm_decoded_phash,
     )
 
@@ -372,6 +374,35 @@ def probe_decode(spark, sf_dir: str) -> dict:
     t0 = time.time()
     n_ph = mm_decoded_phash(spark, sf_dir).count()
     t_ph = time.time() - t0
+    # r11: the Huffman+IDCT leg at volume, with 3 sampled docs checked
+    # against the closed-form even-constant-block expectation.
+    t0 = time.time()
+    jp = mm_decoded_jpeg(spark, sf_dir)
+    n_jp = jp.count()
+    t_jp = time.time() - t0
+    jp_ids = [
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") % 3 == 0) & F.col("text").isNotNull()
+                & (F.length("text") > 0))
+        .limit(3).collect()
+    ]
+    jp_text = {
+        int(r["doc_id"]): r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id").isin(jp_ids)).collect()
+    }
+    jp_ok = 0
+    for r in jp.filter(F.col("doc_id").isin(jp_ids)).collect():
+        b = jp_text[int(r["doc_id"])].encode()
+        n = len(b)
+        bw, bh = n % 8 + 1, n % 6 + 1
+        v = [(b[k % n] // 2) * 2 for k in range(bw * bh)]
+        jp_ok += int(
+            r["width"] == bw * 8 and r["height"] == bh * 8
+            and r["luma_milli"] == sum(v) * 1000 // (bw * bh)
+            and r["peak"] == max(v)
+        )
 
     docs = {
         int(r["doc_id"]): r["text"]
@@ -417,11 +448,16 @@ def probe_decode(spark, sf_dir: str) -> dict:
         "probe": "decode",
         "rows_features": n_rows,
         "rows_phash": n_ph,
+        "rows_jpeg": n_jp,
         "sampled_exact": ok,
         "sampled_total": len(sample_ids),
+        "jpeg_sampled_exact": jp_ok,
+        "jpeg_sampled_total": len(jp_ids),
         "t_features_s": round(t_feat, 1),
         "t_phash_s": round(t_ph, 1),
+        "t_jpeg_s": round(t_jp, 1),
         "docs_per_s": int(n_rows / max(t_feat, 1e-9)),
+        "jpeg_docs_per_s": int(n_jp / max(t_jp, 1e-9)),
     }
 
 
