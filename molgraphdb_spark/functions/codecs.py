@@ -14,8 +14,9 @@ dimensions, sample rate, and bit depth come from the FILE, not from
 side-channel metadata — and reject malformed input loudly (wrong
 magic, truncated raster, bad CRC, unknown filter type, non-PCM
 format), so the pipeline behaves exactly as it would with a real
-decoder in the slot. The remaining compressed formats (JPEG/MP3/H.264)
-stay behind the documented ``decode_image_stub`` boundary in
+decoder in the slot. Baseline JPEG decodes via the sibling module
+functions/jpeg.py; the remaining compressed formats (MP3/H.264) stay
+behind the documented ``decode_image_stub`` boundary in
 queries/multimodal_queries.py.
 
 Reference counterpart: the reference's own "decode media" analogue is
@@ -121,7 +122,8 @@ def ppm_luminance_features(data: bytes) -> tuple[int, int, int, int]:
 # PNG (RGB, 8-bit, non-interlaced) — a real COMPRESSED image format,
 # decoded with nothing but stdlib zlib. Envelope: color type 2 (RGB),
 # bit depth 8, compression 0, filter method 0, interlace 0 — anything
-# else is a loud ValueError (the JPEG/MP3 boundary stays documented).
+# else is a loud ValueError (JPEG lives in functions/jpeg.py; the
+# MP3/H.264 boundary stays documented).
 # --------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -461,6 +461,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 htabs[(tc, th)] = build_huffman_codes(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 — the ONLY frame type in the envelope
+            if sof is not None:
+                raise ValueError("JPEG has multiple SOF0 frames")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"decoder supports 8-bit precision, got {prec}")
@@ -491,6 +493,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             scan_comps = []
             for c in range(ns):
                 cs, tda = body[1 + 2 * c], body[2 + 2 * c]
+                if cs != sof[2][c][0]:
+                    raise ValueError(
+                        f"SOS component order {cs} disagrees with frame "
+                        f"component {sof[2][c][0]} (non-interleaved scans "
+                        "are outside the baseline envelope here)"
+                    )
                 scan_comps.append((cs, tda >> 4, tda & 0x0F))
             ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
             if (ss, se, ahl) != (0, 63, 0):

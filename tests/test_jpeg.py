@@ -269,6 +269,20 @@ def test_rejects_subsampled_chroma():
         decode_jpeg(bad)
 
 
+def test_rejects_duplicate_sof_and_scan_order_mismatch():
+    good = encode_jpeg(8, 8, bytes(64), 1)
+    sof_at = good.index(b"\xFF\xC0")
+    sof_end = sof_at + 2 + struct.unpack(">H", good[sof_at + 2 : sof_at + 4])[0]
+    dup = good[:sof_end] + good[sof_at:sof_end] + good[sof_end:]
+    with pytest.raises(ValueError, match="multiple SOF0"):
+        decode_jpeg(dup)
+    sos_at = good.index(b"\xFF\xDA")
+    cs_at = sos_at + 5  # marker(2) + len(2) + ns(1) -> first component id
+    swapped = good[:cs_at] + b"\x02" + good[cs_at + 1 :]
+    with pytest.raises(ValueError, match="disagrees with frame"):
+        decode_jpeg(swapped)
+
+
 def test_rejects_restart_intervals():
     good = encode_jpeg(8, 8, bytes(64), 1)
     dri = _seg(0xFFDD, struct.pack(">H", 4))
