@@ -791,8 +791,9 @@ def mm_decoded_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; the DuckDB oracle recomputes the features closed-form from
     the document bytes, independent of the codec module (decode∘encode
     correctness is pinned separately by hand-built-file goldens and
-    fuzzed roundtrips in tests/test_codecs.py). With this leg the
-    documented compressed-codec boundary shrinks to JPEG/MP3.
+    fuzzed roundtrips in tests/test_codecs.py). With this leg and the
+    baseline-JPEG leg (mm_decoded_jpeg) the documented compressed-codec
+    boundary shrinks to MP3/H.264.
 
     Reference counterpart: mcs.py:349–687's bytes→pixels render pipe
     (the reference's only media decode analogue)."""

@@ -2392,8 +2392,150 @@ FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
 """
 
 
+#: Deterministic per-doc HTML wrapper (title + tracking script + style
+#: + nav/footer boilerplate + the escaped document text as the main
+#: <p> block). Built identically in both engines so the EXTRACTOR is
+#: what the oracle checks — the same synthesize→real-parse pattern as
+#: the codec legs.
+_HTML_HEAD = (
+    '<html><head><title>Doc '
+)
+_HTML_MID1 = (
+    '</title><script type="text/javascript">var t="'
+)
+_HTML_MID2 = (
+    '"; track();</script><style>.nav { color: red; }</style></head><body>'
+    '<nav><a href="/home">Home</a> <a href="/search">Search</a></nav>'
+    '<div class="main"><p>'
+)
+_HTML_TAIL = (
+    '</p></div><footer><a href="/terms">Terms of Service</a>'
+    ' (c) Example Corp</footer></body></html>'
+)
+
+
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction — step 1 of every web-crawl pretraining
+    pipeline (WARC/HTML to clean text, the trafilatura/justext slot).
+
+    Each document is wrapped in a deterministic HTML page (title,
+    tracking <script>, <style>, nav/footer link boilerplate, the
+    entity-escaped text as the main <p> block), then the EXTRACTOR —
+    which works on any HTML, nothing about the wrapper is assumed
+    beyond well-formedness — runs entirely JVM-side:
+
+    1. drop <script>/<style> blocks (two lazy-dotall passes; RE2 has
+       no backreferences so the oracle cannot use <(script|style)>…</\\1>),
+    2. strip tags, 3. unescape &lt;/&gt;/&amp;, 4. collapse whitespace;
+    plus the main-content block (<p>…</p>), anchor count, and the
+    link-density / main-content-ratio signals boilerplate classifiers
+    cut on. Zero Python, zero shuffles (map-only; plan-pinned).
+
+    Scale: scan → project, embarrassingly parallel; at 100 TB this is
+    the classic extract pass that dominates crawl processing, and it
+    stays inside whole-stage codegen."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    esc = F.expr(
+        "replace(replace(replace(text,'&','&amp;'),'<','&lt;'),'>','&gt;')"
+    )
+    html = F.concat(
+        F.lit(_HTML_HEAD), F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID1), F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID2), esc, F.lit(_HTML_TAIL),
+    )
+    d = docs.select("doc_id", html.alias("html"))
+    unesc = (
+        "replace(replace(replace({src},'&lt;','<'),'&gt;','>'),'&amp;','&')"
+    )
+    visible = (
+        "regexp_replace(regexp_replace(regexp_replace(html,"
+        " '(?s)<script[^>]*>.*?</script>', ' '),"
+        " '(?s)<style[^>]*>.*?</style>', ' '),"
+        " '<[^>]+>', ' ')"
+    )
+    full_text = F.trim(
+        F.regexp_replace(F.expr(unesc.format(src=visible)), r"\s+", " ")
+    )
+    main_text = F.trim(
+        F.regexp_replace(
+            F.expr(unesc.format(src="regexp_extract(html, '(?s)<p>(.*?)</p>', 1)")),
+            r"\s+",
+            " ",
+        )
+    )
+    link_chars = F.aggregate(
+        F.expr(
+            "transform(regexp_extract_all(html,"
+            " '<a[^>]*>([^<]*)</a>', 1), x -> length(x))"
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    out = d.select(
+        "doc_id",
+        full_text.alias("full_text"),
+        main_text.alias("main_text"),
+        F.regexp_count("html", F.lit("<a ")).cast("int").alias("n_links"),
+        link_chars.alias("link_chars"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_links"),
+        F.length("full_text").alias("full_len"),
+        F.length("main_text").alias("main_len"),
+        F.expr("CAST(link_chars * 1000 DIV GREATEST(length(full_text), 1) AS BIGINT)").alias(
+            "link_density_milli"
+        ),
+        F.expr(
+            "CAST(length(main_text) * 1000 DIV GREATEST(length(full_text), 1) AS BIGINT)"
+        ).alias("main_ratio_milli"),
+        "main_text",
+    )
+
+
+DOC_HTML_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+    '</title><script type="text/javascript">var t="' || CAST(doc_id AS VARCHAR) ||
+    '"; track();</script><style>.nav { color: red; }</style></head><body>' ||
+    '<nav><a href="/home">Home</a> <a href="/search">Search</a></nav>' ||
+    '<div class="main"><p>' ||
+    replace(replace(replace(text,'&','&amp;'),'<','&lt;'),'>','&gt;') ||
+    '</p></div><footer><a href="/terms">Terms of Service</a>' ||
+    ' (c) Example Corp</footer></body></html>' AS html
+  FROM documents WHERE text IS NOT NULL
+), x AS (
+  SELECT doc_id,
+    trim(regexp_replace(replace(replace(replace(
+       regexp_replace(regexp_replace(regexp_replace(html,
+         '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         '<[^>]+>', ' ', 'g'),
+       '&lt;','<'),'&gt;','>'),'&amp;','&'), '\\s+', ' ', 'g')) AS full_text,
+    trim(regexp_replace(replace(replace(replace(
+       regexp_extract(html, '(?s)<p>(.*?)</p>', 1),
+       '&lt;','<'),'&gt;','>'),'&amp;','&'), '\\s+', ' ', 'g')) AS main_text,
+    len(regexp_extract_all(html, '<a ')) AS n_links,
+    COALESCE(list_sum(list_transform(
+        regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1),
+        x -> length(x))), 0) AS link_chars
+  FROM h
+)
+SELECT doc_id, CAST(n_links AS INT) AS n_links,
+       CAST(length(full_text) AS INT) AS full_len,
+       CAST(length(main_text) AS INT) AS main_len,
+       CAST(link_chars * 1000 // GREATEST(length(full_text), 1) AS BIGINT) AS link_density_milli,
+       CAST(length(main_text) * 1000 // GREATEST(length(full_text), 1) AS BIGINT) AS main_ratio_milli,
+       main_text
+FROM x
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
+    "doc_html_extract": doc_html_extract,
     "doc_chunk_spans": doc_chunk_spans,
     "doc_cdc_chunks": doc_cdc_chunks,
     "source_chunk_dup_rate": source_chunk_dup_rate,
@@ -2427,6 +2569,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_bm25_topk": DOC_BM25_SQL,
+    "doc_html_extract": DOC_HTML_SQL,
     "doc_chunk_spans": DOC_CHUNK_SQL,
     "doc_cdc_chunks": DOC_CDC_SQL,
     "source_chunk_dup_rate": SOURCE_CHUNK_DUP_SQL,

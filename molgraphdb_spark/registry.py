@@ -78,6 +78,12 @@ _QUERY_MODULES = [
 # 2 + 21 + 27 = 50. Rotated out: every r10-green window row not
 # re-gated above, plus mm_chunk_windows (leads r12). After this window
 # the ledger floor is r10.
+#
+# r12 window MUST lead with: mm_chunk_windows (displaced re-gate, see
+# above) and doc_html_extract (r11 post-window debut — the HTML→text
+# extraction pass; hash-green at sf0.01 this session, html.parser
+# third implementation in tests/test_thirdimpl.py, swept by the
+# suite's full-registry sf0.001 oracle run until then).
 _PRIORITY = [
     # ---- r11 debuts (never driver-checked) ----
     "mm_decoded_jpeg",

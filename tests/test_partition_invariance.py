@@ -98,6 +98,7 @@ AT_RISK = [
     "chem_render_subgraphs",     # display-representative renders
     "mm_decoded_png",            # PNG inflate+unfilter — layout-free features
     "mm_decoded_jpeg",           # Huffman+IDCT decode — layout-free features
+    "doc_html_extract",          # per-row regex pipeline — layout-free
 ]
 
 

@@ -86,6 +86,7 @@ MAP_ONLY_ZERO_EXCHANGE = [
     "mm_decoded_png",
     "mm_decoded_jpeg",
     "mm_resize_grid",
+    "doc_html_extract",
 ]
 
 

@@ -1956,3 +1956,91 @@ def test_rrf_matches_python_on_real_corpus(spark, sf_dir):
     ]
     assert sorted(got) == sorted(expect)
     assert len(got) == RRF_N_QUERIES * RRF_TOPK
+
+
+def test_html_extract_matches_stdlib_html_parser(spark, sf_dir):
+    """Third implementation of doc_html_extract: build the SAME wrapper
+    page in plain Python and extract it with stdlib html.parser (an
+    actual HTML tokenizer — a genuinely different algorithm from the
+    regex pipeline), then compare every output column on the real
+    corpus."""
+    import re as _re
+    from html.parser import HTMLParser
+
+    from molgraphdb_spark.queries.text import (
+        _HTML_HEAD,
+        _HTML_MID1,
+        _HTML_MID2,
+        _HTML_TAIL,
+        doc_html_extract,
+    )
+
+    class Extract(HTMLParser):
+        def __init__(self):
+            super().__init__()  # convert_charrefs=True unescapes entities
+            self.chunks, self.main, self.links = [], [], []
+            self.skip = 0
+            self.in_p = 0
+            self.in_a = 0
+            self.n_links = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            if tag == "p":
+                self.in_p += 1
+            if tag == "a":
+                self.in_a += 1
+                self.n_links += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self.skip -= 1
+            if tag == "p":
+                self.in_p -= 1
+            if tag == "a":
+                self.in_a -= 1
+
+        def handle_data(self, data):
+            if self.skip:
+                return
+            self.chunks.append(data)
+            if self.in_p:
+                self.main.append(data)
+            if self.in_a:
+                self.links.append(data)
+
+    def norm(parts):
+        return _re.sub(r"\s+", " ", " ".join(parts)).strip()
+
+    expect = {}
+    for did, text in _pa_docs(sf_dir):
+        esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        page = f"{_HTML_HEAD}{did}{_HTML_MID1}{did}{_HTML_MID2}{esc}{_HTML_TAIL}"
+        p = Extract()
+        p.feed(page)
+        p.close()
+        full, main = norm(p.chunks), norm(p.main)
+        link_chars = sum(len(x) for x in p.links)
+        expect[did] = (
+            p.n_links,
+            len(full),
+            len(main),
+            link_chars * 1000 // max(len(full), 1),
+            len(main) * 1000 // max(len(full), 1),
+            main,
+        )
+
+    got = {
+        r.doc_id: (
+            r.n_links,
+            r.full_len,
+            r.main_len,
+            r.link_density_milli,
+            r.main_ratio_milli,
+            r.main_text,
+        )
+        for r in doc_html_extract(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
