@@ -10,13 +10,17 @@ sample rate, and bit depth come from the file headers, features from
 the decoded raster/samples — ``mm_decoded_png`` does the same for
 PNG, a real DEFLATE-compressed format decoded end-to-end with stdlib
 zlib (CRC-verified chunk walk + five-filter scanline unfiltering) —
-and ``mm_decoded_jpeg`` closes the hardest image leg with a pure-
-Python BASELINE JPEG codec (functions/jpeg.py: marker walk, DQT/DHT/
-SOF0/SOS, canonical Huffman entropy decode with 0xFF00 unstuffing, DC
-prediction, dequantize + IDCT). The remaining compressed formats
-(MP3/H.264) stay behind ``decode_image_stub`` (NotImplementedError),
-the documented residual codec boundary; the byte-level fake features
-in ``mm_feature_extract`` stay as the format-agnostic fallback leg.
+``mm_decoded_jpeg`` closes the hardest image leg with a pure-Python
+BASELINE JPEG codec (functions/jpeg.py: marker walk, DQT/DHT/SOF0/SOS,
+canonical Huffman entropy decode with 0xFF00 unstuffing, DC
+prediction, dequantize + IDCT) — and ``mm_decoded_flac`` closes the
+compressed-AUDIO leg with a pure-Python FLAC codec (functions/flac.py:
+Rice residuals over fixed linear predictors, CRC-8/CRC-16 framing,
+STREAMINFO MD5 integrity; lossless, so decode is bit-exact for every
+input). Only lossy perceptual coding (MP3/H.264) stays behind
+``decode_image_stub`` (NotImplementedError), the documented residual
+codec boundary; the byte-level fake features in ``mm_feature_extract``
+stay as the format-agnostic fallback leg.
 
 Payloads are derived deterministically from ``documents.text``
 (UTF-8 bytes — the corpus is ASCII) so DuckDB can recompute every
@@ -50,17 +54,18 @@ FRAME_STRIDE = 16
 
 
 def decode_image_stub(payload: bytes, fmt: str) -> "object":
-    """The residual COMPRESSED-codec boundary: MP3/H.264 (MDCT +
-    psychoacoustic synthesis / motion compensation — genuinely heavy
-    to reimplement). In production this dispatches to a codec library
-    on the executor; this container ships none, so calling it is an
-    explicit error. PPM, WAV-PCM, PNG and baseline JPEG do NOT hit
-    this boundary: they decode genuinely via functions/codecs.py and
-    functions/jpeg.py (see mm_decoded_features / mm_decoded_png /
-    mm_decoded_jpeg)."""
+    """The residual COMPRESSED-codec boundary: lossy perceptual coding
+    — MP3/H.264 (MDCT + psychoacoustic synthesis / motion compensation
+    — genuinely heavy to reimplement). In production this dispatches
+    to a codec library on the executor; this container ships none, so
+    calling it is an explicit error. PPM, WAV-PCM, PNG, baseline JPEG
+    and FLAC do NOT hit this boundary: they decode genuinely via
+    functions/codecs.py, functions/jpeg.py and functions/flac.py (see
+    mm_decoded_features / mm_decoded_png / mm_decoded_jpeg /
+    mm_decoded_flac)."""
     raise NotImplementedError(
         f"no MP3/H.264 codec for {fmt!r} in this environment; "
-        "PPM/WAV/PNG/JPEG decode via functions.codecs + functions.jpeg, "
+        "PPM/WAV/PNG/JPEG/FLAC decode via functions.codecs/jpeg/flac, "
         "and mm_feature_extract's byte features cover the rest"
     )
 
@@ -922,6 +927,102 @@ FROM img
 """
 
 
+#: Excerpt window for the FLAC leg (bounds the per-doc Python Rice
+#: bit-loop; feature extraction on a bounded excerpt is the realistic
+#: shape — the full-signal twin is the WAV leg).
+FLAC_MAX_SAMPLES = 1024
+
+
+def _decoded_flac_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a FLAC file per audio-modality doc (the same
+    bytes→PCM rule as the WAV leg, bounded to FLAC_MAX_SAMPLES) and
+    decode it with the REAL pure-Python FLAC codec: metadata walk,
+    frame sync + CRC-8/CRC-16 verification, Rice residual decode,
+    fixed-prediction reconstruction, and the STREAMINFO MD5 integrity
+    check over all decoded samples. FLAC is lossless, so features from
+    the DECODED samples admit the same closed-form oracle as WAV —
+    with the bytes having traveled through a genuine Rice bitstream."""
+    import numpy as np
+
+    from molgraphdb_spark.functions.codecs import WAV_SAMPLE_RATE
+    from molgraphdb_spark.functions.flac import (
+        encode_flac,
+        flac_signal_features,
+    )
+
+    cols = ["doc_id", "sample_rate", "n_samples", "duration_ms", "energy", "peak"]
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue  # crawl error: nothing to synthesize/decode
+            b = bytes(payload)[:FLAC_MAX_SAMPLES]
+            if not b:
+                continue  # empty payload: no samples to derive
+            codes = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            samples = (codes - 128) * 256
+            rate, ns, dur, energy, peak = flac_signal_features(
+                encode_flac(WAV_SAMPLE_RATE, samples)
+            )
+            out.append((int(doc_id), rate, ns, dur, energy, peak))
+        df = pd.DataFrame(out, columns=cols)
+        df["sample_rate"] = df["sample_rate"].astype("Int32")
+        df["peak"] = df["peak"].astype("Int32")
+        for c in ("n_samples", "duration_ms", "energy"):
+            df[c] = df[c].astype("Int64")
+        yield df
+
+
+def mm_decoded_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-AUDIO decode leg: per audio-modality doc, a FLAC
+    file (fixed-predictor + Rice residual coding, CRC-8/CRC-16 framing,
+    STREAMINFO MD5) is synthesized from a bounded PCM excerpt and
+    decoded through the genuine pure-Python codec
+    (functions/flac.py::decode_flac), and signal features are computed
+    from the DECODED samples. One map-only mapInPandas pass.
+
+    FLAC is LOSSLESS, so — unlike the JPEG leg, which needs its
+    exactness-class argument — the oracle recomputes features
+    closed-form from the document bytes for EVERY input, independent
+    of the codec module; codec correctness is pinned separately by
+    hand-built files, published CRC check values, a bit-by-bit CRC
+    third implementation, and hypothesis lossless-roundtrip properties
+    in tests/test_flac.py. With this leg the residual documented
+    boundary is lossy perceptual coding only (MP3/H.264).
+
+    Reference counterpart: mcs.py:349–687's bytes→pixels render pipe
+    (the reference's only media decode analogue)."""
+    m = multimodal_manifest(spark, sf_dir).filter(
+        F.col("metadata.format") == "audio"
+    )
+    return m.select("doc_id", "payload").mapInPandas(
+        _decoded_flac_rows,
+        schema=(
+            "doc_id long, sample_rate int, n_samples long, "
+            "duration_ms long, energy long, peak int"
+        ),
+    )
+
+
+MM_DECODED_FLAC_SQL = f"""
+WITH aud AS (
+  SELECT doc_id, least(length(text), {FLAC_MAX_SAMPLES}) AS n,
+         list_transform(range(1, least(length(text), {FLAC_MAX_SAMPLES}) + 1),
+                        i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id,
+       CAST({WAV_SAMPLE_RATE} AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // {WAV_SAMPLE_RATE} AS BIGINT) AS duration_ms,
+       CAST(list_sum(list_transform(codes,
+            c -> CAST((c - 128) * 256 AS BIGINT) * CAST((c - 128) * 256 AS BIGINT)
+       )) AS BIGINT) AS energy,
+       CAST(list_max(list_transform(codes, c -> abs((c - 128) * 256))) AS INT) AS peak
+FROM aud
+"""
+
+
 #: Resize target: RESIZE_DIM x RESIZE_DIM nearest-neighbor grid.
 RESIZE_DIM = 8
 
@@ -1014,6 +1115,7 @@ QUERIES = {
     "mm_resize_grid": mm_resize_grid,
     "mm_decoded_png": mm_decoded_png,
     "mm_decoded_jpeg": mm_decoded_jpeg,
+    "mm_decoded_flac": mm_decoded_flac,
 }
 
 ORACLES = {
@@ -1022,6 +1124,7 @@ ORACLES = {
     "mm_decoded_phash": MM_DECODED_PHASH_SQL,
     "mm_decoded_png": MM_DECODED_PNG_SQL,
     "mm_decoded_jpeg": MM_DECODED_JPEG_SQL,
+    "mm_decoded_flac": MM_DECODED_FLAC_SQL,
     "mm_phash_neardup": MM_PHASH_SQL,
     "mm_resize_grid": MM_RESIZE_SQL,
     "mm_feature_extract": MM_FEATURES_SQL,

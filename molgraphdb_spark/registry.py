@@ -80,10 +80,13 @@ _QUERY_MODULES = [
 # the ledger floor is r10.
 #
 # r12 window MUST lead with: mm_chunk_windows (displaced re-gate, see
-# above) and doc_html_extract (r11 post-window debut — the HTML→text
-# extraction pass; hash-green at sf0.01 this session, html.parser
-# third implementation in tests/test_thirdimpl.py, swept by the
-# suite's full-registry sf0.001 oracle run until then).
+# above) and the r11 post-window debuts — doc_html_extract (the
+# HTML→text extraction pass; html.parser third implementation in
+# tests/test_thirdimpl.py) and mm_decoded_flac (the compressed-audio
+# leg: pure-Python FLAC, functions/flac.py — Rice residuals, CRC-8/16
+# framing, STREAMINFO MD5; lossless, so the oracle is closed-form for
+# every input). Both hash-green at sf0.01 this session and swept by
+# the suite's full-registry sf0.001 oracle run until then.
 _PRIORITY = [
     # ---- r11 debuts (never driver-checked) ----
     "mm_decoded_jpeg",

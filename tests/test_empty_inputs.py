@@ -90,6 +90,7 @@ REPRESENTATIVE = [
     "mm_decoded_png",            # PNG inflate+unfilter pass over zero docs
     "mm_decoded_jpeg",           # baseline-JPEG entropy decode over zero docs
     "doc_html_extract",          # HTML extract pipeline over zero docs
+    "mm_decoded_flac",           # Rice decode + MD5 check over zero docs
 ]
 
 

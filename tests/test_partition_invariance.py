@@ -99,6 +99,7 @@ AT_RISK = [
     "mm_decoded_png",            # PNG inflate+unfilter — layout-free features
     "mm_decoded_jpeg",           # Huffman+IDCT decode — layout-free features
     "doc_html_extract",          # per-row regex pipeline — layout-free
+    "mm_decoded_flac",           # Rice decode + MD5 — layout-free features
 ]
 
 

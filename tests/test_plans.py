@@ -85,6 +85,7 @@ MAP_ONLY_ZERO_EXCHANGE = [
     "mm_decoded_phash",
     "mm_decoded_png",
     "mm_decoded_jpeg",
+    "mm_decoded_flac",
     "mm_resize_grid",
     "doc_html_extract",
 ]

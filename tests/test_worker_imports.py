@@ -54,7 +54,8 @@ q = all_queries()
 a = q["mm_decoded_features"](spark, "/root/testdata/sf0.001").count()
 b = q["chem_render_raster"](spark, "/root/testdata/sf0.001").count()
 c = q["mm_decoded_jpeg"](spark, "/root/testdata/sf0.001").count()
-print("ROWS=%d/%d/%d" % (a, b, c))
+d = q["mm_decoded_flac"](spark, "/root/testdata/sf0.001").count()
+print("ROWS=%d/%d/%d/%d" % (a, b, c, d))
 """
 
 
@@ -71,5 +72,5 @@ def test_r10_decode_and_render_from_foreign_cwd():
         env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "ROWS=334/10/167" in proc.stdout
+    assert "ROWS=334/10/167/167" in proc.stdout
     assert "ModuleNotFoundError" not in proc.stderr

@@ -380,6 +380,13 @@ def probe_decode(spark, sf_dir: str) -> dict:
     jp = mm_decoded_jpeg(spark, sf_dir)
     n_jp = jp.count()
     t_jp = time.time() - t0
+    # r11: the Rice+MD5 FLAC leg at volume (lossless — count is the
+    # volume fact; per-sample correctness is the sf-gate oracle's job)
+    from molgraphdb_spark.queries.multimodal_queries import mm_decoded_flac
+
+    t0 = time.time()
+    n_fl = mm_decoded_flac(spark, sf_dir).count()
+    t_fl = time.time() - t0
     jp_ids = [
         int(r["doc_id"])
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -449,6 +456,7 @@ def probe_decode(spark, sf_dir: str) -> dict:
         "rows_features": n_rows,
         "rows_phash": n_ph,
         "rows_jpeg": n_jp,
+        "rows_flac": n_fl,
         "sampled_exact": ok,
         "sampled_total": len(sample_ids),
         "jpeg_sampled_exact": jp_ok,
@@ -456,6 +464,7 @@ def probe_decode(spark, sf_dir: str) -> dict:
         "t_features_s": round(t_feat, 1),
         "t_phash_s": round(t_ph, 1),
         "t_jpeg_s": round(t_jp, 1),
+        "t_flac_s": round(t_fl, 1),
         "docs_per_s": int(n_rows / max(t_feat, 1e-9)),
         "jpeg_docs_per_s": int(n_jp / max(t_jp, 1e-9)),
     }
