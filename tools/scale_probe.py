@@ -470,6 +470,104 @@ def probe_decode(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_extract(spark, sf_dir: str) -> dict:
+    """HTML-extraction leg at 10× (r11): run doc_html_extract over the
+    50k-doc corpus and verify SIX sampled docs column-for-column
+    against a stdlib html.parser recompute (the same third
+    implementation tests/test_thirdimpl.py uses at gate scale) —
+    volume plus per-sample correctness, throughput recorded."""
+    import re as _re
+    from html.parser import HTMLParser
+
+    from molgraphdb_spark.queries.text import (
+        _HTML_HEAD,
+        _HTML_MID1,
+        _HTML_MID2,
+        _HTML_TAIL,
+        doc_html_extract,
+    )
+
+    t0 = time.time()
+    ex = doc_html_extract(spark, sf_dir)
+    n_rows = ex.count()
+    t_ex = time.time() - t0
+
+    docs = {
+        int(r["doc_id"]): r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .limit(2000)
+        .collect()
+    }
+    sample_ids = sorted(docs)[:3] + sorted(docs)[-3:]
+
+    class _Extract(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.chunks, self.main, self.links = [], [], []
+            self.skip = self.in_p = self.in_a = self.n_links = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            if tag == "p":
+                self.in_p += 1
+            if tag == "a":
+                self.in_a += 1
+                self.n_links += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self.skip -= 1
+            if tag == "p":
+                self.in_p -= 1
+            if tag == "a":
+                self.in_a -= 1
+
+        def handle_data(self, data):
+            if self.skip:
+                return
+            self.chunks.append(data)
+            if self.in_p:
+                self.main.append(data)
+            if self.in_a:
+                self.links.append(data)
+
+    got = {
+        r["doc_id"]: r
+        for r in ex.filter(F.col("doc_id").isin(sample_ids)).collect()
+    }
+    ok = 0
+    for did in sample_ids:
+        text = docs[did]
+        esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        page = f"{_HTML_HEAD}{did}{_HTML_MID1}{did}{_HTML_MID2}{esc}{_HTML_TAIL}"
+        p = _Extract()
+        p.feed(page)
+        p.close()
+        full = _re.sub(r"\s+", " ", " ".join(p.chunks)).strip()
+        main = _re.sub(r"\s+", " ", " ".join(p.main)).strip()
+        lc = sum(len(x) for x in p.links)
+        g = got.get(did)
+        ok += int(
+            g is not None
+            and g["n_links"] == p.n_links
+            and g["full_len"] == len(full)
+            and g["main_len"] == len(main)
+            and g["link_density_milli"] == lc * 1000 // max(len(full), 1)
+            and g["main_ratio_milli"] == len(main) * 1000 // max(len(full), 1)
+            and g["main_text"] == main
+        )
+    return {
+        "probe": "extract",
+        "rows": n_rows,
+        "sampled_exact": ok,
+        "sampled_total": len(sample_ids),
+        "t_extract_s": round(t_ex, 1),
+        "docs_per_s": int(n_rows / max(t_ex, 1e-9)),
+    }
+
+
 def probe_render(spark, n_mols: int = 20_000) -> dict:
     """Raster leg at volume (r10): render ``n_mols`` deterministic
     branched alkanes (sizes 2–12, LCG-driven attachment points — pure
@@ -2025,6 +2123,7 @@ def main() -> None:
             "graph_skew": lambda: probe_graph_skew(spark),
             "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
             "render": lambda: probe_render(spark),
+            "extract": lambda: probe_extract(spark, build_corpus(spark, k)),
         }
         for name in sys.argv[2:]:
             print(json.dumps(fns[name]()))
@@ -2040,8 +2139,10 @@ def main() -> None:
     print(json.dumps(probe_prefix(spark, sf_dir)))
     print(json.dumps(probe_spans(spark, sf_dir)))
     print(json.dumps(probe_phash(spark, sf_dir)))
-    # r10: real-codec decode leg at 10×
+    # r10: real-codec decode leg at 10× (r11: + JPEG and FLAC passes)
     print(json.dumps(probe_decode(spark, sf_dir)))
+    # r11: HTML-extraction leg at 10× (sampled vs stdlib html.parser)
+    print(json.dumps(probe_extract(spark, sf_dir)))
     # r10: raster leg at volume (bit-determinism across layouts)
     print(json.dumps(probe_render(spark)))
     # CC at both sides of the 1M-edge dispatch threshold.
