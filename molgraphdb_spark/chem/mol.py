@@ -685,17 +685,43 @@ def _perceive_aromatic_rings(mol: MolGraph) -> None:
     # maximal biconnected component it shares no edge with any other
     # ring — so these never perturb the fused-system (5/6/7-membered)
     # pass below.
-    for comp in nx.biconnected_components(g):
-        if len(comp) < 8 or g.subgraph(comp).number_of_edges() != len(comp):
-            continue
-        sub = g.subgraph(comp)
-        cyc = [next(iter(comp))]
-        prev = None
-        while len(cyc) < len(comp):
-            nxt = next(x for x in sub.neighbors(cyc[-1]) if x != prev)
-            prev = cyc[-1]
-            cyc.append(nxt)
-        rings.append(cyc)
+    # Cheap necessary-condition gate before paying for Tarjan: an
+    # 8+-monocycle can only live in the 2-core, so strip degree-<=1
+    # vertices with plain dict ops first (O(V+E), tiny constants) and
+    # run the biconnected pass only when >=8 core vertices survive.
+    # Typical drug-like molecules (benzene ring + substituents) strip
+    # to a <8-vertex core and skip — ungated, the pass measured 1.73x
+    # parse overhead on the edit-expansion hot path.
+    ncore = 0
+    if len(g) >= 8 and g.number_of_edges() >= 8:
+        adj = g._adj
+        deg = {v: len(n) for v, n in adj.items()}
+        stack = [v for v, d in deg.items() if d <= 1]
+        ncore = len(deg)
+        while stack:
+            v = stack.pop()
+            if deg[v] < 0 or deg[v] > 1:
+                continue  # already stripped / re-pushed stale entry
+            deg[v] = -1
+            ncore -= 1
+            for u in adj[v]:
+                if deg[u] > 0:
+                    deg[u] -= 1
+                    if deg[u] == 1:
+                        stack.append(u)
+    if ncore >= 8:
+        core = [v for v, d in deg.items() if d > 0]
+        for comp in nx.biconnected_components(g.subgraph(core)):
+            if len(comp) < 8 or g.subgraph(comp).number_of_edges() != len(comp):
+                continue
+            sub = g.subgraph(comp)
+            cyc = [next(iter(comp))]
+            prev = None
+            while len(cyc) < len(comp):
+                nxt = next(x for x in sub.neighbors(cyc[-1]) if x != prev)
+                prev = cyc[-1]
+                cyc.append(nxt)
+            rings.append(cyc)
     ring_edges: list[frozenset[tuple[int, int]]] = [
         frozenset(
             (min(c[k], c[(k + 1) % len(c)]), max(c[k], c[(k + 1) % len(c)]))
