@@ -346,6 +346,18 @@ def decode_flac(data: bytes) -> tuple[int, "np.ndarray"]:
     if channels != 1 or bps != 16:
         raise ValueError(f"decoder supports mono 16-bit, got {channels}ch/{bps}-bit")
 
+    # Plausibility cap BEFORE allocating: the 36-bit STREAMINFO total
+    # is untrusted (a ~50-byte crafted file can declare 2^36 samples ≈
+    # 512 GB of int64) and the "bitstream exhausted" ValueError only
+    # fires after the reservation on some memory configurations
+    # (ADVICE r11). A FLAC frame spans ≤ 65535 samples and costs ≥ 10
+    # bytes (header + CRC-8 + smallest subframe + CRC-16), so the file
+    # size bounds the carryable sample count.
+    if n_total > len(data) * 65536:
+        raise ValueError(
+            f"STREAMINFO declares {n_total} samples — implausible for a "
+            f"{len(data)}-byte file"
+        )
     out = np.empty(n_total, dtype=np.int64)
     got = 0
     fr = _BitReader(data, pos)

@@ -453,6 +453,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 if tc not in (0, 1):
                     raise ValueError(f"DHT class {tc} invalid")
+                if i + 17 > len(body):
+                    raise ValueError("DHT bits table truncated")
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
@@ -463,6 +465,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC0:  # SOF0 — the ONLY frame type in the envelope
             if sof is not None:
                 raise ValueError("JPEG has multiple SOF0 frames")
+            if len(body) < 6:
+                # struct.error would leak through the documented
+                # loud-ValueError contract (ADVICE r11)
+                raise ValueError("SOF0 header truncated")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"decoder supports 8-bit precision, got {prec}")
@@ -470,6 +476,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"decoder supports 1 or 3 components, got {nc}")
             if w == 0 or h == 0:
                 raise ValueError(f"SOF0: invalid dimensions {w}x{h}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("SOF0 component specs truncated")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -481,15 +489,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, tq))
             sof = (w, h, comps)
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("DRI segment truncated")
             (interval,) = struct.unpack(">H", body[:2])
             if interval != 0:
                 raise ValueError("decoder does not support restart intervals (DRI)")
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF0")
+            if not body:
+                raise ValueError("SOS header truncated")
             ns = body[0]
             if ns != len(sof[2]):
                 raise ValueError(f"SOS selects {ns} components, frame has {len(sof[2])}")
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("SOS component specs truncated")
             scan_comps = []
             for c in range(ns):
                 cs, tda = body[1 + 2 * c], body[2 + 2 * c]
@@ -533,6 +547,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     w, h, comps = sof
     bx, by = (w + 7) // 8, (h + 7) // 8
     n_blocks = bx * by
+    # Plausibility cap BEFORE allocating coefficient arrays: declared
+    # 65535x65535 SOF dims would reserve ~34 GB/component while the
+    # entropy segment is a few bytes. Every baseline block costs >= 2
+    # bits per component (a >=1-bit DC code + a >=1-bit EOB/AC code),
+    # so dims exceeding the segment's bit budget are malformed — raise
+    # the documented ValueError instead of attempting the allocation
+    # and dying later in MemoryError (ADVICE r11).
+    if 2 * n_blocks * len(comps) > 8 * len(raw):
+        raise ValueError(
+            f"SOF0 dimensions {w}x{h} implausible for a "
+            f"{len(raw)}-byte entropy segment"
+        )
     reader = _BitReader(bytes(raw))
     zz = ZIGZAG
     coeff = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]

@@ -1,0 +1,267 @@
+"""Shared IVF coarse-quantizer assignment with a K-threshold kernel
+dispatch, plus the cell-balance gate that must run before any
+cell-equi-join shortlist at production K.
+
+Why this module exists (SCALE.md §12, BASELINE.md ann_production):
+the registry's IVF queries assign cells with a literal-centroid-array
+fold — zero shuffle, whole plan JVM-side — which is the right kernel
+for *tens* of centroids. At production K (~√n, i.e. thousands at
+100 TB) that fold would compile kilonode expression trees or fall back
+to interpreted evaluation; the right kernel there is a BLAS matmul in
+one Arrow ``mapInPandas`` pass (what FAISS does), with per-vector
+norms computed once in the same pass. Both kernels implement the SAME
+contract — cosine in integer micro-basis-points (ubp), argmax ties to
+the lowest cid — so the paths are interchangeable and test-pinned
+equal (tests/test_kmeans.py::test_assign_probe_blas_matches_literal).
+
+The probe that measured this (tools/scale_probe.py ann_production,
+n=2M, K=1414) also surfaced the IVF skew failure mode: a drift-style
+corpus collapsed 86% of vectors into one cell and stalled the
+shortlist equi-join. :func:`require_balanced_cells` is that rule as a
+callable — one groupBy over the assignment output, pennies next to
+the join it protects — not prose.
+
+Reference parity: the coarse-quantizer role corresponds to the
+reference's nearest-molecule shortlist framing (src/mcs.py:279-346
+approximate-GED ranking); the ANN machinery itself is part of the
+mandated LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Largest centroid count served by the literal-array fold. Above this
+#: the kernel switches to the Arrow/BLAS ``mapInPandas`` pass. ~32 keeps
+#: the fold's expression tree small enough for whole-stage codegen
+#: (each centroid adds ~2·d nodes); the registry queries run K=8.
+ASSIGN_LITERAL_MAX_K = 32
+
+#: cell_max/cell_mean ratio above which the assignment is declared
+#: skewed (SCALE.md §12: re-train, split the hot centroid, or route the
+#: hot cell to a brute-force side channel before the shortlist join).
+CELL_BALANCE_MAX_RATIO = 10.0
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _ubp(cos: Column) -> Column:
+    return F.floor(cos * 1_000_000 + 0.5).cast("long")
+
+
+def centroid_literal_cos(cents: list[tuple[int, list[float]]]) -> Column:
+    """Literal ``array<struct<cid int, cv array<double>>>`` for the
+    cosine fold. Empty ``cents`` yields a typed single-sentinel array
+    (cid=-1, empty vector) so the plan stays analyzable — callers only
+    reach it on an empty corpus where no rows flow through."""
+    if not cents:
+        return F.array(
+            F.struct(
+                F.lit(-1).alias("cid"),
+                F.array().cast("array<double>").alias("cv"),
+            )
+        )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def cell_score_cos_ubp(c: Column, v: Column) -> Column:
+    """Cosine(v, c.cv) in integer micro-bp — the engine-portable score
+    every IVF query compares and ranks on."""
+    return _ubp(_dot(v, c["cv"]) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c["cv"], c["cv"]))))
+
+
+def assign_cells_cos_ubp(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    *,
+    nprobe: int | None = None,
+    with_norm: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine-ubp argmax (ties → lowest
+    cid). Adds ``cid int``; with ``nprobe`` also adds ``probes
+    array<int>`` (the nprobe best cells by score desc, cid asc); with
+    ``with_norm`` also adds ``nrm double`` (the vector's L2 norm,
+    computed once so downstream pair scoring pays one dot fold).
+
+    Kernel dispatch on K = len(cents):
+
+    - K ≤ ``ASSIGN_LITERAL_MAX_K``: literal-array fold — map-only,
+      zero exchange, whole-stage codegen (the registry-query shape).
+    - K > ``ASSIGN_LITERAL_MAX_K``: one Arrow ``mapInPandas`` BLAS
+      pass computing (batch×d) @ (d×K) — the FAISS-shaped production
+      kernel; still map-only (no shuffle), the justified
+      dense-linear-algebra Python boundary.
+
+    Scores are integers in BOTH kernels, so ties are exact and the
+    lowest-cid rule agrees; the only cross-kernel divergence window is
+    a raw cosine within ~1 ulp of an x.5e-6 rounding boundary
+    (test-pinned equal on the shipped fixtures). Zero-norm vectors are
+    outside the contract (both kernels degrade, differently)."""
+    if len(cents) <= ASSIGN_LITERAL_MAX_K:
+        return _assign_literal(df, vec_col, cents, nprobe=nprobe, with_norm=with_norm)
+    return _assign_blas(df, vec_col, cents, nprobe=nprobe, with_norm=with_norm)
+
+
+def _assign_literal(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    *,
+    nprobe: int | None,
+    with_norm: bool,
+) -> DataFrame:
+    cent_arr = centroid_literal_cos(cents)
+    v = F.col(vec_col)
+    # Map-only argmax fold: strictly-greater keeps the earliest
+    # (smallest cid) on ties — same as ORDER BY score DESC, cid ASC.
+    init = F.struct(F.lit(-(2**62)).cast("long").alias("s"), F.lit(-1).alias("cid"))
+    best = F.aggregate(
+        cent_arr,
+        init,
+        lambda acc, c: F.when(
+            cell_score_cos_ubp(c, v) > acc["s"],
+            F.struct(cell_score_cos_ubp(c, v).alias("s"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    out = df.withColumn("cid", best["cid"])
+    if with_norm:
+        out = out.withColumn("nrm", F.sqrt(_dot(v, v)))
+    if nprobe is not None:
+        # Map-only probe selection: sort (score desc, cid asc) via an
+        # ascending struct sort on (-score, cid) — no window, the cell
+        # count is a literal.
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (-cell_score_cos_ubp(c, v)).alias("negs"), c["cid"].alias("cid")
+            ),
+        )
+        out = out.withColumn(
+            "probes",
+            F.transform(
+                F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
+            ),
+        )
+    return out
+
+
+def _assign_blas(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    *,
+    nprobe: int | None,
+    with_norm: bool,
+) -> DataFrame:
+    import numpy as np  # deferred: keep module import light
+
+    cmat = np.array([vec for _, vec in cents], dtype=np.float64)  # (K, d)
+    cids = np.array([int(cid) for cid, _ in cents], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    np_ = nprobe
+
+    fields = ", ".join(f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema)
+    schema = f"{fields}, cid int"
+    if with_norm:
+        schema += ", nrm double"
+    if np_ is not None:
+        schema += ", probes array<int>"
+    in_cols = [c.name for c in df.schema]
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, d)
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            s = V @ cmat.T
+            s /= vnorm[:, None]
+            s /= cnorm[None, :]
+            # Same integer micro-bp score as the literal fold, so ties
+            # and ranks agree exactly across kernels.
+            subp = np.floor(s * 1_000_000 + 0.5).astype(np.int64)  # (b, K)
+            # argmax ties → first occurrence; centroids arrive cid-asc,
+            # but map through cids[] in case a caller passes a sparse set.
+            best = cids[subp.argmax(axis=1)]
+            out = pdf[in_cols].copy()
+            out["cid"] = best.astype(np.int32)
+            if with_norm:
+                out["nrm"] = vnorm
+            if np_ is not None:
+                k = len(cids)
+                take = min(np_, k)
+                # top-nprobe by (score desc, cid asc): argpartition the
+                # shortlist, then exact-sort the short slice per row.
+                part = np.argpartition(-subp, take - 1, axis=1)[:, :take]
+                rows = np.arange(len(pdf))[:, None]
+                ps = subp[rows, part]
+                order = np.lexsort((cids[part], -ps), axis=1)
+                sel = np.take_along_axis(part, order, axis=1)
+                out["probes"] = [cids[r].astype(np.int32).tolist() for r in sel]
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def cell_balance(assigned: DataFrame, cid_col: str = "cid") -> dict:
+    """Assignment histogram stats in ONE groupBy job:
+    ``{n_cells, mean_sz, max_sz, ratio}``."""
+    row = (
+        assigned.groupBy(cid_col)
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.avg("count").alias("mean_sz"),
+            F.max("count").alias("max_sz"),
+        )
+        .first()
+    )
+    if row is None or row["n_cells"] == 0:
+        return {"n_cells": 0, "mean_sz": 0.0, "max_sz": 0, "ratio": 0.0}
+    mean = float(row["mean_sz"])
+    return {
+        "n_cells": int(row["n_cells"]),
+        "mean_sz": mean,
+        "max_sz": int(row["max_sz"]),
+        "ratio": (float(row["max_sz"]) / mean) if mean else 0.0,
+    }
+
+
+def require_balanced_cells(
+    assigned: DataFrame,
+    cid_col: str = "cid",
+    max_ratio: float = CELL_BALANCE_MAX_RATIO,
+) -> dict:
+    """The SCALE.md §12 gate as a callable: check cell_max/cell_mean
+    BEFORE the shortlist equi-join; raise loudly on skew instead of
+    letting one hot cell stall the join (measured failure: 86% of a
+    2M-vector corpus in one cell). Returns the histogram stats on
+    success so callers can log them."""
+    stats = cell_balance(assigned, cid_col)
+    if stats["ratio"] > max_ratio:
+        raise ValueError(
+            f"IVF assignment skew: max cell {stats['max_sz']} rows is "
+            f"{stats['ratio']:.1f}x the mean ({stats['mean_sz']:.1f}) across "
+            f"{stats['n_cells']} cells (limit {max_ratio}x). Re-train or "
+            "split the hot centroid, or route the hot cell to a "
+            "brute-force side channel (SCALE.md §12)."
+        )
+    return stats

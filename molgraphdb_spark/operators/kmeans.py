@@ -74,7 +74,17 @@ def assign_cells(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]
     """Map-only nearest-centroid assignment: adds ``cid`` (and the
     squared distance ``d2``) to ``df`` via a literal-array argmin fold.
     Ties resolve to the lowest centroid id (strict < keeps the first).
-    """
+
+    K-dispatch (SCALE.md §12): above ``ivf.ASSIGN_LITERAL_MAX_K``
+    centroids the literal fold would compile kilonode expression trees,
+    so the kernel switches to one Arrow/BLAS ``mapInPandas`` pass with
+    the same argmin/tie contract (raw-double d2 may differ in the last
+    ulp across kernels; cid agrees except on exact-boundary ties, which
+    the micro-unit ``assign_cells_ubp`` variant is for)."""
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+
+    if len(cents) > ASSIGN_LITERAL_MAX_K:
+        return _assign_l2_blas(df, vec_col, cents, upm=False)
     cent_arr = _centroid_literal(cents)
     v = F.col(vec_col)
 
@@ -103,7 +113,13 @@ def assign_cells_ubp(
     MICRO-UNITS (the `_ubp` rule — raw-double argmin can flip on the
     last ulp between engines), via ``array_min`` over (d2_upm, cid)
     structs whose lexicographic order IS the (distance ASC, cid ASC)
-    tie rule. Adds ``cid`` and ``d2_upm``; map-only."""
+    tie rule. Adds ``cid`` and ``d2_upm``; map-only. Same K-dispatch
+    to the Arrow/BLAS kernel as :func:`assign_cells` — integer
+    micro-units make the two kernels tie-exact."""
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+
+    if len(cents) > ASSIGN_LITERAL_MAX_K:
+        return _assign_l2_blas(df, vec_col, cents, upm=True)
     cent_arr = _centroid_literal(cents)
     v = F.col(vec_col)
 
@@ -116,6 +132,46 @@ def assign_cells_ubp(
     return df.withColumn("_best", best).select(
         "*", F.col("_best.cid").alias("cid"), F.col("_best.d2_upm").alias("d2_upm")
     ).drop("_best")
+
+
+def _assign_l2_blas(
+    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]], *, upm: bool
+) -> DataFrame:
+    """Arrow/BLAS L2 assignment kernel for K > ASSIGN_LITERAL_MAX_K:
+    one ``mapInPandas`` pass computing the full (batch×K) distance
+    matrix via ||v||² + ||c||² − 2·V@Cᵀ (clamped at 0). Map-only, no
+    shuffle — the same plan position as the literal fold."""
+    import numpy as np
+
+    cmat = np.array([vec for _, vec in cents], dtype=np.float64)  # (K, d)
+    cids = np.array([int(cid) for cid, _ in cents], dtype=np.int64)
+    c2 = (cmat * cmat).sum(axis=1)
+
+    fields = ", ".join(f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema)
+    schema = fields + (", cid int, d2_upm long" if upm else ", cid int, d2 double")
+    in_cols = [c.name for c in df.schema]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, d)
+            d2 = np.maximum(
+                (V * V).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (V @ cmat.T), 0.0
+            )
+            out = pdf[in_cols].copy()
+            if upm:
+                d2i = np.floor(d2 * 1_000_000 + 0.5).astype(np.int64)
+                best = d2i.argmin(axis=1)  # first occurrence = lowest cid
+                out["cid"] = cids[best].astype(np.int32)
+                out["d2_upm"] = d2i[np.arange(len(pdf)), best]
+            else:
+                best = d2.argmin(axis=1)
+                out["cid"] = cids[best].astype(np.int32)
+                out["d2"] = d2[np.arange(len(pdf)), best]
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def kmeans_fit(

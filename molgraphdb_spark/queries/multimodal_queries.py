@@ -995,7 +995,18 @@ def mm_decoded_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = multimodal_manifest(spark, sf_dir).filter(
         F.col("metadata.format") == "audio"
     )
-    return m.select("doc_id", "payload").mapInPandas(
+    sel = m.select("doc_id", "payload")
+    # The Rice bit-loop is the most compute-bound decode leg, and the
+    # documents table is tiny in BYTES (~13 MB at sf0.1 = ONE input
+    # split) — so without help the whole decode runs single-core.
+    # Partition by WORK, not input bytes (the dedup_embedding_cosine
+    # rule): one round-robin shuffle of the small payload rows, gated
+    # so a real corpus whose scan already yields thousands of splits
+    # (the 100 TB shape) never pays it.
+    par = spark.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    return sel.mapInPandas(
         _decoded_flac_rows,
         schema=(
             "doc_id long, sample_rate int, n_samples long, "

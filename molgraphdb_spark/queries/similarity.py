@@ -404,6 +404,18 @@ def _ubp(cos: Column) -> Column:
     return F.floor(cos * 1_000_000 + 0.5).cast("long")
 
 
+def _ivf_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the vectors with vec_id < IVF_K,
+    collected driver-side (a TINY dimension at any corpus scale) in the
+    ``[(cid, vector), ...]`` shape the shared K-dispatched assignment
+    kernel (operators/ivf.assign_cells_cos_ubp) takes."""
+    rows = sorted(
+        emb.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    return [(int(r.vec_id), [float(x) for x in r.v]) for r in rows]
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every corpus vector to its nearest of
     ``IVF_K`` deterministic centroids (the vectors with vec_id <
@@ -414,63 +426,25 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected to the driver and inlined as a literal array, so cell
     assignment is a MAP-ONLY fold over each row (no shuffle, no join
     for the corpus side; a real deployment broadcasts k-means
-    centroids the same way). The only shuffles are the final
-    per-query-cell hash join (probe side broadcast) and the top-k
-    window over query_id. Candidate count ~ nprobe/K of the corpus —
-    N^2 never materializes. Ties everywhere resolve by ascending id."""
+    centroids the same way). Assignment goes through the shared
+    K-dispatched kernel (operators/ivf.assign_cells_cos_ubp): the
+    literal fold at this K, the Arrow/BLAS matmul pass above
+    ASSIGN_LITERAL_MAX_K centroids — same plan position either way.
+    The only shuffles are the final per-query-cell hash join (probe
+    side broadcast) and the top-k window over query_id. Candidate
+    count ~ nprobe/K of the corpus — N^2 never materializes. Ties
+    everywhere resolve by ascending id."""
+    from molgraphdb_spark.operators.ivf import assign_cells_cos_ubp
+
     emb = _emb(spark, sf_dir)
-    cents = sorted(
-        emb.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").collect(),
-        key=lambda r: r.vec_id,
-    )
-    if cents:
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r.vec_id)).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
-                )
-                for r in cents
-            ]
-        )
-    else:
-        # Empty corpus slice → F.array() of zero structs is untyped and
-        # breaks field extraction; a typed sentinel centroid keeps the
-        # plan analyzable (no rows flow through it — emb is empty too).
-        cent_arr = F.array(
-            F.struct(
-                F.lit(-1).alias("cid"),
-                F.array().cast("array<double>").alias("cv"),
-            )
-        )
-
-    def cell_score(c: Column, v: Column) -> Column:
-        return _ubp(_dot(v, c["cv"]) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c["cv"], c["cv"]))))
-
-    # Map-only argmax: strictly-greater keeps the earliest (smallest
-    # cid) on ties — same as ORDER BY score DESC, cid ASC.
-    init = F.struct(F.lit(-(2**62)).cast("long").alias("s"), F.lit(-1).alias("cid"))
-    best = F.aggregate(
-        cent_arr,
-        init,
-        lambda acc, c: F.when(
-            cell_score(c, F.col("v")) > acc["s"],
-            F.struct(cell_score(c, F.col("v")).alias("s"), c["cid"].alias("cid")),
-        ).otherwise(acc),
-    )
-    assign = emb.select("vec_id", "v", best["cid"].alias("cid"))
+    cents = _ivf_centroids(emb)
+    assign = assign_cells_cos_ubp(emb, "v", cents).select("vec_id", "v", "cid")
 
     queries = emb.filter((F.col("vec_id") >= IVF_QLO) & (F.col("vec_id") < IVF_QHI)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cent_rows = queries.select(
-        "query_id", "qv", F.explode(cent_arr).alias("c")
-    ).select("query_id", "qv", F.col("c.cid").alias("cid"), cell_score(F.col("c"), F.col("qv")).alias("cs"))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
-    probe = (
-        cent_rows.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= IVF_NPROBE)
-        .select("query_id", "qv", "cid")
+    probe = assign_cells_cos_ubp(queries, "qv", cents, nprobe=IVF_NPROBE).select(
+        "query_id", "qv", F.explode("probes").alias("cid")
     )
     cands = F.broadcast(probe).join(assign, "cid").filter(F.col("vec_id") != F.col("query_id"))
     scored = cands.select(
@@ -797,78 +771,51 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe → equi-join → one groupBy) is unchanged. The input guard
     stays because with FIXED K the worst case is still a constant
     fraction of quadratic."""
+    from molgraphdb_spark.operators.ivf import (
+        ASSIGN_LITERAL_MAX_K,
+        assign_cells_cos_ubp,
+        require_balanced_cells,
+    )
+
     _guard_quadratic(sf_dir, "embedding_hard_negatives_ann")
     emb = _emb(spark, sf_dir)
-    cents = sorted(
-        emb.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").collect(),
-        key=lambda r: r.vec_id,
-    )
-    if cents:
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r.vec_id)).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
-                )
-                for r in cents
-            ]
-        )
-    else:
+    cents = _ivf_centroids(emb)
+    if not cents and emb.select("vec_id").head(1):
         # No vec_id < IVF_K. Legitimate ONLY for an empty corpus (zero
         # output either way); a NON-empty corpus here would assign every
         # vector to one sentinel cell, degenerating the shortlist into
         # an all-pairs join on a constant key — assert the dense-vec_id
         # fixture invariant loudly instead of silently diverging.
-        if emb.select("vec_id").head(1):
-            raise ValueError(
-                "embedding_hard_negatives_ann: corpus is non-empty but no "
-                f"vec_id < IVF_K={IVF_K}; the deterministic-centroid fixture "
-                "invariant (dense vec_ids from 0) does not hold"
-            )
-        cent_arr = F.array(
-            F.struct(
-                F.lit(-1).alias("cid"),
-                F.array().cast("array<double>").alias("cv"),
-            )
+        raise ValueError(
+            "embedding_hard_negatives_ann: corpus is non-empty but no "
+            f"vec_id < IVF_K={IVF_K}; the deterministic-centroid fixture "
+            "invariant (dense vec_ids from 0) does not hold"
         )
-
-    def cell_score(c: Column, v: Column) -> Column:
-        return _ubp(
-            _dot(v, c["cv"]) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c["cv"], c["cv"])))
-        )
-
-    init = F.struct(F.lit(-(2**62)).cast("long").alias("s"), F.lit(-1).alias("cid"))
-    best = F.aggregate(
-        cent_arr,
-        init,
-        lambda acc, c: F.when(
-            cell_score(c, F.col("v")) > acc["s"],
-            F.struct(cell_score(c, F.col("v")).alias("s"), c["cid"].alias("cid")),
-        ).otherwise(acc),
-    )
-    assign = emb.select(
+    # ONE shared assignment pass computes the nearest cell (corpus
+    # side) AND the nprobe probe cells (anchor side); the kernel is
+    # K-dispatched (literal fold here at K=8, Arrow/BLAS above
+    # ASSIGN_LITERAL_MAX_K — the production shape probed at n=2M,
+    # K=1414 in tools/scale_probe.py ann_production).
+    assigned = assign_cells_cos_ubp(emb, "v", cents, nprobe=IVF_NPROBE)
+    assign = assigned.select(
         F.col("vec_id").alias("ib"),
         F.col("v").alias("vb"),
         F.col("label").alias("lb"),
-        best["cid"].alias("cid"),
+        "cid",
     )
-    # Map-only probe selection: sort the literal cell array by
-    # (score desc, cid asc) per anchor and take the first NPROBE —
-    # no window, no shuffle (ORDER BY on a struct sorts its fields
-    # ascending, so negate the integer score).
-    scored_cells = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            (-cell_score(c, F.col("v"))).alias("negs"), c["cid"].alias("cid")
-        ),
-    )
-    probes = F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE)
-    anchors = emb.select(
+    if len(cents) > ASSIGN_LITERAL_MAX_K:
+        # Production-K path: the SCALE.md §12 skew gate — one cheap
+        # groupBy on the assignment histogram BEFORE the shortlist
+        # equi-join (the measured failure: 86% of a 2M corpus in one
+        # cell stalls the join). At the test-scale literal K this is
+        # skipped: no extra job, registry plans unchanged.
+        require_balanced_cells(assign)
+    anchors = assigned.select(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
         F.col("label").alias("la"),
-        F.explode(probes).alias("p"),
-    ).select("ia", "va", "la", F.col("p.cid").alias("cid"))
+        F.explode("probes").alias("cid"),
+    )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = (
         anchors.repartition(n_part, "cid", "ia")

@@ -2454,13 +2454,20 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         " '(?s)<style[^>]*>.*?</style>', ' '),"
         " '<[^>]+>', ' ')"
     )
+    # Whitespace collapse uses an EXPLICIT class, not \s: Java \s
+    # includes \x0B, RE2 (the DuckDB oracle) excludes it, and Python
+    # \s (the html.parser third impl) additionally matches Unicode
+    # whitespace (NBSP, U+2028) — so engine/oracle/recompute parity
+    # would silently depend on the corpus being ASCII (ADVICE r11).
+    # [ \t\n\r\f] means the same five code points in all three.
+    ws = r"[ \t\n\r\f]+"
     full_text = F.trim(
-        F.regexp_replace(F.expr(unesc.format(src=visible)), r"\s+", " ")
+        F.regexp_replace(F.expr(unesc.format(src=visible)), ws, " ")
     )
     main_text = F.trim(
         F.regexp_replace(
             F.expr(unesc.format(src="regexp_extract(html, '(?s)<p>(.*?)</p>', 1)")),
-            r"\s+",
+            ws,
             " ",
         )
     )
@@ -2513,10 +2520,10 @@ WITH h AS (
          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
          '<[^>]+>', ' ', 'g'),
-       '&lt;','<'),'&gt;','>'),'&amp;','&'), '\\s+', ' ', 'g')) AS full_text,
+       '&lt;','<'),'&gt;','>'),'&amp;','&'), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS full_text,
     trim(regexp_replace(replace(replace(replace(
        regexp_extract(html, '(?s)<p>(.*?)</p>', 1),
-       '&lt;','<'),'&gt;','>'),'&amp;','&'), '\\s+', ' ', 'g')) AS main_text,
+       '&lt;','<'),'&gt;','>'),'&amp;','&'), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS main_text,
     len(regexp_extract_all(html, '<a ')) AS n_links,
     COALESCE(list_sum(list_transform(
         regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1),

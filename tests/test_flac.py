@@ -137,6 +137,25 @@ def test_rejects_malformed(mutate, msg):
         decode_flac(mutate(good))
 
 
+def test_rejects_implausible_streaminfo_total():
+    # ADVICE r11: the 36-bit STREAMINFO sample total is untrusted — a
+    # ~60-byte file declaring 2^36 samples would reserve ~512 GB of
+    # int64 before the frame walk ever noticed. The plausibility cap
+    # (a frame spans <= 65535 samples and costs >= 10 bytes) must
+    # raise the documented ValueError BEFORE np.empty runs.
+    good = bytearray(_hand_built([7] * 3))
+    # STREAMINFO packed 64-bit word starts at 4 (magic) + 4 (block
+    # header) + 10 (min/max blocksize + two 24-bit frame sizes);
+    # overwrite its 36-bit total with the maximum while keeping the
+    # 20|3|5 rate/channels/bps fields.
+    off = 4 + 4 + 10
+    packed = int.from_bytes(good[off : off + 8], "big")
+    packed |= (1 << 36) - 1
+    good[off : off + 8] = packed.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="implausible"):
+        decode_flac(bytes(good))
+
+
 # ----------------------- lossless round-trips -----------------------
 
 def test_roundtrip_families_exact_and_compress():

@@ -1,0 +1,152 @@
+"""K-dispatched IVF assignment kernels (operators/ivf.py + the L2
+twins in operators/kmeans.py): the literal-array fold and the
+Arrow/BLAS mapInPandas pass implement ONE contract — integer
+micro-bp scores, argbest ties to the lowest cid — so forcing each
+kernel over the same corpus must produce identical assignments.
+Also covers the SCALE.md §12 cell-balance gate as a callable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from molgraphdb_spark.operators import ivf
+from molgraphdb_spark.operators.ivf import (
+    ASSIGN_LITERAL_MAX_K,
+    assign_cells_cos_ubp,
+    cell_balance,
+    require_balanced_cells,
+)
+
+
+def _emb(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+        )
+    )
+
+
+def _cents(df, k):
+    rows = sorted(
+        df.filter(F.col("vec_id") < k).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    return [(int(r.vec_id), [float(x) for x in r.v]) for r in rows]
+
+
+def test_cos_blas_matches_literal_full_corpus(spark, sf_dir):
+    # Same corpus, same centroids, both kernels forced explicitly:
+    # cid, probes, and nrm must agree row for row. K=16 is served by
+    # the literal path in production; _assign_blas is reached via the
+    # private entry point so the pin holds the CONTRACT, not the
+    # dispatch threshold.
+    df = _emb(spark, sf_dir)
+    cents = _cents(df, 16)
+    lit = ivf._assign_literal(df, "v", cents, nprobe=3, with_norm=True)
+    blas = ivf._assign_blas(df, "v", cents, nprobe=3, with_norm=True)
+    a = {r.vec_id: r for r in lit.collect()}
+    b = {r.vec_id: r for r in blas.collect()}
+    assert set(a) == set(b) and len(a) > 100
+    for vid, ra in a.items():
+        rb = b[vid]
+        assert ra.cid == rb.cid, vid
+        assert list(ra.probes) == list(rb.probes), vid
+        assert abs(ra.nrm - rb.nrm) < 1e-9, vid
+
+
+def test_dispatch_threshold_picks_blas_kernel(spark, sf_dir):
+    # Above ASSIGN_LITERAL_MAX_K the public entry point must route to
+    # the Arrow pass (plan shows a Python/Arrow eval node); at K=8 it
+    # must stay whole-JVM map-only (zero exchange, zero Python).
+    df = _emb(spark, sf_dir)
+    big = _cents(df, ASSIGN_LITERAL_MAX_K + 8)
+    assert len(big) > ASSIGN_LITERAL_MAX_K
+    plan_big = (
+        assign_cells_cos_ubp(df, "v", big)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan_big
+    small = _cents(df, 8)
+    plan_small = (
+        assign_cells_cos_ubp(df, "v", small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan_small and "Exchange" not in plan_small
+
+
+def test_blas_path_end_to_end_above_threshold(spark, sf_dir):
+    # Public-entry BLAS assignment agrees with the literal fold forced
+    # over the same K-above-threshold centroid set.
+    df = _emb(spark, sf_dir).limit(400)
+    cents = _cents(_emb(spark, sf_dir), ASSIGN_LITERAL_MAX_K + 8)
+    got = {r.vec_id: r.cid for r in assign_cells_cos_ubp(df, "v", cents).collect()}
+    want = {
+        r.vec_id: r.cid
+        for r in ivf._assign_literal(
+            df, "v", cents, nprobe=None, with_norm=False
+        ).collect()
+    }
+    assert got == want and len(got) == 400
+
+
+def test_l2_blas_matches_literal_ubp(spark, sf_dir):
+    # The L2 twin (kmeans.assign_cells_ubp) — micro-unit floors make
+    # the kernels tie-exact; force both over the same corpus.
+    from molgraphdb_spark.operators import kmeans
+
+    df = _emb(spark, sf_dir).select("vec_id", "v")
+    cents = _cents(_emb(spark, sf_dir), 12)
+    lit = {r.vec_id: (r.cid, r.d2_upm) for r in kmeans.assign_cells_ubp(df, "v", cents).collect()}
+    blas = {
+        r.vec_id: (r.cid, r.d2_upm)
+        for r in kmeans._assign_l2_blas(df, "v", cents, upm=True).collect()
+    }
+    assert lit == blas and len(lit) > 100
+
+
+def test_l2_dispatch_above_threshold(spark, sf_dir):
+    from molgraphdb_spark.operators import kmeans
+
+    df = _emb(spark, sf_dir).select("vec_id", "v")
+    cents = _cents(_emb(spark, sf_dir), ASSIGN_LITERAL_MAX_K + 4)
+    plan = (
+        kmeans.assign_cells(df, "v", cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    # and the assignment still covers every row with a valid cid
+    out = kmeans.assign_cells(df, "v", cents)
+    n = df.count()
+    assert out.count() == n
+    assert out.filter(F.col("cid") < 0).count() == 0
+
+
+def test_cell_balance_gate_passes_and_raises(spark):
+    # Balanced: 4 cells × 25 rows → ratio 1.0, gate returns stats.
+    rows = [(i, i % 4) for i in range(100)]
+    bal = spark.createDataFrame(rows, "vec_id long, cid int")
+    stats = require_balanced_cells(bal)
+    assert stats["n_cells"] == 4 and stats["ratio"] == pytest.approx(1.0)
+    # Skewed: one hot cell holding 97% (the measured ann_production
+    # failure shape: cell_max ≈ 30× cell_mean) → loud ValueError.
+    rows = [(i, 0 if i < 970 else i) for i in range(1000)]
+    hot = spark.createDataFrame(rows, "vec_id long, cid int")
+    with pytest.raises(ValueError, match="skew"):
+        require_balanced_cells(hot)
+    s = cell_balance(hot)
+    assert s["max_sz"] == 970 and s["n_cells"] == 31
+
+
+def test_cell_balance_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, cid int")
+    assert cell_balance(empty)["n_cells"] == 0
+    require_balanced_cells(empty)  # no rows → no skew → no raise

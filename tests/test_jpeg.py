@@ -250,12 +250,45 @@ def test_entropy_ff_byte_stuffing_roundtrip():
         (lambda d: d[: len(d) // 2], ""),                         # mid-file cut
         (lambda d: d.replace(b"\xFF\xC0", b"\xFF\xC2", 1), "progressive"),
         (lambda d: d.replace(b"\xFF\xC0", b"\xFF\xC9", 1), "arithmetic"),
+        # ADVICE r11: marker bodies shorter than their fixed headers
+        # leaked struct.error through the loud-ValueError contract — a
+        # 10-byte SOI + SOF0 with seglen=4 (2-byte body) hit
+        # struct.unpack('>BHHB', body[:6]) on a 2-byte buffer.
+        (lambda d: b"\xFF\xD8\xFF\xC0\x00\x04\x08\x00", "SOF0 header truncated"),
+        (lambda d: b"\xFF\xD8\xFF\xDD\x00\x03\x00", "DRI segment truncated"),
+        (
+            # SOF0 declares 3 components but carries specs for none
+            lambda d: b"\xFF\xD8\xFF\xC0\x00\x08\x08\x00\x08\x00\x08\x03",
+            "component specs truncated",
+        ),
+        (lambda d: b"\xFF\xD8\xFF\xC4\x00\x05\x00\x01\x02", "DHT bits table truncated"),
     ],
 )
 def test_rejects_malformed(mutate, msg):
     good = encode_jpeg(16, 16, bytes(256), 1)
     with pytest.raises(ValueError, match=msg):
         decode_jpeg(mutate(good))
+
+
+def test_rejects_implausible_sof_dimensions():
+    # ADVICE r11: declared 65535x65535 dims would reserve ~34 GB per
+    # component before the entropy decode ever discovers the stream is
+    # empty — the plausibility cap must reject BEFORE allocating.
+    good = encode_jpeg(8, 8, bytes(64), 1)
+    sof_at = good.index(b"\xFF\xC0")
+    dims_at = sof_at + 5  # marker(2) + len(2) + precision(1)
+    bad = good[:dims_at] + b"\xFF\xFF\xFF\xFF" + good[dims_at + 4 :]
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bad)
+
+
+def test_truncated_sos_header_rejects():
+    good = encode_jpeg(8, 8, bytes(64), 1)
+    sos_at = good.index(b"\xFF\xDA")
+    # keep the SOS marker but shrink its body to 1 byte (ns only)
+    bad = good[:sos_at] + b"\xFF\xDA\x00\x03\x01"
+    with pytest.raises(ValueError, match=""):
+        decode_jpeg(bad)
 
 
 def test_rejects_subsampled_chroma():

@@ -85,7 +85,6 @@ MAP_ONLY_ZERO_EXCHANGE = [
     "mm_decoded_phash",
     "mm_decoded_png",
     "mm_decoded_jpeg",
-    "mm_decoded_flac",
     "mm_resize_grid",
     "doc_html_extract",
 ]
@@ -98,6 +97,20 @@ def test_map_only_family_has_zero_exchanges(spark, sf_dir):
     for name in MAP_ONLY_ZERO_EXCHANGE:
         s = plan_summary(q[name](spark, sf_dir))
         assert s["n_exchanges"] == 0, f"{name}: {s['n_exchanges']} exchanges"
+
+
+def test_decoded_flac_work_partitioned(spark, sf_dir):
+    # mm_decoded_flac left MAP_ONLY_ZERO_EXCHANGE deliberately: the
+    # Rice bit-loop is compute-bound and the tiny documents scan is ONE
+    # split, so the query round-robins by WORK first (the
+    # dedup_embedding_cosine rule) — exactly ONE RoundRobin exchange,
+    # and still zero Python workers outside the decode pass itself.
+    # On a many-split production scan the gate skips the shuffle.
+    from molgraphdb_spark.registry import all_queries
+
+    s = plan_summary(all_queries()["mm_decoded_flac"](spark, sf_dir))
+    assert s["n_exchanges"] <= 1, s["n_exchanges"]
+    assert "roundrobin" in s["plan"].lower()
 
 
 def test_anomaly_outliers_single_user_shuffle(spark, sf_dir):

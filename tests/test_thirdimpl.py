@@ -2011,7 +2011,10 @@ def test_html_extract_matches_stdlib_html_parser(spark, sf_dir):
                 self.links.append(data)
 
     def norm(parts):
-        return _re.sub(r"\s+", " ", " ".join(parts)).strip()
+        # explicit class + space-only strip: Python \s (Unicode ws,
+        # NBSP) is wider than Java \s and RE2 \s — the engine/oracle
+        # collapse on exactly [ \t\n\r\f] (ADVICE r11)
+        return _re.sub(r"[ \t\n\r\f]+", " ", " ".join(parts)).strip(" ")
 
     expect = {}
     for did, text in _pa_docs(sf_dir):

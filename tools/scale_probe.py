@@ -545,8 +545,9 @@ def probe_extract(spark, sf_dir: str) -> dict:
         p = _Extract()
         p.feed(page)
         p.close()
-        full = _re.sub(r"\s+", " ", " ".join(p.chunks)).strip()
-        main = _re.sub(r"\s+", " ", " ".join(p.main)).strip()
+        # same explicit five-char class as the engine/oracle (ADVICE r11)
+        full = _re.sub(r"[ \t\n\r\f]+", " ", " ".join(p.chunks)).strip(" ")
+        main = _re.sub(r"[ \t\n\r\f]+", " ", " ".join(p.main)).strip(" ")
         lc = sum(len(x) for x in p.links)
         g = got.get(did)
         ok += int(
@@ -750,12 +751,16 @@ def probe_ann_production(
 
     Production-kernel note: at K in the thousands the literal-array
     fold the query uses for K=8 is the wrong assignment kernel — the
-    real one is a BLAS matmul (what FAISS does), so assignment and
-    probe-selection here run as ONE Arrow mapInPandas pass computing
-    (batch × dim) @ (dim × K) + argpartition per row (the justified
-    dense-linear-algebra Python boundary; the rest of the pipeline —
-    explode, cid equi-join, JVM cosine fold, max_by — is exactly the
-    query's JVM-side plan shape).
+    real one is a BLAS matmul (what FAISS does). Since r12 that kernel
+    LIVES IN THE ENGINE (operators/ivf.assign_cells_cos_ubp dispatches
+    on K > ASSIGN_LITERAL_MAX_K to one Arrow mapInPandas pass computing
+    (batch × dim) @ (dim × K) + per-row top-nprobe, norms computed in
+    the same pass), and this probe calls that helper — so the probe
+    measures the exact code path the registry queries take at
+    production K. The rest of the pipeline — explode, cid equi-join,
+    JVM cosine fold, max_by — is exactly the query's JVM-side plan
+    shape, and the cell histogram check is the engine's
+    require_balanced_cells gate (SCALE.md §12), not probe-local code.
 
     Measured: per-stage walls (assign+probe materialized via eager
     localCheckpoint, then join+argmax), cell-balance stats (mean/max
@@ -763,8 +768,7 @@ def probe_ann_production(
     exact twin's all-pairs volume, and recall: ``n_plant`` planted
     different-label near-twins (the probe_hard_negatives plant) must
     each be recovered as their anchor's hard negative."""
-    import numpy as np
-    import pandas as pd
+    from molgraphdb_spark.operators import ivf
 
     def _mark(msg):
         print(f"[ann_production +{time.time() - _t_start:.0f}s] {msg}", file=sys.stderr)
@@ -832,57 +836,22 @@ def probe_ann_production(
         emb.filter(F.col("vec_id") < K).select("vec_id", "v").collect(),
         key=lambda r: r.vec_id,
     )
-    cmat = np.array([r.v for r in cents_rows], dtype=np.float64)  # (K, d)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-
-    def _assign_probe(batches):
-        # one BLAS pass: per row, nearest cell (cid) AND top-nprobe
-        # probe cells (for the anchor side) — cosine = scores / norms.
-        # v and label pass straight through so NO post-hoc join is
-        # needed (a 2M ⋈ 2M vec_id join just to re-attach columns the
-        # pass already held would be the probe's own scale bug).
-        for pdf in batches:
-            V = np.array(list(pdf["v"]), dtype=np.float64)  # (b, d)
-            if V.size == 0:
-                continue
-            s = V @ cmat.T  # (b, K)
-            s /= np.sqrt((V * V).sum(axis=1))[:, None]
-            s /= cnorm[None, :]
-            cid = s.argmax(axis=1)
-            top = np.argpartition(-s, nprobe - 1, axis=1)[:, :nprobe]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "v": pdf["v"],
-                    # per-vector norm computed ONCE here so the JVM
-                    # mine tail pays one dot fold per pair, not three
-                    "nrm": np.sqrt((V * V).sum(axis=1)),
-                    "label": pdf["label"].astype("int64"),
-                    "cid": cid.astype("int64"),
-                    "probes": [row.astype("int64").tolist() for row in top],
-                }
-            )
+    cents = [(int(r.vec_id), [float(x) for x in r.v]) for r in cents_rows]
+    assert len(cents) > ivf.ASSIGN_LITERAL_MAX_K  # the K-dispatch MUST take BLAS
 
     t0 = time.time()
-    ap = (
-        emb.repartition(64)
-        .mapInPandas(
-            _assign_probe,
-            schema=(
-                "vec_id long, v array<double>, nrm double, label long, "
-                "cid long, probes array<long>"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # THE ENGINE's K-dispatched kernel (one Arrow/BLAS pass: cid +
+    # top-nprobe probes + per-vector norm, v and label pass straight
+    # through so NO post-hoc join re-attaches columns the pass held).
+    ap = ivf.assign_cells_cos_ubp(
+        emb.repartition(64), "v", cents, nprobe=nprobe, with_norm=True
+    ).localCheckpoint(eager=True)
     t_assign = time.time() - t0
     _mark(f"assign done ({t_assign:.0f}s)")
 
-    cell = ap.groupBy("cid").count().agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.avg("count").alias("mean_sz"),
-        F.max("count").alias("max_sz"),
-    ).first()
+    # The SCALE.md §12 gate as shipped: raises on cell_max > 10× mean
+    # (this corpus is the bounded-perturbation one, measured ~3.9×).
+    cell = ivf.require_balanced_cells(ap)
 
     # anchors: base ids < n_anchor_base across ALL replicas (k_scale ×
     # n_anchor_base anchors) + the planted-pair base anchors 200..220
