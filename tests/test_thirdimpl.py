@@ -335,6 +335,160 @@ def test_substructure_search_matches_python_reference(spark):
     assert ("butyl_chain", "Cyclobutane") not in got
 
 
+"""Fully independent chem recompute (r11 verdict item 5): the two
+tests below rebuild the substructure screen and the nearest-molecule
+ranking WITHOUT importing anything from molgraphdb_spark.chem — their
+own 20-line SMILES parser (the fixtures are carbon-only single-bond
+alkanes), brute-force connected-induced-subgraph enumeration, and a
+permutation-minimal adjacency canonical key in place of the WL hash.
+If the engine's parser, enumerator, WL dedup, or metric formulas were
+wrong IN THE SAME WAY on both Spark and the VALUES oracle, these
+recomputes would still catch it."""
+
+
+def _alkane_graph(smi: str) -> list[set]:
+    """Adjacency sets for a carbon-only single-bond SMILES subset:
+    'C', '(' ')' branches, one-digit ring closures."""
+    adj: list[set] = []
+    prev = None
+    stack = []
+    ring: dict[str, int] = {}
+    for ch in smi:
+        if ch == "C":
+            adj.append(set())
+            cur = len(adj) - 1
+            if prev is not None:
+                adj[prev].add(cur)
+                adj[cur].add(prev)
+            prev = cur
+        elif ch == "(":
+            stack.append(prev)
+        elif ch == ")":
+            prev = stack.pop()
+        elif ch.isdigit():
+            if ch in ring:
+                o = ring.pop(ch)
+                adj[o].add(prev)
+                adj[prev].add(o)
+            else:
+                ring[ch] = prev
+        else:  # pragma: no cover - fixture SMILES never reach here
+            raise ValueError(f"unsupported SMILES char {ch!r}")
+    return adj
+
+
+def _canon_key(nodes: tuple, adj: list) -> tuple:
+    """Isomorphism-class key: lexicographically minimal upper-triangle
+    adjacency bitstring over ALL node permutations (n <= 6 here)."""
+    from itertools import permutations as _perms
+
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    local = [
+        {idx[w] for w in adj[v] if w in idx} for v in nodes
+    ]
+    best = None
+    for p in _perms(range(n)):
+        # relabel: position i holds original-local node p[i]
+        bits = tuple(
+            1 if p[j] in local[p[i]] else 0
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        if best is None or bits < best:
+            best = bits
+    return (n, best)
+
+
+def _subgraph_keys(adj: list) -> set:
+    """Canonical keys of every connected induced subgraph with >= 2
+    atoms — brute force over node subsets, connectivity by flood."""
+    from itertools import combinations as _comb
+
+    keys = set()
+    n = len(adj)
+    for size in range(2, n + 1):
+        for sub in _comb(range(n), size):
+            ss = set(sub)
+            seen = {sub[0]}
+            q = [sub[0]]
+            while q:
+                v = q.pop()
+                for w in adj[v] & ss:
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+            if len(seen) == size:
+                keys.add(_canon_key(sub, adj))
+    return keys
+
+
+def test_substructure_search_matches_independent_enumeration(spark):
+    # Same screen, rebuilt from scratch: containment = the fragment's
+    # canonical key appears in the molecule's enumerated key set.
+    from molgraphdb_spark.queries.chem_queries import (
+        EXAMPLES,
+        SUBSTRUCTURE_QUERIES,
+        chem_substructure_search,
+    )
+
+    got = sorted(
+        (r.query, r.name)
+        for r in chem_substructure_search(spark, "unused").collect()
+    )
+    cat = {name: _subgraph_keys(_alkane_graph(smi)) for name, smi in EXAMPLES}
+    expect = sorted(
+        (q, name)
+        for q, qsmi in SUBSTRUCTURE_QUERIES
+        for name, keys in cat.items()
+        if _canon_key(
+            tuple(range(len(_alkane_graph(qsmi)))), _alkane_graph(qsmi)
+        )
+        in keys
+    )
+    assert got == expect
+    assert ("butyl_chain", "Cyclobutane") not in got  # induced, not mono
+
+
+def test_nearest_molecule_matches_independent_recompute(spark):
+    # The namesake ranking rebuilt from the independent key sets and
+    # the reference formulas (mcs.py:306-331): tanimoto = |I|/|U|,
+    # approx GED = max_nodes * (1 - |I|/min(|A|,|B|)), 3-dp round,
+    # then milli-bp floor(x*1000+0.5); top-1 per molecule by
+    # (tanimoto desc, ged asc, name asc).
+    from molgraphdb_spark.queries.chem_queries import (
+        EXAMPLES,
+        chem_nearest_molecule,
+    )
+
+    adjs = {name: _alkane_graph(smi) for name, smi in EXAMPLES}
+    keys = {name: _subgraph_keys(a) for name, a in adjs.items()}
+    best = {}
+    for a in adjs:
+        cands = []
+        for b in adjs:
+            if b == a:
+                continue
+            inter = len(keys[a] & keys[b])
+            union = len(keys[a] | keys[b])
+            tan = round(inter / union, 3) if union else 0.0
+            max_nodes = max(len(adjs[a]), len(adjs[b]))
+            denom = min(len(keys[a]), len(keys[b]))
+            ged = round(
+                max_nodes * (1 - inter / denom) if denom else float(max_nodes), 3
+            )
+            cands.append(
+                (-int(tan * 1000 + 0.5), int(ged * 1000 + 0.5), b)
+            )
+        s, g, nb = min(cands)
+        best[a] = (nb, -s, g)
+    got = {
+        r.mol: (r.nearest, r.tanimoto_mbp, r.ged_approx_mbp)
+        for r in chem_nearest_molecule(spark, "unused").collect()
+    }
+    assert got == best
+
+
 def _md5_bucket(t: str, dims: int) -> int:
     import hashlib
 
