@@ -147,14 +147,65 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
     """Add ``pq_code: array<int>`` (length M) — one map-only projection
     holding all M argmin folds; zero shuffles. Rows with a NULL vector
     are dropped explicitly (they would otherwise encode to NULL codes
-    silently and poison downstream ADC distance folds)."""
+    silently and poison downstream ADC distance folds).
+
+    K-dispatch (same rule as operators/ivf.py and kmeans.assign_cells):
+    at the FAISS-default production geometry (K=256 codes/subspace) the
+    M literal folds would be M·K·dsub ≈ 16k expression nodes — past
+    the codegen method limit, interpreted, slow — so above
+    ``ASSIGN_LITERAL_MAX_K`` centroids per subspace the encoder runs as
+    ONE Arrow mapInPandas pass doing M small BLAS matmuls per batch
+    (still map-only, same plan position)."""
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+
     df = df.filter(F.col(vec_col).isNotNull())
+    if len(codebooks[0]) > ASSIGN_LITERAL_MAX_K:
+        return _pq_encode_blas(df, vec_col, codebooks)
     dsub = len(codebooks[0][0][1])
     v = F.col(vec_col)
     codes = [
         _subspace_argmin(v, cb, s * dsub, dsub) for s, cb in enumerate(codebooks)
     ]
     return df.withColumn("pq_code", F.array(*codes))
+
+
+def _pq_encode_blas(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
+    """Arrow/BLAS PQ encoder for K > ASSIGN_LITERAL_MAX_K: per batch,
+    reshape vectors to (b, M, dsub) and argmin each subspace against
+    its (K, dsub) codebook via the ||v||²+||c||²−2·V@Cᵀ expansion.
+    Ties → lowest cid (np.argmin first occurrence; codebooks are
+    cid-ascending from pq_train)."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    cmats = [np.array([vec for _, vec in cb], dtype=np.float64) for cb in codebooks]
+    cids = [np.array([int(cid) for cid, _ in cb], dtype=np.int64) for cb in codebooks]
+    c2s = [(c * c).sum(axis=1) for c in cmats]
+
+    fields = ", ".join(f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema)
+    schema = fields + ", pq_code array<int>"
+    in_cols = [c.name for c in df.schema]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64).reshape(-1, m, dsub)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                Vs = V[:, s, :]
+                d2 = (
+                    (Vs * Vs).sum(axis=1)[:, None]
+                    + c2s[s][None, :]
+                    - 2.0 * (Vs @ cmats[s].T)
+                )
+                codes[:, s] = cids[s][d2.argmin(axis=1)]
+            out = pdf[in_cols].copy()
+            out["pq_code"] = [row.astype(np.int32).tolist() for row in codes]
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def pq_adc_topk(
@@ -261,6 +312,20 @@ def pq_search(
     )
 
 
+def ivfpq_index(
+    emb_df: DataFrame, vec_col: str, coarse_cents: list, codebooks: list
+) -> DataFrame:
+    """Build the resident IVF-PQ index: one map-only projection pass
+    adding the coarse cell (kmeans.assign_cells — K-dispatched) and
+    the PQ code (pq_encode — K-dispatched) to every row. At 100 TB
+    this runs ONCE and persists (parquet partitioned by cid is the
+    natural layout: probe joins become partition pruning); query
+    batches then reuse it via ivfpq_search(..., indexed=...)."""
+    from molgraphdb_spark.operators.kmeans import assign_cells
+
+    return pq_encode(assign_cells(emb_df, vec_col, coarse_cents), vec_col, codebooks)
+
+
 def ivfpq_search(
     emb_df: DataFrame,
     vec_col: str,
@@ -271,6 +336,7 @@ def ivfpq_search(
     k: int = 3,
     nprobe: int = 4,
     shortlist: int = 30,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """The full IVF-PQ composition — coarse cells bound how many
     vectors a query TOUCHES, PQ codes bound what each touched vector
@@ -287,9 +353,15 @@ def ivfpq_search(
 
     At 100 TB: stage 3's scan cost is corpus/cells·nprobe rows × M
     byte-lookups — both knobs (nprobe, shortlist) trade recall for
-    cost at query time without touching the index."""
-    from molgraphdb_spark.operators.kmeans import assign_cells
+    cost at query time without touching the index.
 
+    ``indexed`` (optional): a PRE-BUILT index from
+    :func:`ivfpq_index` — the production shape, where indexing runs
+    once and every query batch reuses it (the pq_production probe
+    measured the difference at 2M×16×256: ~45 s of assign+encode per
+    call without reuse, amortized to zero with it). When omitted the
+    index is derived inline (fine for one-shot batches and the
+    oracle-checked test-scale queries)."""
     coarse = {cid: vec for cid, vec in coarse_cents}
     probe_rows = []
     for qid, qv in queries:
@@ -303,7 +375,8 @@ def ivfpq_search(
     spark = emb_df.sparkSession
     probes = spark.createDataFrame(probe_rows, "query_id long, cid int")
 
-    indexed = pq_encode(assign_cells(emb_df, vec_col, coarse_cents), vec_col, codebooks)
+    if indexed is None:
+        indexed = ivfpq_index(emb_df, vec_col, coarse_cents, codebooks)
     dsub = len(codebooks[0][0][1])
     lut_rows = []
     for qid, qv in queries:

@@ -190,3 +190,39 @@ def test_pq_train_probes_past_null_vectors(spark):
     )
     books = pq_train(df, "v", "vec_id", m=2, k=2, n_iter=2)
     assert len(books) == 2 and all(len(cb) == 2 for cb in books)
+
+
+def test_pq_encode_blas_matches_literal(emb, books):
+    # The K-dispatched production encoder (operators/pq._pq_encode_blas,
+    # the M=16/K=256 FAISS-geometry path) must produce the SAME codes
+    # as the literal folds — force both kernels over the same corpus
+    # and codebooks (K=16 is served literal in production; the private
+    # entry point pins the CONTRACT, not the threshold).
+    from molgraphdb_spark.operators.pq import _pq_encode_blas
+
+    lit = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, "v", books).collect()}
+    blas = {
+        r.vec_id: list(r.pq_code)
+        for r in _pq_encode_blas(
+            emb.filter(F.col("v").isNotNull()), "v", books
+        ).collect()
+    }
+    assert lit == blas and len(lit) > 100
+
+
+def test_pq_encode_dispatches_to_blas_above_threshold(emb):
+    # At K > ASSIGN_LITERAL_MAX_K the public pq_encode must route to
+    # the Arrow pass; the codes must still be valid cids and every row
+    # must survive.
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+
+    k_big = ASSIGN_LITERAL_MAX_K + 8
+    books_big = pq_train(emb, "v", "vec_id", m=M, k=k_big, n_iter=1)
+    out = pq_encode(emb, "v", books_big)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r.pq_code) == M
+        assert all(0 <= c < k_big for c in r.pq_code)

@@ -489,6 +489,80 @@ def test_nearest_molecule_matches_independent_recompute(spark):
     assert got == best
 
 
+def test_subgraph_counts_and_catalog_match_independent_enumeration(spark):
+    # chem_subgraph_counts (per-molecule unique-subgraph totals) and
+    # chem_subgraph_catalog_hist (per-size distinct hashes /
+    # observations / parents across the corpus) re-derived from the
+    # independent enumeration — the two remaining count-shaped
+    # constant-VALUES chem oracles.
+    from molgraphdb_spark.queries.chem_queries import (
+        EXAMPLES,
+        chem_subgraph_catalog_hist,
+        chem_subgraph_counts,
+    )
+
+    keys = {name: _subgraph_keys(_alkane_graph(smi)) for name, smi in EXAMPLES}
+    got_counts = {
+        r.name: r.n_subgraphs for r in chem_subgraph_counts(spark, "unused").collect()
+    }
+    assert got_counts == {name: len(ks) for name, ks in keys.items()}
+
+    by_size = {}
+    for name, ks in keys.items():
+        for k in ks:
+            by_size.setdefault(k[0], {}).setdefault(k, set()).add(name)
+    expect_hist = {
+        size: (
+            len(hashes),
+            sum(len(p) for p in hashes.values()),  # observations
+            sum(len(p) for p in hashes.values()),  # = parents here
+        )
+        for size, hashes in by_size.items()
+    }
+    got_hist = {
+        r.size: (r.n_hashes, r.total_observations, r.total_parents)
+        for r in chem_subgraph_catalog_hist(spark, "unused").collect()
+    }
+    assert got_hist == expect_hist
+
+
+def test_tanimoto_pairs_match_independent_recompute(spark):
+    # The full 10-pair Tanimoto/approx-GED table (A5/A6) from the
+    # independent key sets — completes the independent coverage of the
+    # chem constant-VALUES oracle family.
+    from molgraphdb_spark.queries.chem_queries import (
+        EXAMPLES,
+        chem_tanimoto_pairs,
+    )
+
+    adjs = {name: _alkane_graph(smi) for name, smi in EXAMPLES}
+    keys = {name: _subgraph_keys(a) for name, a in adjs.items()}
+    expect = {}
+    for a in sorted(adjs):
+        for b in sorted(adjs):
+            if a >= b:
+                continue
+            inter = len(keys[a] & keys[b])
+            union = len(keys[a] | keys[b])
+            tan = round(inter / union, 3) if union else 0.0
+            max_nodes = max(len(adjs[a]), len(adjs[b]))
+            denom = min(len(keys[a]), len(keys[b]))
+            ged = round(
+                max_nodes * (1 - inter / denom) if denom else float(max_nodes), 3
+            )
+            expect[(a, b)] = (
+                inter,
+                union,
+                int(tan * 1000 + 0.5),
+                int(ged * 1000 + 0.5),
+            )
+    got = {
+        (r.mol_a, r.mol_b): (r.n_shared, r.n_union, r.tanimoto_mbp, r.ged_approx_mbp)
+        for r in chem_tanimoto_pairs(spark, "unused").collect()
+    }
+    assert got == expect
+
+
 def _md5_bucket(t: str, dims: int) -> int:
     import hashlib
 

@@ -925,6 +925,128 @@ def probe_ann_production(
     }
 
 
+def probe_pq_production(spark, k: int = 1000, n_queries: int = 5) -> dict:
+    """IVF-PQ at PRODUCTION geometry (r11 verdict item 6): the earlier
+    pq probe ran the toy 8×16 codebook; FAISS's default is M=16
+    subspaces × K=256 codes. At K=256 the literal-fold encoder would
+    be ~16k expression nodes (past the 64 KB codegen method limit,
+    interpreted) — the engine's pq_encode now K-dispatches to the
+    Arrow/BLAS kernel (operators/pq._pq_encode_blas), and this probe
+    measures THAT code path end to end on a 2M-vector corpus:
+
+    - t_train: 16 per-subspace Lloyd's fits at K=256 on the base rows
+      (training never needs the replicated corpus); the per-iteration
+      assignment also rides the BLAS dispatch (K=256 > 32).
+    - t_index: the ONE-TIME 2M-row assign+encode pass
+      (operators/pq.ivfpq_index), materialized — production builds the
+      index once and persists it; charging it to every query batch is
+      how the first version of this probe made IVF-PQ look 11x SLOWER
+      than brute force at Q=5.
+    - t_lut_ms_per_query: the driver-side ADC LUT build constant
+      (M·K·dsub = 16·256·4 = 16,384 squared diffs per query — the
+      cost every query pays before touching the corpus).
+    - t_ivfpq_search_s: the QUERY-SIDE wall over the reused index
+      (probe join → ADC fold → shortlist → exact rerank).
+    - recall@3 of shortlist+rerank IVF-PQ vs the exact L2 scan."""
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+    from molgraphdb_spark.operators.kmeans import kmeans_fit
+    from molgraphdb_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_search,
+        pq_train,
+    )
+
+    M, K, COARSE_K = 16, 256, 64
+    assert K > ASSIGN_LITERAL_MAX_K  # the dispatch MUST take BLAS
+
+    emb_dir = f"{BASE}/emb_k{k}"
+    if not os.path.exists(emb_dir):
+        emb_dir = build_embeddings(spark, k)
+    emb = (
+        spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    n_vecs = emb.count()
+    base = emb.filter(F.col("vec_id") < 1_000_000)
+
+    t0 = time.time()
+    coarse = kmeans_fit(base, "v", "vec_id", k=COARSE_K, n_iter=2)
+    books = pq_train(base, "v", "vec_id", m=M, k=K, n_iter=2)
+    t_train = time.time() - t0
+
+    t0 = time.time()
+    indexed = ivfpq_index(emb, "v", coarse, books).localCheckpoint(eager=True)
+    n_encoded = indexed.count()
+    t_index = time.time() - t0
+
+    qrows = base.filter(F.col("vec_id") < n_queries).collect()
+    queries = [(r["vec_id"], list(r["v"])) for r in qrows]
+
+    # the ADC LUT-build constant, measured standalone (same loop
+    # pq_adc_topk/ivfpq_search run driver-side per query batch)
+    dsub = 64 // M
+    t0 = time.time()
+    for _, qv in queries:
+        q = [float(x) for x in qv]
+        [
+            [
+                sum((q[s * dsub + j] - cb[c][1][j]) ** 2 for j in range(dsub))
+                for c in range(len(cb))
+            ]
+            for s, cb in enumerate(books)
+        ]
+    t_lut = (time.time() - t0) / max(len(queries), 1)
+
+    t0 = time.time()
+    got = {}
+    res = ivfpq_search(
+        emb, "v", "vec_id", queries, coarse, books,
+        k=3, nprobe=8, shortlist=50, indexed=indexed,
+    )
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    t_search = time.time() - t0
+
+    qdf = spark.createDataFrame(
+        [(int(q), v) for q, v in queries], "query_id long, qv array<double>"
+    )
+    diff = F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x - y)
+    d2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    t0 = time.time()
+    exact = (
+        F.broadcast(qdf)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    )
+    t_exact = time.time() - t0
+    hits = sum(1 for r in exact if r["vec_id"] in got.get(r["query_id"], set()))
+    spark.catalog.clearCache()
+    return {
+        "probe": "pq_production",
+        "vectors": n_vecs,
+        "m": M,
+        "k_per_subspace": K,
+        "coarse_k": COARSE_K,
+        "n_encoded": n_encoded,
+        "t_train_s": round(t_train, 1),
+        "t_index_s": round(t_index, 1),
+        "t_lut_ms_per_query": round(t_lut * 1000, 2),
+        "t_ivfpq_search_s": round(t_search, 1),
+        "t_exact_s": round(t_exact, 1),
+        "recall_at3": round(hits / max(len(exact), 1), 4),
+    }
+
+
 def probe_pq(spark, k: int, n_queries: int = 5) -> dict:
     """IVF-PQ at k× vectors: train coarse (k=8) + PQ (8×16) on the
     BASE vectors only (replica-0 rows — training never needs the full
@@ -2089,6 +2211,7 @@ def main() -> None:
             "runmin_skew": lambda: probe_runmin_skew(spark),
             "hard_negatives": lambda: probe_hard_negatives(spark),
             "ann_production": lambda: probe_ann_production(spark),
+            "pq_production": lambda: probe_pq_production(spark),
             "graph_skew": lambda: probe_graph_skew(spark),
             "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
             "render": lambda: probe_render(spark),
