@@ -58,9 +58,16 @@ def _ubp(cos: Column) -> Column:
 
 def centroid_literal_cos(cents: list[tuple[int, list[float]]]) -> Column:
     """Literal ``array<struct<cid int, cv array<double>>>`` for the
-    cosine fold. Empty ``cents`` yields a typed single-sentinel array
-    (cid=-1, empty vector) so the plan stays analyzable — callers only
-    reach it on an empty corpus where no rows flow through."""
+    cosine fold, built as ONE SQL string parsed JVM-side (the
+    kmeans._centroid_literal lesson: per-node py4j construction of a
+    K×d literal tree costs ~0.5 s/instantiation at K=8/d=64, and the
+    assignment helper instantiates the array in both the assign and
+    probe branches). repr(float) round-trips exact bits. Empty
+    ``cents`` yields a typed single-sentinel array (cid=-1, empty
+    vector) so the plan stays analyzable — callers only reach it on an
+    empty corpus where no rows flow through."""
+    from molgraphdb_spark.operators.kmeans import _dlit
+
     if not cents:
         return F.array(
             F.struct(
@@ -68,15 +75,13 @@ def centroid_literal_cos(cents: list[tuple[int, list[float]]]) -> Column:
                 F.array().cast("array<double>").alias("cv"),
             )
         )
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in cents
-        ]
+    parts = ", ".join(
+        "struct({} as cid, array({}) as cv)".format(
+            int(cid), ", ".join(_dlit(x) for x in vec)
+        )
+        for cid, vec in cents
     )
+    return F.expr(f"array({parts})")
 
 
 def cell_score_cos_ubp(c: Column, v: Column) -> Column:
