@@ -362,16 +362,36 @@ def ivfpq_search(
     call without reuse, amortized to zero with it). When omitted the
     index is derived inline (fine for one-shot batches and the
     oracle-checked test-scale queries)."""
-    coarse = {cid: vec for cid, vec in coarse_cents}
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+
     probe_rows = []
-    for qid, qv in queries:
-        q = [float(x) for x in qv]
-        by_d = sorted(
-            (sum((a - b) ** 2 for a, b in zip(q, cv)), cid)
-            for cid, cv in coarse.items()
+    if len(coarse_cents) > ASSIGN_LITERAL_MAX_K:
+        # Production coarse K: the per-query Python loop is O(Q·K·d);
+        # one BLAS pass over the (Q,d)×(K,d) matrices replaces it
+        # (ties -> lowest cid via the stable lexsort, same rule).
+        import numpy as np
+
+        cmat = np.array([cv for _, cv in coarse_cents], dtype=np.float64)
+        cids = np.array([int(cid) for cid, _ in coarse_cents], dtype=np.int64)
+        Q = np.array([[float(x) for x in qv] for _, qv in queries], dtype=np.float64)
+        d2 = (
+            (Q * Q).sum(axis=1)[:, None]
+            + (cmat * cmat).sum(axis=1)[None, :]
+            - 2.0 * (Q @ cmat.T)
         )
-        for _, cid in by_d[:nprobe]:
-            probe_rows.append((int(qid), int(cid)))
+        for qi, (qid, _) in enumerate(queries):
+            order = np.lexsort((cids, d2[qi]))[:nprobe]
+            probe_rows.extend((int(qid), int(cids[c])) for c in order)
+    else:
+        coarse = {cid: vec for cid, vec in coarse_cents}
+        for qid, qv in queries:
+            q = [float(x) for x in qv]
+            by_d = sorted(
+                (sum((a - b) ** 2 for a, b in zip(q, cv)), cid)
+                for cid, cv in coarse.items()
+            )
+            for _, cid in by_d[:nprobe]:
+                probe_rows.append((int(qid), int(cid)))
     spark = emb_df.sparkSession
     probes = spark.createDataFrame(probe_rows, "query_id long, cid int")
 
