@@ -150,3 +150,45 @@ def test_cell_balance_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, cid int")
     assert cell_balance(empty)["n_cells"] == 0
     require_balanced_cells(empty)  # no rows → no skew → no raise
+
+
+def test_kernels_agree_under_exact_ties(spark):
+    # Tie-stress: integer-valued vectors and centroids make every
+    # distance/cosine EXACT in f64 for both kernels (fold and matmul),
+    # so ubp scores collide constantly and the lowest-cid rule is the
+    # only thing keeping the kernels aligned. 125 lattice vectors vs
+    # 8 centroids containing duplicate positions (cid 3 == cid 7,
+    # cid 0 == cid 5) — every row must pick the LOWER cid of each
+    # duplicate pair in both kernels.
+    rows = [
+        (i, [float(x), float(y), float(z)])
+        for i, (x, y, z) in enumerate(
+            (x, y, z)
+            for x in range(5)
+            for y in range(5)
+            for z in range(5)
+            if (x, y, z) != (0, 0, 0)  # zero-norm is outside the contract
+        )
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [
+        (0, [1.0, 1.0, 1.0]),
+        (1, [4.0, 0.0, 2.0]),
+        (2, [0.0, 3.0, 3.0]),
+        (3, [2.0, 2.0, 2.0]),
+        (4, [3.0, 1.0, 0.0]),
+        (5, [1.0, 1.0, 1.0]),  # duplicate of 0
+        (6, [0.0, 0.0, 4.0]),
+        (7, [2.0, 2.0, 2.0]),  # duplicate of 3
+    ]
+    lit = {r.vec_id: r.cid for r in ivf._assign_literal(df, "v", cents, nprobe=None, with_norm=False).collect()}
+    blas = {r.vec_id: r.cid for r in ivf._assign_blas(df, "v", cents, nprobe=None, with_norm=False).collect()}
+    assert lit == blas
+    assert 5 not in set(lit.values()) and 7 not in set(lit.values())
+
+    from molgraphdb_spark.operators import kmeans
+
+    l2l = {r.vec_id: (r.cid, r.d2_upm) for r in kmeans.assign_cells_ubp(df, "v", cents).collect()}
+    l2b = {r.vec_id: (r.cid, r.d2_upm) for r in kmeans._assign_l2_blas(df, "v", cents, upm=True).collect()}
+    assert l2l == l2b
+    assert all(c not in (5, 7) for c, _ in l2l.values())
