@@ -2247,6 +2247,9 @@ def main() -> None:
     # r11: the ANN shortlist at production shape (n=2M, K=√n)
     print(json.dumps(probe_ann_production(spark)))
     print(json.dumps(probe_pq(spark, k)))
+    # r12: IVF-PQ at the FAISS-default geometry (M=16, K=256) through
+    # the engine's K-dispatched BLAS kernels, index built once
+    print(json.dumps(probe_pq_production(spark)))
     # Iterative graph operators (r5 verdict item 6): planted invariants
     # at ~10× the sf0.1 graph family, rounds + wall-per-wave recorded.
     print(json.dumps(probe_bfs(spark)))
