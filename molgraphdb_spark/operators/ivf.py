@@ -189,38 +189,62 @@ def _assign_blas(
         schema += ", probes array<int>"
     in_cols = [c.name for c in df.schema]
 
-    def kernel(batches: Iterator) -> Iterator:
-        import pandas as pd
+    K = len(cids)
+    take = min(np_, K) if np_ is not None else 0
+    # Memory discipline (measured on this host): a fresh (b, K) f64
+    # temporary costs ~2 s of first-touch page faults per 350 MB while
+    # the same op in-place costs ~0.05 s — so the kernel works a
+    # fixed-size row block through ONE preallocated score buffer and
+    # keeps every full-matrix op in place (the first version allocated
+    # four (b, K) temporaries per batch and ran 4× slower end to end).
+    BLOCK = 4096
 
+    if K >= (1 << 20):  # keyed-tiebreak envelope; far above any real K
+        raise ValueError(f"assign kernel supports < 2^20 centroids, got {K}")
+    pos = np.arange(K, dtype=np.float64)
+
+    def kernel(batches: Iterator) -> Iterator:
+        buf = np.empty((BLOCK, K), dtype=np.float64)
         for pdf in batches:
-            if len(pdf) == 0:
+            b = len(pdf)
+            if b == 0:
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, d)
             vnorm = np.sqrt((V * V).sum(axis=1))
-            s = V @ cmat.T
-            s /= vnorm[:, None]
-            s /= cnorm[None, :]
-            # Same integer micro-bp score as the literal fold, so ties
-            # and ranks agree exactly across kernels.
-            subp = np.floor(s * 1_000_000 + 0.5).astype(np.int64)  # (b, K)
-            # argmax ties → first occurrence; centroids arrive cid-asc,
-            # but map through cids[] in case a caller passes a sparse set.
-            best = cids[subp.argmax(axis=1)]
+            best = np.empty(b, dtype=np.int64)
+            sel_all = np.empty((b, take), dtype=np.int64) if take else None
+            for lo in range(0, b, BLOCK):
+                hi = min(lo + BLOCK, b)
+                s = buf[: hi - lo]
+                np.dot(V[lo:hi], cmat.T, out=s)
+                s /= vnorm[lo:hi, None]
+                s /= cnorm[None, :]
+                # The literal fold's integer micro-bp score with its
+                # earliest-element tie rule, as ONE exact f64 key:
+                # floor(cos·1e6 + .5)·2^20 − position. The ubp ints are
+                # ≤ ~1e6 so the key stays within 2^41 ≪ 2^53 (exact);
+                # keys are UNIQUE per centroid, so argmax == (score
+                # desc, position asc) and the partition boundary can
+                # never split a tie class.
+                s *= 1_000_000.0
+                s += 0.5
+                np.floor(s, out=s)
+                s *= float(1 << 20)
+                s -= pos[None, :]
+                best[lo:hi] = s.argmax(axis=1)
+                if take:
+                    # exact top-nprobe: partition the unique keys, then
+                    # order only the (rows, take) slice.
+                    part = np.argpartition(s, K - take, axis=1)[:, K - take :]
+                    ps = np.take_along_axis(s, part, axis=1)
+                    order = np.argsort(-ps, axis=1)
+                    sel_all[lo:hi] = np.take_along_axis(part, order, axis=1)
             out = pdf[in_cols].copy()
-            out["cid"] = best.astype(np.int32)
+            out["cid"] = cids[best].astype(np.int32)
             if with_norm:
                 out["nrm"] = vnorm
-            if np_ is not None:
-                k = len(cids)
-                take = min(np_, k)
-                # top-nprobe by (score desc, cid asc): argpartition the
-                # shortlist, then exact-sort the short slice per row.
-                part = np.argpartition(-subp, take - 1, axis=1)[:, :take]
-                rows = np.arange(len(pdf))[:, None]
-                ps = subp[rows, part]
-                order = np.lexsort((cids[part], -ps), axis=1)
-                sel = np.take_along_axis(part, order, axis=1)
-                out["probes"] = [cids[r].astype(np.int32).tolist() for r in sel]
+            if take:
+                out["probes"] = [cids[r].astype(np.int32).tolist() for r in sel_all]
             yield out
 
     return df.mapInPandas(kernel, schema=schema)

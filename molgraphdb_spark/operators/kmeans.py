@@ -151,24 +151,46 @@ def _assign_l2_blas(
     schema = fields + (", cid int, d2_upm long" if upm else ", cid int, d2 double")
     in_cols = [c.name for c in df.schema]
 
+    K = len(cids)
+    # One preallocated block buffer + in-place ops: a fresh (b, K)
+    # temporary costs ~2 s of first-touch faults per 350 MB on this
+    # host (see operators/ivf.py) — the expansion runs as dot(out=),
+    # two broadcast adds, and an in-place clamp/floor chain.
+    BLOCK = 4096
+
     def kernel(batches):
+        buf = np.empty((BLOCK, K), dtype=np.float64)
         for pdf in batches:
-            if len(pdf) == 0:
+            b = len(pdf)
+            if b == 0:
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, d)
-            d2 = np.maximum(
-                (V * V).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (V @ cmat.T), 0.0
-            )
+            v2 = (V * V).sum(axis=1)
+            best = np.empty(b, dtype=np.int64)
+            dist = np.empty(b, dtype=np.float64)
+            for lo in range(0, b, BLOCK):
+                hi = min(lo + BLOCK, b)
+                s = buf[: hi - lo]
+                np.dot(V[lo:hi], cmat.T, out=s)
+                s *= -2.0
+                s += c2[None, :]
+                s += v2[lo:hi, None]
+                np.maximum(s, 0.0, out=s)
+                if upm:
+                    s *= 1_000_000.0
+                    s += 0.5
+                    np.floor(s, out=s)
+                # np.argmin keeps the FIRST minimum = lowest cid — the
+                # literal fold's strict-< tie rule.
+                blk_best = s.argmin(axis=1)
+                best[lo:hi] = blk_best
+                dist[lo:hi] = s[np.arange(hi - lo), blk_best]
             out = pdf[in_cols].copy()
+            out["cid"] = cids[best].astype(np.int32)
             if upm:
-                d2i = np.floor(d2 * 1_000_000 + 0.5).astype(np.int64)
-                best = d2i.argmin(axis=1)  # first occurrence = lowest cid
-                out["cid"] = cids[best].astype(np.int32)
-                out["d2_upm"] = d2i[np.arange(len(pdf)), best]
+                out["d2_upm"] = dist.astype(np.int64)
             else:
-                best = d2.argmin(axis=1)
-                out["cid"] = cids[best].astype(np.int32)
-                out["d2"] = d2[np.arange(len(pdf)), best]
+                out["d2"] = dist
             yield out
 
     return df.mapInPandas(kernel, schema=schema)

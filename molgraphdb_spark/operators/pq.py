@@ -187,19 +187,30 @@ def _pq_encode_blas(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
     schema = fields + ", pq_code array<int>"
     in_cols = [c.name for c in df.schema]
 
+    k_sub = len(codebooks[0])
+
     def kernel(batches):
+        # one reused (b, K) distance buffer across subspaces/batches —
+        # the in-place discipline from operators/ivf.py (fresh
+        # temporaries pay first-touch page faults on this host)
+        buf = None
         for pdf in batches:
-            if len(pdf) == 0:
+            b = len(pdf)
+            if b == 0:
                 continue
+            if buf is None or buf.shape[0] < b:
+                buf = np.empty((b, k_sub), dtype=np.float64)
             V = np.array(list(pdf[vec_col]), dtype=np.float64).reshape(-1, m, dsub)
-            codes = np.empty((len(pdf), m), dtype=np.int64)
+            codes = np.empty((b, m), dtype=np.int64)
             for s in range(m):
                 Vs = V[:, s, :]
-                d2 = (
-                    (Vs * Vs).sum(axis=1)[:, None]
-                    + c2s[s][None, :]
-                    - 2.0 * (Vs @ cmats[s].T)
-                )
+                d2 = buf[:b]
+                np.dot(Vs, cmats[s].T, out=d2)
+                d2 *= -2.0
+                d2 += c2s[s][None, :]
+                d2 += (Vs * Vs).sum(axis=1)[:, None]
+                # argmin first occurrence = lowest cid (the literal
+                # fold's strict-< tie rule)
                 codes[:, s] = cids[s][d2.argmin(axis=1)]
             out = pdf[in_cols].copy()
             out["pq_code"] = [row.astype(np.int32).tolist() for row in codes]
