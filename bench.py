@@ -180,6 +180,14 @@ def main() -> None:
     run_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "30"))
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    # Per-query start offset (seconds since the bench loop began):
+    # r12 forensics showed the host suffers multi-minute slow EPISODES
+    # (two same-tree solo runs flagged disjoint 5-7x "regressions";
+    # every one re-timed at baseline individually) — offsets let
+    # bench_compare correlate movers with wall-clock stretches instead
+    # of blaming the queries.
+    offsets: dict[str, float] = {}
+    _loop_t0 = time.time()
     # Per-query run counts: the wall budget truncates expensive queries
     # to 2 runs, so a BENCH file silently mixes 2-run and 5-run medians.
     # Recording n_runs per query lets cross-round diffs (tools/
@@ -192,6 +200,7 @@ def main() -> None:
         if fn is None:
             continue
         runs = []
+        offsets[name] = round(time.time() - _loop_t0, 1)
         # Fault isolation: one failing query must cost exactly one
         # "errors" entry, never the whole round's record (round 3's
         # BENCH file was a traceback because query 7 of 21 threw).
@@ -229,6 +238,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": mins,
                 "queries_n_runs": nruns,
+                "queries_t_offset": offsets,
                 "errors": errors,
                 "canary_duckdb_sec": canary_sec,
                 "runs_per_query": n_runs,
