@@ -1,7 +1,7 @@
-"""Compare two bench JSON records and flag per-query movers.
+"""Compare bench JSON records and flag per-query movers.
 
 Usage:
-    python tools/bench_compare.py OLD.json NEW.json [threshold]
+    python tools/bench_compare.py OLD.json NEW.json [NEW2.json ...] [threshold]
 
 Accepts either a raw bench.py output line ({"metric": ...}) or a
 driver BENCH_r{N}.json wrapper ({"parsed": {...}}). Prints one line
@@ -9,6 +9,15 @@ per query with the ratio, sorted worst-first, and exits nonzero if any
 query moved more than ``threshold``× (default 2.0) in either
 direction — so a round's perf regression is a visible diff, not a
 number someone has to eyeball across files.
+
+Multiple NEW files (the r12 host-episode lesson): this host suffers
+multi-minute slow episodes that inflate disjoint query sets per run,
+so a single solo record can flag 5-7x "regressions" in untouched code.
+Passing every same-tree solo run compares OLD against the per-query
+MINIMUM across runs (canary = the minimum canary among them) — a query
+is only flagged SLOWER if it is slow in EVERY run, which is the
+episode-robust signal. Each run's t_offset (when recorded) is shown
+for flagged movers so episodes can be correlated with wall-clock.
 """
 
 from __future__ import annotations
@@ -70,11 +79,49 @@ def _load(path: str) -> dict:
     return d
 
 
+def _min_merge(records: list[dict]) -> dict:
+    """Per-query minimum across same-tree runs (the episode-robust
+    number); canary = min canary; errors = union."""
+    if len(records) == 1:
+        return records[0]
+    names = set()
+    for r in records:
+        names |= set(r["queries"])
+    merged: dict = {
+        "queries": {
+            n: min(r["queries"][n] for r in records if n in r["queries"])
+            for n in names
+        },
+        "errors": {k: v for r in records for k, v in (r.get("errors") or {}).items()},
+    }
+    canaries = [r["canary_duckdb_sec"] for r in records if r.get("canary_duckdb_sec")]
+    if canaries:
+        merged["canary_duckdb_sec"] = min(canaries)
+    offs = [r.get("queries_t_offset") or {} for r in records]
+    if any(offs):
+        merged["queries_t_offset"] = {
+            n: [o.get(n) for o in offs] for n in names
+        }
+    print(f"min-merged {len(records)} same-tree runs "
+          f"(totals: {', '.join(str(round(sum(r['queries'].values()), 1)) for r in records)}; "
+          f"min-merge total {round(sum(merged['queries'].values()), 1)})")
+    return merged
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
-    old, new = _load(sys.argv[1]), _load(sys.argv[2])
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    args = sys.argv[1:]
+    threshold = 2.0
+    try:
+        threshold = float(args[-1])
+        args = args[:-1]
+    except ValueError:
+        pass
+    if len(args) < 2:
+        raise SystemExit(__doc__)
+    old = _load(args[0])
+    new = _min_merge([_load(p) for p in args[1:]])
     # Host-drift normalization: if both records carry the constant-work
     # DuckDB canary, scale old timings by the canary ratio so a slower
     # co-tenant host doesn't read as a plan regression (and a faster
@@ -98,10 +145,14 @@ def main() -> None:
         rows.append((float("nan"), name, old["queries"][name], None, "GONE"))
     rows.sort(key=lambda r: -(r[0] if r[0] == r[0] else 0))
     bad = 0
+    offsets = new.get("queries_t_offset") or {}
     for ratio, name, t_old, t_new, flag in rows:
         r = f"{ratio:6.2f}x" if ratio == ratio else "    — "
+        off = ""
+        if flag in ("SLOWER", "FASTER") and name in offsets:
+            off = f"  @t={offsets[name]}"
         print(f"{name:34s} {t_old if t_old is not None else '—':>8} → "
-              f"{t_new if t_new is not None else '—':>8}  {r}  {flag}")
+              f"{t_new if t_new is not None else '—':>8}  {r}  {flag}{off}")
         if flag in ("SLOWER", "FASTER"):
             bad += 1
     errs = new.get("errors") or {}
