@@ -192,3 +192,27 @@ def test_kernels_agree_under_exact_ties(spark):
     l2b = {r.vec_id: (r.cid, r.d2_upm) for r in kmeans._assign_l2_blas(df, "v", cents, upm=True).collect()}
     assert l2l == l2b
     assert all(c not in (5, 7) for c, _ in l2l.values())
+
+
+def test_blas_path_empty_input(spark, sf_dir):
+    # zero-row corpus through the BLAS kernel: schema intact, no rows,
+    # no kernel crash on the empty Arrow batch.
+    df = _emb(spark, sf_dir).filter(F.col("vec_id") < 0)
+    cents = _cents(_emb(spark, sf_dir), ASSIGN_LITERAL_MAX_K + 8)
+    out = ivf._assign_blas(df, "v", cents, nprobe=2, with_norm=True)
+    assert out.count() == 0
+    assert [f.name for f in out.schema][-3:] == ["cid", "nrm", "probes"]
+
+
+def test_kmeans_fit_trains_through_blas_dispatch(spark, sf_dir):
+    # K above the threshold: every Lloyd iteration's assignment rides
+    # the BLAS kernel; the fit must still cover all points with valid
+    # cids and improve WCSS over the naive init.
+    from molgraphdb_spark.operators.kmeans import kmeans_fit, kmeans_wcss
+
+    df = _emb(spark, sf_dir).select("vec_id", "v")
+    k = ASSIGN_LITERAL_MAX_K + 4
+    naive = kmeans_fit(df, "v", "vec_id", k=k, n_iter=0)
+    trained = kmeans_fit(df, "v", "vec_id", k=k, n_iter=2)
+    assert [c for c, _ in trained] == list(range(k))
+    assert kmeans_wcss(df, "v", trained) <= kmeans_wcss(df, "v", naive)

@@ -226,3 +226,23 @@ def test_pq_encode_dispatches_to_blas_above_threshold(emb):
     for r in rows[:50]:
         assert len(r.pq_code) == M
         assert all(0 <= c < k_big for c in r.pq_code)
+
+
+def test_ivfpq_search_index_reuse_matches_inline(spark, emb, books):
+    # The production shape — ivfpq_search(..., indexed=ivfpq_index(...))
+    # — must return exactly what the inline (index-derived-per-call)
+    # path returns; reuse changes cost, never results.
+    from molgraphdb_spark.operators.kmeans import kmeans_fit
+    from molgraphdb_spark.operators.pq import ivfpq_index, ivfpq_search
+
+    coarse = kmeans_fit(emb, "v", "vec_id", k=4, n_iter=2)
+    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = [(r["vec_id"], list(r["v"])) for r in qrows]
+    inline = ivfpq_search(emb, "v", "vec_id", queries, coarse, books, k=3)
+    idx = ivfpq_index(emb, "v", coarse, books).localCheckpoint(eager=True)
+    reused = ivfpq_search(
+        emb, "v", "vec_id", queries, coarse, books, k=3, indexed=idx
+    )
+    a = [tuple(r) for r in inline.collect()]
+    b = [tuple(r) for r in reused.collect()]
+    assert a == b and len(a) == 9
