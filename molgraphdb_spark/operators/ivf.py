@@ -194,10 +194,14 @@ def _assign_blas(
     # Memory discipline (measured on this host): a fresh (b, K) f64
     # temporary costs ~2 s of first-touch page faults per 350 MB while
     # the same op in-place costs ~0.05 s — so the kernel works a
-    # fixed-size row block through ONE preallocated score buffer and
-    # keeps every full-matrix op in place (the first version allocated
-    # four (b, K) temporaries per batch and ran 4× slower end to end).
-    BLOCK = 4096
+    # row block through ONE preallocated score buffer and keeps every
+    # full-matrix op in place (the first version allocated four (b, K)
+    # temporaries per batch and ran 4× slower end to end). The block
+    # is size-capped, not row-capped: at 100 TB-scale K (√10¹⁰ ≈ 1e5
+    # centroids) a fixed 4096-row block would be a 3.3 GB buffer PER
+    # TASK — bound the buffer to ~128 MB and let the row count shrink
+    # with K instead (still ≥128 rows so the matmul stays BLAS-shaped).
+    BLOCK = max(128, min(4096, (128 << 20) // (8 * K)))
 
     if K >= (1 << 20):  # keyed-tiebreak envelope; far above any real K
         raise ValueError(f"assign kernel supports < 2^20 centroids, got {K}")

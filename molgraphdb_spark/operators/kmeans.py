@@ -155,8 +155,10 @@ def _assign_l2_blas(
     # One preallocated block buffer + in-place ops: a fresh (b, K)
     # temporary costs ~2 s of first-touch faults per 350 MB on this
     # host (see operators/ivf.py) — the expansion runs as dot(out=),
-    # two broadcast adds, and an in-place clamp/floor chain.
-    BLOCK = 4096
+    # two broadcast adds, and an in-place clamp/floor chain. Buffer is
+    # size-capped (~128 MB) so production-scale K shrinks the row
+    # block instead of ballooning per-task memory.
+    BLOCK = max(128, min(4096, (128 << 20) // (8 * K)))
 
     def kernel(batches):
         buf = np.empty((BLOCK, K), dtype=np.float64)
