@@ -121,3 +121,29 @@ def test_exact_dedup_never_groups_null_text(spark, nulled_sf_dir):
     rows = nulls.collect()
     assert all(r.is_dup_group == 0 for r in rows)
     assert all(r.canonical_id == r.doc_id for r in rows)
+
+
+def test_corpus_has_no_engine_divergent_whitespace(spark, sf_dir):
+    # Sentinel for the documented \s divergence class (ADVICE r11 /
+    # verify-skill r12 note): Java \s includes \x0B, RE2 excludes it,
+    # Python \s adds Unicode whitespace — so every '\s+' tokenizer
+    # split in this repo is cross-engine-identical ONLY while the
+    # corpus contains none of the divergent code points. This test
+    # turns that standing assumption into a loud failure pointing at
+    # the fix (explicit [ \t\n\r\f] classes, the doc_html_extract
+    # treatment) the day a driver corpus ships one.
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    divergent = "[\\x0B\\x1C-\\x1F\\x85\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+    n = (
+        docs.filter(F.col("text").isNotNull())
+        .filter(F.col("text").rlike(divergent))
+        .count()
+    )
+    assert n == 0, (
+        f"{n} documents contain whitespace code points on which Java/RE2/"
+        "Python \\s disagree — the repo-wide '\\s+' tokenizer splits are "
+        "no longer engine-identical; switch the affected queries to the "
+        "explicit [ \\t\\n\\r\\f] class (see doc_html_extract)"
+    )
