@@ -74,7 +74,7 @@ def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + whitespace-normalized lowercase text + token array."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\r\f]+", " "))
     return docs.select("doc_id", norm.alias("norm"), F.split(norm, " ").alias("toks"))
 
 
@@ -132,7 +132,7 @@ def _shingle_rows(
 _SHINGLES_SQL_CTE = """
 tk AS (
   SELECT doc_id,
-         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+         string_split(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' ') AS toks
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
@@ -190,13 +190,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_SQL = """
 SELECT doc_id,
-       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
-       CASE WHEN md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) IS NOT NULL
+       md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS content_hash,
+       CASE WHEN md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))) IS NOT NULL
             THEN MIN(doc_id) OVER w ELSE doc_id END AS canonical_id,
-       CAST(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) IS NOT NULL
+       CAST(md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))) IS NOT NULL
             AND COUNT(*) OVER w > 1 AS INT) AS is_dup_group
 FROM documents
-WINDOW w AS (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+WINDOW w AS (PARTITION BY md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))))
 """
 
 
@@ -491,7 +491,7 @@ _SIM_BITS_SQL = " || ".join(
 DEDUP_SIMHASH_SQL = f"""
 WITH tk AS (
   SELECT doc_id,
-         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         unnest(string_split(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' ')) AS tok
   FROM documents
 ), agg AS (
   SELECT doc_id, COUNT(*) AS n,
@@ -601,7 +601,7 @@ _HAMMING_SQL = " + ".join(
 DEDUP_SIMHASH_PAIRS_SQL = f"""
 WITH tk AS (
   SELECT doc_id,
-         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         unnest(string_split(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' ')) AS tok
   FROM documents
 ), agg AS (
   SELECT doc_id, COUNT(*) AS n,
@@ -912,7 +912,7 @@ def dedup_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_INCREMENTAL_SQL = """
 WITH hashed AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+         md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS content_hash,
          doc_id % 5 = 0 AS is_batch
   FROM documents
 ), corpus AS (
@@ -993,7 +993,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis points — integer-exact in any engine)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\r\f]+", " "))
     hashed = docs.select("source", F.md5(norm).alias("h"))
     nn = (
         hashed.filter(F.col("h").isNotNull())
@@ -1030,7 +1030,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_RATE_BY_SOURCE_SQL = """
 WITH hashed AS (
   SELECT source,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+         md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS h
   FROM documents
 ),
 nn AS (

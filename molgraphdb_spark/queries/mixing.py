@@ -125,7 +125,7 @@ def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("long").alias("n_tok"),
     )
     docs = with_grouped_order_stats(
         docs, ["source"], [F.asc("doc_id")], cumsum={"n_tok": "_end"}
@@ -147,7 +147,7 @@ def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id, source,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS n_tok
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tok,
@@ -350,7 +350,7 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("long").alias("n_tok"),
         F.coalesce(
             F.floor(
                 F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
@@ -391,7 +391,7 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_TOKEN_BUDGET_SQL = f"""
 WITH t AS (
   SELECT doc_id, source,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS n_tok,
          COALESCE(CAST(floor(
            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000
            / NULLIF(length(text), 0)) AS BIGINT), 0) AS quality_bp
@@ -577,7 +577,7 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")).alias(
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("long")).alias(
                 "tokens"
             ),
         )
@@ -603,7 +603,7 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_TEMP_SQL = """
 WITH per_src AS (
   SELECT source, COUNT(*)::BIGINT AS n_docs,
-         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS tokens
+         CAST(SUM(len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'))) AS BIGINT) AS tokens
   FROM documents WHERE text IS NOT NULL GROUP BY source
 ),
 w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isq FROM per_src),

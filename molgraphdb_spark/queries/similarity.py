@@ -1919,7 +1919,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
-            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+            F.array_distinct(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("toks"),
         )
     )
     qd = docs.filter(F.col("doc_id") < RRF_N_QUERIES).select(
@@ -1986,7 +1986,7 @@ dtop AS (
   FROM dscored
 ),
 dd AS (
-  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 sq AS (SELECT doc_id AS query_id, toks AS qtoks FROM dd WHERE doc_id < {RRF_N_QUERIES}),

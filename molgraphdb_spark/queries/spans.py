@@ -20,7 +20,7 @@ cover:
   belonging to 5-grams that repeat within the document.
 
 Cross-engine determinism: tokenization is the repo-standard
-``split(trim(text), '\\s+')`` (identical Java-regex/RE2 behavior),
+``split(trim(text), '[ \\t\\n\\r\\f]+')`` (identical Java-regex/RE2 behavior),
 window keys are the joined token strings themselves (portable; the
 round-5 A/B in BASELINE.md showed pre-hashing buys nothing), and all
 ratios are floored to basis points on both sides.
@@ -222,7 +222,7 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_DUP_SPAN_SQL = f"""
 WITH tk AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks FROM documents
 ), occ AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
          array_to_string(toks[i:i+{SPAN_W - 1}], ' ') AS win
@@ -242,16 +242,16 @@ WITH tk AS (
   FROM cov GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) AS BIGINT) AS n_tokens,
        COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
        COALESCE(p.dup_token_cnt, 0) AS dup_token_cnt,
-       COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '\\s+')) > 0
+       COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) > 0
                 THEN CAST(floor(p.dup_token_cnt * 10000.0
-                     / len(regexp_split_to_array(trim(d.text), '\\s+')) + 0.5) AS BIGINT)
+                     / len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) + 0.5) AS BIGINT)
                 END, 0) AS dup_token_bp,
-       CAST(CASE WHEN COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '\\s+')) > 0
+       CAST(CASE WHEN COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) > 0
                      THEN floor(p.dup_token_cnt * 10000.0
-                          / len(regexp_split_to_array(trim(d.text), '\\s+')) + 0.5) END, 0)
+                          / len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) + 0.5) END, 0)
                  <= {DUP_SPAN_MAX_BP} THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY doc_id
@@ -396,7 +396,7 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_DUP_SPAN_REMOVAL_SQL = f"""
 WITH tk AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks FROM documents
 ), occ AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
          array_to_string(toks[i:i+{SPAN_W - 1}], ' ') AS win
@@ -421,8 +421,8 @@ WITH tk AS (
   FROM kept GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) - COALESCE(a.n_kept, 0)
+       CAST(len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) - COALESCE(a.n_kept, 0)
             AS BIGINT) AS n_removed,
        COALESCE(a.text_clean, '') AS text_clean
 FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -492,7 +492,7 @@ def _gram_cte(k: int) -> str:
 
 DOC_REPETITION_SQL = f"""
 WITH tk AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks FROM documents
 ), g3 AS ({_gram_cte(3)}), g4 AS ({_gram_cte(4)}), g5 AS ({_gram_cte(5)}),
 c3 AS (SELECT doc_id, MAX(c) AS top_n FROM (
         SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
@@ -504,26 +504,26 @@ c5 AS (SELECT doc_id,
        FROM (SELECT doc_id, g, COUNT(*) AS c, len(g) AS glen FROM g5 GROUP BY 1, 2)
        GROUP BY 1)
 SELECT d.doc_id,
-       CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
-       COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '\\s+')) >= 3
+       CAST(len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) AS BIGINT) AS n_tokens,
+       COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) >= 3
             THEN CAST(floor(c3.top_n * 10000.0
-                 / (len(regexp_split_to_array(trim(d.text), '\\s+')) - 2) + 0.5) AS BIGINT)
+                 / (len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) - 2) + 0.5) AS BIGINT)
             END, 0) AS top3_bp,
-       COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '\\s+')) >= 4
+       COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) >= 4
             THEN CAST(floor(c4.top_n * 10000.0
-                 / (len(regexp_split_to_array(trim(d.text), '\\s+')) - 3) + 0.5) AS BIGINT)
+                 / (len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) - 3) + 0.5) AS BIGINT)
             END, 0) AS top4_bp,
        COALESCE(CASE WHEN c5.all_chars > 0
             THEN CAST(floor(c5.dup_chars * 10000.0 / c5.all_chars + 0.5) AS BIGINT)
             END, 0) AS dup5_char_bp
        , CAST(CASE WHEN
-           COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '\\s+')) >= 3
+           COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) >= 3
                 THEN floor(c3.top_n * 10000.0
-                     / (len(regexp_split_to_array(trim(d.text), '\\s+')) - 2) + 0.5) END, 0)
+                     / (len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) - 2) + 0.5) END, 0)
                 <= {GOPHER_TOP3_MAX_BP}
-           AND COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '\\s+')) >= 4
+           AND COALESCE(CASE WHEN len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) >= 4
                 THEN floor(c4.top_n * 10000.0
-                     / (len(regexp_split_to_array(trim(d.text), '\\s+')) - 3) + 0.5) END, 0)
+                     / (len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r\\f]+')) - 3) + 0.5) END, 0)
                 <= {GOPHER_TOP4_MAX_BP}
            AND COALESCE(CASE WHEN c5.all_chars > 0
                 THEN floor(c5.dup_chars * 10000.0 / c5.all_chars + 0.5) END, 0)

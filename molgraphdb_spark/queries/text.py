@@ -7,8 +7,11 @@ re-expressed as pure built-in column expressions, so the whole pipeline
 stays inside whole-stage codegen: no Python UDF anywhere on this path.
 
 Cross-engine determinism rules (verified empirically, see tests):
-- tokenization: ``split(trim(text), '\\s+')`` is identical in Spark
-  (Java regex) and DuckDB (RE2) for this pattern.
+- tokenization: ``split(trim(text), '[ \\t\\n\\r\\f]+')`` — the EXPLICIT
+  ASCII-whitespace class, never ``\\s`` (Java ``\\s`` includes \\x0B,
+  RE2 excludes it, Python adds Unicode whitespace; the explicit class
+  is byte-identical across all three engines on ANY corpus — r12
+  verdict item 2 closed in r13).
 - hashing: ``md5`` hex output is identical in both engines.
 - all ratios are rounded on both sides before comparison.
 
@@ -38,7 +41,7 @@ STOPWORDS = {
 
 #: BPE-ish token pattern: runs of letters, runs of digits, or single
 #: punctuation — the standard pre-tokenizer shape.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"
 
 PUNCT_PATTERN = r"[.,!?;:'\"()\[\]{}-]"
 
@@ -49,7 +52,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokens() -> Column:
-    return F.split(F.trim(F.col("text")), r"\s+")
+    return F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
 
 
 def _stop_hits(lang: str) -> Column:
@@ -69,18 +72,18 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
         F.round(
-            F.length(F.regexp_replace("text", r"\s+", "")) / F.size(toks), 4
+            F.length(F.regexp_replace("text", r"[ \t\n\r\f]+", "")) / F.size(toks), 4
         ).alias("mean_token_len"),
     )
 
 
 DOC_TOKEN_STATS_SQL = f"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS n_tokens,
        len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
-       len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_uniq_tokens,
-       ROUND(length(regexp_replace(text, '\\s+', '', 'g'))
-             / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_token_len
+       len(list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'))) AS n_uniq_tokens,
+       ROUND(length(regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g'))
+             / len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')), 4) AS mean_token_len
 FROM documents
 """
 
@@ -129,8 +132,8 @@ _EN_STOPS_SQL = ",".join(f"'{w}'" for w in STOPWORDS["en"])
 DOC_QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\\s+') AS toks,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks,
+         len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS n_tokens,
          len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{{}}-]')) * 1.0 / length(text) AS punct_ratio
   FROM documents
 ), s AS (
@@ -178,7 +181,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hits_sql(lang: str) -> str:
     words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
     return (
-        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'), "
         f"x -> lower(x) IN ({words})))"
     )
 
@@ -274,7 +277,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-split funnel class)."""
     docs = _docs(spark, sf_dir)
     docs = docs.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\r\f]+", " "))
     toks = F.split(norm, " ")
     n = F.size(toks)
     # 5-token shingles joined with '\x1f', hashed; min over the document.
@@ -292,7 +295,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_FINGERPRINT_SQL = """
 WITH t AS (
   SELECT doc_id,
-         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+         lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm
   FROM documents
 ), tk AS (
   SELECT doc_id, norm, string_split(norm, ' ') AS toks,
@@ -312,8 +315,8 @@ def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = _tokens()
     bigrams = F.zip_with(
-        F.expr("slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) - 1)"),
-        F.expr("slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text), '\\\\s+')) - 1)"),
+        F.expr("slice(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), 1, size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) - 1)"),
+        F.expr("slice(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), 2, size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) - 1)"),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
@@ -327,7 +330,7 @@ def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_NGRAM_SQL = """
 WITH toks AS (
-  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  SELECT regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents
 ), bg AS (
   SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
   FROM toks
@@ -421,7 +424,7 @@ def doc_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_RARE_TOKEN_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents
 ), freq AS (
   SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok
@@ -489,7 +492,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_TFIDF_SQL = """
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents
 ), tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
@@ -611,7 +614,7 @@ def _gram_rows(docs: DataFrame) -> DataFrame:
         " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
     )
     with_grams = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+").alias("t")
     ).filter(F.size("t") >= 3)
     return with_grams.select("doc_id", F.explode(grams).alias("gram")).distinct()
 
@@ -645,7 +648,7 @@ def doc_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_DECONTAM_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS t
   FROM documents
 ), grams AS (
   SELECT DISTINCT doc_id,
@@ -716,7 +719,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_UNIGRAM_SQL = """
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents
 ), model AS (
   SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok
@@ -803,7 +806,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_BIGRAM_SQL = """
 WITH tk AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks FROM documents
 ), tok AS (
   SELECT unnest(toks) AS tok FROM tk
 ), uni AS (
@@ -894,7 +897,7 @@ def kl_from_counts(st: DataFrame) -> DataFrame:
 
 SOURCE_DIVERGENCE_SQL = """
 WITH tok AS (
-  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT source, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents
 ), st AS (
   SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2
@@ -1000,7 +1003,7 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_GOPHER_SQL = f"""
 WITH tk AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks FROM documents
 ), bg AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
          THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
@@ -1098,7 +1101,7 @@ def _bpe_table_sql(n_steps: int) -> str:
     sep = "chr(31)"
     cte = [
         r"""w AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) AS w FROM documents
 ), wc AS (
   SELECT w, COUNT(*) AS c FROM w WHERE length(w) >= 2 GROUP BY 1
 ), s0 AS (
@@ -1196,7 +1199,7 @@ VOCAB_BPE_COMPRESSION_SQL = _bpe_compression_sql(BPE_MERGE_STEPS)
 
 VOCAB_BPE_SQL = """
 WITH w AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+  SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS w FROM documents
 ), wc AS (
   SELECT w, COUNT(*) AS c FROM w WHERE length(w) >= 2 GROUP BY 1
 ), p AS (
@@ -1272,7 +1275,7 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOCAB_ZIPF_SQL = """
 WITH tok AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+  SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS tok FROM documents
 ), dct AS (
   SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok
 ), xy AS (
@@ -1397,8 +1400,8 @@ def _bm25_sql() -> str:
     )
     return f"""
 WITH dd AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
-         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS dl
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks,
+         len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'))::BIGINT AS dl
   FROM documents WHERE text IS NOT NULL
 ),
 stats AS (
@@ -1514,7 +1517,7 @@ DOC_QC_SQL = f"""
 WITH scored AS (
   SELECT source,
          CAST(list_sum(list_transform(
-           regexp_split_to_array(trim(text), '\\s+'),
+           regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'),
            t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT)
                 % {QC_DIMS} * {QC_MIX} % 2147483648 % 2001 - 1000
          )) AS BIGINT) AS score_milli
@@ -1571,8 +1574,8 @@ def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     pair = F.zip_with(
-        F.expr("slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) - 1)"),
-        F.expr("slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text), '\\\\s+')) - 1)"),
+        F.expr("slice(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), 1, size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) - 1)"),
+        F.expr("slice(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), 2, size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) - 1)"),
         lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
     )
     big = (
@@ -1605,7 +1608,7 @@ def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_COLLOC_SQL = f"""
 WITH dd AS (
-  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  SELECT regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS t
   FROM documents WHERE text IS NOT NULL
 ),
 stats AS (
@@ -1702,7 +1705,7 @@ def chunk_rows(docs: DataFrame) -> DataFrame:
 
 DOC_CHUNK_SQL = f"""
 WITH d AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks
   FROM documents WHERE text IS NOT NULL
 ), sized AS (
   SELECT doc_id, toks, len(toks) AS n,
@@ -1797,7 +1800,7 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_CDC_SQL = f"""
 WITH d AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks
   FROM documents WHERE text IS NOT NULL
 ), tok AS (
   SELECT doc_id, u.i - 1 AS pos, toks[i] AS tok,
@@ -1849,7 +1852,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. One final 5-sum aggregate; the stage rows come from a
     stack over that single row."""
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\r\f]+", " "))
     base = docs.select(
         "doc_id",
         (quality_score_col() >= 0).alias("pass_q"),
@@ -1931,9 +1934,9 @@ WITH ing AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL
 ), scored AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h,
+         md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS h,
          CAST(list_sum(list_transform(
-           regexp_split_to_array(trim(text), '\\s+'),
+           regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'),
            t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT)
                 % {QC_DIMS} * {QC_MIX} % 2147483648 % 2001 - 1000
          )) AS BIGINT) AS score
@@ -1945,7 +1948,7 @@ WITH ing AS (
     SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS canon FROM s1
   ) WHERE doc_id = canon
 ), toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS t
   FROM ing
 ), grams AS (
   SELECT DISTINCT doc_id,
@@ -2010,7 +2013,7 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
         ).alias("bpe"),
-        F.length(F.regexp_replace("text", r"\s+", "")).alias("chars"),
+        F.length(F.regexp_replace("text", r"[ \t\n\r\f]+", "")).alias("chars"),
     )
     return (
         scored.groupBy("lang")
@@ -2033,9 +2036,9 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_FERTILITY_SQL = f"""
 WITH scored AS (
   SELECT lang,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS ws,
+         len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS ws,
          len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe,
-         length(regexp_replace(text, '\\s+', '', 'g')) AS chars
+         length(regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g')) AS chars
   FROM documents WHERE text IS NOT NULL
 )
 SELECT lang,
@@ -2093,7 +2096,7 @@ def source_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_CHUNK_DUP_SQL = f"""
 WITH d AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks
   FROM documents WHERE text IS NOT NULL
 ), tok AS (
   SELECT doc_id, u.i - 1 AS pos, toks[i] AS tok,
@@ -2233,7 +2236,7 @@ DOC_DSIR_SQL = f"""
 WITH d AS (
   SELECT doc_id, source,
          COALESCE(lang = 'en', FALSE) AS is_t,
-         regexp_split_to_array(trim(text), '\\s+') AS toks
+         regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks
   FROM documents WHERE text IS NOT NULL
 ), feat AS (
   SELECT doc_id, CAST(is_t AS BIGINT) AS is_t, t FROM (
@@ -2358,7 +2361,7 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_PPL_BUCKETS_SQL = """
 WITH tok AS (
-  SELECT lang, doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT lang, doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents WHERE text IS NOT NULL
 ), model AS (
   SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY lang, tok

@@ -777,7 +777,7 @@ def source_token_counts_stream(docs: DataFrame) -> DataFrame:
     stream and batch share one code path for the math."""
     tok = docs.select(
         "source",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("tok"),
     )
     return tok.groupBy("source", "tok").count().withColumnRenamed("count", "c_st")
 

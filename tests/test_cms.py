@@ -13,7 +13,7 @@ from molgraphdb_spark.operators.cms import cms_estimate, cms_sketch
 def _tokens(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("tok")
     )
 
 

@@ -123,15 +123,45 @@ def test_exact_dedup_never_groups_null_text(spark, nulled_sf_dir):
     assert all(r.canonical_id == r.doc_id for r in rows)
 
 
-def test_corpus_has_no_engine_divergent_whitespace(spark, sf_dir):
-    # Sentinel for the documented \s divergence class (ADVICE r11 /
-    # verify-skill r12 note): Java \s includes \x0B, RE2 excludes it,
-    # Python \s adds Unicode whitespace — so every '\s+' tokenizer
-    # split in this repo is cross-engine-identical ONLY while the
-    # corpus contains none of the divergent code points. This test
-    # turns that standing assumption into a loud failure pointing at
-    # the fix (explicit [ \t\n\r\f] classes, the doc_html_extract
-    # treatment) the day a driver corpus ships one.
+def test_no_backslash_s_tokenizer_in_package():
+    # Regression guard for the r13 whitespace migration (r12 verdict
+    # item 2): every tokenizer split / whitespace collapse in the
+    # package now uses the EXPLICIT ASCII class [ \t\n\r\f], which is
+    # byte-identical across Java regex, RE2 and Python on ANY corpus.
+    # A reintroduced \s (in any of its three source encodings: r"\s",
+    # SQL '\\s', F.expr '\\\\s') would silently re-open the
+    # Java-vs-RE2 \x0B / Unicode-whitespace divergence — fail loudly.
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "molgraphdb_spark"
+    offenders = []
+    for p in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if "\\s" in line and not line.lstrip().startswith("#"):
+                # prose mentions of the retired rule live in docstrings
+                # that spell the class out alongside; only flag lines
+                # that look like live regex material
+                if "``" in line or "never" in line:
+                    continue
+                offenders.append(f"{p.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "\\s crept back into package regex source; use the explicit "
+        "[ \\t\\n\\r\\f] class instead (r13 migration):\n"
+        + "\n".join(offenders)
+    )
+
+
+def test_corpus_has_no_python_divergent_whitespace(spark, sf_dir):
+    # NARROWED r13 sentinel (was: the repo-wide '\s+' engine-divergence
+    # canary; the engine queries migrated to the explicit
+    # [ \t\n\r\f] class and no longer depend on the corpus at all —
+    # see test_no_backslash_s_tokenizer_in_package). What still
+    # assumes an ASCII-whitespace corpus is the TEST third-impl layer:
+    # the independent recomputes in test_thirdimpl.py tokenize with
+    # Python str.strip()/str.split(), which treat \x0B and Unicode
+    # whitespace (NBSP, EM SPACE, …) as separators where the engines'
+    # explicit class does not. This sentinel fails the day a driver
+    # corpus ships a divergent code point, naming the fix.
     import os
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -142,8 +172,10 @@ def test_corpus_has_no_engine_divergent_whitespace(spark, sf_dir):
         .count()
     )
     assert n == 0, (
-        f"{n} documents contain whitespace code points on which Java/RE2/"
-        "Python \\s disagree — the repo-wide '\\s+' tokenizer splits are "
-        "no longer engine-identical; switch the affected queries to the "
-        "explicit [ \\t\\n\\r\\f] class (see doc_html_extract)"
+        f"{n} documents contain \\x0B/Unicode whitespace — the engine "
+        "queries are unaffected (explicit [ \\t\\n\\r\\f] class) but the "
+        "Python third-impl recomputes in test_thirdimpl.py tokenize with "
+        "str.strip()/str.split(); switch those to "
+        "re.split(r'[ \\t\\n\\r\\f]+', text.strip(' \\t\\n\\r\\f')) before "
+        "trusting them on this corpus"
     )

@@ -11,7 +11,7 @@ from molgraphdb_spark.operators.sketch import heavy_hitters
 def _tokens(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("tok")
     )
 
 

@@ -1271,7 +1271,7 @@ def test_fertility_matches_python_reference(spark, tmp_path_factory):
     for _d, text, lang, _s in rows:
         ws = len(text.strip().split())
         bpe = len(re.findall(BPE_PATTERN, text))
-        chars = len(re.sub(r"\s+", "", text))
+        chars = len(re.sub(r"[ \t\n\r\f]+", "", text))
         a = agg.setdefault(lang, [0, 0, 0, 0])
         a[0] += 1
         a[1] += ws
@@ -1395,7 +1395,7 @@ def test_curation_funnel_matches_python_reference(spark, tmp_path_factory):
 
     def norm(text: str) -> str:
         import re
-        return re.sub(r"\s+", " ", text.strip()).lower()
+        return re.sub(r"[ \t\n\r\f]+", " ", text.strip()).lower()
 
     def grams(text: str) -> set:
         t = text.strip().split()
@@ -1639,7 +1639,7 @@ def test_ngram_novelty_matches_python_reference(spark, tmp_path_factory):
     import re
 
     def shingles(text: str) -> set:
-        toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        toks = re.sub(r"[ \t\n\r\f]+", " ", text.strip()).lower().split(" ")
         cnt = max(len(toks) - 2, 1)
         return {" ".join(toks[i : i + 3]) for i in range(cnt)}
 
@@ -2079,7 +2079,7 @@ def test_bm25_matches_python_on_real_corpus(spark, sf_dir):
         doc_bm25_topk,
     )
 
-    docs = {d: _re.split(r"\s+", t.strip()) for d, t in _pa_docs(sf_dir)}
+    docs = {d: _re.split(r"[ \t\n\r\f]+", t.strip()) for d, t in _pa_docs(sf_dir)}
     n = len(docs)
     tot = max(sum(len(v) for v in docs.values()), 1)
     terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
@@ -2144,7 +2144,7 @@ def test_rrf_matches_python_on_real_corpus(spark, sf_dir):
         return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1_000_000 + 0.5)
 
     toksets = {
-        d: set(_re.split(r"\s+", txt.strip())) for d, txt in _pa_docs(sf_dir)
+        d: set(_re.split(r"[ \t\n\r\f]+", txt.strip())) for d, txt in _pa_docs(sf_dir)
     }
     fused: dict[tuple[int, int], int] = {}
     for q in range(RRF_N_QUERIES):
