@@ -352,8 +352,11 @@ def decode_flac(data: bytes) -> tuple[int, "np.ndarray"]:
     # fires after the reservation on some memory configurations
     # (ADVICE r11). A FLAC frame spans ≤ 65535 samples and costs ≥ 10
     # bytes (header + CRC-8 + smallest subframe + CRC-16), so the file
-    # size bounds the carryable sample count.
-    if n_total > len(data) * 65536:
+    # size bounds the carryable sample count at (⌊size/10⌋+1)·65535
+    # (ADVICE r12: the old len·65536 bound was 10× looser than this,
+    # its own derivation — a ≥1 MiB crafted file could still declare
+    # the full 2^36).
+    if n_total > (len(data) // 10 + 1) * 65535:
         raise ValueError(
             f"STREAMINFO declares {n_total} samples — implausible for a "
             f"{len(data)}-byte file"

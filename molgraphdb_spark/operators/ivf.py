@@ -118,9 +118,29 @@ def assign_cells_cos_ubp(
     a raw cosine within ~1 ulp of an x.5e-6 rounding boundary
     (test-pinned equal on the shipped fixtures). Zero-norm vectors are
     outside the contract (both kernels degrade, differently)."""
+    if nprobe is not None and nprobe < 1:
+        # ADVICE r12: nprobe=0 diverged across kernels (literal emitted
+        # an empty array, BLAS declared the column but never filled it)
+        raise ValueError(f"nprobe must be >= 1 when requested, got {nprobe}")
+    cents = _checked_cents(cents)
     if len(cents) <= ASSIGN_LITERAL_MAX_K:
         return _assign_literal(df, vec_col, cents, nprobe=nprobe, with_norm=with_norm)
     return _assign_blas(df, vec_col, cents, nprobe=nprobe, with_norm=with_norm)
+
+
+def _checked_cents(
+    cents: list[tuple[int, list[float]]],
+) -> list[tuple[int, list[float]]]:
+    """Sort centroids by cid and reject duplicates (ADVICE r12): the
+    literal fold breaks ties by ARRAY ORDER and the BLAS kernel by
+    POSITION, so the documented lowest-cid tie rule is true in both
+    kernels only when the array is cid-ascending — enforce it at entry
+    (K entries, free) instead of documenting a silent precondition."""
+    out = sorted(cents, key=lambda c: int(c[0]))
+    for (a, _), (b, _) in zip(out, out[1:]):
+        if a == b:
+            raise ValueError(f"duplicate centroid cid {a}")
+    return out
 
 
 def _assign_literal(
@@ -287,7 +307,9 @@ def require_balanced_cells(
     BEFORE the shortlist equi-join; raise loudly on skew instead of
     letting one hot cell stall the join (measured failure: 86% of a
     2M-vector corpus in one cell). Returns the histogram stats on
-    success so callers can log them."""
+    success so callers can log them. For the graceful-degradation
+    production path (split the hot centroids instead of aborting the
+    job) use :func:`assign_cells_balanced`."""
     stats = cell_balance(assigned, cid_col)
     if stats["ratio"] > max_ratio:
         raise ValueError(
@@ -295,6 +317,168 @@ def require_balanced_cells(
             f"{stats['ratio']:.1f}x the mean ({stats['mean_sz']:.1f}) across "
             f"{stats['n_cells']} cells (limit {max_ratio}x). Re-train or "
             "split the hot centroid, or route the hot cell to a "
-            "brute-force side channel (SCALE.md §12)."
+            "brute-force side channel (SCALE.md §12) — "
+            "assign_cells_balanced() is that rule as an operator."
         )
     return stats
+
+
+def assign_cells_balanced(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    *,
+    id_col: str,
+    nprobe: int | None = None,
+    with_norm: bool = False,
+    max_ratio: float = CELL_BALANCE_MAX_RATIO,
+    max_rounds: int = 3,
+    split_iter: int = 3,
+) -> tuple[DataFrame, list[tuple[int, list[float]]], dict]:
+    """:func:`assign_cells_cos_ubp` with the SCALE.md §12 remediation
+    built in: assign, gate, and on skew SPLIT each hot centroid by a
+    local 2-means re-train over its own cell, repeating up to
+    ``max_rounds`` times. Returns ``(assigned, cents_out, stats)``.
+
+    Recall contract: a split cell's members are EXACTLY the union of
+    its children's members (hot rows are re-assigned only among their
+    own cell's children), so a consumer that expands every probed
+    parent cid to its descendant leaves (:func:`expand_probes` over
+    ``stats["split_map"]``) sees the IDENTICAL candidate set as the
+    unsplit index — recall is preserved by construction while the
+    biggest equi-join partition shrinks by the split fan-out
+    (probe-measured: tools/scale_probe.py ann_hot_cell).
+
+    Execution shape: the assignment output is ``persist()``-ed before
+    the histogram job so the gate and the caller's downstream join
+    share ONE assignment pass (the ADVICE r12 double-compute fix);
+    each split round adds one bounded k-means fit (2 centroids,
+    ``split_iter`` Lloyd rounds over one cell) plus one map-only
+    re-assignment of the hot rows — no extra shuffle anywhere.
+
+    Degradation contract: if after ``max_rounds`` the histogram still
+    violates ``max_ratio`` the residual hot cids are returned in
+    ``stats["spill_cids"]`` instead of raising — at 100 TB an abort is
+    worse than a bounded skew; callers route those cells to a salted /
+    brute-force side channel (AQE's skew-join split already bounds a
+    sort-merge join task; spill_cids names the cells for anything
+    AQE cannot see, e.g. a downstream groupBy on cid).
+
+    ``id_col`` seeds the deterministic 2-means init (first-2-by-id —
+    the repo-wide no-RNG rule)."""
+    from molgraphdb_spark.operators.kmeans import kmeans_fit
+
+    cents = _checked_cents(cents)
+    assigned = assign_cells_cos_ubp(
+        df, vec_col, cents, nprobe=nprobe, with_norm=with_norm
+    ).persist()
+    stats = cell_balance(assigned)
+    stats["split_map"] = {}
+    stats["spill_cids"] = []
+    stats["rounds"] = 0
+    if stats["ratio"] <= max_ratio or stats["n_cells"] == 0:
+        return assigned, cents, stats
+
+    cmap = dict(cents)
+    next_cid = max(cmap) + 1
+    split_map: dict[int, list[int]] = {}
+    for rnd in range(1, max_rounds + 1):
+        hist = assigned.groupBy("cid").count().collect()  # K rows, bounded
+        mean = sum(r["count"] for r in hist) / len(hist)
+        hot = sorted(r["cid"] for r in hist if r["count"] > max_ratio * mean)
+        if not hot:
+            break
+        counts = {r["cid"]: r["count"] for r in hist}
+        cold = assigned.filter(~F.col("cid").isin(hot))
+        parts = [cold]
+        for h in hot:
+            # Only cid is recomputed: probes (if present) stay at the
+            # PARENT-era geometry on every row — uniform semantics for
+            # the consumer-side expand_probes rewrite — and nrm is a
+            # pure function of the vector, so it passes through too.
+            cell = assigned.filter(F.col("cid") == h).drop("cid")
+            # Fan-out proportional to overload: target each child at
+            # HALF the allowed max (max_ratio·mean/2) so one round
+            # usually clears the gate even with uneven splits; capped
+            # at 64 (a 64-way local fit is one TakeOrdered + split_iter
+            # Lloyd jobs over one cell — bounded). Seeding is "hash":
+            # a hot cell is often an id-ordered drift continuum, which
+            # "first" would seed entirely from one end.
+            n_kids = min(64, max(2, -(-counts[h] * 2 // max(int(max_ratio * mean), 1))))
+            kids = kmeans_fit(
+                cell, vec_col, id_col, k=n_kids, n_iter=split_iter, init="hash"
+            )
+            kid_cents = [(next_cid + i, vec) for i, (_, vec) in enumerate(kids)]
+            next_cid += len(kid_cents)
+            for cid, vec in kid_cents:
+                cmap[cid] = vec
+            del cmap[h]
+            split_map[h] = [cid for cid, _ in kid_cents]
+            # Re-assign ONLY this cell's rows, only among its children:
+            # parent membership == union of child memberships, exactly.
+            # K=2 always takes the literal fold — map-only, no shuffle.
+            parts.append(
+                assign_cells_cos_ubp(cell, vec_col, kid_cents).select(
+                    *assigned.columns
+                )
+            )
+        nxt = parts[0]
+        for p in parts[1:]:
+            nxt = nxt.unionByName(p)
+        nxt = nxt.persist()
+        assigned.unpersist()
+        assigned = nxt
+        stats = cell_balance(assigned)
+        stats["rounds"] = rnd
+        if stats["ratio"] <= max_ratio:
+            break
+    # leaves only: follow split chains to the live centroid set
+    stats["split_map"] = {p: _leaves(split_map, p) for p in split_map}
+    stats["spill_cids"] = (
+        []
+        if stats["ratio"] <= max_ratio
+        else sorted(
+            r["cid"]
+            for r in assigned.groupBy("cid").count().collect()
+            if r["count"] > max_ratio * stats["mean_sz"]
+        )
+    )
+    return assigned, sorted(cmap.items()), stats
+
+
+def _leaves(split_map: dict[int, list[int]], cid: int) -> list[int]:
+    out: list[int] = []
+    stack = [cid]
+    while stack:
+        c = stack.pop()
+        if c in split_map:
+            stack.extend(split_map[c])
+        else:
+            out.append(c)
+    return sorted(out)
+
+
+def expand_probes(
+    df: DataFrame, split_map: dict[int, list[int]], probes_col: str = "probes"
+) -> DataFrame:
+    """Rewrite a ``probes array<int>`` column so every split parent cid
+    becomes its descendant leaf cids (order-preserving, parents expand
+    in place) — the consumer-side half of the recall contract of
+    :func:`assign_cells_balanced`. No-op (and zero plan change) when
+    nothing was split."""
+    if not split_map:
+        return df
+    entries = ", ".join(
+        f"{int(p)}, array({', '.join(str(int(k)) for k in kids)})"
+        for p, kids in sorted(split_map.items())
+    )
+    m = F.expr(f"map({entries})")
+    return df.withColumn(
+        probes_col,
+        F.flatten(
+            F.transform(
+                F.col(probes_col),
+                lambda p: F.coalesce(m[p], F.array(p)),
+            )
+        ),
+    )

@@ -81,8 +81,9 @@ def assign_cells(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]
     the same argmin/tie contract (raw-double d2 may differ in the last
     ulp across kernels; cid agrees except on exact-boundary ties, which
     the micro-unit ``assign_cells_ubp`` variant is for)."""
-    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K, _checked_cents
 
+    cents = _checked_cents(cents)
     if len(cents) > ASSIGN_LITERAL_MAX_K:
         return _assign_l2_blas(df, vec_col, cents, upm=False)
     cent_arr = _centroid_literal(cents)
@@ -115,9 +116,13 @@ def assign_cells_ubp(
     structs whose lexicographic order IS the (distance ASC, cid ASC)
     tie rule. Adds ``cid`` and ``d2_upm``; map-only. Same K-dispatch
     to the Arrow/BLAS kernel as :func:`assign_cells` — integer
-    micro-units make the two kernels tie-exact."""
-    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+    micro-units make the two kernels tie-exact: BOTH kernels break
+    exact ties to the lowest cid because _checked_cents sorts the
+    array cid-ascending at entry (ADVICE r12: the rules only agree
+    under that ordering — now enforced, not assumed)."""
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K, _checked_cents
 
+    cents = _checked_cents(cents)
     if len(cents) > ASSIGN_LITERAL_MAX_K:
         return _assign_l2_blas(df, vec_col, cents, upm=True)
     cent_arr = _centroid_literal(cents)
@@ -204,9 +209,18 @@ def kmeans_fit(
     id_col: str,
     k: int,
     n_iter: int = 5,
+    init: str = "first",
 ) -> list[tuple[int, list[float]]]:
     """Train k centroids by ``n_iter`` Lloyd rounds; returns
     ``[(cid, centroid_vector), ...]`` ordered by cid.
+
+    ``init``: "first" seeds from the first k rows by ascending id (the
+    historical rule); "hash" seeds from the k first rows ordered by
+    ``(xxhash64(id), id)`` — still RNG-free and deterministic, but
+    decorrelated from any id-ordered structure in the data (a drift
+    continuum seeds one END of itself under "first", collapsing early
+    Lloyd rounds; the hot-cell split path uses "hash"). Both are one
+    distributed TakeOrdered job.
 
     Empty-cluster rule: a cell that captures no points keeps its
     previous centroid (the standard practical fallback).
@@ -219,9 +233,13 @@ def kmeans_fit(
     if probe is None:
         raise ValueError("cannot fit k-means on empty input (no rows with a vector)")
     d = len(probe[0])
-    first_k = (
-        df.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col).collect()
-    )
+    if init == "hash":
+        seed_order = [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
+    elif init == "first":
+        seed_order = [F.col(id_col).asc()]
+    else:
+        raise ValueError(f"unknown init {init!r} (use 'first' or 'hash')")
+    first_k = df.orderBy(*seed_order).limit(k).select(id_col, vec_col).collect()
     cents = [(i, list(map(float, r[1]))) for i, r in enumerate(first_k)]
     for _ in range(n_iter):
         assigned = assign_cells(df, vec_col, cents)

@@ -169,12 +169,35 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
     return df.withColumn("pq_code", F.array(*codes))
 
 
-def _pq_encode_blas(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
+def pq_encode_codes_ubp(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
+    """Adds ``pq_code: array<int>`` chosen by the INTEGER-exact rule of
+    :func:`pq_encode_ubp` (distances floored to micro-units BEFORE the
+    argmin; ties → lowest cid) — the cross-engine-portable encoder the
+    oracle-checked queries need, WITH the K-dispatch of
+    :func:`pq_encode` (literal folds at toy K, one Arrow/BLAS pass at
+    production K; floored-integer distances make the two kernels
+    tie-exact). This is the encoder :func:`ivfpq_index` uses, so the
+    shipped query path and the production index share one rule."""
+    from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
+
+    df = df.filter(F.col(vec_col).isNotNull())
+    if len(codebooks[0]) > ASSIGN_LITERAL_MAX_K:
+        return _pq_encode_blas(df, vec_col, codebooks, upm=True)
+    return pq_encode_ubp(df, vec_col, codebooks).withColumn(
+        "pq_code", F.transform("pq_cells", lambda c: c["cid"])
+    ).drop("pq_cells")
+
+
+def _pq_encode_blas(
+    df: DataFrame, vec_col: str, codebooks: list, *, upm: bool = False
+) -> DataFrame:
     """Arrow/BLAS PQ encoder for K > ASSIGN_LITERAL_MAX_K: per batch,
     reshape vectors to (b, M, dsub) and argmin each subspace against
     its (K, dsub) codebook via the ||v||²+||c||²−2·V@Cᵀ expansion.
     Ties → lowest cid (np.argmin first occurrence; codebooks are
-    cid-ascending from pq_train)."""
+    cid-ascending from pq_train). With ``upm`` distances are floored
+    to integer micro-units in place before the argmin — tie-exact with
+    the pq_encode_ubp literal folds."""
     import numpy as np
 
     m = len(codebooks)
@@ -209,6 +232,11 @@ def _pq_encode_blas(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
                 d2 *= -2.0
                 d2 += c2s[s][None, :]
                 d2 += (Vs * Vs).sum(axis=1)[:, None]
+                if upm:
+                    np.maximum(d2, 0.0, out=d2)
+                    d2 *= 1_000_000.0
+                    d2 += 0.5
+                    np.floor(d2, out=d2)
                 # argmin first occurrence = lowest cid (the literal
                 # fold's strict-< tie rule)
                 codes[:, s] = cids[s][d2.argmin(axis=1)]
@@ -327,14 +355,22 @@ def ivfpq_index(
     emb_df: DataFrame, vec_col: str, coarse_cents: list, codebooks: list
 ) -> DataFrame:
     """Build the resident IVF-PQ index: one map-only projection pass
-    adding the coarse cell (kmeans.assign_cells — K-dispatched) and
-    the PQ code (pq_encode — K-dispatched) to every row. At 100 TB
-    this runs ONCE and persists (parquet partitioned by cid is the
-    natural layout: probe joins become partition pruning); query
-    batches then reuse it via ivfpq_search(..., indexed=...)."""
-    from molgraphdb_spark.operators.kmeans import assign_cells
+    adding the coarse cell (kmeans.assign_cells_ubp — K-dispatched)
+    and the PQ code (pq_encode_codes_ubp — K-dispatched) to every row.
+    Both stages use the INTEGER-exact micro-unit rule, so the index is
+    bit-identical across engines and partitionings — the same rule the
+    oracle-checked registry query (similarity_ivfpq_topk) computes,
+    which since r13 routes through THIS function. At 100 TB this runs
+    ONCE and persists (parquet partitioned by cid is the natural
+    layout: probe joins become partition pruning); query batches then
+    reuse it via ivfpq_search(..., indexed=...)."""
+    from molgraphdb_spark.operators.kmeans import assign_cells_ubp
 
-    return pq_encode(assign_cells(emb_df, vec_col, coarse_cents), vec_col, codebooks)
+    return pq_encode_codes_ubp(
+        assign_cells_ubp(emb_df, vec_col, coarse_cents).drop("d2_upm"),
+        vec_col,
+        codebooks,
+    )
 
 
 def ivfpq_search(
@@ -378,8 +414,10 @@ def ivfpq_search(
     probe_rows = []
     if len(coarse_cents) > ASSIGN_LITERAL_MAX_K:
         # Production coarse K: the per-query Python loop is O(Q·K·d);
-        # one BLAS pass over the (Q,d)×(K,d) matrices replaces it
-        # (ties -> lowest cid via the stable lexsort, same rule).
+        # one BLAS pass over the (Q,d)×(K,d) matrices replaces it.
+        # Distances floor to micro-units BEFORE the (d2, cid) lexsort —
+        # the same integer tie rule as the small-K branch and the
+        # corpus-side assign_cells_ubp.
         import numpy as np
 
         cmat = np.array([cv for _, cv in coarse_cents], dtype=np.float64)
@@ -390,15 +428,26 @@ def ivfpq_search(
             + (cmat * cmat).sum(axis=1)[None, :]
             - 2.0 * (Q @ cmat.T)
         )
+        np.maximum(d2, 0.0, out=d2)
+        d2 *= 1_000_000.0
+        d2 += 0.5
+        np.floor(d2, out=d2)
         for qi, (qid, _) in enumerate(queries):
             order = np.lexsort((cids, d2[qi]))[:nprobe]
             probe_rows.extend((int(qid), int(cids[c])) for c in order)
     else:
+        import math
+
         coarse = {cid: vec for cid, vec in coarse_cents}
         for qid, qv in queries:
             q = [float(x) for x in qv]
             by_d = sorted(
-                (sum((a - b) ** 2 for a, b in zip(q, cv)), cid)
+                (
+                    math.floor(
+                        sum((a - b) ** 2 for a, b in zip(q, cv)) * 1_000_000 + 0.5
+                    ),
+                    cid,
+                )
                 for cid, cv in coarse.items()
             )
             for _, cid in by_d[:nprobe]:
@@ -409,18 +458,28 @@ def ivfpq_search(
     if indexed is None:
         indexed = ivfpq_index(emb_df, vec_col, coarse_cents, codebooks)
     dsub = len(codebooks[0][0][1])
+    # Per-ENTRY integer micro-unit LUTs (each subspace distance floors
+    # independently; the row distance is an exact bigint sum) — the
+    # cross-engine-portable ADC rule the oracle-checked query computes;
+    # a post-sum floor differs from it by up to M/2 micro-units.
+    import math
+
     lut_rows = []
     for qid, qv in queries:
         q = [float(x) for x in qv]
         lut = [
             [
-                sum((q[s * dsub + j] - cb[c][1][j]) ** 2 for j in range(dsub))
+                math.floor(
+                    sum((q[s * dsub + j] - cb[c][1][j]) ** 2 for j in range(dsub))
+                    * 1_000_000
+                    + 0.5
+                )
                 for c in range(len(cb))
             ]
             for s, cb in enumerate(codebooks)
         ]
         lut_rows.append((int(qid), lut))
-    lut_df = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
+    lut_df = spark.createDataFrame(lut_rows, "query_id long, lut array<array<bigint>>")
 
     cand = (
         indexed.join(F.broadcast(probes), "cid")
@@ -431,12 +490,10 @@ def ivfpq_search(
         F.zip_with(
             F.col("pq_code"), F.col("lut"), lambda c, l: F.element_at(l, c + F.lit(1))
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    scored = cand.select(
-        "query_id", id_col, F.floor(dist * 1_000_000 + 0.5).cast("long").alias("adc_d2_ubp")
-    )
+    scored = cand.select("query_id", id_col, dist.alias("adc_d2_ubp"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_ubp"), F.asc(id_col))
     short = (
         scored.withColumn("rk", F.row_number().over(w))

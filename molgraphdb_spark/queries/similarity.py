@@ -773,8 +773,9 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of quadratic."""
     from molgraphdb_spark.operators.ivf import (
         ASSIGN_LITERAL_MAX_K,
+        assign_cells_balanced,
         assign_cells_cos_ubp,
-        require_balanced_cells,
+        expand_probes,
     )
 
     _guard_quadratic(sf_dir, "embedding_hard_negatives_ann")
@@ -796,20 +797,31 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K-dispatched (literal fold here at K=8, Arrow/BLAS above
     # ASSIGN_LITERAL_MAX_K — the production shape probed at n=2M,
     # K=1414 in tools/scale_probe.py ann_production).
-    assigned = assign_cells_cos_ubp(emb, "v", cents, nprobe=IVF_NPROBE)
+    if len(cents) > ASSIGN_LITERAL_MAX_K:
+        # Production-K path: the SCALE.md §12 skew rule as an OPERATOR
+        # (r12 verdict item 3) — assign, persist (the gate's histogram
+        # job and the shortlist join share one assignment pass; the
+        # r12 ADVICE double-compute fix), and on a hot cell SPLIT its
+        # centroid by a local 2-means re-train instead of aborting.
+        # expand_probes rewrites split parents to their leaf children
+        # on the anchor side, so the candidate set — and therefore
+        # recall — is IDENTICAL to the unsplit index while the biggest
+        # join partition shrinks by the split fan-out (probe:
+        # tools/scale_probe.py ann_hot_cell). At the test-scale
+        # literal K this branch is skipped: no extra job, registry
+        # plans unchanged.
+        assigned, cents, stats = assign_cells_balanced(
+            emb, "v", cents, id_col="vec_id", nprobe=IVF_NPROBE
+        )
+        assigned = expand_probes(assigned, stats["split_map"])
+    else:
+        assigned = assign_cells_cos_ubp(emb, "v", cents, nprobe=IVF_NPROBE)
     assign = assigned.select(
         F.col("vec_id").alias("ib"),
         F.col("v").alias("vb"),
         F.col("label").alias("lb"),
         "cid",
     )
-    if len(cents) > ASSIGN_LITERAL_MAX_K:
-        # Production-K path: the SCALE.md §12 skew gate — one cheap
-        # groupBy on the assignment histogram BEFORE the shortlist
-        # equi-join (the measured failure: 86% of a 2M corpus in one
-        # cell stalls the join). At the test-scale literal K this is
-        # skipped: no extra job, registry plans unchanged.
-        require_balanced_cells(assign)
     anchors = assigned.select(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
@@ -1533,9 +1545,16 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is corpus·(nprobe/cells) rows × M byte-lookups — the
     billion-scale ANN shape, all stages here integer-exact and
     oracle-recomputed (fixed deterministic centroids/codebooks: the
-    pq_code_stats / similarity_ivf_topk precedent)."""
-    from molgraphdb_spark.operators.kmeans import _centroid_literal, assign_cells_ubp
-    from molgraphdb_spark.operators.pq import pq_encode_ubp
+    pq_code_stats / similarity_ivf_topk precedent).
+
+    Since r13 the query IS the operator: ivfpq_index + ivfpq_search
+    carry the whole composition (r12 verdict item 4 — the registry
+    previously hand-composed the same stages, one more parallel
+    implementation to keep in sync; the hand-built form and this one
+    are hash-identical at sf0.01). Probe cells and integer LUTs are
+    computed driver-side from the Q=5 collected query vectors — the
+    production query-batch shape the pq_production probe measures."""
+    from molgraphdb_spark.operators.pq import ivfpq_index, ivfpq_search
 
     emb = _emb(spark, sf_dir)
     rows = sorted(
@@ -1557,75 +1576,33 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for s in range(PQ_STATS_M)
     ]
-    indexed = pq_encode_ubp(
-        assign_cells_ubp(emb, "v", coarse), "v", codebooks
-    ).select(
-        "vec_id",
-        "cid",
-        F.transform("pq_cells", lambda c: c["cid"]).alias("codes"),
-    )
-
-    # per-query probe cells: sort the tiny (d2_upm, cid) struct array
-    # (lexicographic struct order IS the distance-then-cid rule), keep
-    # the first nprobe
-    cent_arr = _centroid_literal(coarse)
-    qv = F.col("qv")
-
-    def ccell(c: Column) -> Column:
-        diff = F.zip_with(qv, c["cv"], lambda x, y: x - y)
-        d2 = F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
-        return F.struct(d2.alias("d2_upm"), c["cid"].cast("int").alias("cid"))
-
-    queries = emb.filter(F.col("vec_id").isin(PQ_TOPK_QIDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    probes = queries.select(
-        "query_id",
-        F.explode(
-            F.slice(F.array_sort(F.transform(cent_arr, ccell)), 1, IVFPQ_NPROBE)
-        ).alias("p"),
-    ).select("query_id", F.col("p.cid").alias("cid"))
-
-    def lut_for(cb: list, lo: int) -> Column:
-        sq = F.slice(qv, lo + 1, dsub)
-
-        def ent(c: Column) -> Column:
-            diff = F.zip_with(sq, c["cv"], lambda x, y: x - y)
-            return F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
-
-        return F.transform(_centroid_literal(cb), ent)
-
-    qlut = queries.select(
-        "query_id",
-        F.array(*[lut_for(cb, s * dsub) for s, cb in enumerate(codebooks)]).alias("lut"),
-    )
-    adc = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c + F.lit(1))),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    scored = (
-        indexed.join(F.broadcast(probes), "cid")
-        .join(F.broadcast(qlut), "query_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", adc.alias("adc_d2_upm"))
-    )
-    ws = Window.partitionBy("query_id").orderBy(F.asc("adc_d2_upm"), F.asc("vec_id"))
-    shortlist = (
-        scored.withColumn("srk", F.row_number().over(ws))
-        .filter(F.col("srk") <= IVFPQ_SHORTLIST)
-        .select("query_id", "vec_id")
-    )
-    rerank = shortlist.join(emb.select("vec_id", "v"), "vec_id").join(
-        F.broadcast(queries), "query_id"
-    )
-    diff = F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x - y)
-    d2 = F.floor(_dot(diff, diff) * 1_000_000 + 0.5).cast("long")
-    wr = Window.partitionBy("query_id").orderBy(F.asc("d2_upm"), F.asc("vec_id"))
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in emb.filter(F.col("vec_id").isin(PQ_TOPK_QIDS))
+        .select("vec_id", "v")
+        .collect()
+    ]
+    if not queries:
+        return spark.createDataFrame([], out_schema)
     return (
-        rerank.select("query_id", "vec_id", d2.alias("d2_upm"))
-        .withColumn("rk", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rk") <= PQ_TOPK_K)
+        ivfpq_search(
+            emb,
+            "v",
+            "vec_id",
+            queries,
+            coarse,
+            codebooks,
+            k=PQ_TOPK_K,
+            nprobe=IVFPQ_NPROBE,
+            shortlist=IVFPQ_SHORTLIST,
+            indexed=ivfpq_index(emb, "v", coarse, codebooks),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("d2_ubp").alias("d2_upm"),
+            F.col("rk").cast("int").alias("rk"),
+        )
         .orderBy("query_id", "rk")
     )
 

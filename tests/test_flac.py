@@ -154,6 +154,13 @@ def test_rejects_implausible_streaminfo_total():
     good[off : off + 8] = packed.to_bytes(8, "big")
     with pytest.raises(ValueError, match="implausible"):
         decode_flac(bytes(good))
+    # ADVICE r12: the original len·65536 cap was 10× looser than its
+    # own derivation — a >=1 MiB file could still declare the full
+    # 2^36 (512 GB). The derived (size//10+1)·65535 bound must reject
+    # the same declaration on a 1.2 MiB payload too.
+    big = bytes(good) + b"\x00" * (1_200_000 - len(good))
+    with pytest.raises(ValueError, match="implausible"):
+        decode_flac(big)
 
 
 # ----------------------- lossless round-trips -----------------------

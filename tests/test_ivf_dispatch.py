@@ -216,3 +216,151 @@ def test_kmeans_fit_trains_through_blas_dispatch(spark, sf_dir):
     trained = kmeans_fit(df, "v", "vec_id", k=k, n_iter=2)
     assert [c for c, _ in trained] == list(range(k))
     assert kmeans_wcss(df, "v", trained) <= kmeans_wcss(df, "v", naive)
+
+
+def test_nprobe_zero_rejected_both_kernels(spark, sf_dir):
+    # ADVICE r12: nprobe=0 used to diverge (literal: empty array; BLAS:
+    # declared-but-never-emitted column → runtime schema mismatch).
+    df = _emb(spark, sf_dir)
+    for k in (8, ASSIGN_LITERAL_MAX_K + 8):
+        cents = _cents(df, k)
+        with pytest.raises(ValueError, match="nprobe"):
+            assign_cells_cos_ubp(df, "v", cents, nprobe=0)
+
+
+def test_unsorted_cents_sorted_at_entry(spark):
+    # ADVICE r12: the lowest-cid tie rule used to silently depend on a
+    # cid-ascending input; _checked_cents now enforces it. Duplicate
+    # POSITIONS with cids passed DESCENDING: both kernels must still
+    # tie to the lower cid.
+    rows = [(i, [1.0, float(i % 3)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents_desc = [(3, [1.0, 1.0]), (1, [0.0, 1.0]), (0, [1.0, 1.0])]
+    out = {r.vec_id: r.cid for r in assign_cells_cos_ubp(df, "v", cents_desc).collect()}
+    assert 3 not in set(out.values())  # dup of cid 0 → 0 always wins
+    with pytest.raises(ValueError, match="duplicate"):
+        assign_cells_cos_ubp(df, "v", [(2, [1.0, 0.0]), (2, [0.0, 1.0])])
+
+
+def _hot_corpus(spark):
+    """8 axis centroids in d=8; cell 0 planted hot with TWO interleaved
+    separable sub-blobs (100 each, even/odd vec_id so the deterministic
+    first-2-by-id 2-means init lands one seed in each blob); cells 1-7
+    hold 10 rows each."""
+    d = 8
+    cents = [(i, [1.0 if j == i else 0.0 for j in range(d)]) for i in range(d)]
+    rows = []
+    for i in range(200):
+        v = [0.0] * d
+        v[0] = 1.0
+        v[1 if i % 2 == 0 else 2] = 0.45 + 0.001 * (i % 5)
+        rows.append((i, v))
+    vid = 200
+    for c in range(1, d):
+        for i in range(10):
+            v = [0.0] * d
+            v[c] = 1.0
+            v[(c + 1) % d] = 0.05 + 0.01 * (i % 3)
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, v array<double>"), cents
+
+
+def test_balanced_split_preserves_membership_and_bounds_cells(spark):
+    # The SCALE.md §12 remediation (r12 verdict item 3): a planted hot
+    # cell (200 of 270 rows; ratio 5.9 at 8 cells) is SPLIT by a local
+    # 2-means re-train; children partition the parent EXACTLY, cold
+    # cells are untouched, and the post-split histogram passes the gate.
+    df, cents = _hot_corpus(spark)
+    before = {r.vec_id: r.cid for r in assign_cells_cos_ubp(df, "v", cents).collect()}
+    hot_members = {v for v, c in before.items() if c == 0}
+    assert len(hot_members) == 200
+    out, cents_out, stats = ivf.assign_cells_balanced(
+        df, "v", cents, id_col="vec_id", nprobe=2, max_ratio=4.0
+    )
+    assert list(stats["split_map"]) == [0] and stats["spill_cids"] == []
+    kids = stats["split_map"][0]
+    assert len(kids) >= 2 and min(kids) >= 8 and stats["ratio"] <= 4.0
+    after = {r.vec_id: r.cid for r in out.collect()}
+    # children partition the parent exactly
+    assert {v for v, c in after.items() if c in kids} == hot_members
+    # cold assignments byte-identical
+    for v, c in before.items():
+        if c != 0:
+            assert after[v] == c
+    # the returned centroid set is the live one: parent gone, kids in
+    live = [c for c, _ in cents_out]
+    assert 0 not in live and set(kids) <= set(live)
+    out.unpersist()
+
+
+def test_balanced_split_candidate_set_identical_after_expand(spark):
+    # Recall contract: expand_probes(parent→leaves) makes the probed
+    # candidate set of EVERY anchor identical to the unsplit index.
+    from molgraphdb_spark.operators.ivf import expand_probes
+
+    df, cents = _hot_corpus(spark)
+    plain = assign_cells_cos_ubp(df, "v", cents, nprobe=2).collect()
+    members_before: dict[int, set] = {}
+    for r in plain:
+        members_before.setdefault(r.cid, set()).add(r.vec_id)
+    out, _, stats = ivf.assign_cells_balanced(
+        df, "v", cents, id_col="vec_id", nprobe=2, max_ratio=4.0
+    )
+    expanded = expand_probes(out, stats["split_map"]).collect()
+    members_after: dict[int, set] = {}
+    for r in expanded:
+        members_after.setdefault(r.cid, set()).add(r.vec_id)
+    probes_before = {r.vec_id: list(r.probes) for r in plain}
+    for r in expanded:
+        want = set().union(*(members_before[p] for p in probes_before[r.vec_id]))
+        got = set().union(*(members_after.get(p, set()) for p in r.probes))
+        assert got == want, r.vec_id
+    out.unpersist()
+
+
+def test_balanced_split_spills_inseparable_cell(spark):
+    # Degradation contract: an all-identical hot cell cannot be split
+    # (children tie → everything keeps the lower cid) — after
+    # max_rounds the residual hot cid is RETURNED in spill_cids, not
+    # raised, and membership is still exact.
+    d = 4
+    cents = [(i, [1.0 if j == i else 0.0 for j in range(d)]) for i in range(d)]
+    rows = [(i, [1.0, 0.2, 0.0, 0.0]) for i in range(120)]
+    vid = 120
+    for c in range(1, d):
+        for i in range(5):
+            v = [0.0] * d
+            v[c] = 1.0
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out, cents_out, stats = ivf.assign_cells_balanced(
+        df, "v", cents, id_col="vec_id", max_ratio=2.0, max_rounds=2
+    )
+    assert stats["spill_cids"], "inseparable hot cell must spill, not raise"
+    after = {r.vec_id: r.cid for r in out.collect()}
+    spill = set(stats["spill_cids"])
+    assert {v for v, c in after.items() if c in spill} == set(range(120))
+    # the split chain resolves to leaves: expanding the ORIGINAL parent
+    # cid 0 reaches the spill cell
+    leaves = stats["split_map"][0]
+    assert spill <= set(leaves)
+    out.unpersist()
+
+
+def test_balanced_noop_on_balanced_corpus(spark, sf_dir):
+    # Balanced input: no splits, no spills, assignment identical to the
+    # plain kernel (same persisted values), centroids returned sorted.
+    df = _emb(spark, sf_dir).limit(300)
+    cents = _cents(_emb(spark, sf_dir), 8)
+    out, cents_out, stats = ivf.assign_cells_balanced(
+        df, "v", cents, id_col="vec_id", nprobe=3, max_ratio=1e9
+    )
+    assert stats["split_map"] == {} and stats["spill_cids"] == []
+    plain = assign_cells_cos_ubp(df, "v", cents, nprobe=3)
+    a = {(r.vec_id, r.cid, tuple(r.probes)) for r in out.collect()}
+    b = {(r.vec_id, r.cid, tuple(r.probes)) for r in plain.collect()}
+    assert a == b and len(a) == 300
+    assert cents_out == sorted(cents, key=lambda c: c[0])
+    out.unpersist()

@@ -23,6 +23,7 @@ for flagged movers so episodes can be correlated with wall-clock.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -113,11 +114,15 @@ def main() -> None:
         raise SystemExit(__doc__)
     args = sys.argv[1:]
     threshold = 2.0
-    try:
-        threshold = float(args[-1])
-        args = args[:-1]
-    except ValueError:
-        pass
+    # the last arg is a threshold only if it is NOT an existing bench
+    # file (ADVICE r12: a record named like "3.5" would silently be
+    # consumed as a threshold instead of a NEW record)
+    if not os.path.exists(args[-1]):
+        try:
+            threshold = float(args[-1])
+            args = args[:-1]
+        except ValueError:
+            pass
     if len(args) < 2:
         raise SystemExit(__doc__)
     old = _load(args[0])

@@ -925,6 +925,200 @@ def probe_ann_production(
     }
 
 
+def probe_ann_hot_cell(
+    spark,
+    n_target: int = 400_000,
+    nprobe: int = 8,
+    n_plant: int = 20,
+) -> dict:
+    """The hot-centroid REMEDIATION at the r11 collapse shape (r12
+    verdict item 3): rebuild the corpus class that collapsed 86% of a
+    2M-vector corpus into ONE cell (unbounded rep-scaled drift — every
+    replica drifts further along one shared direction, so high-rep
+    vectors all argmax to the same centroid), then drive it through
+    operators/ivf.assign_cells_balanced instead of the raising gate.
+
+    Asserts and records:
+    * the plain gate DOES raise on this corpus (pre_ratio > 10 — the
+      probe exists because the failure is real, not hypothetical);
+    * assign_cells_balanced splits the hot centroid(s) by local
+      hash-seeded k-means re-train (fan-out ∝ overload) and the
+      post-split histogram bounds the equi-join (post_max_cell ≪
+      pre_max_cell; post_ratio recorded, spill cells if any);
+    * RECALL IS PRESERVED EXACTLY: the planted different-label
+      near-twins mined through the split index (expand_probes parent→
+      leaves) equal the twins mined through the UNSPLIT index — same
+      candidate set by construction, verified empirically end-to-end.
+    """
+    from molgraphdb_spark.operators import ivf
+
+    def _mark(msg):
+        print(f"[ann_hot_cell +{time.time() - _t0:.0f}s] {msg}", file=sys.stderr)
+
+    _t0 = time.time()
+    k_scale = max(n_target // 2000, 1)
+    out = f"{BASE}/emb_hot"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    # THE collapse drift: per-dim step from a fixed pseudo-direction u,
+    # magnitude proportional to rep (up to ±k_scale·8e-3·5 per dim —
+    # dwarfs the unit-norm base for high rep, exactly the r11 failure).
+    src.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k_scale - 1))).alias("rep"),
+        "embedding", "label",
+    ).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + F.col("rep").cast("double")
+                * ((((i * 29 + 7) % 11) - 5)).cast("double")
+                * 8e-3
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    # planted different-label near-twins of base anchors 200..219
+    spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 200 + n_plant)
+    ).select(
+        (F.col("vec_id") + 1_500_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x.cast("double") + ((i % 7) - 3).cast("double") * 1e-5).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+        (F.col("label") + 100).alias("label"),
+    ).write.mode("append").parquet(f"{out}/embeddings.parquet")
+    emb = (
+        spark.read.parquet(f"{out}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+    )
+    n = emb.count()
+    K = int(n ** 0.5)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in sorted(
+            emb.filter(F.col("vec_id") < K).select("vec_id", "v").collect(),
+            key=lambda r: r.vec_id,
+        )
+    ]
+    assert len(cents) > ivf.ASSIGN_LITERAL_MAX_K
+    _mark(f"corpus built n={n} K={K}")
+
+    # 1) the shipped gate must RAISE here (this is the planted failure)
+    t0 = time.time()
+    plain = ivf.assign_cells_cos_ubp(
+        emb.repartition(64), "v", cents, nprobe=nprobe, with_norm=True
+    ).localCheckpoint(eager=True)
+    t_assign = time.time() - t0
+    pre = ivf.cell_balance(plain)
+    gate_raised = False
+    try:
+        ivf.require_balanced_cells(plain)
+    except ValueError:
+        gate_raised = True
+    assert gate_raised and pre["ratio"] > ivf.CELL_BALANCE_MAX_RATIO
+    _mark(
+        f"plain assign {t_assign:.0f}s; pre ratio {pre['ratio']:.0f} "
+        f"(max {pre['max_sz']} of {n})"
+    )
+
+    def _mine(ap) -> dict:
+        anchors = ap.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 200 + n_plant)
+        ).select(
+            F.col("vec_id").alias("ia"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+            F.col("label").alias("la"),
+            F.explode("probes").alias("cid"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        mined = (
+            F.broadcast(anchors)
+            .join(
+                ap.select(
+                    F.col("vec_id").alias("ib"),
+                    F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"),
+                    F.col("label").alias("lb"),
+                    "cid",
+                ),
+                "cid",
+            )
+            .filter((F.col("ia") != F.col("ib")) & (F.col("la") != F.col("lb")))
+            .withColumn("s", dot / (F.col("na") * F.col("nb")))
+            .groupBy("ia")
+            .agg(F.max_by("ib", F.struct(F.col("s"), -F.col("ib"))).alias("hn"))
+        )
+        return {r.ia: r.hn for r in mined.collect()}
+
+    t0 = time.time()
+    base_mine = _mine(plain)
+    t_mine_unsplit = time.time() - t0
+    _mark(f"unsplit mine {t_mine_unsplit:.0f}s")
+
+    # 2) the remediation: split instead of raise, then the same mine
+    t0 = time.time()
+    bal, cents_out, stats = ivf.assign_cells_balanced(
+        emb.repartition(64), "v", cents, id_col="vec_id",
+        nprobe=nprobe, with_norm=True,
+    )
+    bal = ivf.expand_probes(bal, stats["split_map"]).localCheckpoint(eager=True)
+    t_rebalance = time.time() - t0
+    _mark(
+        f"rebalance {t_rebalance:.0f}s: rounds={stats['rounds']} "
+        f"splits={len(stats['split_map'])} ratio {pre['ratio']:.0f}->"
+        f"{stats['ratio']:.1f} spill={stats['spill_cids']}"
+    )
+    t0 = time.time()
+    split_mine = _mine(bal)
+    t_mine_split = time.time() - t0
+
+    plant_ids = set(range(200, 200 + n_plant))
+    recall_unsplit = sum(
+        1 for a in plant_ids if base_mine.get(a) == a + 1_500_000_000
+    ) / n_plant
+    recall_split = sum(
+        1 for a in plant_ids if split_mine.get(a) == a + 1_500_000_000
+    ) / n_plant
+    # the headline invariant: the split index mines the SAME hard
+    # negative for every planted anchor — recall preserved exactly
+    assert split_mine == base_mine, "split index changed the mined set"
+    spark.catalog.clearCache()
+    return {
+        "probe": "ann_hot_cell",
+        "vectors": n,
+        "K": K,
+        "gate_raised_unsplit": gate_raised,
+        "pre_ratio": round(float(pre["ratio"]), 1),
+        "pre_max_cell": int(pre["max_sz"]),
+        "post_ratio": round(float(stats["ratio"]), 2),
+        "post_max_cell": int(stats["max_sz"]),
+        "split_rounds": stats["rounds"],
+        "cells_split": len(stats["split_map"]),
+        "n_cells_after": int(stats["n_cells"]),
+        "spill_cids": len(stats["spill_cids"]),
+        "recall_unsplit": round(recall_unsplit, 4),
+        "recall_split": round(recall_split, 4),
+        "mined_sets_identical": split_mine == base_mine,
+        "t_assign_s": round(t_assign, 1),
+        "t_rebalance_s": round(t_rebalance, 1),
+        "t_mine_unsplit_s": round(t_mine_unsplit, 1),
+        "t_mine_split_s": round(t_mine_split, 1),
+    }
+
+
 def probe_pq_production(spark, k: int = 1000, n_queries: int = 5) -> dict:
     """IVF-PQ at PRODUCTION geometry (r11 verdict item 6): the earlier
     pq probe ran the toy 8×16 codebook; FAISS's default is M=16
@@ -2211,6 +2405,7 @@ def main() -> None:
             "runmin_skew": lambda: probe_runmin_skew(spark),
             "hard_negatives": lambda: probe_hard_negatives(spark),
             "ann_production": lambda: probe_ann_production(spark),
+            "ann_hot_cell": lambda: probe_ann_hot_cell(spark),
             "pq_production": lambda: probe_pq_production(spark),
             "graph_skew": lambda: probe_graph_skew(spark),
             "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
@@ -2246,6 +2441,8 @@ def main() -> None:
     print(json.dumps(probe_hard_negatives(spark)))
     # r11: the ANN shortlist at production shape (n=2M, K=√n)
     print(json.dumps(probe_ann_production(spark)))
+    # r13: the hot-centroid split remediation at the r11 collapse shape
+    print(json.dumps(probe_ann_hot_cell(spark)))
     print(json.dumps(probe_pq(spark, k)))
     # r12: IVF-PQ at the FAISS-default geometry (M=16, K=256) through
     # the engine's K-dispatched BLAS kernels, index built once
