@@ -45,92 +45,98 @@ _QUERY_MODULES = [
 # displaced from the r11 window (its change was the identical
 # one-line terminal-sort drop as its three gated siblings).
 #
-# Round-12 verification window (first 50), per the r11 verdict item 1.
+# HISTORICAL RECORD, r12 window: doc_html_extract + mm_decoded_flac
+# (former never-driver-checked) + mm_chunk_windows + 4 changed-code
+# re-gates + ALL 43 r7-stale rows -> CORRECTNESS_r12.json 50/50 green,
+# 0 errors; ledger floor moved to r8 and — for the first time — zero
+# never-checked rows.
+#
+# Round-13 verification window (first 50), per the r12 verdict item 1.
 # Composition (staleness ledger = tools/gen_query_index
-# .last_driver_green over all eleven CORRECTNESS_r*.json):
-# - 2 never-driver-green leads: doc_html_extract + mm_decoded_flac
-#   (r11 post-window debuts, judge-parity-green at sf0.01 in the r11
-#   verdict session; both ALSO carry r12 code changes — the explicit
-#   whitespace class and the work-repartition gate).
-# - mm_chunk_windows, the displaced r11 re-gate.
-# - 4 r12 changed-code re-gates: similarity_ivf_topk /
-#   similarity_ivf_recall / embedding_hard_negatives_ann (IVF cell
-#   assignment now routes through the shared K-dispatched kernel in
-#   operators/ivf.py — literal fold at K=8, Arrow/BLAS above
-#   ASSIGN_LITERAL_MAX_K; pre-verified hash-green at sf0.01) and
-#   mm_decoded_jpeg (jpeg.py malformed-input hardening, ADVICE r11).
-# - ALL 43 r7-stale rows (the entire staleness floor;
-#   similarity_ivfpq_topk doubles as the assign_cells_ubp re-gate).
-# 2 + 1 + 4 + 43 = 50 exactly; nothing is displaced, so the r13
-# window has no carried debt beyond normal rotation. After this
-# window the ledger floor is r8 (38 rows) — the r13 window MUST lead
-# with any r13 debuts/changed-code re-gates, then the r8-stale tail.
+# .last_driver_green over all twelve CORRECTNESS_r*.json):
+# - 2 r13 changed-code re-gate leads: similarity_ivfpq_topk (now
+#   routed through operators/pq.ivfpq_index + ivfpq_search — the r12
+#   verdict item 4 unification; pre-verified hash-identical at sf0.01)
+#   and embedding_hard_negatives_ann (production-K branch now uses
+#   assign_cells_balanced — the hot-centroid split remediation; the
+#   literal test-scale path is untouched and pre-verified at sf0.01).
+# - ALL 37 r8-stale rows (the entire staleness floor). 13 of them
+#   (dedup_clusters, doc_bm25_topk, doc_decontaminate_overlap,
+#   doc_fingerprint, doc_language_id, doc_ngram_topk, doc_pack_offsets,
+#   doc_quality_classifier, doc_quality_scores, doc_token_stats,
+#   retrieval_rrf_hybrid, source_temperature_weights,
+#   source_token_budget) double as re-gates of the r13 whitespace
+#   migration (every \s tokenizer -> explicit [ \t\n\r\f] class).
+# - 11 more whitespace-migrated rows, oldest-driver first (r9:
+#   dedup_cross_source_matrix dedup_exact dedup_keep_best
+#   dedup_lsh_verified dedup_simhash_pairs doc_collocation_pmi
+#   doc_dsir_selection doc_perplexity_buckets doc_priority_sample
+#   neardup_containment_pairs neardup_jaccard_pairs).
+# 2 + 37 + 11 = 50 exactly. DISPLACED DEBT: 37 whitespace-migrated
+# queries (r9: pipeline_curation_funnel source_chunk_dup_rate
+# vocab_bpe_merge_pairs; r10: dedup_minhash_lsh_pairs doc_mixture_
+# sample doc_split_assign lang_token_fertility orders_retention_
+# cohorts source_token_divergence vocab_bpe_merge_table; the rest
+# r11/r12) carry their migration re-gate to the r14 window — ALL 61
+# migrated queries were pre-verified hash-green at sf0.01 in the r13
+# build session (tools/parity.py, the driver's exact comparison), so
+# the deferral is ledger bookkeeping, not unverified code. The r14
+# window MUST lead with those 37 (oldest first), then the r9-stale
+# tail.
 _PRIORITY = [
-    # ---- never-driver-green leads (r11 post-window debuts; both were
-    # judge-parity-green at sf0.01 in the r11 verdict session, and both
-    # changed again in r12: doc_html_extract's whitespace collapse is
-    # now the explicit [ \t\n\r\f] class on both engines (ADVICE
-    # r11), mm_decoded_flac gained the work-repartition gate) ----
-    "doc_html_extract",
-    "mm_decoded_flac",
-    # ---- displaced re-gate (rotated out of the full r11 window; its
-    # change was the same one-line terminal-sort drop as its three
-    # r11-gated multimodal_queries.py siblings) ----
-    "mm_chunk_windows",
-    # ---- r12 changed-code re-gates: the IVF family now assigns cells
-    # through the shared K-dispatched kernel (operators/ivf.py;
-    # values pre-verified hash-identical at sf0.01) and mm_decoded_jpeg
-    # re-gates the jpeg.py malformed-input hardening ----
-    "similarity_ivf_topk",
-    "similarity_ivf_recall",
-    "embedding_hard_negatives_ann",
-    "mm_decoded_jpeg",
-    # ---- ALL 43 r7-stale rows (the entire staleness floor; includes
-    # similarity_ivfpq_topk, which also re-gates the shared-kernel
-    # change via assign_cells_ubp) ----
+    # ---- r13 changed-code re-gates ----
     "similarity_ivfpq_topk",
-    "similarity_knn_graph",
-    "similarity_label_bands",
-    "similarity_lsh_topk",
-    "similarity_pq_recall",
-    "similarity_pq_topk",
-    "dedup_embedding_lsh",
-    "dedup_rate_by_source",
-    "dedup_semantic_clusters",
-    "dedup_threshold_curve",
-    "embedding_covariance_stats",
-    "embedding_label_outliers",
-    "embedding_norm_stats",
-    "embedding_quantize_stats",
-    "neardup_degree_hist",
-    "neardup_prefix_pairs",
-    "doc_lang_confusion",
-    "doc_weighted_sample",
-    "source_lang_entropy",
-    "vocab_bpe_compression",
-    "vocab_zipf_slope",
-    "events_bot_regularity",
-    "events_dau_wau",
-    "events_error_rate_windows",
-    "events_markov_transitions",
-    "events_value_trend",
-    "events_variant_stats",
-    "graph_assortativity",
-    "graph_bfs_path_lengths",
-    "graph_closeness_sample",
-    "graph_common_suppliers",
-    "graph_degree_histogram",
-    "graph_supplier_jaccard",
-    "graph_supplier_pmi",
-    "customer_lorenz_deciles",
-    "customer_rfm_segments",
-    "customer_spend_gini",
-    "ntile_customer_value",
-    "orders_bloom_prefilter",
-    "parts_abc_analysis",
-    "parts_basket_rules",
-    "parts_skyline",
-    "supplier_concentration_hhi",
+    "embedding_hard_negatives_ann",
+    # ---- ALL 37 r8-stale rows (13 double as whitespace re-gates) ----
+    "customer_spend_exact_percentiles",
+    "dedup_clusters",
+    "doc_bm25_topk",
+    "doc_decontaminate_overlap",
+    "doc_fingerprint",
+    "doc_language_id",
+    "doc_ngram_topk",
+    "doc_pack_offsets",
+    "doc_quality_classifier",
+    "doc_quality_scores",
+    "doc_token_stats",
+    "events_asof_join",
+    "events_gap_fill",
+    "events_hourly_counts",
+    "events_json_extract",
+    "events_lag_lead_delta",
+    "events_latency_percentiles",
+    "events_ohlc_resample",
+    "events_range_join",
+    "events_rolling_hour_avg",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "mm_frame_sample",
+    "priority_ship_delay_percentiles",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "retrieval_rrf_hybrid",
+    "source_length_deciles",
+    "source_temperature_weights",
+    "source_token_budget",
+    # ---- 11 whitespace-migration re-gates, oldest driver first ----
+    "dedup_cross_source_matrix",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_lsh_verified",
+    "dedup_simhash_pairs",
+    "doc_collocation_pmi",
+    "doc_dsir_selection",
+    "doc_perplexity_buckets",
+    "doc_priority_sample",
+    "neardup_containment_pairs",
+    "neardup_jaccard_pairs",
 ]
 
 

@@ -2275,3 +2275,222 @@ def test_html_extract_matches_stdlib_html_parser(spark, sf_dir):
     }
     assert got == expect
     assert len(got) > 0
+
+
+# ------------------------------------------------------------------
+# chem_subgraph_display: full independent recompute (r12 verdict item
+# 5 — the last constant-VALUES chem oracles gain third impls). Zero
+# chem-package imports: own SMILES reader (_alkane_graph), brute-force
+# induced-subgraph enumeration (_subgraph_keys), permutation-minimal
+# canonical keys (_canon_key). The engine's CHOICE of display string
+# is the only thing not recomputed — instead each displayed SMILES is
+# re-parsed independently and must land on exactly the recomputed
+# isomorphism class, bijectively, with the recomputed frequency.
+# ------------------------------------------------------------------
+
+
+def test_subgraph_display_matches_independent_enumeration(spark):
+    from collections import Counter
+
+    from molgraphdb_spark.queries.chem_queries import (
+        EXAMPLES,
+        chem_subgraph_display,
+    )
+
+    # independent table: frequency = number of PARENT molecules whose
+    # induced-subgraph class set contains the class
+    freq: Counter = Counter()
+    for _name, smi in EXAMPLES:
+        freq.update(_subgraph_keys(_alkane_graph(smi)))
+
+    got = chem_subgraph_display(spark, "unused").collect()
+    got_map = {}
+    for r in got:
+        adj = _alkane_graph(r.display_smiles)
+        key = _canon_key(tuple(range(len(adj))), adj)
+        # display string parses to a CONNECTED graph of the claimed size
+        assert key[0] == r.size and sum(key[1]) == r.n_edges, r
+        # distinct rows are distinct isomorphism classes
+        assert key not in got_map, r
+        got_map[key] = r.frequency
+    assert got_map == dict(freq)
+    assert len(got_map) == 9  # the fixture corpus's unique classes
+
+
+# ------------------------------------------------------------------
+# Render digest: SECOND IMPLEMENTATION of the full raster pipeline
+# (r12 verdict item 5). The test re-derives layout (BFS zig-zag hex
+# lattice), integer bounding-box scaling, Bresenham bond lines with
+# double/triple parallel offsets, 3×3 CPK atom blocks, the P6 PPM
+# header, and the md5 — importing NOTHING from chem/render.py or
+# functions/codecs.py — and must reproduce the engine digests
+# bit-for-bit on chains, branches, rings, a double bond, and a
+# heteroatom.
+# ------------------------------------------------------------------
+
+_TP_DIRS = [(4, 0), (2, -4), (-2, -4), (-4, 0), (-2, 4), (2, 4)]
+_TP_CPK = {"C": (64, 64, 64), "O": (224, 0, 0)}
+_TP_CANVAS, _TP_MARGIN, _TP_BOND = 300, 12, (16, 16, 16)
+
+
+def _tp_parse(smi: str):
+    """Independent minimal SMILES reader (C/O atoms, = and # bonds,
+    branches, one-digit ring closures)."""
+    elements: list = []
+    bonds: dict = {}
+    prev, stack, ring, order = None, [], {}, 1.0
+    for ch in smi:
+        if ch in ("C", "O"):
+            elements.append(ch)
+            cur = len(elements) - 1
+            if prev is not None:
+                bonds[(min(prev, cur), max(prev, cur))] = order
+            order, prev = 1.0, cur
+        elif ch == "=":
+            order = 2.0
+        elif ch == "#":
+            order = 3.0
+        elif ch == "(":
+            stack.append(prev)
+        elif ch == ")":
+            prev = stack.pop()
+        elif ch.isdigit():
+            if ch in ring:
+                o = ring.pop(ch)
+                bonds[(min(o, prev), max(o, prev))] = order
+                order = 1.0
+            else:
+                ring[ch] = prev
+        else:  # pragma: no cover - test SMILES never reach here
+            raise ValueError(ch)
+    return elements, bonds
+
+
+def _tp_render_md5(smi: str):
+    import hashlib as _hl
+
+    elements, bonds = _tp_parse(smi)
+    n = len(elements)
+    nbrs = {
+        i: sorted({b if a == i else a for a, b in bonds if i in (a, b)})
+        for i in range(n)
+    }
+    # layout: BFS from atom 0, zig-zag direction preference from the
+    # parent's incoming direction, doubling probe scale until free
+    coords = {0: (0, 0)}
+    taken = {(0, 0)}
+    in_dir = {0: 0}
+    queue, seen = [0], {0}
+    while queue:
+        u = queue.pop(0)
+        ux, uy = coords[u]
+        d_in = in_dir[u]
+        pref = [
+            (d_in + 1) % 6, (d_in + 5) % 6, d_in,
+            (d_in + 2) % 6, (d_in + 4) % 6, (d_in + 3) % 6,
+        ]
+        for v in nbrs[u]:
+            if v in seen:
+                continue
+            placed = False
+            for scale in range(1, 64):
+                for d in pref:
+                    dx, dy = _TP_DIRS[d]
+                    p = (ux + dx * scale, uy + dy * scale)
+                    if p not in taken:
+                        coords[v], in_dir[v] = p, d
+                        taken.add(p)
+                        placed = True
+                        break
+                if placed:
+                    break
+            seen.add(v)
+            queue.append(v)
+    # integer bounding-box scale into the margined canvas
+    xs = [p[0] for p in coords.values()]
+    ys = [p[1] for p in coords.values()]
+    xmin, xmax, ymin, ymax = min(xs), max(xs), min(ys), max(ys)
+    span = _TP_CANVAS - 2 * _TP_MARGIN
+
+    def s(v, lo, hi):
+        return (
+            _TP_CANVAS // 2 if hi == lo else _TP_MARGIN + (v - lo) * span // (hi - lo)
+        )
+
+    pix = {i: (s(x, xmin, xmax), s(y, ymin, ymax)) for i, (x, y) in coords.items()}
+    canvas = bytearray(b"\xff" * (_TP_CANVAS * _TP_CANVAS * 3))
+
+    def put(x, y, rgb):
+        if 0 <= x < _TP_CANVAS and 0 <= y < _TP_CANVAS:
+            o = (y * _TP_CANVAS + x) * 3
+            canvas[o : o + 3] = bytes(rgb)
+
+    def bres(x0, y0, x1, y1):
+        dx, dy = abs(x1 - x0), -abs(y1 - y0)
+        sx = 1 if x0 < x1 else -1
+        sy = 1 if y0 < y1 else -1
+        err = dx + dy
+        while True:
+            yield x0, y0
+            if x0 == x1 and y0 == y1:
+                return
+            e2 = 2 * err
+            if e2 >= dy:
+                err += dy
+                x0 += sx
+            if e2 <= dx:
+                err += dx
+                y0 += sy
+
+    for (a, b), order in sorted(bonds.items()):
+        (x0, y0), (x1, y1) = pix[a], pix[b]
+        off = (0, 1) if abs(x1 - x0) >= abs(y1 - y0) else (1, 0)
+        lines = [(0, 0)]
+        if order == 2.0:
+            lines.append(off)
+        elif order == 3.0:
+            lines.append(off)
+            lines.append((-off[0], -off[1]))
+        for ox, oy in lines:
+            for x, y in bres(x0 + ox, y0 + oy, x1 + ox, y1 + oy):
+                put(x, y, _TP_BOND)
+    for i, (x, y) in pix.items():
+        rgb = _TP_CPK[elements[i]]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                put(x + dx, y + dy, rgb)
+    ink, colors = 0, set()
+    for o in range(0, len(canvas), 3):
+        px = bytes(canvas[o : o + 3])
+        if px != b"\xff\xff\xff":
+            ink += 1
+            colors.add(px)
+    ppm = b"P6\n%d %d\n255\n" % (_TP_CANVAS, _TP_CANVAS) + bytes(canvas)
+    return ink, len(colors), _hl.md5(ppm).hexdigest()
+
+
+def test_render_digest_matches_second_implementation():
+    from molgraphdb_spark.chem.render import render_ppm
+
+    for smi in ("CCC", "C1CCC1", "CC(C)C", "C=CC", "CCO", "CC(C)(C)C"):
+        _na, _nb, ink, nc, md5, _data = render_ppm(smi)
+        ink2, nc2, md52 = _tp_render_md5(smi)
+        assert (ink, nc, md5) == (ink2, nc2, md52), smi
+
+
+def test_render_subgraph_golden_digests_match_second_implementation():
+    # the constant-VALUES oracle rows of chem_render_subgraphs,
+    # re-derived by the independent pipeline (no engine import at all)
+    golden = {
+        "CC": (291, "35c48ac69f90735e9b4909ef14b0e181"),
+        "CCC": (573, "10d47829bb51811df3ac373144412213"),
+        "C1CCC1": (1127, "39381a3602b561ff104449962ca2a0ab"),
+        "CC(C)C": (487, "96e41f1ffc3749b16cf4208f7dd1c23e"),
+        "CCCC": (487, "bfa4207efcd73db936828a938cc4a620"),
+        "CC(C)(C)C": (631, "9b85d5cdc622f19332015002773a5695"),
+        "CCC(C)C": (493, "7d9decc4907f8169e831854f1b566357"),
+        "CCCCC": (585, "0c09b71005e27c9d8c3e842316ec67a8"),
+    }
+    for smi, (ink, md5) in golden.items():
+        ink2, _nc, md52 = _tp_render_md5(smi)
+        assert (ink2, md52) == (ink, md5), smi
