@@ -397,14 +397,18 @@ def assign_cells_balanced(
             # the consumer-side expand_probes rewrite — and nrm is a
             # pure function of the vector, so it passes through too.
             cell = assigned.filter(F.col("cid") == h).drop("cid")
-            # Fan-out proportional to overload: target each child at
-            # HALF the allowed max (max_ratio·mean/2) so one round
-            # usually clears the gate even with uneven splits; capped
-            # at 64 (a 64-way local fit is one TakeOrdered + split_iter
-            # Lloyd jobs over one cell — bounded). Seeding is "hash":
-            # a hot cell is often an id-ordered drift continuum, which
+            # Fan-out proportional to overload: target each child at a
+            # QUARTER of the allowed max (max_ratio·mean/4) so ONE
+            # round clears the gate even with the uneven splits a
+            # drift-continuum cell produces — a single k=128 fit is
+            # one TakeOrdered + split_iter Lloyd jobs, FAR cheaper
+            # than a second round of dozens of sequential per-child
+            # fits (measured on the ann_hot_cell probe: the 2×-target
+            # version cascaded into ~79 round-2 fits and thousands of
+            # union-leg tasks). Capped at 256. Seeding is "hash": a
+            # hot cell is often an id-ordered drift continuum, which
             # "first" would seed entirely from one end.
-            n_kids = min(64, max(2, -(-counts[h] * 2 // max(int(max_ratio * mean), 1))))
+            n_kids = min(256, max(2, -(-counts[h] * 4 // max(int(max_ratio * mean), 1))))
             kids = kmeans_fit(
                 cell, vec_col, id_col, k=n_kids, n_iter=split_iter, init="hash"
             )

@@ -927,7 +927,7 @@ def probe_ann_production(
 
 def probe_ann_hot_cell(
     spark,
-    n_target: int = 400_000,
+    n_target: int = 200_000,
     nprobe: int = 8,
     n_plant: int = 20,
 ) -> dict:
@@ -1116,6 +1116,131 @@ def probe_ann_hot_cell(
         "t_rebalance_s": round(t_rebalance, 1),
         "t_mine_unsplit_s": round(t_mine_unsplit, 1),
         "t_mine_split_s": round(t_mine_split, 1),
+    }
+
+
+def probe_decode_adversarial(spark, n_rows: int = 40_000) -> dict:
+    """Per-row ValueError isolation at VOLUME (r12 verdict item 6):
+    the codec hardening (allocation caps, CRC checks, truncation
+    guards) is unit-tested row-at-a-time; this probe proves the
+    quarantine contract holds inside mapInPandas under load — one
+    ingest pass over an interleaved corpus of valid FLAC/JPEG payloads
+    and five malformed classes (truncation, empty, the ~512 GB FLAC
+    declared-size bomb, CRC corruption, the ~34 GB JPEG SOF bomb)
+    finishes with ZERO task retries, every valid row decoded, every
+    malformed row quarantined, and every quarantine error a
+    ValueError (never struct.error/IndexError/MemoryError — the
+    documented codec contract)."""
+    import pandas as pd
+
+    out_dir = f"{BASE}/adversarial"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def synth(batches):
+        import numpy as np
+
+        from molgraphdb_spark.functions.flac import encode_flac
+        from molgraphdb_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                cls = rid % 8
+                if cls in (0, 1, 2):  # valid FLAC
+                    n = 160 + rid % 80
+                    samples = ((np.arange(n) * 13 + rid * 7) % 251 - 125) * 64
+                    rows.append((rid, cls, "flac", encode_flac(8000, samples)))
+                elif cls == 3:  # valid JPEG (16x16 gray)
+                    px = bytes([64 + (rid % 32) * 2]) * 256
+                    rows.append((rid, cls, "jpeg", encode_jpeg(16, 16, px)))
+                elif cls == 4:  # truncated FLAC / empty payload
+                    good = encode_flac(8000, ((np.arange(200) * 11) % 200 - 100) * 50)
+                    rows.append(
+                        (rid, cls, "flac", b"" if rid % 3 == 0 else good[: len(good) // 2])
+                    )
+                elif cls == 5:  # FLAC declared-size bomb (2^36 samples)
+                    good = bytearray(encode_flac(8000, ((np.arange(150) * 3) % 99) * 64))
+                    off = 4 + 4 + 10
+                    packed = int.from_bytes(good[off : off + 8], "big")
+                    packed |= (1 << 36) - 1
+                    good[off : off + 8] = packed.to_bytes(8, "big")
+                    rows.append((rid, cls, "flac", bytes(good)))
+                elif cls == 6:  # CRC corruption mid-frame
+                    good = bytearray(encode_flac(8000, ((np.arange(180) * 5) % 151 - 75) * 32))
+                    good[3 * len(good) // 4] ^= 0x5A
+                    rows.append((rid, cls, "flac", bytes(good)))
+                else:  # cls == 7: JPEG SOF bomb (65500x65500 declared)
+                    good = bytearray(encode_jpeg(16, 16, bytes([128]) * 256))
+                    sof = good.find(b"\xff\xc0")
+                    assert sof >= 0
+                    good[sof + 5 : sof + 9] = (65500).to_bytes(2, "big") * 2
+                    rows.append((rid, cls, "jpeg", bytes(good)))
+            yield pd.DataFrame(rows, columns=["doc_id", "cls", "fmt", "payload"])
+
+    t0 = time.time()
+    spark.range(n_rows).repartition(32).mapInPandas(
+        synth, schema="doc_id long, cls int, fmt string, payload binary"
+    ).write.mode("overwrite").parquet(out_dir)
+    t_synth = time.time() - t0
+
+    def ingest(batches):
+        from molgraphdb_spark.functions.flac import flac_signal_features
+        from molgraphdb_spark.functions.jpeg import jpeg_luminance_features
+
+        for pdf in batches:
+            rows = []
+            for rid, cls, fmt, payload in zip(
+                pdf["doc_id"], pdf["cls"], pdf["fmt"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                try:
+                    if fmt == "flac":
+                        flac_signal_features(b)
+                    else:
+                        jpeg_luminance_features(b)
+                    rows.append((int(rid), int(cls), 1, None))
+                except Exception as e:  # noqa: BLE001 — the probe RECORDS the type
+                    rows.append((int(rid), int(cls), 0, type(e).__name__))
+            yield pd.DataFrame(rows, columns=["doc_id", "cls", "ok", "err"])
+
+    t0 = time.time()
+    agg = (
+        spark.read.parquet(out_dir)
+        .mapInPandas(ingest, schema="doc_id long, cls int, ok int, err string")
+        .groupBy("cls", "ok", "err")
+        .count()
+        .collect()
+    )
+    t_ingest = time.time() - t0
+    by_cls: dict = {}
+    err_types = set()
+    for r in agg:
+        by_cls.setdefault(int(r.cls), []).append((int(r.ok), r.err, int(r["count"])))
+        if r.err is not None:
+            err_types.add(r.err)
+    total = sum(c for v in by_cls.values() for _, _, c in v)
+    assert total == n_rows  # nothing lost, no task kill
+    for cls in (0, 1, 2, 3):  # valid classes decode, all of them
+        assert by_cls[cls] == [(1, None, n_rows // 8 + (1 if cls < n_rows % 8 else 0))]
+    for cls in (4, 5, 6, 7):  # malformed classes quarantine, all of them
+        assert all(ok == 0 for ok, _, _ in by_cls[cls]), by_cls[cls]
+    assert err_types == {"ValueError"}, err_types  # the codec contract
+    shutil.rmtree(out_dir)
+    return {
+        "probe": "decode_adversarial",
+        "rows": n_rows,
+        "valid_decoded": sum(
+            c for cls in (0, 1, 2, 3) for ok, _, c in by_cls[cls] if ok
+        ),
+        "quarantined": sum(
+            c for cls in (4, 5, 6, 7) for ok, _, c in by_cls[cls] if not ok
+        ),
+        "quarantine_error_types": sorted(err_types),
+        "t_synth_s": round(t_synth, 1),
+        "t_ingest_s": round(t_ingest, 1),
+        "ingest_docs_per_s": int(n_rows / t_ingest),
     }
 
 
@@ -2406,6 +2531,7 @@ def main() -> None:
             "hard_negatives": lambda: probe_hard_negatives(spark),
             "ann_production": lambda: probe_ann_production(spark),
             "ann_hot_cell": lambda: probe_ann_hot_cell(spark),
+            "decode_adversarial": lambda: probe_decode_adversarial(spark),
             "pq_production": lambda: probe_pq_production(spark),
             "graph_skew": lambda: probe_graph_skew(spark),
             "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
@@ -2428,6 +2554,8 @@ def main() -> None:
     print(json.dumps(probe_phash(spark, sf_dir)))
     # r10: real-codec decode leg at 10× (r11: + JPEG and FLAC passes)
     print(json.dumps(probe_decode(spark, sf_dir)))
+    # r13: malformed-payload quarantine contract at volume
+    print(json.dumps(probe_decode_adversarial(spark)))
     # r11: HTML-extraction leg at 10× (sampled vs stdlib html.parser)
     print(json.dumps(probe_extract(spark, sf_dir)))
     # r10: raster leg at volume (bit-determinism across layouts)
