@@ -246,3 +246,59 @@ def test_ivfpq_search_index_reuse_matches_inline(spark, emb, books):
     a = [tuple(r) for r in inline.collect()]
     b = [tuple(r) for r in reused.collect()]
     assert a == b and len(a) == 9
+
+
+def test_persisted_index_matches_inline(spark, emb, books, tmp_path):
+    # write_ivfpq_index / read_ivfpq_index round-trip: searching the
+    # reloaded partitioned-parquet index returns exactly the inline
+    # result (persistence changes layout and cost, never results).
+    from molgraphdb_spark.operators.kmeans import kmeans_fit
+    from molgraphdb_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_search,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    coarse = kmeans_fit(emb, "v", "vec_id", k=4, n_iter=2)
+    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = [(r["vec_id"], list(r["v"])) for r in qrows]
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(ivfpq_index(emb, "v", coarse, books), path)
+    loaded = read_ivfpq_index(spark, path)
+    got = ivfpq_search(
+        emb, "v", "vec_id", queries, coarse, books, k=3, indexed=loaded
+    )
+    want = ivfpq_search(emb, "v", "vec_id", queries, coarse, books, k=3)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_persisted_index_prunes_partitions(spark, emb, books, tmp_path):
+    # The 100 TB point of partitionBy('cid'): ivfpq_search knows its
+    # probed cells driver-side and pushes a literal cid IN (...) on the
+    # index, which against the partitioned layout compiles to STATIC
+    # PartitionFilters on the FileScan — a query batch reads at most
+    # Q·nprobe cell directories, skipping the rest at the file level
+    # (stronger than DPP: no subquery, pruning happens at planning).
+    import re
+
+    from molgraphdb_spark.operators.kmeans import kmeans_fit
+    from molgraphdb_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_search,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    coarse = kmeans_fit(emb, "v", "vec_id", k=4, n_iter=2)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(ivfpq_index(emb, "v", coarse, books), path)
+    loaded = read_ivfpq_index(spark, path)
+    qrows = emb.filter(F.col("vec_id") < 2).collect()
+    queries = [(r["vec_id"], list(r["v"])) for r in qrows]
+    res = ivfpq_search(
+        emb, "v", "vec_id", queries, coarse, books, k=3, nprobe=2, indexed=loaded
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]* IN \(", plan)
+    assert m, plan[:3000]
