@@ -302,3 +302,14 @@ def test_persisted_index_prunes_partitions(spark, emb, books, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]* IN \(", plan)
     assert m, plan[:3000]
+    # r13 verdict item 1: the ONLY corpus-sized relations in the search
+    # plan are pruned scans of the persisted index — the exact rerank
+    # reads the pruned index's vector column (broadcast shortlist), not
+    # the base embeddings table. Every parquet FileScan must carry the
+    # static cid IN PartitionFilters, and the cached base table (which
+    # would surface as an InMemoryTableScan) must not appear at all.
+    filescans = plan.count("Scan parquet")
+    pruned_scans = len(re.findall(r"PartitionFilters: \[[^\]]*cid[^\]]* IN \(", plan))
+    assert filescans >= 2 and pruned_scans == filescans, plan[:3000]
+    assert "InMemoryTableScan" not in plan, plan[:3000]
+    assert "embeddings.parquet" not in plan, plan[:3000]
