@@ -420,7 +420,10 @@ def assign_cells_balanced(
             split_map[h] = [cid for cid, _ in kid_cents]
             # Re-assign ONLY this cell's rows, only among its children:
             # parent membership == union of child memberships, exactly.
-            # K=2 always takes the literal fold — map-only, no shuffle.
+            # n_kids ranges 2..256: at or below ASSIGN_LITERAL_MAX_K
+            # the re-assignment is the literal fold; above it the
+            # K-dispatch routes to the Arrow/BLAS mapInPandas kernel —
+            # either way map-only, no shuffle.
             parts.append(
                 assign_cells_cos_ubp(cell, vec_col, kid_cents).select(
                     *assigned.columns
@@ -430,9 +433,15 @@ def assign_cells_balanced(
         for p in parts[1:]:
             nxt = nxt.unionByName(p)
         nxt = nxt.persist()
+        # Materialize the new round's cache BEFORE dropping the old
+        # one: persist() is lazy, so unpersisting first would make the
+        # histogram job recompute the full parent-assignment lineage
+        # once per union leg (the ADVICE r13 ordering fix) — the
+        # cell_balance job below is what fills nxt's cache, and it is
+        # served by the still-live parent cache exactly once per leg.
+        stats = cell_balance(nxt)
         assigned.unpersist()
         assigned = nxt
-        stats = cell_balance(assigned)
         stats["rounds"] = rnd
         if stats["ratio"] <= max_ratio:
             break
@@ -486,3 +495,59 @@ def expand_probes(
             )
         ),
     )
+
+
+def shortlist_with_spill(
+    probes_df: DataFrame,
+    members_df: DataFrame,
+    spill_cids: list[int],
+    *,
+    member_id_col: str,
+    n_salt: int | None = None,
+) -> DataFrame:
+    """The ``stats["spill_cids"]`` CONSUMER — the degradation contract
+    of :func:`assign_cells_balanced` as an executable operator (r13
+    verdict item 3). Semantically identical to
+    ``probes_df.join(members_df, "cid")`` (the IVF shortlist equi-join
+    between exploded anchor probes and cell members), but cells the
+    split loop could NOT balance are routed through a SALTED exact
+    side channel:
+
+    - **cold cells** take the plain equi-join, untouched;
+    - **spilled cells** join on ``(cid, salt)``: members get a
+      deterministic salt (``xxhash64(member_id) mod n_salt`` — no RNG,
+      the repo-wide determinism rule) and each probing anchor row is
+      replicated across all ``n_salt`` buckets, so every
+      (anchor, member) pair of the hot cell appears EXACTLY once while
+      the biggest join partition shrinks ~``n_salt``×. This is the
+      brute-force scan of the inseparable cell — recall 1.0 on the
+      spilled cell by construction (candidate set identical to the
+      unsalted join; test-pinned in tests/test_ivf_dispatch.py, probed
+      with splits disabled in tools/scale_probe.py ann_hot_cell).
+
+    Cost shape at 100 TB: anchor rows probing a spilled cell replicate
+    ``n_salt``× (probe rows are the SMALL side — Q·nprobe rows), the
+    hot cell's members never replicate, and the union keeps both legs
+    in one shuffle stage. ``n_salt`` defaults to
+    ``spark.sql.shuffle.partitions`` — one task per salt bucket of the
+    hot cell."""
+    if not spill_cids:
+        return probes_df.join(members_df, "cid")
+    spark = probes_df.sparkSession
+    if n_salt is None:
+        n_salt = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_salt < 1:
+        raise ValueError(f"shortlist_with_spill: n_salt must be >= 1, got {n_salt}")
+    spill = sorted(int(c) for c in spill_cids)
+    cold = probes_df.filter(~F.col("cid").isin(spill)).join(
+        members_df.filter(~F.col("cid").isin(spill)), "cid"
+    )
+    hot_probes = probes_df.filter(F.col("cid").isin(spill)).withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    hot_members = members_df.filter(F.col("cid").isin(spill)).withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(member_id_col)), F.lit(n_salt)).cast("int"),
+    )
+    hot = hot_probes.join(hot_members, ["cid", "_salt"]).drop("_salt")
+    return cold.unionByName(hot)

@@ -776,6 +776,7 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_cells_balanced,
         assign_cells_cos_ubp,
         expand_probes,
+        shortlist_with_spill,
     )
 
     _guard_quadratic(sf_dir, "embedding_hard_negatives_ann")
@@ -814,8 +815,27 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, "v", cents, id_col="vec_id", nprobe=IVF_NPROBE
         )
         assigned = expand_probes(assigned, stats["split_map"])
+        spill_cids = stats["spill_cids"]
+        if spill_cids:
+            # Degradation contract (ADVICE r13): a cell that survived
+            # max_rounds must not flow SILENTLY into the equi-join —
+            # announce it, then route it through the salted exact side
+            # channel below (shortlist_with_spill), which bounds the
+            # hot cell's biggest join task while keeping the candidate
+            # set bit-identical.
+            import warnings
+
+            warnings.warn(
+                "embedding_hard_negatives_ann: "
+                f"{len(spill_cids)} IVF cell(s) still exceed the balance "
+                f"ratio after splitting (cids {spill_cids}); routing them "
+                "through the salted exact side channel",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     else:
         assigned = assign_cells_cos_ubp(emb, "v", cents, nprobe=IVF_NPROBE)
+        spill_cids = []
     assign = assigned.select(
         F.col("vec_id").alias("ib"),
         F.col("v").alias("vb"),
@@ -829,10 +849,14 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("probes").alias("cid"),
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shortlist = shortlist_with_spill(
+        anchors.repartition(n_part, "cid", "ia"),
+        assign,
+        spill_cids,
+        member_id_col="ib",
+    )
     pairs = (
-        anchors.repartition(n_part, "cid", "ia")
-        .join(assign, "cid")
-        .filter(F.col("ia") != F.col("ib"))
+        shortlist.filter(F.col("ia") != F.col("ib"))
         .select(
             "ia", "la", "ib", "lb",
             _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"),

@@ -364,3 +364,91 @@ def test_balanced_noop_on_balanced_corpus(spark, sf_dir):
     assert a == b and len(a) == 300
     assert cents_out == sorted(cents, key=lambda c: c[0])
     out.unpersist()
+
+
+def _inseparable_corpus(spark):
+    # 120 identical vectors in cell 0 (a cell no k-means split can
+    # separate) + 5 distinct rows in each other cell — the
+    # test_balanced_split_spills_inseparable_cell fixture, shared by
+    # the spill-consumer tests below.
+    d = 4
+    cents = [(i, [1.0 if j == i else 0.0 for j in range(d)]) for i in range(d)]
+    rows = [(i, [1.0, 0.2, 0.0, 0.0]) for i in range(120)]
+    vid = 120
+    for c in range(1, d):
+        for i in range(5):
+            v = [0.0] * d
+            v[c] = 1.0
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, v array<double>"), cents
+
+
+def test_shortlist_with_spill_candidate_set_identical(spark):
+    # The spill_cids CONSUMER (r13 verdict item 3): with splits
+    # disabled (max_rounds=0) the inseparable hot cell spills, and
+    # shortlist_with_spill's salted side channel must produce EXACTLY
+    # the plain equi-join's (anchor, member) multiset — recall 1.0 on
+    # the spilled cell by construction, each pair exactly once.
+    from collections import Counter
+
+    df, cents = _inseparable_corpus(spark)
+    out, _, stats = ivf.assign_cells_balanced(
+        df, "v", cents, id_col="vec_id", nprobe=2, max_ratio=2.0, max_rounds=0
+    )
+    assert stats["spill_cids"] == [0] and stats["split_map"] == {}
+    probes_df = out.select(
+        F.col("vec_id").alias("ia"), F.explode("probes").alias("cid")
+    )
+    members_df = out.select(F.col("vec_id").alias("ib"), "cid")
+    plain = Counter(
+        (r.ia, r.ib, r.cid) for r in probes_df.join(members_df, "cid").collect()
+    )
+    for n_salt in (1, 4, 32):
+        salted = Counter(
+            (r.ia, r.ib, r.cid)
+            for r in ivf.shortlist_with_spill(
+                probes_df, members_df, stats["spill_cids"],
+                member_id_col="ib", n_salt=n_salt,
+            ).collect()
+        )
+        assert salted == plain, n_salt
+    # the spilled cell's pairs are all present: 120 members x every
+    # anchor that probes cell 0
+    assert sum(1 for (_, _, c) in plain if c == 0) > 0
+    out.unpersist()
+
+
+def test_shortlist_with_spill_noop_and_validation(spark):
+    # Empty spill list = the plain equi-join, byte-identical plan
+    # inputs; n_salt < 1 is rejected loudly.
+    df, cents = _inseparable_corpus(spark)
+    assigned = assign_cells_cos_ubp(df, "v", cents, nprobe=2)
+    probes_df = assigned.select(
+        F.col("vec_id").alias("ia"), F.explode("probes").alias("cid")
+    )
+    members_df = assigned.select(F.col("vec_id").alias("ib"), "cid")
+    a = {(r.ia, r.ib) for r in ivf.shortlist_with_spill(
+        probes_df, members_df, [], member_id_col="ib").collect()}
+    b = {(r.ia, r.ib) for r in probes_df.join(members_df, "cid").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="n_salt"):
+        ivf.shortlist_with_spill(
+            probes_df, members_df, [0], member_id_col="ib", n_salt=0
+        )
+
+
+def test_hard_negatives_ann_production_branch_matches_literal(
+    spark, sf_dir, monkeypatch
+):
+    # r13 verdict item 4: the SHIPPED query's production-K branch
+    # (assign_cells_balanced + expand_probes + shortlist_with_spill)
+    # never executes at the fixture K=8 under the real threshold —
+    # lower the dispatch threshold so it does, and pin its output
+    # hash-equal to the literal branch.
+    from molgraphdb_spark.queries.similarity import embedding_hard_negatives_ann
+
+    want = [tuple(r) for r in embedding_hard_negatives_ann(spark, sf_dir).collect()]
+    monkeypatch.setattr(ivf, "ASSIGN_LITERAL_MAX_K", 2)
+    got = [tuple(r) for r in embedding_hard_negatives_ann(spark, sf_dir).collect()]
+    assert got == want and len(want) > 0
