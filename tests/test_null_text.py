@@ -131,19 +131,48 @@ def test_no_backslash_s_tokenizer_in_package():
     # A reintroduced \s (in any of its three source encodings: r"\s",
     # SQL '\\s', F.expr '\\\\s') would silently re-open the
     # Java-vs-RE2 \x0B / Unicode-whitespace divergence — fail loudly.
+    import ast
+    import io
     import pathlib
+    import tokenize
 
     pkg = pathlib.Path(__file__).resolve().parent.parent / "molgraphdb_spark"
     offenders = []
     for p in sorted(pkg.rglob("*.py")):
-        for i, line in enumerate(p.read_text().splitlines(), 1):
-            if "\\s" in line and not line.lstrip().startswith("#"):
-                # prose mentions of the retired rule live in docstrings
-                # that spell the class out alongside; only flag lines
-                # that look like live regex material
-                if "``" in line or "never" in line:
-                    continue
-                offenders.append(f"{p.relative_to(pkg)}:{i}: {line.strip()}")
+        src = p.read_text()
+        # Live regex material can only reach an engine through a STRING
+        # token: tokenize the source (comments are separate COMMENT
+        # tokens, so trailing-comment mentions can never mask code —
+        # the ADVICE r13 evasion), then exempt exactly the docstring
+        # string tokens (prose mentions of the retired rule), located
+        # via ast as the first statement of a module/class/function.
+        doc_lines: set[int] = set()
+        for node in ast.walk(ast.parse(src)):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(
+                    node,
+                    (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef),
+                )
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                doc_lines.update(
+                    range(body[0].value.lineno, body[0].value.end_lineno + 1)
+                )
+        str_types = {tokenize.STRING}
+        if hasattr(tokenize, "FSTRING_MIDDLE"):  # 3.12 f-string tokens
+            str_types.add(tokenize.FSTRING_MIDDLE)
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type not in str_types or "\\s" not in tok.string:
+                continue
+            if tok.start[0] in doc_lines:
+                continue
+            offenders.append(
+                f"{p.relative_to(pkg)}:{tok.start[0]}: {tok.string[:100]}"
+            )
     assert not offenders, (
         "\\s crept back into package regex source; use the explicit "
         "[ \\t\\n\\r\\f] class instead (r13 migration):\n"
