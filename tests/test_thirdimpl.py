@@ -2494,3 +2494,69 @@ def test_render_subgraph_golden_digests_match_second_implementation():
     for smi, (ink, md5) in golden.items():
         ink2, _nc, md52 = _tp_render_md5(smi)
         assert (ink2, md52) == (ink, md5), smi
+
+
+def test_pagerank_top_matches_python_power_iteration():
+    # r13 verdict item 5: graph_pagerank_top was the last non-chem
+    # VALUES oracle with no independent recompute on the real table.
+    # This is that recompute — pyarrow + plain-Python power iteration
+    # (independent of BOTH Spark and DuckDB) over the gate-scale
+    # sf0.01 parquet, reproducing the oracle literal exactly: same
+    # graph (distinct customer-supplier purchase pairs, bidirectional,
+    # packed ids), same 10 damped iterations (d=0.85, init 1.0,
+    # rank = 0.15 + 0.85*sum(in-contribs rank/deg)), same
+    # micro-basis-point floor and (rank_ubp DESC, id ASC) top-20.
+    # Float order differs from Spark's partial aggregation, so an
+    # exact ubp match additionally evidences the documented summation
+    # headroom (~1e-9 of a ubp).
+    import math
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "orders.parquet")):
+        pytest.skip("gate-scale sf0.01 testdata not present")
+    orders = pq.read_table(
+        os.path.join(sf, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    li = pq.read_table(
+        os.path.join(sf, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
+    )
+    cust = dict(
+        zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist())
+    )
+    pairs = set()
+    for ok, sk in zip(li["l_orderkey"].to_pylist(), li["l_suppkey"].to_pylist()):
+        ck = cust.get(ok)
+        if ck is not None:
+            pairs.add((2 * ck, 2 * sk + 1))
+    edges = []
+    for c, s in pairs:
+        edges.append((c, s))
+        edges.append((s, c))
+    deg: dict[int, int] = {}
+    for src, _ in edges:
+        deg[src] = deg.get(src, 0) + 1
+    verts = sorted(deg)
+    rank = {v: 1.0 for v in verts}
+    d = 0.85
+    for _ in range(10):
+        contrib = {v: 0.0 for v in verts}
+        for src, dst in edges:
+            contrib[dst] += rank[src] / deg[src]
+        rank = {v: (1 - d) + d * contrib[v] for v in verts}
+    rows = []
+    for v, r in rank.items():
+        rid = f"c:{v // 2}" if v % 2 == 0 else f"s:{(v - 1) // 2}"
+        rows.append((math.floor(r * 1_000_000 + 0.5), rid))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    got = [(rid, ubp) for ubp, rid in rows[:20]]
+
+    from molgraphdb_spark.queries.graph_queries import GRAPH_PAGERANK_SQL
+
+    want = [
+        (i, int(u)) for i, u in re.findall(r"\('([cs]:\d+)',\s*(\d+)\)", GRAPH_PAGERANK_SQL)
+    ]
+    assert len(want) == 20 and got == want
