@@ -51,7 +51,38 @@ _QUERY_MODULES = [
 # 0 errors; ledger floor moved to r8 and — for the first time — zero
 # never-checked rows.
 #
-# Round-13 verification window (first 50), per the r12 verdict item 1.
+# HISTORICAL RECORD, r13 window (drove CORRECTNESS_r13.json 50/50
+# green, 0 errors; ledger floor moved r8 -> r9, 30 rows):
+# 2 r13 changed-code re-gates (similarity_ivfpq_topk,
+# embedding_hard_negatives_ann) + ALL 37 r8-stale rows + 11
+# whitespace-migration re-gates oldest-driver-first.
+#
+# Round-14 verification window (first 50), per the r13 verdict item 2
+# (staleness ledger = tools/gen_query_index.last_driver_green over all
+# thirteen CORRECTNESS_r*.json — recomputed this session: r9:30,
+# r10:36, r11:48, r12:48, r13:50):
+# - 2 r14 changed-code re-gate leads: similarity_ivfpq_topk (the
+#   ivfpq_search rerank now reads the cid-pruned index instead of
+#   re-scanning the base table — r13 verdict item 1; pre-verified
+#   hash-identical at sf0.01) and embedding_hard_negatives_ann
+#   (spill_cids now routes through the shortlist_with_spill salted
+#   side channel — r13 verdict item 3; plan unchanged when no spills;
+#   pre-verified hash-identical at sf0.01).
+# - ALL 30 r9-stale rows (the entire staleness floor; includes the 3
+#   r9-displaced whitespace re-gates pipeline_curation_funnel,
+#   source_chunk_dup_rate, vocab_bpe_merge_pairs).
+# - 18 r10-stale fills: first the 7 r10-displaced whitespace-migration
+#   re-gates (dedup_minhash_lsh_pairs, doc_mixture_sample,
+#   doc_split_assign, lang_token_fertility, orders_retention_cohorts,
+#   source_token_divergence, vocab_bpe_merge_table), then 11 more
+#   r10-stale rows alphabetically.
+# 2 + 30 + 18 = 50 exactly. DISPLACED DEBT: 18 r10-stale rows remain
+# (pq_code_stats, q2/q4/q8/q9/q11/q12/q15/q16/q17/q20/q21,
+# sample_stratified_docs, setop_except/intersect/union_nations,
+# similarity_cosine_topk, skew_salted_status_counts) — the r15 window
+# MUST lead with r15 debuts/changed-code re-gates, then these 18.
+#
+# r13 window record (kept for the ledger trail):
 # Composition (staleness ledger = tools/gen_query_index
 # .last_driver_green over all twelve CORRECTNESS_r*.json):
 # - 2 r13 changed-code re-gate leads: similarity_ivfpq_topk (now
@@ -72,71 +103,66 @@ _QUERY_MODULES = [
 #   dedup_lsh_verified dedup_simhash_pairs doc_collocation_pmi
 #   doc_dsir_selection doc_perplexity_buckets doc_priority_sample
 #   neardup_containment_pairs neardup_jaccard_pairs).
-# 2 + 37 + 11 = 50 exactly. DISPLACED DEBT: 37 whitespace-migrated
-# queries (r9: pipeline_curation_funnel source_chunk_dup_rate
-# vocab_bpe_merge_pairs; r10: dedup_minhash_lsh_pairs doc_mixture_
-# sample doc_split_assign lang_token_fertility orders_retention_
-# cohorts source_token_divergence vocab_bpe_merge_table; the rest
-# r11/r12) carry their migration re-gate to the r14 window — ALL 61
-# migrated queries were pre-verified hash-green at sf0.01 in the r13
-# build session (tools/parity.py, the driver's exact comparison), so
-# the deferral is ledger bookkeeping, not unverified code. The r14
-# window MUST lead with those 37 (oldest first), then the r9-stale
-# tail.
+# 2 + 37 + 11 = 50 exactly. Its displaced whitespace-migration debt
+# (37 queries, all pre-verified hash-green at sf0.01 in the r13 build
+# session) is absorbed by the r14 window above: the 10 oldest (3 r9 +
+# 7 r10) re-gate explicitly this round, the r11/r12 remainder ages
+# into later windows through the normal staleness rotation.
 _PRIORITY = [
-    # ---- r13 changed-code re-gates ----
+    # ---- r14 changed-code re-gates ----
     "similarity_ivfpq_topk",
     "embedding_hard_negatives_ann",
-    # ---- ALL 37 r8-stale rows (13 double as whitespace re-gates) ----
-    "customer_spend_exact_percentiles",
-    "dedup_clusters",
-    "doc_bm25_topk",
-    "doc_decontaminate_overlap",
-    "doc_fingerprint",
-    "doc_language_id",
-    "doc_ngram_topk",
-    "doc_pack_offsets",
-    "doc_quality_classifier",
-    "doc_quality_scores",
-    "doc_token_stats",
-    "events_asof_join",
-    "events_gap_fill",
-    "events_hourly_counts",
-    "events_json_extract",
-    "events_lag_lead_delta",
-    "events_latency_percentiles",
-    "events_ohlc_resample",
-    "events_range_join",
-    "events_rolling_hour_avg",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "mm_frame_sample",
-    "priority_ship_delay_percentiles",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "retrieval_rrf_hybrid",
-    "source_length_deciles",
-    "source_temperature_weights",
-    "source_token_budget",
-    # ---- 11 whitespace-migration re-gates, oldest driver first ----
-    "dedup_cross_source_matrix",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_lsh_verified",
-    "dedup_simhash_pairs",
-    "doc_collocation_pmi",
-    "doc_dsir_selection",
-    "doc_perplexity_buckets",
-    "doc_priority_sample",
-    "neardup_containment_pairs",
-    "neardup_jaccard_pairs",
+    # ---- ALL 30 r9-stale rows (the staleness floor) ----
+    "approx_distinct_parts",
+    "approx_quantiles_price",
+    "chem_edit_expansion",
+    "chem_exact_ged_pairs",
+    "chem_nearest_molecule",
+    "chem_pharma_overlap",
+    "chem_pharma_profile",
+    "chem_subgraph_catalog_hist",
+    "chem_subgraph_counts",
+    "chem_subgraph_display",
+    "chem_substructure_search",
+    "chem_tanimoto_pairs",
+    "dedup_embedding_cosine",
+    "embedding_hard_negatives",
+    "events_anomaly_outliers",
+    "events_ewma",
+    "events_funnel",
+    "events_twap",
+    "events_winsorized_stats",
+    "graph_adamic_adar",
+    "graph_kcore_summary",
+    "graph_label_propagation",
+    "graph_pagerank_top",
+    "graph_triangle_count",
+    "pipeline_curation_funnel",
+    "profile_lineitem",
+    "quantiles_price_by_flag",
+    "similarity_lsh_recall",
+    "source_chunk_dup_rate",
+    "vocab_bpe_merge_pairs",
+    # ---- 7 r10-displaced whitespace-migration re-gates ----
+    "dedup_minhash_lsh_pairs",
+    "doc_mixture_sample",
+    "doc_split_assign",
+    "lang_token_fertility",
+    "orders_retention_cohorts",
+    "source_token_divergence",
+    "vocab_bpe_merge_table",
+    # ---- 11 more r10-stale fills ----
+    "chem_render_raster",
+    "chem_render_subgraphs",
+    "events_cusum_alarms",
+    "fuzzy_name_clusters",
+    "fuzzy_name_multipass",
+    "fuzzy_name_pairs",
+    "fuzzy_name_sorted_neighborhood",
+    "graph_connected_components_summary",
+    "mm_feature_extract",
+    "mm_metadata_summary",
+    "mm_phash_neardup",
 ]
 
 
