@@ -429,7 +429,10 @@ def ivfpq_search(
        driver-side from Q×K_coarse distances — tiny);
     3. ADC runs only on rows whose cell is probed (a broadcast
        semi-filter, not a corpus shuffle), shortlists, and the exact
-       rerank touches Q×shortlist full vectors.
+       rerank touches Q×shortlist full vectors — read from the SAME
+       pruned index scan (the index carries the vector column), never
+       from the base table, so no stage of the search is linear in the
+       corpus (r13 verdict item 1).
 
     At 100 TB: stage 3's scan cost is corpus/cells·nprobe rows × M
     byte-lookups — both knobs (nprobe, shortlist) trade recall for

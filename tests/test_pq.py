@@ -300,7 +300,7 @@ def test_persisted_index_prunes_partitions(spark, emb, books, tmp_path):
         emb, "v", "vec_id", queries, coarse, books, k=3, nprobe=2, indexed=loaded
     )
     plan = res._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]* IN \(", plan)
+    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]* (?:IN \(|INSET )", plan)
     assert m, plan[:3000]
     # r13 verdict item 1: the ONLY corpus-sized relations in the search
     # plan are pruned scans of the persisted index — the exact rerank
@@ -309,7 +309,10 @@ def test_persisted_index_prunes_partitions(spark, emb, books, tmp_path):
     # static cid IN PartitionFilters, and the cached base table (which
     # would surface as an InMemoryTableScan) must not appear at all.
     filescans = plan.count("Scan parquet")
-    pruned_scans = len(re.findall(r"PartitionFilters: \[[^\]]*cid[^\]]* IN \(", plan))
+    # at >10 probed cells the literal prints as INSET, not IN (...)
+    pruned_scans = len(
+        re.findall(r"PartitionFilters: \[[^\]]*cid[^\]]* (?:IN \(|INSET )", plan)
+    )
     assert filescans >= 2 and pruned_scans == filescans, plan[:3000]
     assert "InMemoryTableScan" not in plan, plan[:3000]
     assert "embeddings.parquet" not in plan, plan[:3000]

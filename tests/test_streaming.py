@@ -222,7 +222,7 @@ def test_stateful_running_totals_tws(spark, sf_dir, events_stream_dir):
         # The TWS state-server protocol speaks protobuf from the Python
         # driver worker; without the google.protobuf package the query
         # crashes at PRE_INIT (verified: StateMessage_pb2 ImportError;
-        # re-confirmed in r13 — `import google.protobuf` still fails).
+        # re-confirmed in r14 — `import google.protobuf` still fails).
         pytest.skip("google.protobuf not installed — TWS state protocol unavailable")
     ev = read_events_stream(spark, events_stream_dir)
     q = run_to_memory(running_user_totals_tws(ev), "t_running_tws", output_mode="update")

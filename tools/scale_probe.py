@@ -925,37 +925,15 @@ def probe_ann_production(
     }
 
 
-def probe_ann_hot_cell(
-    spark,
-    n_target: int = 200_000,
-    nprobe: int = 8,
-    n_plant: int = 20,
-) -> dict:
-    """The hot-centroid REMEDIATION at the r11 collapse shape (r12
-    verdict item 3): rebuild the corpus class that collapsed 86% of a
-    2M-vector corpus into ONE cell (unbounded rep-scaled drift — every
-    replica drifts further along one shared direction, so high-rep
-    vectors all argmax to the same centroid), then drive it through
-    operators/ivf.assign_cells_balanced instead of the raising gate.
-
-    Asserts and records:
-    * the plain gate DOES raise on this corpus (pre_ratio > 10 — the
-      probe exists because the failure is real, not hypothetical);
-    * assign_cells_balanced splits the hot centroid(s) by local
-      hash-seeded k-means re-train (fan-out ∝ overload) and the
-      post-split histogram bounds the equi-join (post_max_cell ≪
-      pre_max_cell; post_ratio recorded, spill cells if any);
-    * RECALL IS PRESERVED EXACTLY: the planted different-label
-      near-twins mined through the split index (expand_probes parent→
-      leaves) equal the twins mined through the UNSPLIT index — same
-      candidate set by construction, verified empirically end-to-end.
-    """
+def _build_drift_corpus(spark, n_target: int, n_plant: int, mark=None):
+    """The r11 collapse corpus: rep-scaled drift (every replica drifts
+    further along one shared pseudo-direction, so high-rep vectors all
+    argmax to the same centroid — 86% of the corpus in ONE cell) plus
+    planted different-label near-twins of base anchors 200..200+n_plant.
+    Shared by probe_ann_hot_cell and probe_ann_spill. Returns
+    (emb, cents, n, K)."""
     from molgraphdb_spark.operators import ivf
 
-    def _mark(msg):
-        print(f"[ann_hot_cell +{time.time() - _t0:.0f}s] {msg}", file=sys.stderr)
-
-    _t0 = time.time()
     k_scale = max(n_target // 2000, 1)
     out = f"{BASE}/emb_hot"
     if os.path.exists(out):
@@ -1009,7 +987,43 @@ def probe_ann_hot_cell(
         )
     ]
     assert len(cents) > ivf.ASSIGN_LITERAL_MAX_K
-    _mark(f"corpus built n={n} K={K}")
+    if mark is not None:
+        mark(f"corpus built n={n} K={K}")
+    return emb, cents, n, K
+
+
+def probe_ann_hot_cell(
+    spark,
+    n_target: int = 200_000,
+    nprobe: int = 8,
+    n_plant: int = 20,
+) -> dict:
+    """The hot-centroid REMEDIATION at the r11 collapse shape (r12
+    verdict item 3): rebuild the corpus class that collapsed 86% of a
+    2M-vector corpus into ONE cell (unbounded rep-scaled drift — every
+    replica drifts further along one shared direction, so high-rep
+    vectors all argmax to the same centroid), then drive it through
+    operators/ivf.assign_cells_balanced instead of the raising gate.
+
+    Asserts and records:
+    * the plain gate DOES raise on this corpus (pre_ratio > 10 — the
+      probe exists because the failure is real, not hypothetical);
+    * assign_cells_balanced splits the hot centroid(s) by local
+      hash-seeded k-means re-train (fan-out ∝ overload) and the
+      post-split histogram bounds the equi-join (post_max_cell ≪
+      pre_max_cell; post_ratio recorded, spill cells if any);
+    * RECALL IS PRESERVED EXACTLY: the planted different-label
+      near-twins mined through the split index (expand_probes parent→
+      leaves) equal the twins mined through the UNSPLIT index — same
+      candidate set by construction, verified empirically end-to-end.
+    """
+    from molgraphdb_spark.operators import ivf
+
+    def _mark(msg):
+        print(f"[ann_hot_cell +{time.time() - _t0:.0f}s] {msg}", file=sys.stderr)
+
+    _t0 = time.time()
+    emb, cents, n, K = _build_drift_corpus(spark, n_target, n_plant, mark=_mark)
 
     # 1) the shipped gate must RAISE here (this is the planted failure)
     t0 = time.time()
@@ -1116,6 +1130,117 @@ def probe_ann_hot_cell(
         "t_rebalance_s": round(t_rebalance, 1),
         "t_mine_unsplit_s": round(t_mine_unsplit, 1),
         "t_mine_split_s": round(t_mine_split, 1),
+    }
+
+
+def probe_ann_spill(
+    spark,
+    n_target: int = 200_000,
+    nprobe: int = 8,
+    n_plant: int = 20,
+) -> dict:
+    """The spill_cids CONSUMER end-to-end (r13 verdict item 3's probe
+    row): the ann_hot_cell collapse corpus rerun with splits DISABLED
+    (``max_rounds=0``), so the hot cells come back as
+    ``stats["spill_cids"]`` instead of being re-trained away — the
+    degradation case assign_cells_balanced documents. The planted
+    near-twins are then mined through
+    ``ivf.shortlist_with_spill`` (cold cells: plain equi-join; spilled
+    cells: salted exact channel — members salted by xxhash64(id),
+    anchors replicated across the buckets) and the probe asserts the
+    mined set is IDENTICAL to the plain unsalted equi-join's — recall
+    1.0 on the spilled cells by construction, now measured at the
+    collapse shape, not just the unit fixture."""
+    from molgraphdb_spark.operators import ivf
+
+    def _mark(msg):
+        print(f"[ann_spill +{time.time() - _t0:.0f}s] {msg}", file=sys.stderr)
+
+    _t0 = time.time()
+    emb, cents, n, K = _build_drift_corpus(spark, n_target, n_plant, mark=_mark)
+
+    t0 = time.time()
+    bal, _, stats = ivf.assign_cells_balanced(
+        emb.repartition(64), "v", cents, id_col="vec_id",
+        nprobe=nprobe, with_norm=True, max_rounds=0,
+    )
+    bal = bal.localCheckpoint(eager=True)
+    t_assign = time.time() - t0
+    assert stats["split_map"] == {} and stats["spill_cids"], (
+        "splits disabled: the collapse corpus must SPILL its hot cells"
+    )
+    spill = stats["spill_cids"]
+    _mark(
+        f"assign {t_assign:.0f}s: ratio {stats['ratio']:.0f}, "
+        f"{len(spill)} spill cell(s), max cell {stats['max_sz']} of {n}"
+    )
+
+    anchors = bal.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 200 + n_plant)
+    ).select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("label").alias("la"),
+        F.explode("probes").alias("cid"),
+    )
+    members = bal.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("label").alias("lb"),
+        "cid",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _mine(joined) -> dict:
+        mined = (
+            joined.filter((F.col("ia") != F.col("ib")) & (F.col("la") != F.col("lb")))
+            .withColumn("s", dot / (F.col("na") * F.col("nb")))
+            .groupBy("ia")
+            .agg(F.max_by("ib", F.struct(F.col("s"), -F.col("ib"))).alias("hn"))
+        )
+        return {r.ia: r.hn for r in mined.collect()}
+
+    t0 = time.time()
+    plain_mine = _mine(F.broadcast(anchors).join(members, "cid"))
+    t_mine_plain = time.time() - t0
+    _mark(f"plain mine {t_mine_plain:.0f}s")
+
+    t0 = time.time()
+    spill_mine = _mine(
+        ivf.shortlist_with_spill(anchors, members, spill, member_id_col="ib")
+    )
+    t_mine_spill = time.time() - t0
+    _mark(f"spill-channel mine {t_mine_spill:.0f}s")
+
+    plant_ids = set(range(200, 200 + n_plant))
+    recall_plain = sum(
+        1 for a in plant_ids if plain_mine.get(a) == a + 1_500_000_000
+    ) / n_plant
+    recall_spill = sum(
+        1 for a in plant_ids if spill_mine.get(a) == a + 1_500_000_000
+    ) / n_plant
+    assert spill_mine == plain_mine, "spill channel changed the mined set"
+    spark.catalog.clearCache()
+    return {
+        "probe": "ann_spill",
+        "vectors": n,
+        "K": K,
+        "ratio_unsplit": round(float(stats["ratio"]), 1),
+        "max_cell": int(stats["max_sz"]),
+        "spill_cells": len(spill),
+        "n_salt": int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "recall_plain": round(recall_plain, 4),
+        "recall_spill": round(recall_spill, 4),
+        "mined_sets_identical": spill_mine == plain_mine,
+        "t_assign_s": round(t_assign, 1),
+        "t_mine_plain_s": round(t_mine_plain, 1),
+        "t_mine_spill_s": round(t_mine_spill, 1),
     }
 
 
@@ -1363,6 +1488,147 @@ def probe_pq_production(spark, k: int = 1000, n_queries: int = 5) -> dict:
         "t_ivfpq_search_s": round(t_search, 1),
         "t_exact_s": round(t_exact, 1),
         "recall_at3": round(hits / max(len(exact), 1), 4),
+    }
+
+
+def probe_pq_persisted(
+    spark, k: int = 1000, n_queries: int = 5, nprobe: int = 8
+) -> dict:
+    """The persisted IVF-PQ index at PRODUCTION geometry (r13 verdict
+    item 6): the r13 partition-pruning pin ran at toy scale only — this
+    probe writes ``write_ivfpq_index`` on the pq_production corpus
+    (2M vectors, M=16, K=256, 64 coarse cells) and MEASURES the
+    build-once / prune-per-batch story:
+
+    - t_write_s: the one-time partitioned-parquet index write;
+    - files/bytes on disk, total vs the probed cells' directories —
+      the ground-truth ceiling on what a statically-pruned query batch
+      can touch (expect cells_probed ≤ Q·nprobe of 64 directories; the
+      probed cids are recomputed driver-side with the SAME ubp+lexsort
+      rule ivfpq_search uses);
+    - the production-geometry plan pin: every parquet scan in the
+      search plan carries the static ``cid IN`` PartitionFilters (the
+      post-r14 shape: ADC scan AND exact rerank both read the pruned
+      index, the base table appears nowhere);
+    - t_search_s: query-batch wall against the reloaded index.
+
+    PQ codebooks train on a 250k sample — code quality is irrelevant
+    to the I/O claim; recall at this geometry is probe_pq_production's
+    job."""
+    import re as _re
+
+    from molgraphdb_spark.operators.kmeans import kmeans_fit
+    from molgraphdb_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_search,
+        pq_train,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    def _mark(msg):
+        print(f"[pq_persisted +{time.time() - _t0:.0f}s] {msg}", file=sys.stderr)
+
+    _t0 = time.time()
+    M, KSUB, COARSE_K = 16, 256, 64
+    emb_dir = f"{BASE}/emb_k{k}"
+    if not os.path.exists(emb_dir):
+        emb_dir = build_embeddings(spark, k)
+    emb = (
+        spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    n_vecs = emb.count()
+    base = emb.filter(F.col("vec_id") < 1_000_000)
+    sample = emb.filter(F.col("vec_id") < 250_000)
+    coarse = kmeans_fit(base, "v", "vec_id", k=COARSE_K, n_iter=2)
+    books = pq_train(sample, "v", "vec_id", m=M, k=KSUB, n_iter=2)
+    _mark(f"trained coarse K={COARSE_K}, books M={M}xK={KSUB} on n={n_vecs}")
+
+    path = f"{BASE}/ivfpq_index_k{k}"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    t0 = time.time()
+    write_ivfpq_index(ivfpq_index(emb, "v", coarse, books), path)
+    t_write = time.time() - t0
+    _mark(f"index written {t_write:.0f}s")
+
+    # filesystem ground truth: bytes/files per coarse-cell directory
+    per_cell: dict[int, tuple[int, int]] = {}
+    for d in os.listdir(path):
+        if not d.startswith("cid="):
+            continue
+        cid = int(d.split("=")[1])
+        fs = [
+            os.path.getsize(os.path.join(path, d, f))
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        per_cell[cid] = (len(fs), sum(fs))
+    files_total = sum(a for a, _ in per_cell.values())
+    bytes_total = sum(b for _, b in per_cell.values())
+
+    qrows = base.filter(F.col("vec_id") < n_queries).collect()
+    queries = [(r["vec_id"], list(r["v"])) for r in qrows]
+    # the probed cells, recomputed with ivfpq_search's own driver-side
+    # rule (ubp-floored L2, lexsort ties to lowest cid)
+    import numpy as np
+
+    cmat = np.array([cv for _, cv in coarse], dtype=np.float64)
+    cids = np.array([int(c) for c, _ in coarse], dtype=np.int64)
+    Q = np.array([[float(x) for x in qv] for _, qv in queries], dtype=np.float64)
+    d2 = (
+        (Q * Q).sum(axis=1)[:, None]
+        + (cmat * cmat).sum(axis=1)[None, :]
+        - 2.0 * (Q @ cmat.T)
+    )
+    np.maximum(d2, 0.0, out=d2)
+    d2 = np.floor(d2 * 1_000_000.0 + 0.5)
+    probed = set()
+    for qi in range(len(queries)):
+        for c in np.lexsort((cids, d2[qi]))[:nprobe]:
+            probed.add(int(cids[c]))
+    assert len(probed) <= n_queries * nprobe
+    files_probed = sum(per_cell[c][0] for c in probed if c in per_cell)
+    bytes_probed = sum(per_cell[c][1] for c in probed if c in per_cell)
+
+    loaded = read_ivfpq_index(spark, path)
+    res = ivfpq_search(
+        emb, "v", "vec_id", queries, coarse, books,
+        k=3, nprobe=nprobe, shortlist=50, indexed=loaded,
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    # above the InSet conversion threshold (10 values) the static
+    # pruning literal prints as `cid INSET ...`, not `cid IN (...)`
+    n_pruned = len(
+        _re.findall(r"PartitionFilters: \[[^\]]*cid[^\]]* (?:IN \(|INSET )", plan)
+    )
+    assert n_scans >= 2 and n_pruned == n_scans, plan[:2000]
+    t0 = time.time()
+    rows = res.collect()
+    t_search = time.time() - t0
+    assert len(rows) == 3 * len(queries)
+    _mark(f"pruned search {t_search:.1f}s over {len(probed)} cells")
+    spark.catalog.clearCache()
+    return {
+        "probe": "pq_persisted",
+        "vectors": n_vecs,
+        "m": M,
+        "k_per_subspace": KSUB,
+        "coarse_k": COARSE_K,
+        "t_write_s": round(t_write, 1),
+        "cells_total": len(per_cell),
+        "cells_probed": len(probed),
+        "files_total": files_total,
+        "files_probed": files_probed,
+        "bytes_total": bytes_total,
+        "bytes_probed": bytes_probed,
+        "bytes_probed_frac": round(bytes_probed / max(bytes_total, 1), 4),
+        "plan_scans": n_scans,
+        "plan_scans_pruned": n_pruned,
+        "t_search_s": round(t_search, 1),
     }
 
 
@@ -2531,8 +2797,10 @@ def main() -> None:
             "hard_negatives": lambda: probe_hard_negatives(spark),
             "ann_production": lambda: probe_ann_production(spark),
             "ann_hot_cell": lambda: probe_ann_hot_cell(spark),
+            "ann_spill": lambda: probe_ann_spill(spark),
             "decode_adversarial": lambda: probe_decode_adversarial(spark),
             "pq_production": lambda: probe_pq_production(spark),
+            "pq_persisted": lambda: probe_pq_persisted(spark),
             "graph_skew": lambda: probe_graph_skew(spark),
             "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
             "render": lambda: probe_render(spark),
@@ -2571,10 +2839,16 @@ def main() -> None:
     print(json.dumps(probe_ann_production(spark)))
     # r13: the hot-centroid split remediation at the r11 collapse shape
     print(json.dumps(probe_ann_hot_cell(spark)))
+    # r14: splits disabled -> spill_cids routed through the salted
+    # exact channel (shortlist_with_spill), mined set identical
+    print(json.dumps(probe_ann_spill(spark)))
     print(json.dumps(probe_pq(spark, k)))
     # r12: IVF-PQ at the FAISS-default geometry (M=16, K=256) through
     # the engine's K-dispatched BLAS kernels, index built once
     print(json.dumps(probe_pq_production(spark)))
+    # r14: the persisted index at production geometry — files/bytes per
+    # statically-pruned query batch, plan pin at 2M x 64 cells
+    print(json.dumps(probe_pq_persisted(spark)))
     # Iterative graph operators (r5 verdict item 6): planted invariants
     # at ~10× the sf0.1 graph family, rounds + wall-per-wave recorded.
     print(json.dumps(probe_bfs(spark)))
