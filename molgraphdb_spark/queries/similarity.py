@@ -1578,7 +1578,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hash-identical at sf0.01). Probe cells and integer LUTs are
     computed driver-side from the Q=5 collected query vectors — the
     production query-batch shape the pq_production probe measures."""
-    from molgraphdb_spark.operators.pq import ivfpq_index, ivfpq_search
+    from molgraphdb_spark.operators.pq import ivfpq_search
 
     emb = _emb(spark, sf_dir)
     rows = sorted(
@@ -1619,7 +1619,14 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=PQ_TOPK_K,
             nprobe=IVFPQ_NPROBE,
             shortlist=IVFPQ_SHORTLIST,
-            indexed=ivfpq_index(emb, "v", coarse, codebooks),
+            # One-shot batch: let ivfpq_search derive the index inline.
+            # Since r14 the inline path reranks from the base relation
+            # (the derivation is already scanning it) while a REAL
+            # passed index — persisted or materialized — gets the
+            # fully-pruned rerank; passing a LAZY ivfpq_index() here
+            # would compute the assign+encode subtree once per search
+            # leg (measured 2.7 s -> 5.3 s at sf0.1, no exchange reuse
+            # across differently-projected references).
         )
         .select(
             "query_id",
