@@ -316,3 +316,23 @@ def test_persisted_index_prunes_partitions(spark, emb, books, tmp_path):
     assert filescans >= 2 and pruned_scans == filescans, plan[:3000]
     assert "InMemoryTableScan" not in plan, plan[:3000]
     assert "embeddings.parquet" not in plan, plan[:3000]
+
+
+def test_pq_search_resident_codes_match_inline(spark, emb, books):
+    # The r14 resident-index shape of pq_search: passing a pre-built
+    # code table (encoded=pq_encode(...)) must return exactly what the
+    # inline derivation returns — reuse changes cost (the base table is
+    # never scanned: the rerank reads the code table's vector column),
+    # never results.
+    from molgraphdb_spark.operators.pq import pq_search
+
+    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = [(r["vec_id"], list(r["v"])) for r in qrows]
+    inline = pq_search(emb, "v", "vec_id", queries, books, k=3, shortlist=30)
+    codes = pq_encode(emb, "v", books).localCheckpoint(eager=True)
+    resident = pq_search(
+        emb, "v", "vec_id", queries, books, k=3, shortlist=30, encoded=codes
+    )
+    a = [tuple(r) for r in inline.collect()]
+    b = [tuple(r) for r in resident.collect()]
+    assert a == b and len(a) == 9
