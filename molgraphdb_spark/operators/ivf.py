@@ -164,7 +164,16 @@ def _assign_literal(
             F.struct(cell_score_cos_ubp(c, v).alias("s"), c["cid"].alias("cid")),
         ).otherwise(acc),
     )
-    out = df.withColumn("cid", best["cid"])
+    # coalesce = a STATIC non-nullability barrier, not a value change:
+    # the fold never yields NULL cid (the init struct carries -1 and
+    # non-null scores always beat the sentinel), but the EXPRESSION is
+    # statically nullable, so a downstream equi-join on cid infers an
+    # isnotnull(cid) filter that pushes below this projection and
+    # re-evaluates the whole K-centroid fold once more per row (the
+    # r14 plan audit found the duplicated fold in every ANN corpus
+    # Filter; guide §4.4's duplication problem in JVM-expression form).
+    # A non-nullable key infers no filter — one evaluation.
+    out = df.withColumn("cid", F.coalesce(best["cid"], F.lit(-1)))
     if with_norm:
         out = out.withColumn("nrm", F.sqrt(_dot(v, v)))
     if nprobe is not None:

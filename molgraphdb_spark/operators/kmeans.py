@@ -102,7 +102,13 @@ def assign_cells(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]
         ).otherwise(acc),
     )
     return df.withColumn("_best", best).select(
-        "*", F.col("_best.cid").alias("cid"), F.col("_best.d2").alias("d2")
+        # coalesce: static non-nullability barrier so equi-joins on cid
+        # infer no isnotnull(cid) filter (which would inline and
+        # re-evaluate the whole fold per row — see ivf._assign_literal).
+        # Never fires: the fold's init struct carries cid=-1.
+        "*",
+        F.coalesce(F.col("_best.cid"), F.lit(-1)).alias("cid"),
+        F.col("_best.d2").alias("d2"),
     ).drop("_best")
 
 
@@ -135,7 +141,12 @@ def assign_cells_ubp(
 
     best = F.array_min(F.transform(cent_arr, cell))
     return df.withColumn("_best", best).select(
-        "*", F.col("_best.cid").alias("cid"), F.col("_best.d2_upm").alias("d2_upm")
+        # coalesce: same non-nullability barrier as assign_cells (never
+        # fires; stops equi-joins re-evaluating the fold via an
+        # inferred isnotnull(cid) filter).
+        "*",
+        F.coalesce(F.col("_best.cid"), F.lit(-1)).alias("cid"),
+        F.col("_best.d2_upm").alias("d2_upm"),
     ).drop("_best")
 
 

@@ -525,8 +525,15 @@ def ivfpq_search(
     # reads at most Q·nprobe cell directories off object storage
     # (test-pinned: test_pq.py::test_persisted_index_prunes_partitions).
     # Semantically free: the equi-join already restricts to these cids.
+    # INLINE indexes skip the literal filter (r14 measure-first find):
+    # there `cid` is the coarse-assign EXPRESSION, so the isin-filter
+    # inlines the full K-coarse argmin fold into a Filter node that the
+    # broadcast probe join then re-evaluates as its join key — the
+    # corpus's most expensive expression computed twice per row for a
+    # row cut the equi-join performs anyway (no FileScan partitioning
+    # exists to prune on an expression column).
     probe_cids = sorted({cid for _, cid in probe_rows})
-    pruned = indexed.where(F.col("cid").isin(probe_cids))
+    pruned = indexed if inline_index else indexed.where(F.col("cid").isin(probe_cids))
     cand = (
         pruned.join(F.broadcast(probes), "cid")
         .join(F.broadcast(lut_df), "query_id")

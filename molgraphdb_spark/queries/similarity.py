@@ -87,11 +87,19 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the whole corpus. The query side is broadcast; the corpus
     is scanned once; ranking is a window over the query id."""
     emb = _emb(spark, sf_dir)
+    # norm hoist (see dedup_embedding_cosine): per-row sqrt-folds on
+    # each side replace two of the three per-pair folds, bit-identically
+    # (same subexpressions, same multiply order as _cosine)
+    corpus = emb.withColumn("nn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
     )
-    pairs = F.broadcast(queries).crossJoin(emb).filter(F.col("vec_id") != F.col("query_id"))
-    cos = _cosine(F.col("qv"), F.col("v"))
+    pairs = (
+        F.broadcast(queries).crossJoin(corpus).filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -133,12 +141,21 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join on the bucket key replaces the cross join — this is the shape
     that survives 100 TB. Recall is partial by design (ANN)."""
     emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
+    # norm hoist (see dedup_embedding_cosine)
     queries = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
+        "bucket",
     )
-    cands = emb.select(F.col("vec_id").alias("neighbor_id"), "v", "bucket")
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nn"),
+        "bucket",
+    )
     pairs = queries.join(cands, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _cosine(F.col("qv"), F.col("v"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -205,11 +222,19 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     still ≪ N²); per-query top-1s are bounded-key windows. Output is
     2 rows."""
     emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
+    # norm hoist on all three legs (see dedup_embedding_cosine)
     queries = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
+        "bucket",
     )
-    cands = emb.select(F.col("vec_id").alias("neighbor_id"), "v",
-                       F.col("bucket").alias("cbucket"))
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nn"),
+        F.col("bucket").alias("cbucket"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_ubp"), F.asc("neighbor_id")
     )
@@ -218,7 +243,9 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).select(
             "query_id",
             "neighbor_id",
-            _ubp(_cosine(F.col("qv"), F.col("v"))).alias("cosine_ubp"),
+            _ubp(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
+            ).alias("cosine_ubp"),
         )
         return (
             scored.withColumn("rk", F.row_number().over(w))
@@ -357,13 +384,27 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor_id, rank, cosine_ubp) downstream consumers (SemDeDup-style
     semantic dedup, graph clustering, label propagation) read."""
     emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
-    a = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket")
-    b = emb.select(F.col("vec_id").alias("neighbor_id"), "v", "bucket")
+    # norm hoist: every vector is a query here, so the saving is
+    # 2 folds × every bucket pair (see dedup_embedding_cosine)
+    a = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nn"),
+        "bucket",
+    )
     pairs = a.join(b, "bucket").filter(F.col("neighbor_id") != F.col("qid"))
     scored = pairs.select(
         F.col("qid").alias("vec_id"),
         "neighbor_id",
-        _ubp(_cosine(F.col("qv"), F.col("v"))).alias("cosine_ubp"),
+        _ubp(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
+        ).alias("cosine_ubp"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_ubp"), F.asc("neighbor_id"))
     return (
@@ -438,19 +479,27 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     cents = _ivf_centroids(emb)
-    assign = assign_cells_cos_ubp(emb, "v", cents).select("vec_id", "v", "cid")
+    # norm hoist on both join sides (see dedup_embedding_cosine)
+    assign = assign_cells_cos_ubp(emb, "v", cents).select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nn"), "cid"
+    )
 
     queries = emb.filter((F.col("vec_id") >= IVF_QLO) & (F.col("vec_id") < IVF_QHI)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     probe = assign_cells_cos_ubp(queries, "qv", cents, nprobe=IVF_NPROBE).select(
-        "query_id", "qv", F.explode("probes").alias("cid")
+        "query_id",
+        "qv",
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"),
+        F.explode("probes").alias("cid"),
     )
     cands = F.broadcast(probe).join(assign, "cid").filter(F.col("vec_id") != F.col("query_id"))
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _ubp(_cosine(F.col("qv"), F.col("v"))).alias("cosine_ubp"),
+        _ubp(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
+        ).alias("cosine_ubp"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_ubp"), F.asc("neighbor_id"))
     return (
@@ -514,14 +563,24 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_ivf_topk; the comparison is a tiny left join on
     (query_id, neighbor_id)."""
     emb = _emb(spark, sf_dir)
+    # norm hoist on the exact leg (see dedup_embedding_cosine)
+    corpus = emb.withColumn("nn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     queries = emb.filter(
         (F.col("vec_id") >= IVF_QLO) & (F.col("vec_id") < IVF_QHI)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    pairs = F.broadcast(queries).crossJoin(emb).filter(F.col("vec_id") != F.col("query_id"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
+    )
+    pairs = (
+        F.broadcast(queries).crossJoin(corpus).filter(F.col("vec_id") != F.col("query_id"))
+    )
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _ubp(_cosine(F.col("qv"), F.col("v"))).alias("cosine_ubp"),
+        _ubp(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
+        ).alias("cosine_ubp"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_ubp"), F.asc("neighbor_id"))
     exact = (
@@ -620,14 +679,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-robin the stream side across the full parallelism first:
     # compute-bound operators partition by WORK, not by input bytes.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va")).repartition(
-        n_part
+    # Norm hoist (r14, guide §1.2 step 2 — per-task work): _cosine
+    # evaluates sqrt(dot(a,a))·sqrt(dot(b,b)) INSIDE the per-pair
+    # expression — three length-d array folds per pair where one
+    # suffices. Hoisting each side's norm to a per-ROW column pays n
+    # sqrt-folds instead of 2·n², bit-identically: the same
+    # sqrt(_dot(v,v)) subexpression evaluated once per row, then the
+    # same multiply in the same operand order.
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
+    ).repartition(n_part)
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
     )
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     pairs = (
         a.crossJoin(b)
         .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib", _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"))
+        .select(
+            "ia",
+            "ib",
+            _ubp(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_ubp"),
+        )
         .filter(F.col("cos_ubp") >= DUP_THRESHOLD_UBP)
     )
     return (
@@ -676,18 +754,27 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     _guard_quadratic(sf_dir, "embedding_hard_negatives")
     emb = _emb(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Same norm hoist as dedup_embedding_cosine: n sqrt-folds, not 2·n².
     a = emb.select(
-        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("label").alias("la")
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("label").alias("la"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
     ).repartition(n_part)
     b = emb.select(
-        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("label").alias("lb")
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("label").alias("lb"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
     )
     pairs = (
         a.crossJoin(b)
         .filter(F.col("ia") != F.col("ib"))
         .select(
             "ia", "la", "ib", "lb",
-            _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"),
+            _ubp(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_ubp"),
         )
     )
     diff = F.col("la") != F.col("lb")
@@ -798,7 +885,8 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K-dispatched (literal fold here at K=8, Arrow/BLAS above
     # ASSIGN_LITERAL_MAX_K — the production shape probed at n=2M,
     # K=1414 in tools/scale_probe.py ann_production).
-    if len(cents) > ASSIGN_LITERAL_MAX_K:
+    balanced_branch = len(cents) > ASSIGN_LITERAL_MAX_K
+    if balanced_branch:
         # Production-K path: the SCALE.md §12 skew rule as an OPERATOR
         # (r12 verdict item 3) — assign, persist (the gate's histogram
         # job and the shortlist join share one assignment pass; the
@@ -840,13 +928,35 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ib"),
         F.col("v").alias("vb"),
         F.col("label").alias("lb"),
+        # norm hoist: one sqrt-fold per corpus row, not one per
+        # shortlist pair (see dedup_embedding_cosine)
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
         "cid",
     )
+    if balanced_branch:
+        # Kernel-produced probes: data-dependent length (expand_probes
+        # rewrites split parents to a variable number of leaf children)
+        # — explode() is the only correct unpivot, and its inferred
+        # size(probes)>0 filter is a cheap attribute check here.
+        probe_cid = F.explode("probes").alias("cid")
+    else:
+        # Literal-fold probes have FIXED length min(nprobe, K): unpivot
+        # with stack() (infers no filter) instead of explode(), whose
+        # InferFiltersFromGenerate pushes size(probes)>0 below the
+        # projection and re-evaluates the whole probe fold (K scores +
+        # sort + slice) a second time per corpus row (r14 plan audit:
+        # the fold appeared verbatim in the corpus Filter condition).
+        # Row-equal: probes is never NULL (v is prefiltered non-null)
+        # and stack's branches index the SAME array in the SAME order.
+        n_take = min(IVF_NPROBE, len(cents))
+        stack_args = ", ".join(f"probes[{i}]" for i in range(n_take))
+        probe_cid = F.expr(f"stack({n_take}, {stack_args}) AS (cid)")
     anchors = assigned.select(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
         F.col("label").alias("la"),
-        F.explode("probes").alias("cid"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
+        probe_cid,
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     shortlist = shortlist_with_spill(
@@ -859,7 +969,9 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist.filter(F.col("ia") != F.col("ib"))
         .select(
             "ia", "la", "ib", "lb",
-            _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"),
+            _ubp(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_ubp"),
         )
     )
     diff = F.col("la") != F.col("lb")
@@ -1099,12 +1211,30 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch survive bucketing — the ANN scale probe measured recall 1.0
     on exactly that replica structure (BASELINE.md)."""
     emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "bucket")
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "bucket")
+    # norm hoist: one sqrt-fold per row, not per bucket pair (see
+    # dedup_embedding_cosine)
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
+        "bucket",
+    )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib", _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"))
+        .select(
+            "ia",
+            "ib",
+            _ubp(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_ubp"),
+        )
         .filter(F.col("cos_ubp") >= DUP_THRESHOLD_UBP)
     )
     return (
@@ -1142,12 +1272,30 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from molgraphdb_spark.operators.graph import connected_components
 
     emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "bucket")
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "bucket")
+    # norm hoist: one sqrt-fold per row, not per bucket pair (see
+    # dedup_embedding_cosine)
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
+        "bucket",
+    )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib", _ubp(_cosine(F.col("va"), F.col("vb"))).alias("cos_ubp"))
+        .select(
+            "ia",
+            "ib",
+            _ubp(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_ubp"),
+        )
         .filter(F.col("cos_ubp") >= DUP_THRESHOLD_UBP)
     )
     edges = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
@@ -1234,8 +1382,22 @@ def pq_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(PQ_STATS_M)
     ]
     cells = pq_encode_ubp(emb, "v", codebooks)
+    # Unpivot via stack (Expand), NOT posexplode (Generate): the
+    # optimizer's InferFiltersFromGenerate pushes a size(pq_cells)>0
+    # predicate below the projection and INLINES the full M·K argmin
+    # fold into the Filter — the query's most expensive expression
+    # evaluated twice per row (the r14 plan audit caught the duplicated
+    # 8-subspace fold in the Filter condition; guide §4.4's duplication
+    # problem in its JVM-expression form). stack() infers no filter,
+    # and SimplifyExtractValueOps reduces each pq_cells[s] branch to
+    # subspace s's fold alone, so every fold still evaluates exactly
+    # once per row. Same rows out: pq_cells is a literal M-element
+    # array (never NULL, never empty), so Generate dropped nothing.
+    stack_args = ", ".join(f"{s}, pq_cells[{s}]" for s in range(PQ_STATS_M))
     return (
-        cells.select(F.posexplode("pq_cells").alias("subspace", "cell"))
+        cells.select(
+            F.expr(f"stack({PQ_STATS_M}, {stack_args}) AS (subspace, cell)")
+        )
         .groupBy(
             F.col("subspace").cast("int").alias("subspace"),
             F.col("cell.cid").alias("code"),
@@ -1909,17 +2071,26 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape with a map-side WindowGroupLimit top-k; fusion then touches
     only ≤ 2·k rows per query (k-bounded, never corpus-bounded)."""
     emb = _emb(spark, sf_dir)
+    # norm hoist on the dense leg (see dedup_embedding_cosine)
+    corpus = emb.withColumn("nn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     qv = emb.filter(F.col("vec_id") < RRF_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
     )
     dense = (
         F.broadcast(qv)
-        .crossJoin(emb)
+        .crossJoin(corpus)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.floor(_cosine(F.col("qv"), F.col("v")) * 1_000_000 + 0.5).alias("s"),
+            F.floor(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("nn"))
+                * 1_000_000
+                + 0.5
+            ).alias("s"),
         )
     )
     docs = (
