@@ -948,9 +948,14 @@ def embedding_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the fold appeared verbatim in the corpus Filter condition).
         # Row-equal: probes is never NULL (v is prefiltered non-null)
         # and stack's branches index the SAME array in the SAME order.
+        # An EMPTY corpus has no centroids (stack(0) cannot parse);
+        # both unpivots emit zero rows there, so keep explode.
         n_take = min(IVF_NPROBE, len(cents))
-        stack_args = ", ".join(f"probes[{i}]" for i in range(n_take))
-        probe_cid = F.expr(f"stack({n_take}, {stack_args}) AS (cid)")
+        if n_take < 1:
+            probe_cid = F.explode("probes").alias("cid")
+        else:
+            stack_args = ", ".join(f"probes[{i}]" for i in range(n_take))
+            probe_cid = F.expr(f"stack({n_take}, {stack_args}) AS (cid)")
     anchors = assigned.select(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),

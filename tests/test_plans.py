@@ -815,3 +815,63 @@ def test_decoded_phash_scale_shape(spark, sf_dir):
     assert "Join" not in s["plan"]
     assert n_partitionless_windows(df) == 0
     assert set(s["read_columns"]) <= {"doc_id", "text"}
+
+
+def test_no_duplicated_fold_in_filters(spark, sf_dir):
+    # r14 optimization pin: the optimizer must not re-evaluate the
+    # heavy per-row vector folds inside inferred Filter predicates.
+    # Two mechanisms were closed: (1) equi-joins on a fold-derived cid
+    # inferred isnotnull(cid) and inlined the whole K-centroid argmin
+    # below the projection — closed by the coalesce non-nullability
+    # barrier in ivf._assign_literal / kmeans.assign_cells[_ubp];
+    # (2) explode()/posexplode() of a computed fixed-length array
+    # inferred size(...)>0 the same way — closed by stack() unpivots
+    # (pq_code_stats, embedding_hard_negatives_ann). A Filter whose
+    # condition contains an array fold (aggregate/array_min over the
+    # centroid literal) on a CORPUS-sized relation means one of the
+    # barriers regressed.
+    import re
+
+    from molgraphdb_spark.queries.similarity import (
+        embedding_hard_negatives_ann,
+        pq_code_stats,
+        similarity_ivf_topk,
+        similarity_ivfpq_topk,
+    )
+
+    for fn in (
+        pq_code_stats,
+        similarity_ivfpq_topk,
+        embedding_hard_negatives_ann,
+        similarity_ivf_topk,
+    ):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for cond in re.findall(r"Filter (.*)", plan):
+            # the query-side probe filter (Q bounded rows) is exempt:
+            # it carries the vec_id range predicate
+            if "vec_id" in cond and (">= 100" in cond or "< 5" in cond):
+                continue
+            assert "array_min(transform(" not in cond, (fn.__name__, cond[:400])
+            assert "aggregate([[" not in cond, (fn.__name__, cond[:400])
+
+
+def test_assign_cid_statically_non_nullable(spark):
+    # The coalesce barrier's contract: cid comes out non-nullable (no
+    # inferred isnotnull filter downstream) and the sentinel never
+    # fires on real rows.
+    from molgraphdb_spark.operators.ivf import assign_cells_cos_ubp
+    from molgraphdb_spark.operators.kmeans import assign_cells, assign_cells_ubp
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])], "id long, v array<double>"
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    for out in (
+        assign_cells_cos_ubp(df, "v", cents),
+        assign_cells(df, "v", cents),
+        assign_cells_ubp(df, "v", cents),
+    ):
+        field = out.schema["cid"]
+        assert not field.nullable, field
+        cids = [r["cid"] for r in out.orderBy("id").collect()]
+        assert cids == [0, 1, 0], cids  # tie at row 2 breaks to lowest cid
