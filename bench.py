@@ -229,6 +229,26 @@ def main() -> None:
         mins[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
+    # Truncation hardening (r14 verdict item 2): the driver's output
+    # capture keeps only a bounded stdout TAIL, and the r13 round lost
+    # its whole baseline because the single JSON line (3 per-query
+    # dicts, ~30 KB) was cut mid-object. The per-query diagnostics
+    # (min / n_runs / t_offset) therefore move to a PRECEDING sidecar
+    # line, and the contract line — printed LAST so a tail capture
+    # always ends with it — carries only the driver contract
+    # (metric/value/unit/queries/sf) plus the small scalars. Nothing is
+    # removed or renamed in "queries"; the same numbers are measured by
+    # the same methodology. tools/bench_compare.py reads both lines.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_sidecar",
+                "queries_min": mins,
+                "queries_n_runs": nruns,
+                "queries_t_offset": offsets,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -236,9 +256,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_min": mins,
-                "queries_n_runs": nruns,
-                "queries_t_offset": offsets,
                 "errors": errors,
                 "canary_duckdb_sec": canary_sec,
                 "runs_per_query": n_runs,

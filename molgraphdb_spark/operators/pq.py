@@ -444,7 +444,18 @@ def ivfpq_search(
     measured the difference at 2M×16×256: ~45 s of assign+encode per
     call without reuse, amortized to zero with it). When omitted the
     index is derived inline (fine for one-shot batches and the
-    oracle-checked test-scale queries)."""
+    oracle-checked test-scale queries).
+
+    CONTRACT (r14 ADVICE): a caller-supplied ``indexed`` must be
+    MATERIALIZED — a parquet read (write_ivfpq_index layout), a cached/
+    localCheckpoint'ed build, or any relation whose ``cid`` is a
+    storage/attribute column. ``indexed is None`` is the gate for the
+    inline optimizations below; passing a freshly derived, lazy
+    ``ivfpq_index()`` DataFrame instead would re-evaluate the coarse
+    assign fold inside the ``cid IN (...)`` filter (the exact double
+    evaluation the inline path skips) AND recompute the whole
+    assign+encode subtree once per rerank leg. Both in-repo callers
+    (persisted parquet; the one-shot inline path) satisfy this."""
     from molgraphdb_spark.operators.ivf import ASSIGN_LITERAL_MAX_K
 
     probe_rows = []

@@ -57,7 +57,24 @@ _QUERY_MODULES = [
 # embedding_hard_negatives_ann) + ALL 37 r8-stale rows + 11
 # whitespace-migration re-gates oldest-driver-first.
 #
-# Round-14 verification window (first 50), per the r13 verdict item 2
+# Round-15 verification window (first 50), per the r14 verdict item 1
+# (staleness ledger = tools/gen_query_index.last_driver_green over all
+# fourteen CORRECTNESS_r*.json — recomputed this session: r10:18,
+# r11:48, r12:48, r13:48, r14:50):
+# - 9 r14-optimization changed-code re-gates the driver has never
+#   re-hashed (the r14 verdict's "What's wrong" #1 list): pq_code_stats,
+#   similarity_ivf_topk, similarity_ivf_recall, similarity_cosine_topk,
+#   similarity_lsh_topk, similarity_knn_graph, dedup_embedding_lsh,
+#   dedup_semantic_clusters, retrieval_rrf_hybrid — all verified
+#   builder-side at sf0.01 in r14, re-gated by the driver here.
+# - r15 changed-code re-gates (this round's optimizations), appended to
+#   the lead block as they land.
+# - ALL remaining r10-stale rows (16 — pq_code_stats and
+#   similarity_cosine_topk already lead above).
+# - r11-stale fills (alphabetical) to exactly 50.
+#
+# HISTORICAL RECORD, r14 window (drove CORRECTNESS_r14.json 50/50
+# green, 0 errors), per the r13 verdict item 2
 # (staleness ledger = tools/gen_query_index.last_driver_green over all
 # thirteen CORRECTNESS_r*.json — recomputed this session: r9:30,
 # r10:36, r11:48, r12:48, r13:50):
@@ -109,60 +126,62 @@ _QUERY_MODULES = [
 # 7 r10) re-gate explicitly this round, the r11/r12 remainder ages
 # into later windows through the normal staleness rotation.
 _PRIORITY = [
-    # ---- r14 changed-code re-gates ----
-    "similarity_ivfpq_topk",
-    "embedding_hard_negatives_ann",
-    # ---- ALL 30 r9-stale rows (the staleness floor) ----
-    "approx_distinct_parts",
-    "approx_quantiles_price",
-    "chem_edit_expansion",
-    "chem_exact_ged_pairs",
-    "chem_nearest_molecule",
-    "chem_pharma_overlap",
-    "chem_pharma_profile",
-    "chem_subgraph_catalog_hist",
-    "chem_subgraph_counts",
-    "chem_subgraph_display",
-    "chem_substructure_search",
-    "chem_tanimoto_pairs",
-    "dedup_embedding_cosine",
-    "embedding_hard_negatives",
-    "events_anomaly_outliers",
-    "events_ewma",
-    "events_funnel",
-    "events_twap",
-    "events_winsorized_stats",
-    "graph_adamic_adar",
-    "graph_kcore_summary",
-    "graph_label_propagation",
-    "graph_pagerank_top",
-    "graph_triangle_count",
-    "pipeline_curation_funnel",
-    "profile_lineitem",
-    "quantiles_price_by_flag",
-    "similarity_lsh_recall",
-    "source_chunk_dup_rate",
-    "vocab_bpe_merge_pairs",
-    # ---- 7 r10-displaced whitespace-migration re-gates ----
-    "dedup_minhash_lsh_pairs",
-    "doc_mixture_sample",
-    "doc_split_assign",
-    "lang_token_fertility",
-    "orders_retention_cohorts",
-    "source_token_divergence",
-    "vocab_bpe_merge_table",
-    # ---- 11 more r10-stale fills ----
-    "chem_render_raster",
-    "chem_render_subgraphs",
-    "events_cusum_alarms",
-    "fuzzy_name_clusters",
-    "fuzzy_name_multipass",
-    "fuzzy_name_pairs",
-    "fuzzy_name_sorted_neighborhood",
-    "graph_connected_components_summary",
-    "mm_feature_extract",
-    "mm_metadata_summary",
-    "mm_phash_neardup",
+    # ---- 9 r14-optimization changed-code re-gates (never driver-
+    # re-hashed; r14 verdict "What's wrong" #1) ----
+    "pq_code_stats",
+    "similarity_ivf_topk",
+    "similarity_ivf_recall",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "similarity_knn_graph",
+    "dedup_embedding_lsh",
+    "dedup_semantic_clusters",
+    "retrieval_rrf_hybrid",
+    # ---- r15 changed-code re-gates (this round's optimizations) ----
+    # (appended as changes land; see OPTIMIZATION_r15.md)
+    # ---- ALL 16 remaining r10-stale rows (the staleness floor) ----
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "sample_stratified_docs",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "skew_salted_status_counts",
+    # ---- r11-stale fills (alphabetical) to exactly 50 ----
+    "agg_stats_lineitem",
+    "anti_join_customers_without_orders",
+    "case_bucket_orders",
+    "cross_pairs_nations",
+    "cube_status_priority",
+    "dedup_incremental_flags",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "distinct_count_customers",
+    "doc_bigram_logprob",
+    "doc_cdc_chunks",
+    "doc_chunk_spans",
+    "doc_content_filter",
+    "doc_dup_span_removal",
+    "doc_dup_span_stats",
+    "doc_gopher_repetition",
+    "doc_line_dedup_ratio",
+    "doc_ngram_novelty",
+    "doc_pii_redact",
+    "doc_rare_token_ratio",
+    "doc_repetition_suite",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    "filter_project_pushdown",
+    "full_outer_nation_profile",
 ]
 
 

@@ -228,6 +228,29 @@ def test_nprobe_zero_rejected_both_kernels(spark, sf_dir):
             assign_cells_cos_ubp(df, "v", cents, nprobe=0)
 
 
+def test_literal_probes_fixed_length_contract(spark):
+    # ADVICE r14: the stack() unpivot in embedding_hard_negatives_ann's
+    # literal branch hardcodes n_take = min(nprobe, K) as the probes
+    # array length. Pin the kernel contract it couples to: on the
+    # literal path probes is NEVER NULL and has EXACTLY min(nprobe, K)
+    # entries for every non-null input vector — a shorter/variable
+    # array would make probes[i] yield NULL cids that the downstream
+    # equi-join silently drops.
+    rows = [(i, [float(i % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [(c, [float(c), 1.0]) for c in range(6)]
+    for nprobe in (1, 4, 6, 9):  # below, at, and above K
+        out = assign_cells_cos_ubp(df, "v", cents, nprobe=nprobe)
+        expect = min(nprobe, len(cents))
+        sizes = {
+            (r.n, r.nulls)
+            for r in out.selectExpr(
+                "size(probes) AS n", "size(filter(probes, p -> p IS NULL)) AS nulls"
+            ).collect()
+        }
+        assert sizes == {(expect, 0)}, (nprobe, sizes)
+
+
 def test_unsorted_cents_sorted_at_entry(spark):
     # ADVICE r12: the lowest-cid tie rule used to silently depend on a
     # cid-ascending input; _checked_cents now enforces it. Duplicate

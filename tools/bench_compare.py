@@ -54,7 +54,23 @@ def _brace_object(text: str, key: str) -> dict | None:
 
 def _load(path: str) -> dict:
     with open(path) as f:
-        d = json.load(f)
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        # r15+ bench stdout is TWO JSON lines (sidecar with per-query
+        # diagnostics first, slim contract line LAST — the truncation
+        # hardening). Merge them: the contract line wins on conflicts.
+        d = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    d.update(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        if not d:
+            raise SystemExit(f"{path}: no parseable JSON line")
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
     if "queries" not in d and isinstance(d.get("tail"), str):
