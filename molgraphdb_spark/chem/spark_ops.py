@@ -92,15 +92,111 @@ def expand_wave(frontier: DataFrame) -> DataFrame:
     return frontier.select("smiles").mapInPandas(_edits_udtf, schema=EDGE_COLS)
 
 
+#: Size dispatch for :func:`expand_relations` (r15): run the fixed
+#: point DRIVER-side while the total molecules processed stays under
+#: this cap, else (or when the cap is hit mid-expansion) run the
+#: distributed wave loop. Rationale — measure-first (guide §1.1): the
+#: registry's depth-3 seed expansion enumerates 9 molecules / 32 edges
+#: in 0.02 s of pure-Python kernel time, while the wave loop spends
+#: ~5.7 s of bench wall on 2 Spark jobs per wave (mapInPandas stage +
+#: tagged-union novelty materialization) — the r14 verdict's suspected
+#: "kernel cost" was actually fixed per-job overhead (the query runs
+#: FASTER on 8 cores than 32). Same dispatch philosophy as
+#: triangle_count's broadcast bound and connected_components_auto.
+EXPAND_DRIVER_MAX_MOLS = 4096
+
+
+def _expand_driver(
+    seed_smiles: list[str], depth: int, max_mols: int
+) -> tuple[dict, dict] | None:
+    """Driver-side twin of the wave loop below — SAME kernel functions,
+    SAME per-wave semantics (first-wins dedup per ordered (src, dst),
+    novelty = not-yet-known, identical break conditions). Returns
+    (edges, vertices) dicts, or None when the expansion exceeds
+    ``max_mols`` processed molecules (caller falls back to the
+    distributed loop from scratch — deterministic either way)."""
+    verts: dict[str, str] = {}
+    for smi in seed_smiles:
+        try:
+            m = parse_smiles(smi)
+        except SmilesError:
+            continue  # parse_molecules' quarantine: invalid seeds drop
+        verts.setdefault(mol_key(m), smi)
+    edges: dict[tuple[str, str], tuple[int, int, int]] = {}
+    frontier = dict(verts)
+    processed = 0
+    for _ in range(depth):
+        new_edges: dict[tuple[str, str], tuple[int, int, int]] = {}
+        new_verts: dict[str, str] = {}
+        for _key, smi in frontier.items():
+            processed += 1
+            if processed > max_mols:
+                return None
+            mol = parse_smiles(smi)
+            for s, s_smiles, o, da, db, subs in all_single_edits(mol, smi):
+                # row-level mirror of the wave loop's dropDuplicates +
+                # anti-join: one edge per ordered pair (first wins), a
+                # vertex is novel when no earlier wave knew it
+                if (s, o) not in edges:
+                    new_edges.setdefault((s, o), (da, db, subs))
+                if s not in verts:
+                    new_verts.setdefault(s, s_smiles)
+        if not new_edges and not new_verts:
+            break
+        edges.update(new_edges)
+        verts.update(new_verts)
+        frontier = new_verts
+        if not new_verts:
+            break
+    return edges, verts
+
+
 def expand_relations(
-    spark: SparkSession, seed_smiles: list[str], depth: int = 100
+    spark: SparkSession,
+    seed_smiles: list[str],
+    depth: int = 100,
+    driver_max_mols: int = EXPAND_DRIVER_MAX_MOLS,
 ) -> tuple[DataFrame, DataFrame]:
     """Fixed-point edit-graph construction (G9/add_relations,
     main.py:212–242): expand wavefronts until no novel molecule appears
     or ``depth`` waves elapse. Returns (edges, vertices):
     edges(src, dst, diff_atom, diff_bond, subs) unique per ordered
     pair; vertices(mol_id, smiles) one representative SMILES per WL id.
+
+    Size-dispatched (r15): seed lists whose whole expansion stays under
+    ``driver_max_mols`` processed molecules run the fixed point in the
+    driver (:func:`_expand_driver` — same kernel, same semantics,
+    test-pinned equal) and return JVM-literal DataFrames; larger
+    expansions (or a mid-expansion cap hit) run the distributed wave
+    loop below. Pass ``driver_max_mols=0`` to force the wave loop.
     """
+    if len(seed_smiles) <= driver_max_mols:
+        result = _expand_driver(seed_smiles, depth, driver_max_mols)
+        if result is not None:
+            edges_d, verts_d = result
+            e_schema = "src string, dst string, diff_atom int, diff_bond int, subs int"
+            v_schema = "mol_id string, smiles string"
+            if edges_d:
+                edges_df = literal_df(
+                    spark,
+                    [(s, d, *attrs) for (s, d), attrs in edges_d.items()],
+                    ["src", "dst", "diff_atom", "diff_bond", "subs"],
+                ).select(
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                    F.col("diff_atom").cast("int"),
+                    F.col("diff_bond").cast("int"),
+                    F.col("subs").cast("int"),
+                )
+            else:
+                edges_df = spark.createDataFrame([], e_schema)
+            if verts_d:
+                verts_df = literal_df(
+                    spark, list(verts_d.items()), ["mol_id", "smiles"]
+                ).select(F.col("mol_id").cast("string"), F.col("smiles").cast("string"))
+            else:
+                verts_df = spark.createDataFrame([], v_schema)
+            return edges_df, verts_df
     # partitioning sized to the seed set: fixture-scale seed lists in
     # one partition; large corpora keep ~8 molecules per partition task
     seeds = (

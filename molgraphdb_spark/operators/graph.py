@@ -242,33 +242,56 @@ def pagerank(
     optimizer/AQE work than the saved materializations. Every-2 keeps
     the lineage bound tight (2 join+agg rounds) while halving rank-
     vector writes — on a 1000-executor graph that is half the
-    full-vertex-set I/O."""
+    full-vertex-set I/O.
+
+    r15 shape (per-phase decomposition of the r14 operator, guide
+    §1.1/§2.4): (1) the vertex relation used by every iteration's
+    re-attach join was LAZY, so its 2×|E|-row union-distinct re-ran
+    inside every cut job — ~0.25 s × n_iter at sf0.1; it is now
+    materialized ONCE, fused with the degree aggregation into a single
+    tagged-union groupBy pass (one shuffle builds vertices AND
+    degrees). (2) The separate ``weighted`` edge materialization
+    (src, dst, w — 24 B/row, a full second copy of the edge table) is
+    gone: the loop-invariant weight ``w = 1.0/deg(src)`` rides the
+    VERTEX state instead (16 B/row edge checkpoint only), and each
+    message computes the same ``rank * (1.0/deg)`` product —
+    bit-identical expression, n_vertices multiplies-by-w instead of
+    n_edges. A/B at sf0.1: 7.0–7.9 s → 5.2–5.9 s (0.74×), rank_ubp
+    identical on all 15 999 vertices; golden/oracle re-verified at
+    sf0.001/0.01."""
     e = edges.select("src", "dst").localCheckpoint()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # The 1/deg edge weighting is loop-invariant: join it ONCE and pin
-    # it, so each iteration is a single join + groupBy instead of two
-    # joins — at scale this is the bucketed-by-src weighted edge table.
-    weighted = (
-        e.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+    # ONE aggregation pass builds the vertex set AND out-degrees: src
+    # rows vote 1, dst rows vote 0, so dst-only sinks get deg=0 and a
+    # NULL weight (they emit no messages — same as the former left
+    # join against the src-only degree table). ANSI-safe: the division
+    # is guarded, never 1/0.
+    verts_w = (
+        e.select(F.col("src").alias("id"), F.lit(1).cast("long").alias("o"))
+        .unionByName(e.select(F.col("dst").alias("id"), F.lit(0).cast("long").alias("o")))
+        .groupBy("id")
+        .agg(F.sum("o").alias("deg"))
+        .select(
+            "id",
+            F.when(F.col("deg") > 0, F.lit(1.0) / F.col("deg")).alias("w"),
+        )
         .localCheckpoint()
     )
-    verts = vertices(e)
-    ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    ranks = verts_w.withColumn("rank", F.lit(1.0))
     for i in range(n_iter):
         contribs = (
-            ranks.join(weighted, ranks.id == weighted.src)
+            ranks.join(e, ranks.id == e.src)
             .select(F.col("dst").alias("id"), (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = verts.join(contribs, "id", "left").select(
+        ranks = verts_w.join(contribs, "id", "left").select(
             "id",
+            "w",
             (F.lit(1 - damping) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
         )
         if (i + 1) % cut_every == 0 or i == n_iter - 1:
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def label_propagation(
@@ -484,7 +507,9 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
     )
 
 
-def core_numbers(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+def core_numbers(
+    edges: DataFrame, max_iter: int = 100, *, assume_distinct: bool = False
+) -> DataFrame:
     """K-core decomposition: (id, core) where ``core`` is the largest k
     such that the vertex survives in the k-core (the maximal subgraph
     of minimum degree k) — the standard graph-mining density measure
@@ -503,8 +528,16 @@ def core_numbers(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     pairs, never the edge payload."""
     # dropDuplicates: a neighbor listed twice (caller passed both
     # orientations of an already-bidirectional list) would inflate the
-    # degree init AND the H-index counts
-    e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
+    # degree init AND the H-index counts. Callers whose edge list is
+    # distinct BY CONSTRUCTION (e.g. graph_kcore_summary's
+    # join+distinct projection) pass assume_distinct=True to skip the
+    # redundant exchange+agg pass inside the checkpoint job (r15: the
+    # optimizer cannot elide a dropDuplicates over an already-distinct
+    # relation).
+    proj = edges.select("src", "dst")
+    if not assume_distinct:
+        proj = proj.dropDuplicates()
+    e = proj.localCheckpoint()
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("core")
     ).localCheckpoint()

@@ -441,7 +441,8 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x").alias("src"), F.col("y").alias("dst"))
         .distinct()
     )
-    cores = core_numbers(proj)
+    # assume_distinct: proj is .distinct() by construction two lines up
+    cores = core_numbers(proj, assume_distinct=True)
     return (
         cores.groupBy("core")
         .agg(F.count(F.lit(1)).alias("n_vertices"))

@@ -258,6 +258,25 @@ def test_reference_simple_demo_flow(spark):
     assert bfs_query(edges, mol_key(parse_smiles("CCC")), mol_key(parse_smiles("CC"))) == 2
 
 
+def test_expand_relations_driver_dispatch_matches_wave_loop(spark):
+    # r15 size dispatch: the driver-side fixed point must produce the
+    # SAME edge set, vertex set and per-edge attributes as the
+    # distributed wave loop (driver_max_mols=0 forces the wave path).
+    seeds = ["CCC", "CC", "C(C)C"]
+    for depth in (1, 2, 3):
+        e_drv, v_drv = expand_relations(spark, seeds, depth=depth)
+        e_dst, v_dst = expand_relations(spark, seeds, depth=depth, driver_max_mols=0)
+        rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+        assert rows(e_drv) == rows(e_dst), depth
+        assert {r.mol_id for r in v_drv.collect()} == {r.mol_id for r in v_dst.collect()}, depth
+    # cap hit mid-expansion falls back to the wave loop (None branch):
+    # 3 seeds pass the entry gate, but wave 2's frontier pushes the
+    # processed count past 3
+    e_cap, v_cap = expand_relations(spark, seeds, depth=2, driver_max_mols=3)
+    e_ref, _ = expand_relations(spark, seeds, depth=2, driver_max_mols=0)
+    assert {tuple(r) for r in e_cap.collect()} == {tuple(r) for r in e_ref.collect()}
+
+
 def test_expand_relations_fixed_point(spark):
     # seeds CCC, CC, C(C)C (main.py:377–380): CCC ≡ C(C)C (same WL id)
     edges, vertices = expand_relations(spark, ["CCC", "CC", "C(C)C"], depth=2)
