@@ -71,9 +71,22 @@ _SEP = "\x1f"
 
 
 def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + whitespace-normalized lowercase text + token array."""
+    """documents + whitespace-normalized lowercase text + token array.
+
+    Single-split-funnel guard (r15, guide §2.5 input skew / the r8
+    funnel class): a bench-scale documents.parquet is ONE scan split,
+    so every downstream map-heavy pass (shingle explode+distinct,
+    per-shingle md5 banks in the MinHash/SimHash signatures) ran in a
+    single task — this family measured FASTER on 8 cores than 32.
+    Round-robin the scan up to the shuffle width when the scan has
+    fewer splits than that (A/B at sf0.1: shingle-index build
+    1.77 → 1.4 s warm, 5.4 → 1.9 s cold). At 100 TB the scan has
+    thousands of splits and the gate never fires — no text shuffle."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part)
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\r\f]+", " "))
     return docs.select("doc_id", norm.alias("norm"), F.split(norm, " ").alias("toks"))
 
@@ -1091,10 +1104,19 @@ def neardup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant exists for (and the df-cap can be RAISED under prefix
     filtering, recovering recall the plain index must trade away)."""
     sh = _shingle_rows(spark, sf_dir)  # cached; referenced 3× below
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # Document frequency as a COUNT WINDOW over the cached index, not a
+    # groupBy+join (r15, guide §2.4): the ranking window below needs a
+    # full-row exchange on doc_id regardless, so the df join's extra
+    # exchange+sort of the full index on shingle buys nothing here —
+    # one exchange(shingle) with an in-partition count replaces
+    # groupBy(shingle) + join-back (row-identical, A/B 1.9→1.7 s warm).
+    # NB the df CAP in _shingle_rows keeps its groupBy+broadcast-anti
+    # shape — there the downstream join does NOT reuse a window
+    # exchange, which is exactly the r4 regression its docstring pins.
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("shingle")).alias("_df")
     w_rank = Window.partitionBy("doc_id").orderBy("_df", "shingle")
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.select("doc_id", "shingle", dfc)
         .select(
             "doc_id",
             "shingle",

@@ -1202,6 +1202,28 @@ ORDER BY label
 """
 
 
+def _emb_bucketed_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, bucket) materialized ONCE for the sign-bucket
+    pair queries (r15, guide §2.4 + the r14 inferred-filter find): both
+    join sides previously re-computed the 64-fold norm AND the 8-sign
+    bucket concat per row, and the equi-join on the nullable derived
+    bucket inferred an isnotnull(bucket) Filter that inlined the whole
+    concat a second time per row (the dedup_embedding_lsh deferral in
+    the r14 verdict, item 8). Materializing the projection makes bucket
+    an ATTRIBUTE: the inferred filter becomes a cheap null check with
+    UNCHANGED semantics — rows whose bucket is NULL (short vectors /
+    null elements, which concat nulls out) still drop from the join
+    exactly as before. localCheckpoint (not cache) per the repo rule
+    for multiply-referenced in-query relations."""
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        _sign_bucket(F.col("v")).alias("bucket"),
+    ).localCheckpoint()
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection, LSH-bounded — the scale path the
     exact ``dedup_embedding_cosine`` docstring promises: candidate
@@ -1215,19 +1237,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits almost surely, so the high-cosine pairs this query exists to
     catch survive bucketing — the ANN scale probe measured recall 1.0
     on exactly that replica structure (BASELINE.md)."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
-    # norm hoist: one sqrt-fold per row, not per bucket pair (see
-    # dedup_embedding_cosine)
+    emb = _emb_bucketed_normed(spark, sf_dir)  # one fold pass, both sides
     a = emb.select(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
+        F.col("nrm").alias("na"),
         "bucket",
     )
     b = emb.select(
         F.col("vec_id").alias("ib"),
         F.col("v").alias("vb"),
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
+        F.col("nrm").alias("nb"),
         "bucket",
     )
     pairs = (
@@ -1276,19 +1296,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     linkage and purchase-graph oracles."""
     from molgraphdb_spark.operators.graph import connected_components
 
-    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
-    # norm hoist: one sqrt-fold per row, not per bucket pair (see
-    # dedup_embedding_cosine)
+    emb = _emb_bucketed_normed(spark, sf_dir)  # one fold pass, both sides
     a = emb.select(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
+        F.col("nrm").alias("na"),
         "bucket",
     )
     b = emb.select(
         F.col("vec_id").alias("ib"),
         F.col("v").alias("vb"),
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
+        F.col("nrm").alias("nb"),
         "bucket",
     )
     pairs = (
@@ -1878,17 +1896,76 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(F.col("v").isNotNull())
     x = F.transform(F.col("v"), lambda c: F.floor(c * 1000 + 0.5).cast("long"))
     rows = emb.select(x.alias("x"))
-    n_row = rows.agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        rows.select(F.posexplode("x").alias("i", "xi"), "x")
-        .select("i", "xi", F.posexplode("x").alias("j", "xj"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("s_ij"))
+
+    # r15 (guide §4.3, r14 verdict item 7): the d×d second moments used
+    # to come from a DOUBLE posexplode — d²=4096 rows per vector into a
+    # hash aggregate — plus a second single-posexplode pass for the
+    # marginals. One mapInArrow pass now accumulates the whole integer
+    # moment block per task with a numpy int64 Gram update (X'X over a
+    # zero-padded batch matrix) and emits d²+d+1 tagged partial rows
+    # per task: (i, j, Σxi·xj), (i, -1, Σxi), (-1, -1, row count).
+    # Integer-EXACT, so oracle-identical: every value is an int64 sum
+    # (milli-unit components ≤ ~10⁶ ⇒ products ≤ 10¹²; far from
+    # overflow), zero-padding ragged/odd rows contributes exactly the
+    # 0 a skipped NULL term contributes to SUM, and the final report
+    # aggregates are unchanged integer identities. The ONE shuffle is
+    # the d²-key partial merge — the kmeans-update shape the docstring
+    # promises, now with d²·n_tasks instead of d²·n_vectors rows.
+    def _cov_moments(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        S = np.zeros((0, 0), dtype=np.int64)
+        s = np.zeros(0, dtype=np.int64)
+        n = 0
+        for batch in batches:
+            arr = batch.column(0)
+            n += batch.num_rows
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = arr.values
+            if vals.null_count:
+                vals = vals.fill_null(0)  # a NULL term adds 0 to a SUM
+            flat = vals.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            nrows = len(widths)
+            if nrows == 0:
+                continue
+            w = int(widths.max())
+            if w > S.shape[0]:  # grow the accumulators to the widest row
+                S2 = np.zeros((w, w), dtype=np.int64)
+                S2[: S.shape[0], : S.shape[1]] = S
+                S = S2
+                s2 = np.zeros(w, dtype=np.int64)
+                s2[: s.shape[0]] = s
+                s = s2
+            X = np.zeros((nrows, w), dtype=np.int64)
+            mask = np.arange(w)[None, :] < widths[:, None]
+            X[mask] = flat[offs[0] : offs[-1]]
+            S[:w, :w] += X.T @ X
+            s[:w] += X.sum(axis=0)
+        w = S.shape[0]
+        ii, jj = np.indices((w, w))
+        out_i = np.concatenate([ii.ravel(), np.arange(w), [-1]]).astype(np.int32)
+        out_j = np.concatenate([jj.ravel(), np.full(w, -1), [-1]]).astype(np.int32)
+        out_s = np.concatenate([S.ravel(), s, [n]]).astype(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_i), pa.array(out_j), pa.array(out_s)], names=["i", "j", "s"]
+        )
+
+    partials = rows.mapInArrow(_cov_moments, schema="i int, j int, s long")
+    # one tiny merged relation (≤ d²+d+1 rows) feeds all three report
+    # legs; localCheckpoint per the multiply-referenced-relation rule
+    merged = (
+        partials.groupBy("i", "j").agg(F.sum("s").alias("s")).localCheckpoint()
     )
-    marg = (
-        rows.select(F.posexplode("x").alias("i", "xi"))
-        .groupBy("i")
-        .agg(F.sum("xi").alias("s_i"))
+    n_row = merged.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    pairs = merged.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
+        "i", "j", F.col("s").alias("s_ij")
+    )
+    marg = merged.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "i", F.col("s").alias("s_i")
     )
     m = (
         pairs.join(F.broadcast(marg), "i")

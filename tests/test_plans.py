@@ -79,7 +79,9 @@ MAP_ONLY_ZERO_EXCHANGE = [
     "doc_content_filter",
     "doc_pii_redact",
     "doc_chunk_spans",
-    "dedup_minhash_signatures",
+    # dedup_minhash_signatures moved to the flac-style work-partition
+    # contract in r15: _norm_docs round-robins a single-split documents
+    # scan so the per-shingle md5 banks parallelize (guide §2.5)
     "mm_chunk_windows",
     "mm_decoded_features",
     "mm_decoded_phash",
@@ -134,12 +136,17 @@ def test_embedding_lsh_dedup_no_cartesian(spark, sf_dir):
 
 
 def test_minhash_signatures_map_only(spark, sf_dir):
-    # Signature computation folds over the shingle array per row —
-    # the plan must contain NO Exchange before the (tiny) final sort.
+    # Signature computation folds over the shingle array per row — no
+    # Exchange beyond _norm_docs' single-split work repartition (r15:
+    # the per-shingle md5 banks ran in ONE task on the bench-scale
+    # single-file documents scan; the flac-style contract — at most one
+    # RoundRobin exchange, skipped on many-split production scans).
     from molgraphdb_spark.queries.dedup import _sig_df
 
     s = plan_summary(_sig_df(spark, sf_dir))
-    assert s["n_exchanges"] == 0
+    assert s["n_exchanges"] <= 1
+    if s["n_exchanges"]:
+        assert "roundrobin" in s["plan"].lower()
     assert not s["has_python_worker"]
 
 
