@@ -805,7 +805,16 @@ def mm_decoded_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = multimodal_manifest(spark, sf_dir).filter(
         F.col("metadata.format") == "video"
     )
-    return m.select("doc_id", "payload").mapInPandas(
+    sel = m.select("doc_id", "payload")
+    # r15: same work-partition gate as the FLAC leg — the zlib
+    # inflate + unfilter loop is compute-bound and the bench-scale
+    # manifest is ONE scan split, so the whole decode ran single-core
+    # (the leg measured faster on 8 cores than 32). Gated: a many-split
+    # production scan never pays the shuffle.
+    par = spark.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    return sel.mapInPandas(
         _decoded_png_rows,
         schema="doc_id long, width int, height int, luma_milli long, peak int",
     )
@@ -902,7 +911,15 @@ def mm_decoded_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = multimodal_manifest(spark, sf_dir).filter(
         F.col("metadata.format") == "image"
     )
-    return m.select("doc_id", "payload").mapInPandas(
+    sel = m.select("doc_id", "payload")
+    # r15: same work-partition gate as the FLAC leg — the Huffman
+    # decode + IDCT is the most compute-bound image leg and the
+    # bench-scale manifest is ONE scan split (single-core decode
+    # otherwise; the leg measured faster on 8 cores than 32).
+    par = spark.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    return sel.mapInPandas(
         _decoded_jpeg_rows,
         schema="doc_id long, width int, height int, luma_milli long, peak int",
     )

@@ -51,6 +51,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, round-robined up to the shuffle width when the scan
+    has fewer splits (r15, guide §2.5 — the single-split-funnel class):
+    a bench-scale documents.parquet is ONE file, so token/bigram/
+    md5-feature explodes and model joins upstream of an aggregation ran
+    their whole map side in a single task (these queries measured
+    FASTER on 8 cores than 32). Used by the compute-heavy model
+    pipelines (logprob/DSIR/BPE/BM25/perplexity); the cheap map-only
+    queries keep the plain scan — an exchange would be pure loss there
+    (MAP_ONLY_ZERO_EXCHANGE pins). On a many-split production scan the
+    gate never fires. Every consumer is partition-order-free (integer
+    milli-nat sums, exact ranks — test_partition_invariance.py).
+
+    Adopted ONLY where the interleaved same-session A/B won: DSIR
+    (md5-bucket features, 0.70×) and BM25 (per-term array filters,
+    0.84×). The cheaper token-explode models (unigram/bigram logprob,
+    perplexity buckets, BPE compression) measured 1.2–1.7× WORSE with
+    the extra shuffle — their map side is light and the model
+    groupBy+join already parallelizes — and keep the plain scan."""
+    docs = _docs(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part)
+    return docs
+
+
 def _tokens() -> Column:
     return F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
 
@@ -1333,7 +1359,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the rank-limiting filter Spark rewrites to a map-side
     WindowGroupLimit (the stratified top-k pattern, reshape.py)."""
     docs = (
-        _docs(spark, sf_dir)
+        _docs_wide(spark, sf_dir)
         .filter(F.col("text").isNotNull())
         .select("doc_id", _tokens().alias("toks"))
         .withColumn("dl", F.size("toks").cast("long"))
@@ -2168,7 +2194,7 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     from molgraphdb_spark.operators.ranking import with_order_stats
 
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    docs = _docs_wide(spark, sf_dir).filter(F.col("text").isNotNull())
     toks = _tokens()
     n = F.size(toks)
     w1s = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))

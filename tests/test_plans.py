@@ -85,11 +85,27 @@ MAP_ONLY_ZERO_EXCHANGE = [
     "mm_chunk_windows",
     "mm_decoded_features",
     "mm_decoded_phash",
-    "mm_decoded_png",
-    "mm_decoded_jpeg",
+    # mm_decoded_png/jpeg moved to the flac-style work-partition
+    # contract in r15 (compute-bound decode over a single-split scan)
     "mm_resize_grid",
     "doc_html_extract",
 ]
+
+
+def test_decoded_compressed_legs_work_partitioned(spark, sf_dir):
+    # r15: the PNG (inflate+unfilter) and JPEG (Huffman+IDCT) legs
+    # follow the FLAC precedent — at most ONE RoundRobin exchange on a
+    # single-split bench scan, zero Python workers outside the decode
+    # pass, skipped entirely on many-split production scans.
+    from molgraphdb_spark.registry import all_queries
+
+    q = all_queries()
+    for name in ("mm_decoded_png", "mm_decoded_jpeg"):
+        s = plan_summary(q[name](spark, sf_dir))
+        assert s["n_exchanges"] <= 1, (name, s["n_exchanges"])
+        if s["n_exchanges"]:
+            assert "roundrobin" in s["plan"].lower(), name
+        assert s["plan"].count("MapInPandas (") == 1, name
 
 
 def test_map_only_family_has_zero_exchanges(spark, sf_dir):
