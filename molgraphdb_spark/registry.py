@@ -67,11 +67,16 @@ _QUERY_MODULES = [
 #   similarity_lsh_topk, similarity_knn_graph, dedup_embedding_lsh,
 #   dedup_semantic_clusters, retrieval_rrf_hybrid — all verified
 #   builder-side at sf0.01 in r14, re-gated by the driver here.
-# - r15 changed-code re-gates (this round's optimizations), appended to
-#   the lead block as they land.
+# - 25 r15 changed-code re-gates (this round's optimizations): the 8
+#   individually rewritten paths (pagerank, kcore, chem expansion,
+#   covariance, DSIR, BM25, png/jpeg decode) + all 17 dedup-family
+#   consumers of the _norm_docs work repartition. Every one
+#   pre-verified hash-green at sf0.01 by tools/parity this session.
 # - ALL remaining r10-stale rows (16 — pq_code_stats and
 #   similarity_cosine_topk already lead above).
-# - r11-stale fills (alphabetical) to exactly 50.
+# 9 + 25 + 16 = 50 exactly; no fills needed. DISPLACED DEBT: the 48
+# r11-stale rows (agg_stats_lineitem ... window_running_total) are the
+# r16 window's floor after r15 debuts/changed-code re-gates.
 #
 # HISTORICAL RECORD, r14 window (drove CORRECTNESS_r14.json 50/50
 # green, 0 errors), per the r13 verdict item 2
@@ -137,8 +142,38 @@ _PRIORITY = [
     "dedup_embedding_lsh",
     "dedup_semantic_clusters",
     "retrieval_rrf_hybrid",
-    # ---- r15 changed-code re-gates (this round's optimizations) ----
-    # (appended as changes land; see OPTIMIZATION_r15.md)
+    # ---- 25 r15 changed-code re-gates (this round's optimizations;
+    # all pre-verified hash-green at sf0.01 by tools/parity this
+    # session — see OPTIMIZATION_r15.md) ----
+    # individually rewritten paths first:
+    "graph_pagerank_top",       # pagerank loop rewrite (verts_w state)
+    "graph_kcore_summary",      # core_numbers assume_distinct
+    "chem_edit_expansion",      # expand_relations driver dispatch
+    "embedding_covariance_stats",  # mapInArrow moment accumulator
+    "doc_dsir_selection",       # _docs_wide work partition
+    "doc_bm25_topk",            # _docs_wide work partition
+    "mm_decoded_png",           # decode work partition
+    "mm_decoded_jpeg",          # decode work partition
+    # the 17 dedup-family consumers of _norm_docs (single-split work
+    # repartition; neardup_prefix_pairs additionally switched its df
+    # ranking to a count window):
+    "neardup_prefix_pairs",
+    "dedup_cross_source_matrix",
+    "dedup_lsh_verified",
+    "neardup_jaccard_pairs",
+    "neardup_containment_pairs",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_threshold_curve",
+    "neardup_degree_hist",
+    "dedup_exact",
+    "dedup_incremental_flags",
+    "dedup_rate_by_source",
+    "doc_ngram_novelty",
     # ---- ALL 16 remaining r10-stale rows (the staleness floor) ----
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -156,32 +191,6 @@ _PRIORITY = [
     "setop_intersect_nations",
     "setop_union_nations",
     "skew_salted_status_counts",
-    # ---- r11-stale fills (alphabetical) to exactly 50 ----
-    "agg_stats_lineitem",
-    "anti_join_customers_without_orders",
-    "case_bucket_orders",
-    "cross_pairs_nations",
-    "cube_status_priority",
-    "dedup_incremental_flags",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "distinct_count_customers",
-    "doc_bigram_logprob",
-    "doc_cdc_chunks",
-    "doc_chunk_spans",
-    "doc_content_filter",
-    "doc_dup_span_removal",
-    "doc_dup_span_stats",
-    "doc_gopher_repetition",
-    "doc_line_dedup_ratio",
-    "doc_ngram_novelty",
-    "doc_pii_redact",
-    "doc_rare_token_ratio",
-    "doc_repetition_suite",
-    "doc_tfidf_top_terms",
-    "doc_unigram_logprob",
-    "filter_project_pushdown",
-    "full_outer_nation_profile",
 ]
 
 

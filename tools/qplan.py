@@ -1,8 +1,14 @@
 """Dump ``.explain("formatted")`` for named queries to stdout or files —
 the plans/r<N>/<query>_{before,after}.txt deliverable writer.
 
-    python tools/qplan.py [sf_dir] [-o OUTDIR] [-s SUFFIX] query [query ...]
-"""
+    python tools/qplan.py [sf_dir] [-o OUTDIR] [-s SUFFIX] [-u] query ...
+
+``-u`` (uncut, r15): monkeypatch localCheckpoint to identity so plans
+show the pre-checkpoint pipeline a checkpointed query hides behind
+Scan ExistingRDD. Measurement-only: repeated references to a
+checkpointed relation then RE-EXPAND in the dumped tree (logically —
+the real execution materializes them once), so uncut dumps evidence
+expression/operator shapes, not execution counts."""
 
 from __future__ import annotations
 
@@ -27,6 +33,17 @@ def main() -> int:
         i = args.index("-s")
         suffix = args[i + 1]
         del args[i : i + 2]
+    if "-u" in args:
+        args.remove("-u")
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+        try:  # Spark 4: the runtime instance is the classic subclass
+            from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+            _CDF.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+        except ImportError:
+            pass
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     spark = get_spark("qplan")
     tune(spark)

@@ -2381,6 +2381,73 @@ def probe_runmin_skew(spark, n: int = 4_000_000) -> dict:
     }
 
 
+def probe_shuffle_codec(sf_dir: str, runs: int = 3) -> dict:
+    """lz4 vs zstd on the heaviest dedup shuffle at 10× (r14 verdict
+    item 9 — turn the documented 'cluster trade' note into a number).
+
+    Workload: the shingle inverted-index self-join + pair aggregation
+    (neardup_jaccard_pairs' shape) over the 10× probe corpus — the
+    family's dominant exchange. spark.io.compression.codec is a
+    CONTEXT-time conf, so each codec gets a fresh session (this probe
+    STOPS the active session — run it alone/last:
+    ``python tools/scale_probe.py 10 shuffle_codec``). Wall times are
+    min-of-N per codec, sequential sessions (no interleave possible),
+    so treat small deltas as host noise; the decision number for a
+    real cluster is still network/disk-bound shuffle BYTES, which this
+    host's ramdisk-speed shuffle cannot expose — the probe records the
+    shuffled pair volume so the ratio can be projected."""
+    import time as _time
+
+    from pyspark.sql import SparkSession
+
+    from molgraphdb_spark.queries.dedup import _shingle_rows
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    out: dict = {"probe": "shuffle_codec", "runs": runs}
+    for codec in ("lz4", "zstd"):
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName(f"codec-{codec}")
+            .config("spark.io.compression.codec", codec)
+            .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        tune(spark)
+        spark.range(1000).selectExpr("sum(id)").collect()  # session warmup
+        walls = []
+        n_pairs = 0
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = _time.time()
+            sh = _shingle_rows(spark, sf_dir)
+            a, b = sh.alias("a"), sh.alias("b")
+            common = (
+                a.join(
+                    b,
+                    (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+                .agg(F.count(F.lit(1)).alias("n_common"))
+            )
+            n_pairs = common.count()
+            walls.append(round(_time.time() - t0, 3))
+        out[codec] = {"walls_sorted": sorted(walls), "min": min(walls), "n_pairs": n_pairs}
+        spark.stop()
+    out["zstd_over_lz4_min_ratio"] = round(out["zstd"]["min"] / out["lz4"]["min"], 3)
+    return out
+
+
 def probe_copurchase_hotkey(spark, n_sup: int = 8_000, n_cust: int = 200_000) -> dict:
     """Hot-key probe for the co-purchase inverted-index family (r8
     verdict item 3): the pair join is bounded by Σ deg(c)² with no
@@ -2805,6 +2872,8 @@ def main() -> None:
             "decode": lambda: probe_decode(spark, build_corpus(spark, k)),
             "render": lambda: probe_render(spark),
             "extract": lambda: probe_extract(spark, build_corpus(spark, k)),
+            # stops the shared session (per-codec contexts) — run alone
+            "shuffle_codec": lambda: probe_shuffle_codec(build_corpus(spark, k)),
         }
         for name in sys.argv[2:]:
             print(json.dumps(fns[name]()))
