@@ -71,17 +71,31 @@ _SEP = "\x1f"
 
 
 def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + whitespace-normalized lowercase text + token array.
+    """documents + whitespace-normalized lowercase text + token array."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\r\f]+", " "))
+    return docs.select("doc_id", norm.alias("norm"), F.split(norm, " ").alias("toks"))
 
-    Single-split-funnel guard (r15, guide §2.5 input skew / the r8
-    funnel class): a bench-scale documents.parquet is ONE scan split,
-    so every downstream map-heavy pass (shingle explode+distinct,
-    per-shingle md5 banks in the MinHash/SimHash signatures) ran in a
-    single task — this family measured FASTER on 8 cores than 32.
-    Round-robin the scan up to the shuffle width when the scan has
-    fewer splits than that (A/B at sf0.1: shingle-index build
-    1.77 → 1.4 s warm, 5.4 → 1.9 s cold). At 100 TB the scan has
-    thousands of splits and the gate never fires — no text shuffle."""
+
+def _norm_docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_norm_docs with the single-split-funnel guard (r15, guide §2.5 /
+    the r8 funnel class): a bench-scale documents.parquet is ONE scan
+    split, so a map-HEAVY downstream pass (shingle explode+distinct,
+    the per-shingle md5 banks of the MinHash signature) runs in a
+    single task — the family measured FASTER on 8 cores than 32.
+    Round-robin the scan up to the shuffle width when it has fewer
+    splits (A/B at sf0.1: shingle-index build 1.77 → 1.4 s warm,
+    5.4 → 1.9 s cold; dedup_minhash_signatures 1.32 → 0.43 s min-merge).
+    At 100 TB the scan has thousands of splits — the gate never fires.
+
+    Used ONLY by the heavy consumers (_shingle_rows, _sig_df): the
+    3-pair interleaved solo-bench campaign showed the cheap map-only
+    consumers LOSE with the extra exchange (dedup_exact 1.65×,
+    dedup_incremental_flags 1.94× — their md5-hash map side is light
+    and their one window/join already parallelizes), and dedup_simhash
+    carries its own measured repartition below (a second one here
+    double-shuffled it, 1.13×)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -124,7 +138,7 @@ def _shingle_rows(
     output 2–3 times — one materialization serves them all, each
     downstream reference recomputing only the broadcast anti-join."""
     sh = (
-        _norm_docs(spark, sf_dir)
+        _norm_docs_wide(spark, sf_dir)
         .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
         .distinct()
     )
@@ -341,7 +355,7 @@ def _sig_df(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
     Lexicographic min over fixed-width lowercase hex == numeric min,
     identically in both engines."""
     n_digests = (k + 3) // 4
-    docs = _norm_docs(spark, sf_dir).withColumn("shingles", _shingles_col())
+    docs = _norm_docs_wide(spark, sf_dir).withColumn("shingles", _shingles_col())
 
     # NB: factories, not default-arg lambdas — F.transform feeds a
     # 2-parameter lambda the array INDEX as its second argument.

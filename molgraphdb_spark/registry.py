@@ -154,9 +154,13 @@ _PRIORITY = [
     "doc_bm25_topk",            # _docs_wide work partition
     "mm_decoded_png",           # decode work partition
     "mm_decoded_jpeg",          # decode work partition
-    # the 17 dedup-family consumers of _norm_docs (single-split work
-    # repartition; neardup_prefix_pairs additionally switched its df
-    # ranking to a count window):
+    # the dedup family: _shingle_rows/_sig_df consumers ride the
+    # _norm_docs_wide single-split work repartition
+    # (neardup_prefix_pairs additionally switched its df ranking to a
+    # count window); dedup_exact / dedup_incremental_flags /
+    # dedup_simhash reverted to their r14 shapes after the solo-bench
+    # campaign showed the extra exchange hurt them — kept in the
+    # window as re-gates of that revert:
     "neardup_prefix_pairs",
     "dedup_cross_source_matrix",
     "dedup_lsh_verified",
